@@ -1,13 +1,350 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.exec.HybridPipeline
+import graft.functions.VectorExpressions._
+import graft.ml.HashEmbedder
+import graft.model._
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, with a DuckDB-equivalent `oracleSql` wherever the operator's
+  * semantics are SQL-expressible (including the neural paths: the
+  * deterministic HashEmbedder sparse encoding `1+ln(1+count)` is re-derived
+  * in SQL CTEs, and dense query vectors are inlined as list literals).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // ---------------------------------------------------------------- helpers
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  private[graft] val encodeUdf = udf((s: String) => HashEmbedder.encode(s))
+  private[graft] def embedUdf(dim: Int) = udf((s: String) => HashEmbedder.embed(s, dim))
+
+  /** Sparse query token maps used by retrieval queries (computed once,
+    * deterministic — the "inference hoisting" of the reference,
+    * NeuralQueryBuilder.java:905-931, becomes a plan-time literal). */
+  private[graft] val qTokensA = HashEmbedder.encode("spark join fast table scan")
+  private[graft] val qTokensB = HashEmbedder.encode("stream window agg merge sort batch")
+  private[graft] val qDense64 = HashEmbedder.embed("vector search engine query data", 64)
+
+  // -------------------------------------------------- oracle SQL generators
+
+  /** Float literal that DuckDB parses back to the identical float. */
+  private def f32(w: Float): String = s"CAST(${w.toString} AS REAL)"
+
+  private def valuesOf(m: Map[String, Float]): String =
+    m.toSeq.sortBy(_._1)
+      .map { case (t, w) => s"('$t', ${f32(w)})" }
+      .mkString(", ")
+
+  /** Shared CTE: documents → (doc_id, t, w) sparse vectors via the
+    * HashEmbedder encoding re-derived in SQL (tokenize = lower + split on
+    * whitespace, weight = float(1 + ln(1 + count))). */
+  private val docVectorsCte =
+    """tok AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS t
+      |  FROM documents
+      |), dv AS (
+      |  SELECT doc_id, t, CAST(1.0 + ln(1.0 + count(*)) AS REAL) AS w
+      |  FROM tok WHERE t <> '' GROUP BY doc_id, t
+      |)""".stripMargin
+
+  /** Sparse dot-product scores for one query token map, as a CTE body. */
+  private def sparseScoreSql(qValues: String): String =
+    s"""SELECT dv.doc_id,
+       |       round(sum(CAST(dv.w AS DOUBLE) * CAST(q.qw AS DOUBLE)), 6) AS score
+       |FROM dv JOIN (VALUES $qValues) AS q(t, qw) USING (t)
+       |GROUP BY dv.doc_id""".stripMargin
+
+  private def denseLit(v: Array[Float]): String =
+    v.map(_.toString).mkString("[", ", ", "]")
+
+  // ----------------------------------------------------------- the flagship
+
+  /** Flagship: hybrid (sparse ⊕ dense-neural) retrieval over the documents
+    * corpus, min_max normalization + arithmetic mean combination — the
+    * reference's headline query path (SURVEY.md §3.1) on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    hybridMinMax(spark, "/root/testdata/sf0.001")
+
+  private def hybridMinMax(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .withColumn("tokens", encodeUdf(col("text")))
+    // Scores are rounded to 6 decimals BEFORE any ranking so that the DuckDB
+    // oracle (which sums the identical float products in a different order)
+    // ranks identically — last-ulp double divergence cannot flip a rank.
+    def sub(q: Map[String, Float]): Column = {
+      val sc = round(sparse_dot(col("tokens"), typedLit(q)), 6)
+      when(sc > 0.0, sc) // no overlapping token = no match for this subquery
+    }
+    val s0 = sub(qTokensA)
+    val s1 = sub(qTokensB)
+    val scored = HybridPipeline.score(docs, col("doc_id"), Seq(s0, s1))
+    HybridPipeline.run(
+      scored, 2, NormalizationSpec.MinMax(), CombinationSpec.ArithmeticMean(),
+      paginationDepth = Some(100), size = 10)
+      .select(col("doc_id"), round(col("score"), 4).as("score"), col("rank"))
+  }
+
+  /** SQL replica of the full hybrid pipeline for the DuckDB oracle:
+    * per-subquery top-K → min_max (1.0 single-score, 0.001 floor) →
+    * arithmetic mean with skip semantics → final rank. */
+  private def hybridMinMaxSql(norm: String): String = {
+    def subq(name: String, values: String, k: Int): String =
+      s"""s_$name AS (${sparseScoreSql(values)}),
+         |k_$name AS (
+         |  SELECT doc_id, score FROM (
+         |    SELECT doc_id, score,
+         |           row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+         |    FROM s_$name) WHERE rn <= $k
+         |)""".stripMargin
+    val normalized = norm match {
+      case "min_max" =>
+        def mm(name: String) =
+          s"""SELECT doc_id,
+             |       CASE WHEN mx = mn AND mx = score THEN 1.0
+             |            WHEN (score - mn) / (mx - mn) = 0.0 THEN 0.001
+             |            ELSE (score - mn) / (mx - mn) END AS nscore
+             |FROM (SELECT doc_id, score,
+             |             min(score) OVER () AS mn, max(score) OVER () AS mx
+             |      FROM k_$name)""".stripMargin
+        s"n0 AS (${mm("a")}), n1 AS (${mm("b")})"
+      case "rrf" =>
+        def rr(name: String) =
+          s"""SELECT doc_id,
+             |       1.0 / (60 + row_number() OVER (ORDER BY score DESC, doc_id ASC)) AS nscore
+             |FROM k_$name""".stripMargin
+        s"n0 AS (${rr("a")}), n1 AS (${rr("b")})"
+    }
+    val combine = norm match {
+      case "min_max" => "sum(nscore) / count(*)" // arithmetic mean, absent subqueries skipped
+      case "rrf"     => "sum(nscore)" // rrf combination = weighted SUM
+    }
+    s"""WITH $docVectorsCte,
+       |${subq("a", valuesOf(qTokensA), 100)},
+       |${subq("b", valuesOf(qTokensB), 100)},
+       |$normalized,
+       |comb AS (
+       |  SELECT doc_id, $combine AS score
+       |  FROM (SELECT * FROM n0 UNION ALL SELECT * FROM n1)
+       |  GROUP BY doc_id
+       |), ranked AS (
+       |  -- rank on the RAW combined score (matches the Spark pipeline);
+       |  -- rounding is applied only to the emitted value
+       |  SELECT doc_id, score,
+       |         CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+       |  FROM comb
+       |)
+       |SELECT doc_id, round(score, 4) AS score, rank
+       |FROM ranked WHERE rank <= 10 ORDER BY rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- relational skeleton (scan/filter/agg/join/window/topk) --------------
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "q_topk_orders" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+    }),
+
+    "q_group_topk" -> ((s, dir) => {
+      // per-group top-k via rank window = the collapse/grouping collector
+      // pattern (HybridCollapsingTopDocsCollector, SURVEY.md §2.5)
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      t(s, dir, "customer")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 5)
+        .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"), col("rn"))
+        .orderBy(col("c_mktsegment"), col("rn"))
+    }),
+
+    "q_join_agg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"))
+    }),
+
+    "q_filter_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") && col("l_discount") > 0.05)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("l_extendedprice")), 2).as("sum_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "q_events_hourly" -> ((s, dir) => {
+      // events.ts is ns-precision parquet, which Spark 4 only reads with the
+      // nanosAsLong legacy conf (dynamic SQL conf — safe to set per query).
+      // Hour bucketing is integer math on the nanos (ts is ~1.7e18, beyond
+      // double precision, so `div`, not floating division).
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      t(s, dir, "events")
+        .groupBy(col("event_type"),
+          (expr("ts div 3600000000000") * lit(3600000L)).as("hour_ms"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("sum_value"))
+        .orderBy(col("event_type"), col("hour_ms"))
+    }),
+
+    // -- dedup (training-data ops) ------------------------------------------
+    "q_dedup_exact" -> ((s, dir) => {
+      // exact dedup: hash-groupBy on content (SURVEY: dedup suite)
+      t(s, dir, "documents")
+        .groupBy(md5(col("text")).as("text_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
+        .orderBy(col("keep_id"))
+    }),
+
+    // -- text analysis ------------------------------------------------------
+    "q_text_stats" -> ((s, dir) => {
+      val toks = filter(split(col("text"), " "), x => x =!= "")
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          size(toks).as("n_tokens"),
+          size(array_distinct(toks)).as("n_uniq"),
+          length(col("text")).as("n_chars_computed"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // -- dense ANN: brute-force cosine top-k (SURVEY: similarity search) -----
+    "q_ann_cosine" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = typedLit(qDense64)
+      emb.select(col("vec_id"), round(dense_cosine(col("embedding"), q), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id").asc)
+        .limit(20)
+    }),
+
+    // -- sparse exact top-k (neural_sparse query, exact path) ----------------
+    "q_sparse_exact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").withColumn("tokens", encodeUdf(col("text")))
+      val scored = docs
+        .select(col("doc_id"), round(sparse_dot(col("tokens"), typedLit(qTokensA)), 6).as("score"))
+        .where(col("score") > 0.0)
+      scored
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(10)
+    }),
+
+    // -- hybrid retrieval (flagship path) ------------------------------------
+    "q_hybrid_minmax_arith" -> ((s, dir) => hybridMinMax(s, dir)),
+
+    "q_hybrid_rrf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").withColumn("tokens", encodeUdf(col("text")))
+      def sub(q: Map[String, Float]): Column = {
+        val sc = round(sparse_dot(col("tokens"), typedLit(q)), 6)
+        when(sc > 0.0, sc)
+      }
+      val scored = HybridPipeline.score(docs, col("doc_id"), Seq(sub(qTokensA), sub(qTokensB)))
+      HybridPipeline.run(
+        scored, 2, NormalizationSpec.RRF(), CombinationSpec.RRF(),
+        paginationDepth = Some(100), size = 10)
+        .select(col("doc_id"), round(col("score"), 4).as("score"), col("rank"))
+    })
+  )
+
+  // ------------------------------------------------------------- oracle SQL
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_base_price,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |       count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_topk_orders" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+
+    "q_group_topk" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal, rn FROM (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal,
+        |         CAST(row_number() OVER (PARTITION BY c_mktsegment
+        |              ORDER BY c_acctbal DESC, c_custkey ASC) AS INT) AS rn
+        |  FROM customer) WHERE rn <= 5
+        |ORDER BY c_mktsegment, rn""".stripMargin,
+
+    "q_join_agg" ->
+      """SELECT n_name,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_filter_agg" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+        |       round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_discount > 0.05
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_events_hourly" ->
+      """SELECT event_type,
+        |       epoch_ms(date_trunc('hour', ts)) AS hour_ms,
+        |       count(*) AS cnt, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, hour_ms""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+        |       count(*) AS dup_count
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+    "q_text_stats" ->
+      """SELECT doc_id,
+        |       CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INT) AS n_tokens,
+        |       CAST(len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS INT) AS n_uniq,
+        |       CAST(length(text) AS INT) AS n_chars_computed
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_ann_cosine" ->
+      s"""SELECT vec_id, round(score, 6) AS score FROM (
+         |  SELECT vec_id,
+         |         list_cosine_similarity(CAST(embedding AS DOUBLE[]), ${denseLit(qDense64)}) AS score
+         |  FROM embeddings)
+         |ORDER BY score DESC, vec_id ASC LIMIT 20""".stripMargin,
+
+    "q_sparse_exact" ->
+      s"""WITH $docVectorsCte,
+         |scores AS (${sparseScoreSql(valuesOf(qTokensA))})
+         |SELECT doc_id, score FROM scores
+         |WHERE score > 0.0
+         |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
+
+    "q_hybrid_minmax_arith" -> hybridMinMaxSql("min_max"),
+    "q_hybrid_rrf" -> hybridMinMaxSql("rrf")
+  )
 }

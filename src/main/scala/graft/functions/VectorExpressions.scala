@@ -1,0 +1,137 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, MapData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the engine's hot-path scalar math
+  * (reference scalar surface per SURVEY.md §2.7): dense dot / cosine over
+  * `ArrayType(FloatType)` and sparse dot over `MapType(StringType, FloatType)`.
+  *
+  * Dense ops implement `doGenCode` so they stay inside whole-stage codegen —
+  * this is the Spark counterpart of the reference's tight per-doc scoring
+  * loops (e.g. query/NeuralQueryBuilder.java k-NN scoring via the k-NN plugin,
+  * sparse/data/SparseVector.java dot products). All ops compute in double
+  * precision and are null-safe (null in → null out).
+  */
+object VectorExpressions {
+
+  private def loopDot(a: String, b: String): String =
+    s"""
+       |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+       |double acc = 0.0;
+       |for (int i = 0; i < n; i++) {
+       |  acc += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+       |}
+     """.stripMargin
+
+  case class DenseDot(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "dense_dot"
+
+    override protected def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      var s = 0.0; var i = 0
+      while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+      s
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => s"${loopDot(a, b)}\n${ev.value} = acc;")
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+  }
+
+  case class DenseCosine(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "dense_cosine"
+
+    override protected def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < n) {
+        val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"""
+           |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double dot = 0.0, na = 0.0, nb = 0.0;
+           |for (int i = 0; i < n; i++) {
+           |  double x = (double) $a.getFloat(i);
+           |  double y = (double) $b.getFloat(i);
+           |  dot += x * y; na += x * x; nb += y * y;
+           |}
+           |${ev.value} = (na == 0.0 || nb == 0.0) ? 0.0 : dot / java.lang.Math.sqrt(na * nb);
+         """.stripMargin)
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+  }
+
+  /** Sparse dot product Σ_t q_t · d_t over token-weight maps — the scoring
+    * kernel of the `neural_sparse` query (reference:
+    * query/NeuralSparseQueryBuilder.java:569-589, BooleanQuery of
+    * FeatureField.newLinearQuery clauses). When the query side is a foldable
+    * literal (the common case: one query vector vs the corpus), its map is
+    * materialized once into a Java HashMap and probed per doc token.
+    */
+  case class SparseDot(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "sparse_dot"
+
+    @transient private lazy val foldedRight: java.util.HashMap[UTF8String, java.lang.Float] =
+      if (right.foldable) {
+        val m = right.eval(null)
+        if (m == null) null else toJavaMap(m.asInstanceOf[MapData])
+      } else null
+
+    private def toJavaMap(m: MapData): java.util.HashMap[UTF8String, java.lang.Float] = {
+      val out = new java.util.HashMap[UTF8String, java.lang.Float](m.numElements() * 2)
+      val ks = m.keyArray(); val vs = m.valueArray()
+      var i = 0
+      while (i < m.numElements()) {
+        out.put(ks.getUTF8String(i).clone(), vs.getFloat(i)); i += 1
+      }
+      out
+    }
+
+    override protected def nullSafeEval(l: Any, r: Any): Any = {
+      val doc = l.asInstanceOf[MapData]
+      val q = if (foldedRight != null) foldedRight else toJavaMap(r.asInstanceOf[MapData])
+      val ks = doc.keyArray(); val vs = doc.valueArray()
+      var s = 0.0; var i = 0
+      while (i < doc.numElements()) {
+        val w = q.get(ks.getUTF8String(i))
+        if (w != null) s += vs.getFloat(i).toDouble * w.doubleValue()
+        i += 1
+      }
+      s
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+  }
+
+  // Column-level API (Spark 4: Column<->Expression via Bridge)
+  def dense_dot(a: Column, b: Column): Column =
+    Bridge.column(DenseDot(Bridge.expression(a), Bridge.expression(b)))
+  def dense_cosine(a: Column, b: Column): Column =
+    Bridge.column(DenseCosine(Bridge.expression(a), Bridge.expression(b)))
+  def sparse_dot(doc: Column, query: Column): Column =
+    Bridge.column(SparseDot(Bridge.expression(doc), Bridge.expression(query)))
+}
