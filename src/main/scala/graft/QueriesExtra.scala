@@ -1,0 +1,441 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ann.Ann
+import graft.dedup.Dedup
+import graft.exec.HybridPipeline
+import graft.functions.{PruneUtils, VectorExpressions}
+import graft.ingest.Enrich
+import graft.ml.HashEmbedder
+import graft.model._
+import graft.multimodal.Multimodal
+import graft.post.Rerank
+import graft.seismic.Seismic
+import graft.sparse.SparseRetrieval
+import graft.text.TextAnalysis
+
+/** Second bank of driver-contract queries: sparse physical variants,
+  * two-phase, chunkers, dedup suite, text analysis, rerank, SEISMIC, ANN,
+  * and additional hybrid technique pairs. Oracle SQL is generated from the
+  * same Scala constants the queries use (query token maps, prune splits,
+  * stopword lists) so both sides can never drift apart.
+  */
+object QueriesExtra {
+
+  import SparkEntry.{qTokensA, qTokensB, qDense64}
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  private def docsWithTokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").withColumn("tokens", Enrich.encodeUdf(col("text")))
+
+  // ---------------------------------------------------------------- helpers
+
+  private def f32(w: Float): String = s"CAST(${w.toString} AS REAL)"
+  private def valuesOf(m: Map[String, Float]): String =
+    m.toSeq.sortBy(_._1).map { case (tk, w) => s"('$tk', ${f32(w)})" }.mkString(", ")
+
+  private val docVectorsCte =
+    """tok AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS t
+      |  FROM documents
+      |), dv AS (
+      |  SELECT doc_id, t, CAST(1.0 + ln(1.0 + count(*)) AS REAL) AS w
+      |  FROM tok WHERE t <> '' GROUP BY doc_id, t
+      |)""".stripMargin
+
+  private def sparseScoreSql(qValues: String): String =
+    s"""SELECT dv.doc_id,
+       |       round(sum(CAST(dv.w AS DOUBLE) * CAST(q.qw AS DOUBLE)), 6) AS score
+       |FROM dv JOIN (VALUES $qValues) AS q(t, qw) USING (t)
+       |GROUP BY dv.doc_id""".stripMargin
+
+  // two-phase split computed ONCE, shared by the Spark query and the oracle
+  private val (tpHi, tpLo) = PruneUtils.split(qTokensA, PruneUtils.MaxRatio, 0.4f)
+
+  /** Hybrid oracle for (l2|z_score, geometric|arith[weights]) pairs — same
+    * skeleton as SparkEntry.hybridMinMaxSql with swapped technique CTEs. */
+  private def hybridSql(norm: String, comb: String, weights: Option[(Double, Double)]): String = {
+    def subq(name: String, values: String, k: Int): String =
+      s"""s_$name AS (${sparseScoreSql(values)}),
+         |k_$name AS (
+         |  SELECT doc_id, score FROM (
+         |    SELECT doc_id, score,
+         |           row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+         |    FROM s_$name) WHERE rn <= $k
+         |)""".stripMargin
+    def normCte(name: String): String = norm match {
+      case "l2" =>
+        s"""SELECT doc_id,
+           |       CASE WHEN nrm = 0.0 THEN 0.001 ELSE score / nrm END AS nscore
+           |FROM (SELECT doc_id, score, sqrt(sum(score * score) OVER ()) AS nrm
+           |      FROM k_$name)""".stripMargin
+      case "z_score" =>
+        s"""SELECT doc_id,
+           |       CASE WHEN sd IS NULL OR sd = 0.0 THEN 0.0
+           |            ELSE (score - mn) / sd END AS nscore
+           |FROM (SELECT doc_id, score, avg(score) OVER () AS mn,
+           |             stddev_samp(score) OVER () AS sd
+           |      FROM k_$name)""".stripMargin
+      case "min_max" =>
+        s"""SELECT doc_id,
+           |       CASE WHEN mx = mn AND mx = score THEN 1.0
+           |            WHEN (score - mn) / (mx - mn) = 0.0 THEN 0.001
+           |            ELSE (score - mn) / (mx - mn) END AS nscore
+           |FROM (SELECT doc_id, score,
+           |             min(score) OVER () AS mn, max(score) OVER () AS mx
+           |      FROM k_$name)""".stripMargin
+    }
+    val (w0, w1) = weights.getOrElse((1.0, 1.0))
+    val combine = comb match {
+      case "geometric_mean" =>
+        """CASE WHEN sum(CASE WHEN nscore > 0 THEN w END) IS NULL THEN 0.0
+          |     ELSE exp(sum(CASE WHEN nscore > 0 THEN w * ln(nscore) END)
+          |              / sum(CASE WHEN nscore > 0 THEN w END)) END""".stripMargin
+      case "harmonic_mean" =>
+        """CASE WHEN coalesce(sum(CASE WHEN nscore > 0 THEN w / nscore END), 0.0) <= 0.0 THEN 0.0
+          |     ELSE sum(CASE WHEN nscore > 0 THEN w END)
+          |          / sum(CASE WHEN nscore > 0 THEN w / nscore END) END""".stripMargin
+      case "arithmetic_mean" =>
+        """coalesce(sum(CASE WHEN nscore >= 0 THEN w * nscore END)
+          |         / sum(CASE WHEN nscore >= 0 THEN w END), 0.0)""".stripMargin
+    }
+    s"""WITH $docVectorsCte,
+       |${subq("a", valuesOf(qTokensA), 100)},
+       |${subq("b", valuesOf(qTokensB), 100)},
+       |n0 AS (${normCte("a")}), n1 AS (${normCte("b")}),
+       |comb AS (
+       |  SELECT doc_id, $combine AS score
+       |  FROM (SELECT doc_id, nscore, $w0 AS w FROM n0
+       |        UNION ALL SELECT doc_id, nscore, $w1 AS w FROM n1)
+       |  GROUP BY doc_id
+       |), ranked AS (
+       |  SELECT doc_id, score,
+       |         CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+       |  FROM comb
+       |)
+       |SELECT doc_id, round(score, 4) AS score, rank
+       |FROM ranked WHERE rank <= 10 ORDER BY rank""".stripMargin
+  }
+
+  private def hybridRun(s: SparkSession, dir: String, norm: NormalizationSpec,
+      comb: CombinationSpec): DataFrame = {
+    val docs = docsWithTokens(s, dir)
+    def sub(q: Map[String, Float]): Column = {
+      val sc = round(VectorExpressions.sparse_dot(col("tokens"), typedLit(q)), 6)
+      when(sc > 0.0, sc)
+    }
+    val scored = HybridPipeline.score(docs, col("doc_id"), Seq(sub(qTokensA), sub(qTokensB)))
+    HybridPipeline.run(scored, 2, norm, comb, paginationDepth = Some(100), size = 10)
+      .select(col("doc_id"), round(col("score"), 4).as("score"), col("rank"))
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // sparse: relational postings strategy (same logical op as q_sparse_exact)
+    "q_sparse_postings" -> ((s, dir) => {
+      val postings = SparseRetrieval.buildPostings(docsWithTokens(s, dir))
+      SparseRetrieval.topK(SparseRetrieval.scorePostings(postings, qTokensA), 10)
+    }),
+
+    // sparse two-phase cascade (NeuralSparseTwoPhaseProcessor defaults)
+    "q_sparse_two_phase" -> ((s, dir) =>
+      SparseRetrieval.twoPhaseTopK(docsWithTokens(s, dir), qTokensA, k = 10)),
+
+    // SEISMIC pruned sparse ANN (no SQL oracle: clustered index; invariant
+    // vs exact covered by SeismicSpec)
+    "q_seismic" -> ((s, dir) => {
+      val docs = docsWithTokens(s, dir)
+      val idx = Seismic.build(docs)
+      Seismic.search(idx, docs, qTokensA, k = 10, topN = 5, heapFactor = 2.0f)
+    }),
+
+    // chunkers
+    "q_chunk_fixed_char" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(Enrich.chunkFixedCharUdf(100, 0.25, -1)(col("text"))).as(Seq("idx", "chunk")))
+        .orderBy(col("doc_id"), col("idx"))),
+
+    "q_chunk_delimiter" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(Enrich.chunkDelimiterUdf(" ", -1)(col("text"))).as(Seq("idx", "chunk")))
+        .orderBy(col("doc_id"), col("idx"))),
+
+    "q_chunk_fixed_token" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(Enrich.chunkFixedTokenUdf(8, 0.25, -1)(col("text"))).as(Seq("idx", "chunk")))
+        .orderBy(col("doc_id"), col("idx"))),
+
+    // dedup suite
+    "q_dedup_ngram" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashLsh(t(s, dir, "documents"), threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 6)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "q_dedup_embedding" -> ((s, dir) =>
+      Dedup.embeddingNearDupBrute(t(s, dir, "embeddings"), threshold = 0.45)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "q_dedup_embedding_lsh" -> ((s, dir) =>
+      Dedup.embeddingNearDupLsh(t(s, dir, "embeddings"), dim = 64,
+        threshold = 0.45, nbits = 4, tables = 8)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // text analysis
+    "q_lang_id" -> ((s, dir) =>
+      TextAnalysis.langId(t(s, dir, "documents"))
+        .select(col("doc_id"), col("pred_lang")).orderBy(col("doc_id"))),
+
+    "q_text_quality" -> ((s, dir) =>
+      TextAnalysis.quality(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_tokens"), col("mean_word_len"),
+          col("stopword_ratio"), col("punct_ratio"), col("quality_score"))
+        .orderBy(col("doc_id"))),
+
+    "q_token_count" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_tokens"), col("n_subword_est"))
+        .orderBy(col("doc_id"))),
+
+    "q_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(t(s, dir, "documents"))
+        .select(col("doc_id"), col("fp_md5"), col("fp_rolling"))
+        .orderBy(col("doc_id"))),
+
+    // rerank family
+    "q_rerank_byfield" -> ((s, dir) => {
+      val docs = docsWithTokens(s, dir)
+      val top = SparseRetrieval.exactTopK(docs, qTokensA, 50)
+      Rerank.byField(top.join(t(s, dir, "documents").select(col("doc_id"), col("n_chars")), "doc_id"),
+        "n_chars")
+        .select(col("doc_id"), col("score"))
+        .limit(10)
+    }),
+
+    "q_rerank_ml" -> ((s, dir) => {
+      val docs = docsWithTokens(s, dir)
+      val top = SparseRetrieval.exactTopK(docs, qTokensA, 50)
+        .join(t(s, dir, "documents").select(col("doc_id"), col("text")), "doc_id")
+      Rerank.mlRerank(top, "spark join fast table scan", "text")
+        .select(col("doc_id"), col("score")).limit(10)
+    }),
+
+    "q_mmr" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cands = Ann.bruteForceTopK(emb, qDense64, 50)
+        .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+        .withColumnRenamed("vec_id", "doc_id")
+      Rerank.mmrRerank(cands, "embedding", k = 10, lambda = 0.5, candidates = 50)
+    }),
+
+    // ANN scale path
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val centroids = Ann.trainCentroids(emb, dim = 64, nlist = 8, iters = 1)
+      Ann.ivfTopK(Ann.assign(emb, centroids), centroids, qDense64, 10, nprobe = 4)
+    }),
+
+    // ingest enrichment (semantic field pipeline) — summary stats output
+    "q_enrich_semantic" -> ((s, dir) => {
+      val enriched = Enrich.semanticField(
+        t(s, dir, "documents"), "text", chunked = true, tokenLimit = 32)
+      enriched.select(col("doc_id"),
+        size(col("text_semantic_info.chunks")).as("n_chunks"),
+        round(VectorExpressions.dense_dot(
+          element_at(col("text_semantic_info.chunks"), 1).getField("embedding"),
+          element_at(col("text_semantic_info.chunks"), 1).getField("embedding")), 4).as("first_norm2"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // multimodal plumbing (payload = utf8 bytes of text; decode is stubbed)
+    "q_multimodal" -> ((s, dir) => {
+      val withPayload = t(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+      Multimodal.extractFeatures(withPayload, "payload", dim = 8)
+        .select(col("doc_id"),
+          round(VectorExpressions.dense_dot(col("media_features"), col("media_features")), 4).as("feat_norm2"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // more hybrid technique pairs
+    "q_hybrid_l2_geo" -> ((s, dir) =>
+      hybridRun(s, dir, NormalizationSpec.L2, CombinationSpec.GeometricMean())),
+    "q_hybrid_zscore" -> ((s, dir) =>
+      hybridRun(s, dir, NormalizationSpec.ZScore, CombinationSpec.ArithmeticMean())),
+    "q_hybrid_weighted" -> ((s, dir) =>
+      hybridRun(s, dir, NormalizationSpec.MinMax(),
+        CombinationSpec.ArithmeticMean(Some(Seq(0.7, 0.3))))),
+    "q_hybrid_harmonic" -> ((s, dir) =>
+      hybridRun(s, dir, NormalizationSpec.MinMax(), CombinationSpec.HarmonicMean()))
+  )
+
+  // ------------------------------------------------------------- oracle SQL
+
+  private def langIdSql: String = {
+    val toks = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+    def hits(lang: String): String = {
+      val lst = TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter($toks, x -> list_contains($lst, x)))"
+    }
+    var bl = "'und'"; var bh = "0"
+    TextAnalysis.stopwords.keys.toSeq.sorted.foreach { l =>
+      val h = hits(l)
+      bl = s"CASE WHEN $h > $bh THEN '$l' ELSE $bl END"
+      bh = s"CASE WHEN $h > $bh THEN $h ELSE $bh END"
+    }
+    s"SELECT doc_id, $bl AS pred_lang FROM documents ORDER BY doc_id"
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "q_sparse_postings" ->
+      s"""WITH $docVectorsCte,
+         |scores AS (${sparseScoreSql(valuesOf(qTokensA))})
+         |SELECT doc_id, score FROM scores WHERE score > 0.0
+         |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
+
+    "q_sparse_two_phase" ->
+      s"""WITH $docVectorsCte,
+         |s_hi AS (${sparseScoreSql(valuesOf(tpHi))}),
+         |win AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+         |    FROM s_hi WHERE score > 0.0) WHERE rn <= 50
+         |),
+         |full_s AS (${sparseScoreSql(valuesOf(qTokensA))})
+         |SELECT f.doc_id, f.score FROM full_s f JOIN win USING (doc_id)
+         |WHERE f.score > 0.0
+         |ORDER BY f.score DESC, f.doc_id ASC LIMIT 10""".stripMargin,
+
+    "q_chunk_fixed_char" ->
+      """SELECT doc_id, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS INT) AS idx,
+        |       substring(text, s + 1, 100) AS chunk
+        |FROM (SELECT doc_id, text, unnest(range(0, length(text), 75)) AS s FROM documents)
+        |WHERE s = 0 OR s - 75 + 100 < length(text)
+        |ORDER BY doc_id, idx""".stripMargin,
+
+    "q_chunk_delimiter" ->
+      """SELECT doc_id, CAST(ord - 1 AS INT) AS idx,
+        |       CASE WHEN ord < n THEN p || ' ' ELSE p END AS chunk
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS p,
+        |             generate_subscripts(string_split(text, ' '), 1) AS ord,
+        |             len(string_split(text, ' ')) AS n
+        |      FROM documents)
+        |WHERE NOT (ord = n AND p = '')
+        |ORDER BY doc_id, idx""".stripMargin,
+
+    // fixed_token chunker: token_limit 8, overlap 2 (rate .25) → step 6.
+    // single-space corpus ⇒ chunk i = tokens [s+1 .. s+8] joined, with a
+    // trailing space unless it is the final chunk (runs to end of text).
+    "q_chunk_fixed_token" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk, len(string_split(text, ' ')) AS n
+        |  FROM documents
+        |), starts AS (
+        |  SELECT doc_id, tk, n, unnest(range(0, n, 6)) AS s FROM toks
+        |)
+        |SELECT doc_id, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS INT) AS idx,
+        |       CASE WHEN s + 8 >= n THEN array_to_string(tk[s+1:n], ' ')
+        |            ELSE array_to_string(tk[s+1:s+8], ' ') || ' ' END AS chunk
+        |FROM starts WHERE s = 0 OR s - 6 + 8 < n
+        |ORDER BY doc_id, idx""".stripMargin,
+
+    "q_dedup_ngram" ->
+      """WITH parts AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS p,
+        |         generate_subscripts(string_split(lower(text), ' '), 1) AS ord
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT a.doc_id, a.p || ' ' || b.p || ' ' || c.p AS s
+        |  FROM parts a
+        |  JOIN parts b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+        |  JOIN parts c ON c.doc_id = a.doc_id AND c.ord = a.ord + 2
+        |), cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+        |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT a AS id_a, b AS id_b,
+        |       round(i * 1.0 / (ca.n + cb.n - i), 4) AS jaccard
+        |FROM inter JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b
+        |WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_embedding" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.45
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_lang_id" -> langIdSql,
+
+    "q_text_quality" -> {
+      val allStop = TextAnalysis.stopwords.values.flatten.toSeq.distinct
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH base AS (
+         |  SELECT doc_id, text,
+         |         list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk,
+         |         CAST(length(text) AS DOUBLE) AS nc
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |       CAST(len(tk) AS INT) AS n_tokens,
+         |       CASE WHEN len(tk) > 0
+         |            THEN round((nc - (len(tk) - 1)) / len(tk), 4) ELSE 0.0 END AS mean_word_len,
+         |       CASE WHEN len(tk) > 0
+         |            THEN round(len(list_filter(tk, x -> list_contains($allStop, x))) * 1.0 / len(tk), 4)
+         |            ELSE 0.0 END AS stopword_ratio,
+         |       CASE WHEN nc > 0
+         |            THEN round((nc - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) / nc, 4)
+         |            ELSE 0.0 END AS punct_ratio,
+         |       round(least(1.0, len(tk) / 20.0) *
+         |             (1.0 - CASE WHEN nc > 0
+         |                    THEN round((nc - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) / nc, 4)
+         |                    ELSE 0.0 END), 4) AS quality_score
+         |FROM base ORDER BY doc_id""".stripMargin
+    },
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        |       CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS INT) AS n_tokens,
+        |       CAST(list_sum(list_transform(
+        |         list_filter(string_split(lower(text), ' '), x -> x <> ''),
+        |         x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS BIGINT) AS n_subword_est
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_rerank_byfield" ->
+      s"""WITH $docVectorsCte,
+         |scores AS (${sparseScoreSql(valuesOf(qTokensA))}),
+         |top50 AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+         |    FROM scores WHERE score > 0.0) WHERE rn <= 50
+         |)
+         |SELECT d.doc_id, CAST(d.n_chars AS DOUBLE) AS score
+         |FROM documents d JOIN top50 USING (doc_id)
+         |ORDER BY score DESC, d.doc_id ASC LIMIT 10""".stripMargin,
+
+    "q_hybrid_l2_geo" -> hybridSql("l2", "geometric_mean", None),
+    "q_hybrid_zscore" -> hybridSql("z_score", "arithmetic_mean", None),
+    "q_hybrid_weighted" -> hybridSql("min_max", "arithmetic_mean", Some((0.7, 0.3))),
+    "q_hybrid_harmonic" -> hybridSql("min_max", "harmonic_mean", None)
+  )
+}

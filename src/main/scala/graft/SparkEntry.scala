@@ -146,7 +146,9 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- queries
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = coreQueries ++ QueriesExtra.queries
+
+  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- relational skeleton (scan/filter/agg/join/window/topk) --------------
     "q1_agg" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -273,7 +275,9 @@ object SparkEntry {
 
   // ------------------------------------------------------------- oracle SQL
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = coreOracleSql ++ QueriesExtra.oracleSql
+
+  private def coreOracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 2) AS sum_qty,

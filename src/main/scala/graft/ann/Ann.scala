@@ -1,0 +1,104 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorExpressions
+
+/** Approximate-nearest-neighbor search over a dense embedding column —
+  * the Spark counterpart of the reference's k-NN retrieval target
+  * (query/NeuralKNNQueryBuilder.java delegates to the k-NN plugin's HNSW;
+  * a graph index is the wrong shape for Spark scans, so the scale path is
+  * IVF: coarse quantizer + probed partitions, the standard batch-ANN
+  * design).
+  *
+  *   - bruteForceTopK: exact cosine top-k. One scan + TakeOrdered. The
+  *     correctness baseline for every approximate variant.
+  *   - IVF: k-means-lite centroids (deterministic seeded init + n refine
+  *     iterations, computed once at build) → assignments table; query
+  *     probes `nprobe` nearest centroids and scans only those partitions.
+  *     At 100 TB the assignments table is partitioned by centroid_id so a
+  *     probe is partition pruning, not a scan.
+  */
+object Ann {
+
+  /** Exact top-k by cosine (score rounded for cross-engine determinism). */
+  def bruteForceTopK(df: DataFrame, query: Array[Float], k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    df.select(col(idCol).as("vec_id"),
+      round(VectorExpressions.dense_cosine(col(vecCol), typedLit(query)), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+
+  /** Batch of queries against the corpus: queries as a small broadcast DF
+    * (query_id, qvec) — one corpus scan for ALL queries. */
+  def bruteForceTopKBatch(df: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val scored = df.crossJoin(broadcast(queries))
+      .select(col("query_id"), col(idCol).as("vec_id"),
+        round(VectorExpressions.dense_cosine(col(vecCol), col("qvec")), 6).as("score"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  // -------------------------------------------------------------------- IVF
+
+  /** Deterministic centroid training: seeded sample init + `iters` Lloyd
+    * refinements, executed distributed (agg per centroid), centroids
+    * collected to the driver (nlist × dim floats — small). */
+  def trainCentroids(df: DataFrame, dim: Int, nlist: Int, iters: Int = 2,
+      vecCol: String = "embedding", seed: Long = 42L): Array[Array[Float]] = {
+    var centroids = df.select(col(vecCol))
+      .orderBy(xxhash64(col(vecCol).cast("string"), lit(seed)))
+      .limit(nlist)
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+    var it = 0
+    while (it < iters) {
+      val assigned = assign(df, centroids, vecCol)
+      val means = assigned
+        .groupBy(col("centroid_id"))
+        .agg(array((0 until dim).map(i => avg(col(vecCol).getItem(i))): _*).as("mean"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).map(_.toFloat).toArray)
+        .toMap
+      centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i))).toArray
+      it += 1
+    }
+    centroids
+  }
+
+  /** Assign each vector to its max-cosine centroid (codegen'd fold over a
+    * literal centroid array — no shuffle). */
+  def assign(df: DataFrame, centroids: Array[Array[Float]],
+      vecCol: String = "embedding"): DataFrame = {
+    val scoreCols = centroids.zipWithIndex.map { case (c, i) =>
+      (i, VectorExpressions.dense_cosine(col(vecCol), typedLit(c)))
+    }
+    val best = scoreCols.foldLeft((lit(-1), lit(Double.MinValue))) { case ((bi, bs), (i, s)) =>
+      (when(s > bs, lit(i)).otherwise(bi), when(s > bs, s).otherwise(bs))
+    }
+    df.withColumn("centroid_id", best._1)
+  }
+
+  /** IVF search: probe the `nprobe` centroids nearest to the query, exact
+    * cosine within the probed cells only. */
+  def ivfTopK(assigned: DataFrame, centroids: Array[Array[Float]],
+      query: Array[Float], k: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    val probed = centroids.zipWithIndex
+      .map { case (c, i) => (i, cos(c, query)) }
+      .sortBy { case (i, s) => (-s, i) }
+      .take(nprobe).map(_._1)
+    bruteForceTopK(
+      assigned.where(col("centroid_id").isin(probed.toIndexedSeq: _*)),
+      query, k, idCol, vecCol)
+  }
+}

@@ -1,0 +1,217 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorExpressions
+import graft.ml.HashEmbedder
+
+/** Deduplication suite for training-data pipelines (builder-prompt
+  * first-class ops). Five strategies, all shaped for 100 TB:
+  *
+  *   - exact: hash-groupBy on content. One shuffle on a 16-byte key.
+  *   - MinHash + LSH: shingle → minhash signature (projection, no shuffle) →
+  *     band buckets → candidate pairs via self-join on (band, bucket) →
+  *     verified Jaccard. The self-join is per-bucket, so skew is bounded by
+  *     bucket size, not corpus size.
+  *   - SimHash: 64-bit weighted fingerprint; near-dup = hamming distance ≤ t
+  *     within LSH-style chunks of the fingerprint.
+  *   - n-gram Jaccard: exact verification kernel (used standalone on
+  *     candidate pairs).
+  *   - embedding cosine: near-dup = cosine ≥ τ on an embedding column;
+  *     brute-force within LSH buckets (random-hyperplane) for scale.
+  */
+object Dedup {
+
+  // ------------------------------------------------------------------ exact
+
+  /** Exact dedup groups: (text_hash, keep_id = min doc_id, dup_count). */
+  def exact(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    df.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  // -------------------------------------------------------------- shingling
+
+  def shingles(s: String, n: Int): Set[String] = {
+    val toks = HashEmbedder.tokenize(s)
+    if (toks.length < n) Set(toks.mkString(" "))
+    else toks.sliding(n).map(_.mkString(" ")).toSet
+  }
+
+  // ---------------------------------------------------------------- minhash
+
+  /** Deterministic universal-hash family h_i(x) = (a_i*x + b_i) mod p. */
+  private val P = 4294967311L // prime > 2^32
+  private def hashParams(numHashes: Int, seed: Long): Array[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(numHashes)((1 + rnd.nextLong(P - 1), rnd.nextLong(P)))
+  }
+
+  def minhashSignature(sh: Set[String], params: Array[(Long, Long)]): Array[Long] = {
+    val base = sh.map(x => HashEmbedder.tokenHash(x).toLong & 0xffffffffL)
+    params.map { case (a, b) =>
+      if (base.isEmpty) Long.MaxValue
+      else base.map(x => (a * x + b) % P).min
+    }
+  }
+
+  /** MinHash-LSH near-duplicate PAIRS (id_a < id_b):
+    * numHashes = bands × rowsPerBand; candidates share ≥1 band; verified by
+    * exact shingle Jaccard ≥ threshold. */
+  def minhashLsh(
+      df: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.7, seed: Long = 42L): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val params = hashParams(numHashes, seed)
+    val sigUdf = udf((s: String) => minhashSignature(shingles(s, shingleSize), params))
+    val shUdf = udf((s: String) => shingles(s, shingleSize).toSeq)
+
+    val sigs = df.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .withColumn("sig", sigUdf(col("__text")))
+      .withColumn("sh", shUdf(col("__text")))
+      .drop("__text")
+
+    // band key = hash of the band's signature slice
+    val banded = sigs.select(
+      col("id"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        xxhash64(lit("band"), b, slice(col("sig"), b * lit(rows) + 1, lit(rows))))).as(Seq("band", "bucket")))
+
+    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
+    val candidates = l.join(r, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    val jacc = udf((a: Seq[String], b: Seq[String]) => {
+      val sa = a.toSet; val sb = b.toSet
+      val inter = sa.intersect(sb).size.toDouble
+      val uni = sa.union(sb).size.toDouble
+      if (uni == 0) 1.0 else inter / uni
+    })
+    candidates
+      .withColumn("jaccard", round(jacc(col("sh_a"), col("sh_b")), 4))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  // ---------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash over token hashes weighted by count. */
+  def simhash(s: String): Long = {
+    val acc = new Array[Int](64)
+    HashEmbedder.tokenize(s).foreach { t =>
+      // two 32-bit FNV hashes → 64 bits
+      val h1 = HashEmbedder.tokenHash(t).toLong & 0xffffffffL
+      val h2 = HashEmbedder.tokenHash(t.reverse + "#").toLong & 0xffffffffL
+      val h = (h1 << 32) | h2
+      var i = 0
+      while (i < 64) { if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1; i += 1 }
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) { if (acc(i) > 0) out |= (1L << i); i += 1 }
+    out
+  }
+
+  private val simhashUdf = udf((s: String) => simhash(s))
+
+  /** SimHash near-dup pairs with hamming ≤ maxHamming, blocked on 16-bit
+    * fingerprint chunks (any pair within distance d ≤ 3 shares at least one
+    * of 4 chunks — pigeonhole). */
+  def simhashPairs(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      maxHamming: Int = 3): DataFrame = {
+    val fps = df.select(col(idCol).as("id"), simhashUdf(col(textCol)).as("fp"))
+    val chunked = fps.select(col("id"), col("fp"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("fp"), i * 16).bitwiseAND(lit(0xffffL))): _*)).as(Seq("chunk_idx", "chunk")))
+    val l = chunked.select(col("chunk_idx"), col("chunk"), col("id").as("id_a"), col("fp").as("fp_a"))
+    val r = chunked.select(col("chunk_idx"), col("chunk"), col("id").as("id_b"), col("fp").as("fp_b"))
+    l.join(r, Seq("chunk_idx", "chunk"))
+      .where(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .where(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  // --------------------------------------------------------- ngram jaccard
+
+  /** Exact n-gram Jaccard similarity for all pairs above threshold —
+    * O(n²) verification kernel; use only on bounded candidate sets. */
+  def ngramJaccardPairs(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val shUdf = udf((s: String) => shingles(s, n).toSeq)
+    val sh = df.select(col(idCol).as("id"), shUdf(col(textCol)).as("sh"))
+    val l = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val r = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    val jacc = udf((a: Seq[String], b: Seq[String]) => {
+      val sa = a.toSet; val sb = b.toSet
+      val uni = sa.union(sb).size.toDouble
+      if (uni == 0) 1.0 else sa.intersect(sb).size.toDouble / uni
+    })
+    l.crossJoin(r).where(col("id_a") < col("id_b"))
+      .withColumn("jaccard", round(jacc(col("sh_a"), col("sh_b")), 4))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  // ----------------------------------------------------- embedding near-dup
+
+  /** Embedding cosine near-dup pairs (cosine ≥ threshold). Brute-force
+    * variant: full self-join — O(n²), exact; only for candidate sets /
+    * verification. */
+  def embeddingNearDupBrute(df: DataFrame, vecCol: String = "embedding",
+      idCol: String = "vec_id", threshold: Double = 0.95): DataFrame = {
+    val l = df.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val r = df.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    l.crossJoin(r).where(col("id_a") < col("id_b"))
+      .withColumn("cosine", round(VectorExpressions.dense_cosine(col("v_a"), col("v_b")), 6))
+      .where(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** Scale path: random-hyperplane LSH buckets, exact cosine within bucket.
+    * nbits hyperplanes → 2^nbits buckets; pairs with cosine ≥ τ collide with
+    * probability (1 − θ/π)^nbits per table; multiple tables raise recall. */
+  def embeddingNearDupLsh(df: DataFrame, dim: Int, vecCol: String = "embedding",
+      idCol: String = "vec_id", threshold: Double = 0.95,
+      nbits: Int = 8, tables: Int = 4, seed: Long = 42L): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(tables, nbits, dim)(rnd.nextGaussian().toFloat)
+    val bucketUdf = udf((v: Seq[Float]) => {
+      val arr = v.toArray
+      (0 until tables).map { t =>
+        var sig = 0L
+        var b = 0
+        while (b < nbits) {
+          var dot = 0.0
+          var i = 0
+          val pl = planes(t)(b)
+          val n = math.min(arr.length, pl.length)
+          while (i < n) { dot += arr(i).toDouble * pl(i); i += 1 }
+          if (dot >= 0) sig |= (1L << b)
+          b += 1
+        }
+        sig
+      }
+    })
+    val bucketed = df
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("buckets", bucketUdf(col("v")))
+      .select(col("id"), col("v"), posexplode(col("buckets")).as(Seq("table", "bucket")))
+    val l = bucketed.select(col("table"), col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val r = bucketed.select(col("table"), col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    l.join(r, Seq("table", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine", round(VectorExpressions.dense_cosine(col("v_a"), col("v_b")), 6))
+      .where(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+}

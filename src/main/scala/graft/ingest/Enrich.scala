@@ -1,0 +1,88 @@
+package graft.ingest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.PruneUtils
+import graft.ml.HashEmbedder
+
+/** Ingest-side document enrichment — the Spark re-expression of the
+  * reference's ingest processors (SURVEY.md §2.3):
+  *   - text_embedding  (processor/TextEmbeddingProcessor.java)
+  *   - sparse_encoding (processor/SparseEncodingProcessor.java, with prune)
+  *   - text_chunking   (processor/TextChunkingProcessor.java)
+  *   - text_image_embedding (processor/TextImageEmbeddingProcessor.java)
+  *   - semantic-field system pipeline (processor/semantic) — chunk + embed +
+  *     `<field>_semantic_info` struct population
+  *   - skip_existing reuse (optimization/InferenceFilter.java): join with the
+  *     previous corpus snapshot and reuse embeddings when the text is
+  *     unchanged.
+  *
+  * The reference batches model calls (`InferenceProcessor.subBatchExecute`,
+  * batch_size) — here inference is a deterministic pure function so plain
+  * codegen'd UDF projection is the batching (one partition = one batch).
+  */
+object Enrich {
+
+  val DefaultDim: Int = HashEmbedder.DefaultDim
+
+  def embedUdf(dim: Int) = udf((s: String) => if (s == null) null else HashEmbedder.embed(s, dim))
+  val encodeUdf = udf((s: String) => if (s == null) null else HashEmbedder.encode(s))
+  def encodePrunedUdf(pruneType: String, ratio: Float) = udf { (s: String) =>
+    if (s == null) null
+    else PruneUtils.prune(HashEmbedder.encode(s), PruneUtils.pruneType(pruneType), ratio)
+  }
+  def embedMultimodalUdf(dim: Int) =
+    udf((t: String, img: String) => HashEmbedder.embedMultimodal(t, img, dim))
+
+  def chunkFixedTokenUdf(tokenLimit: Int, overlapRate: Double, maxChunkLimit: Int) =
+    udf((s: String) => Chunkers.fixedTokenLength(s, tokenLimit, overlapRate, maxChunkLimit))
+  def chunkDelimiterUdf(delim: String, maxChunkLimit: Int) =
+    udf((s: String) => Chunkers.delimiter(s, delim, maxChunkLimit))
+  def chunkFixedCharUdf(charLimit: Int, overlapRate: Double, maxChunkLimit: Int) =
+    udf((s: String) => Chunkers.fixedCharLength(s, charLimit, overlapRate, maxChunkLimit))
+
+  /** text_embedding processor: add `<target>` dense vector per mapped field. */
+  def textEmbedding(df: DataFrame, fieldMap: Map[String, String], dim: Int = DefaultDim): DataFrame =
+    fieldMap.foldLeft(df) { case (d, (src, dst)) => d.withColumn(dst, embedUdf(dim)(col(src))) }
+
+  /** sparse_encoding processor with optional prune. */
+  def sparseEncoding(df: DataFrame, fieldMap: Map[String, String],
+      pruneType: String = "none", pruneRatio: Float = 0f): DataFrame =
+    fieldMap.foldLeft(df) { case (d, (src, dst)) =>
+      val u = if (pruneType == "none") encodeUdf else encodePrunedUdf(pruneType, pruneRatio)
+      d.withColumn(dst, u(col(src)))
+    }
+
+  /** semantic-field system pipeline: `<field>_semantic_info.chunks[i] =
+    * {text, embedding}` + model struct (SemanticInfoFieldConstants). */
+  def semanticField(df: DataFrame, field: String, dim: Int = DefaultDim,
+      chunked: Boolean = true, tokenLimit: Int = Chunkers.DefaultTokenLimit): DataFrame = {
+    val chunksCol: Column =
+      if (chunked) chunkFixedTokenUdf(tokenLimit, 0.0, Chunkers.DefaultMaxChunkLimit)(col(field))
+      else array(col(field))
+    df.withColumn(s"${field}_semantic_info",
+      struct(
+        transform(chunksCol, c =>
+          struct(c.as("text"), embedUdf(dim)(c).as("embedding"))).as("chunks"),
+        struct(lit("hash-embedder").as("id"), lit("dense").as("type")).as("model")))
+  }
+
+  /** skip_existing (TextEmbeddingInferenceFilter): reuse the previous
+    * snapshot's embedding when the source text is unchanged. LEFT join on
+    * doc id — previous snapshot is typically same-bucketed, so this is a
+    * co-partitioned join at scale, and inference cost is paid only for
+    * changed rows. */
+  def embedWithSkipExisting(
+      current: DataFrame, previous: DataFrame,
+      docId: String, src: String, dst: String, dim: Int = DefaultDim): DataFrame = {
+    val prev = previous.select(
+      col(docId).as("__prev_id"), col(src).as("__prev_src"), col(dst).as("__prev_emb"))
+    current
+      .join(prev, current(docId) === col("__prev_id"), "left")
+      .withColumn(dst,
+        when(col("__prev_src").isNotNull && col("__prev_src") === col(src), col("__prev_emb"))
+          .otherwise(embedUdf(dim)(col(src))))
+      .drop("__prev_id", "__prev_src", "__prev_emb")
+  }
+}

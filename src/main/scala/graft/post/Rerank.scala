@@ -1,0 +1,86 @@
+package graft.post
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.ml.HashEmbedder
+
+/** Response-stage processors over a (small) candidate result set —
+  * SURVEY.md §2.4 `rerank` family + MMR:
+  *   - by_field   (processor/rerank/ByFieldRerankProcessor.java:34-216):
+  *     replace the score with a numeric field of the doc, re-sort.
+  *   - ml_opensearch (processor/rerank/RescoringRerankProcessor.java:49-119):
+  *     cross-encoder similarity(query_text, context_field) replaces score.
+  *   - MMR (processor/mmr/MMRNeuralQueryTransformer.java:43-119 + k-NN
+  *     plugin's reranker): greedy maximal-marginal-relevance selection of k
+  *     from `candidates` docs: argmax λ·rel(d) − (1−λ)·max_{s∈S} sim(d,s).
+  *
+  * These operate on top-w candidates (w ≤ rerank window, reference caps
+  * context fetch at 50 fields) — driver-side iteration over a collected
+  * candidate set is the faithful AND scalable shape (w is small by
+  * construction; the expensive part, candidate generation, stays
+  * distributed).
+  */
+object Rerank {
+
+  /** by_field: score := doc[targetField]; optionally keep previous score. */
+  def byField(results: DataFrame, targetField: String,
+      keepPreviousScore: Boolean = false): DataFrame = {
+    val base = if (keepPreviousScore) results.withColumn("previous_score", col("score"))
+    else results
+    base
+      .withColumn("score", col(targetField).cast("double"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+  }
+
+  private val similarityUdf = udf((q: String, d: String) => HashEmbedder.similarity(q, d).toDouble)
+
+  /** ml rerank: cross-encoder stand-in = HashEmbedder.similarity. */
+  def mlRerank(results: DataFrame, queryText: String, contextField: String): DataFrame =
+    results
+      .withColumn("score", round(similarityUdf(lit(queryText), col(contextField)), 6))
+      .orderBy(col("score").desc, col("doc_id").asc)
+
+  /** MMR over dense vectors. `candidates`: (doc_id, score, vec: Array[Float]).
+    * Greedy selection happens on the driver over the collected candidate set
+    * (size = candidates ≈ k × expand, small); returns (doc_id, score, rank).
+    */
+  def mmr(candidates: Array[(Long, Double, Array[Float])], k: Int,
+      lambda: Double = 0.5): Seq[(Long, Double, Int)] = {
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    val vecOf = candidates.map(c => c._1 -> c._3).toMap
+    val remaining = scala.collection.mutable.LinkedHashMap(candidates.map(c => c._1 -> c): _*)
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Int)]
+    var rank = 1
+    while (selected.length < math.min(k, candidates.length)) {
+      val best = remaining.values.maxBy { case (id, rel, v) =>
+        val maxSim = if (selected.isEmpty) 0.0
+        else selected.iterator.map(s => cosine(v, vecOf(s._1))).max
+        (lambda * rel - (1 - lambda) * maxSim, -id.toDouble) // deterministic tie-break
+      }
+      selected += ((best._1, best._2, rank))
+      rank += 1
+      remaining.remove(best._1)
+    }
+    selected.toSeq
+  }
+
+  /** MMR as a DataFrame op: collect top-`candidates`, select k, return DF. */
+  def mmrRerank(results: DataFrame, vecCol: String, k: Int,
+      lambda: Double = 0.5, candidates: Int = 100): DataFrame = {
+    val spark = results.sparkSession
+    import spark.implicits._
+    val top = results
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(candidates)
+      .select(col("doc_id").cast("long"), col("score").cast("double"), col(vecCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Float](2).toArray))
+    mmr(top, k, lambda).toDF("doc_id", "score", "rank")
+  }
+}

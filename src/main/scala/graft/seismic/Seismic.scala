@@ -1,0 +1,206 @@
+package graft.seismic
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.PruneUtils
+
+/** SEISMIC sparse-ANN (Bruch et al., SIGIR 2024) re-expressed as derived
+  * Parquet tables + a two-stage pruned query plan — the reference builds
+  * this inside a Lucene codec at segment flush
+  * (sparse/algorithm/seismic/SeismicPostingClusterer.java,
+  * RandomClusteringAlgorithm.java:42-91, PostingsProcessingUtils.java:70-109,
+  * quantization/ByteQuantizer.java); here it is a batch build job, which is
+  * the natural Spark shape (SURVEY.md §2.6).
+  *
+  * Build (per token):
+  *   1. posting truncation: keep top `nPostings` docs by weight (λ)
+  *   2. clustering: < 10 docs → 1 cluster; else numCluster =
+  *      min(size, max(1, ceil(size × clusterRatio))) seeded-random distinct
+  *      center docs, members assigned by max dot product with center vectors
+  *      (reference uses Randomness.get(); we seed per token for reproducible
+  *      builds — documented divergence)
+  *   3. summaries: token-wise MAX over member vectors, sorted desc, keep the
+  *      prefix until cumulative weight EXCEEDS floor(total × α) (the crossing
+  *      item is kept — PostingsProcessingUtils.summarize:95-108)
+  *   4. byte quantization: round(clamp(w, 0, ceil) × 255 / ceil)
+  *      (ByteQuantizer.quantize; ingest ceil 3.0, search ceil 16.0)
+  *
+  * Search (two-stage, batch re-expression of SeismicBaseScorer):
+  *   1. query cut: top `topN` query tokens by weight
+  *   2. θ = k-th exact score over the seed candidates (top cluster per token)
+  *   3. keep clusters with summaryScore ≥ θ / heapFactor; union their
+  *      members; exact sparse dot; top-k.
+  *   The reference's heap evolves during sequential traversal
+  *   (SeismicBaseScorer.nextQualifiedCluster:207-225); the fixed two-phase
+  *   threshold is the deterministic batch equivalent. heapFactor → ∞ and
+  *   topN ≥ |q| ⇒ no pruning ⇒ identical to exact search (invariant test).
+  */
+object Seismic {
+
+  val DefaultNPostings: Int = -1 // -1 = keep all (SparseConstants.DEFAULT_N_POSTINGS)
+  val DefaultSummaryPruneRatio = 0.4f
+  val DefaultClusterRatio = 0.1f
+  val DefaultApproximateThreshold = 1000000
+  val MinClusterSize = 10
+  val CeilIngest = 3.0f
+  val CeilSearch = 16.0f
+
+  def quantize(w: Float, ceil: Float): Int = {
+    val c = math.max(0.0f, math.min(ceil, w))
+    math.round(c * 255f / ceil)
+  }
+  def dequantize(q: Int, ceil: Float): Float = q * ceil / 255f
+
+  case class SeismicIndex(
+      clusters: DataFrame, // (token, cluster_id, doc_id)
+      summaries: DataFrame // (token, cluster_id, summary: Map[String, Float] dequantized)
+  )
+
+  /** Build the derived tables from a corpus carrying a `tokens` map column.
+    * Distributed per-token: groupBy token (the natural partitioning key of
+    * the postings table at 100 TB), cluster within each group. */
+  def build(
+      corpus: DataFrame,
+      nPostings: Int = DefaultNPostings,
+      clusterRatio: Float = DefaultClusterRatio,
+      summaryPruneRatio: Float = DefaultSummaryPruneRatio,
+      seed: Long = 42L,
+      docId: String = "doc_id",
+      tokens: String = "tokens"): SeismicIndex = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    // quantized doc vectors (token -> byte weight as Int), carried into the
+    // per-token groups so clustering sees full vectors (the reference reads
+    // them through the forward index / SparseVectorReader)
+    val qvecUdf = udf((m: Map[String, Float]) =>
+      m.map { case (t, w) => t -> quantize(w, CeilIngest) })
+    val docs = corpus.select(
+      col(docId).cast("long").as("doc_id"), qvecUdf(col(tokens)).as("qvec"))
+
+    val postings = docs
+      .select(col("doc_id"), col("qvec"), explode(col("qvec")).as(Seq("token", "weight")))
+
+    val truncated = if (nPostings > 0) {
+      val w = Window.partitionBy(col("token"))
+        .orderBy(col("weight").desc, col("doc_id").asc)
+      postings.withColumn("__r", row_number().over(w)).where(col("__r") <= nPostings).drop("__r")
+    } else postings
+
+    val clustered = truncated
+      .select(col("token"), col("doc_id"), col("weight"), col("qvec"))
+      .as[(String, Long, Int, Map[String, Int])]
+      .groupByKey(_._1)
+      .flatMapGroups { (token, it) =>
+        val members = it.toArray.sortBy(_._2) // deterministic doc order
+        val vecs = members.map(m => m._2 -> m._4).toMap
+        val assignments: Array[(Long, Int)] =
+          if (members.length < MinClusterSize || clusterRatio == 0f) {
+            members.map(m => m._2 -> 0)
+          } else {
+            val size = members.length
+            val numCluster = math.min(size, math.max(1, math.ceil(size * clusterRatio).toInt))
+            val rnd = new scala.util.Random(seed ^ token.hashCode.toLong)
+            val centerIdx = rnd.shuffle(members.indices.toList).take(numCluster).sorted
+            val centers = centerIdx.map(i => vecs(members(i)._2)).toArray
+            members.map { m =>
+              val dv = vecs(m._2)
+              var best = 0; var bestScore = Long.MinValue
+              var i = 0
+              while (i < centers.length) {
+                var s = 0L
+                centers(i).foreach { case (t, w) => dv.get(t).foreach(dw => s += w.toLong * dw) }
+                if (s > bestScore) { bestScore = s; best = i }
+                i += 1
+              }
+              m._2 -> best
+            }
+          }
+        val byCluster = assignments.groupBy(_._2)
+        byCluster.iterator.flatMap { case (cid, ms) =>
+          // summary: token-wise max int weight over member vectors, prefix-
+          // pruned at floor(total * alpha) keeping the crossing item
+          val summary = scala.collection.mutable.HashMap.empty[String, Int]
+          ms.foreach { case (d, _) =>
+            vecs(d).foreach { case (t, w) =>
+              summary.update(t, math.max(summary.getOrElse(t, 0), w))
+            }
+          }
+          val items = summary.toSeq.sortBy { case (t, w) => (-w, t) }
+          val total = items.iterator.map(_._2.toDouble).sum
+          val threshold = math.floor(total * summaryPruneRatio)
+          var acc = 0L; var idx = 0; var stop = false
+          while (idx < items.length && !stop) {
+            acc += items(idx)._2; idx += 1
+            if (acc > threshold) stop = true
+          }
+          val pruned = items.take(idx).map { case (t, w) => t -> dequantize(w, CeilIngest) }.toMap
+          ms.iterator.map { case (d, _) => (token, cid, d, pruned) }
+        }
+      }
+      .toDF("token", "cluster_id", "doc_id", "summary")
+
+    val clusters = clustered.select(col("token"), col("cluster_id"), col("doc_id"))
+    val summaries = clustered
+      .select(col("token"), col("cluster_id"), col("summary"))
+      .dropDuplicates("token", "cluster_id")
+    SeismicIndex(clusters, summaries)
+  }
+
+  /** Pruned search. `corpus` supplies exact vectors for final rescoring. */
+  def search(
+      index: SeismicIndex,
+      corpus: DataFrame,
+      qTokens: Map[String, Float],
+      k: Int = 10,
+      topN: Int = 10,
+      heapFactor: Float = 1.0f,
+      docId: String = "doc_id",
+      tokens: String = "tokens"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    // 1. query cut: top_n tokens by weight (tie: token asc)
+    val cut = qTokens.toSeq.sortBy { case (t, w) => (-w, t) }.take(topN).toMap
+    val qDf = broadcast(cut.toSeq.toDF("token", "qw"))
+
+    def exactScores(cands: DataFrame): DataFrame =
+      corpus
+        .join(cands, corpus(docId) === cands("doc_id"))
+        .select(cands("doc_id"),
+          round(graft.functions.VectorExpressions.sparse_dot(
+            corpus(tokens), typedLit(qTokens)), 6).as("score"))
+
+    // summary score per (token, cluster) against the cut query
+    val sumScores = index.summaries
+      .join(qDf, "token")
+      .withColumn("sscore",
+        graft.functions.VectorExpressions.sparse_dot(col("summary"), typedLit(cut)))
+
+    // 2. seed candidates: best-summary cluster per token → exact → θ
+    val wTok = Window.partitionBy(col("token")).orderBy(col("sscore").desc, col("cluster_id").asc)
+    val seedClusters = sumScores.withColumn("__r", row_number().over(wTok))
+      .where(col("__r") <= 1).select(col("token"), col("cluster_id"))
+    val seedDocs = index.clusters.join(seedClusters, Seq("token", "cluster_id"))
+      .select(col("doc_id")).distinct()
+    val seedScored = exactScores(seedDocs)
+    val theta: Double = {
+      val top = seedScored.orderBy(col("score").desc).limit(k).collect()
+      if (top.length < k) 0.0 else top.last.getDouble(1)
+    }
+
+    // 3. prune clusters by summary bound θ/heapFactor, union members, rescore
+    val bound = if (heapFactor.isInfinite || heapFactor <= 0f) Double.NegativeInfinity
+    else theta / heapFactor
+    val kept = sumScores.where(col("sscore") >= bound)
+      .select(col("token"), col("cluster_id"))
+    val candDocs = index.clusters.join(kept, Seq("token", "cluster_id"))
+      .select(col("doc_id")).distinct()
+    exactScores(candDocs)
+      .where(col("score") > 0.0)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+}

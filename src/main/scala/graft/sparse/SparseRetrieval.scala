@@ -1,0 +1,92 @@
+package graft.sparse
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{PruneUtils, VectorExpressions}
+import graft.model.HybridLimits
+
+/** `neural_sparse` retrieval — exact path and the two-phase cascade
+  * (reference: query/NeuralSparseQueryBuilder.java:569-589,
+  * processor/NeuralSparseTwoPhaseProcessor.java:105-267).
+  *
+  * Two physical strategies for the same logical operator:
+  *
+  *  1. `scoreDocs` — per-row map dot product (SparseDot expression). One
+  *     corpus scan, no shuffle until the final top-k. Right when the corpus
+  *     table carries a `tokens` map column.
+  *
+  *  2. `scorePostings` — relational form over an exploded postings table
+  *     `(token, doc_id, weight)`: broadcast-join the (tiny) query token set
+  *     on `token`, then partial-agg sum per doc. This is the 100 TB shape:
+  *     the postings table is partitioned/bucketed by token, the join prunes
+  *     to only the query's tokens (partition pruning), and the groupBy is
+  *     map-side-combined. It is also the substrate for SEISMIC (§2.6).
+  */
+object SparseRetrieval {
+
+  /** Corpus (doc_id, tokens: Map) → exploded postings (token, doc_id, weight).
+    * Written once at ingest, sorted/bucketed by token at scale. */
+  def buildPostings(corpus: DataFrame, docId: String = "doc_id", tokens: String = "tokens"): DataFrame =
+    corpus.select(col(docId).as("doc_id"), explode(col(tokens)).as(Seq("token", "weight")))
+
+  /** Strategy 1: expression dot product; keeps only matching docs (score>0). */
+  def scoreDocs(corpus: DataFrame, qTokens: Map[String, Float],
+      docId: String = "doc_id", tokens: String = "tokens",
+      roundTo: Int = 6): DataFrame = {
+    val sc = round(VectorExpressions.sparse_dot(col(tokens), typedLit(qTokens)), roundTo)
+    corpus.select(col(docId).as("doc_id"), sc.as("score")).where(col("score") > 0.0)
+  }
+
+  /** Strategy 2: postings ⨝ broadcast(query tokens) → sum per doc. */
+  def scorePostings(postings: DataFrame, qTokens: Map[String, Float],
+      roundTo: Int = 6): DataFrame = {
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val q = qTokens.toSeq.toDF("token", "qw")
+    postings
+      .join(broadcast(q), "token")
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("weight").cast("double") * col("qw").cast("double")), roundTo).as("score"))
+      .where(col("score") > 0.0)
+  }
+
+  /** Exact top-k: deterministic order (score desc, doc_id asc). */
+  def topK(scored: DataFrame, k: Int): DataFrame =
+    scored.orderBy(col("score").desc, col("doc_id").asc).limit(k)
+
+  def exactTopK(corpus: DataFrame, qTokens: Map[String, Float], k: Int = HybridLimits.DefaultK,
+      docId: String = "doc_id", tokens: String = "tokens"): DataFrame =
+    topK(scoreDocs(corpus, qTokens, docId, tokens), k)
+
+  /** Two-phase cascade (NeuralSparseTwoPhaseProcessor defaults: prune_ratio
+    * 0.4 / max_ratio split, window = size × 5.0 capped at 10000):
+    * phase 1 ranks by the HIGH-weight query tokens only and keeps a candidate
+    * window; phase 2 rescores ONLY the window with the full token set.
+    * Same logical result as exact when the window covers all matches —
+    * a pure physical optimization, exactly like the reference's rescorer.
+    */
+  def twoPhaseTopK(
+      corpus: DataFrame,
+      qTokens: Map[String, Float],
+      k: Int = HybridLimits.DefaultK,
+      pruneRatio: Float = 0.4f,
+      expansion: Float = 5.0f,
+      maxWindowSize: Int = 10000,
+      docId: String = "doc_id",
+      tokens: String = "tokens"): DataFrame = {
+    val (hi, lo) = PruneUtils.split(qTokens, PruneUtils.MaxRatio, pruneRatio)
+    if (lo.isEmpty) return exactTopK(corpus, qTokens, k, docId, tokens)
+    val window = math.min(math.max((k * expansion).toInt, k), maxWindowSize)
+    val phase1 = topK(scoreDocs(corpus, hi, docId, tokens), window)
+      .select(col("doc_id"))
+    // Phase 2: rescore candidates with the FULL token map. The candidate set
+    // is ≤ window rows — broadcast it back onto the corpus scan.
+    val rescored = corpus
+      .join(broadcast(phase1), corpus(docId) === phase1("doc_id"))
+      .select(corpus(docId).as("doc_id"),
+        round(VectorExpressions.sparse_dot(corpus(tokens), typedLit(qTokens)), 6).as("score"))
+      .where(col("score") > 0.0)
+    topK(rescored, k)
+  }
+}

@@ -1,0 +1,96 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.ml.HashEmbedder
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (builder-prompt first-class ops): language ID, quality scoring, token
+  * counting, document fingerprinting. All are pure column expressions /
+  * codegen'd projections — embarrassingly parallel, no shuffle.
+  */
+object TextAnalysis {
+
+  /** Stopword lists per language (tiny, broadcast as literals). Heuristic
+    * n-gram/stopword language ID: argmax of stopword hits, tie → 'und'
+    * ordering by language code asc; no hits → 'und'. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "un", "una", "los", "las"),
+    "fr" -> Seq("le", "la", "de", "et", "que", "en", "un", "une", "les", "des"),
+    "de" -> Seq("der", "die", "das", "und", "zu", "in", "ein", "eine", "nicht", "ist"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2", "you3", "wo3", "ta1", "zhe4", "bu4"))
+
+  private def toks(c: Column): Column = filter(split(lower(c), "\\s+"), x => x =!= "")
+
+  /** Per-language stopword hit count columns + argmax prediction. */
+  def langId(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = toks(col(textCol))
+    val langsSorted = stopwords.keys.toSeq.sorted
+    val withHits = langsSorted.foldLeft(df) { (d, lang) =>
+      val wl = typedLit(stopwords(lang))
+      d.withColumn(s"hits_$lang", size(filter(t, x => array_contains(wl, x))))
+    }
+    // argmax with deterministic tie-break: highest hits, then lang code asc
+    val langs = stopwords.keys.toSeq.sorted
+    val best = langs.foldLeft((lit("und"), lit(0))) { case ((bl, bh), l) =>
+      val h = col(s"hits_$l")
+      (when(h > bh, lit(l)).otherwise(bl), when(h > bh, h).otherwise(bh))
+    }
+    withHits.withColumn("pred_lang", best._1)
+  }
+
+  /** Quality signals (length, punctuation ratio, stopword ratio, mean word
+    * length, alpha ratio) + a composite [0,1] score. All ASCII-scoped —
+    * divergence from ICU-based scoring documented. */
+  def quality(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = toks(col(textCol))
+    val nTok = size(t).cast("double")
+    val nChars = length(col(textCol)).cast("double")
+    val allStop = typedLit(stopwords.values.flatten.toSeq.distinct)
+    val stopHits = size(filter(t, x => array_contains(allStop, x))).cast("double")
+    val punct = (nChars - length(regexp_replace(col(textCol), "[\\p{Punct}]", ""))).cast("double")
+    df
+      .withColumn("n_tokens", size(t))
+      .withColumn("mean_word_len",
+        when(nTok > 0, round((nChars - (nTok - 1)) / nTok, 4)).otherwise(lit(0.0)))
+      .withColumn("stopword_ratio", when(nTok > 0, round(stopHits / nTok, 4)).otherwise(lit(0.0)))
+      .withColumn("punct_ratio", when(nChars > 0, round(punct / nChars, 4)).otherwise(lit(0.0)))
+      .withColumn("quality_score",
+        round(least(lit(1.0), nTok / lit(20.0)) * (lit(1.0) - col("punct_ratio")), 4))
+  }
+
+  /** Token counting: whitespace tokens + a BPE-ish subword estimate
+    * (ceil(chars/4) per word is the classic approximation). */
+  def tokenCounts(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = toks(col(textCol))
+    df
+      .withColumn("n_tokens", size(t))
+      .withColumn("n_subword_est",
+        aggregate(t, lit(0L), (acc, x) => acc + ceil(length(x).cast("double") / 4.0).cast("long")))
+  }
+
+  /** Rolling polynomial hash (Rabin-Karp, base 31, mod 2^61-1) over tokens —
+    * order-sensitive document fingerprint; pure Scala, deterministic. */
+  def rollingHash(tokens: Seq[String]): Long = {
+    val MOD = (1L << 61) - 1
+    var h = 0L
+    tokens.foreach { t =>
+      val th = HashEmbedder.tokenHash(t).toLong & 0xffffffffL
+      h = (mulMod(h, 31L, MOD) + th) % MOD
+    }
+    h
+  }
+  private def mulMod(a: Long, b: Long, m: Long): Long =
+    java.math.BigInteger.valueOf(a).multiply(java.math.BigInteger.valueOf(b))
+      .mod(java.math.BigInteger.valueOf(m)).longValue()
+
+  private val rollingHashUdf = udf((s: String) => rollingHash(HashEmbedder.tokenize(s).toSeq))
+
+  /** Fingerprints: order-sensitive rolling hash + content md5. */
+  def fingerprint(df: DataFrame, textCol: String = "text"): DataFrame =
+    df
+      .withColumn("fp_rolling", rollingHashUdf(col(textCol)))
+      .withColumn("fp_md5", md5(col(textCol)))
+}

@@ -1,0 +1,289 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ann.Ann
+import graft.dedup.Dedup
+import graft.ingest.Enrich
+import graft.ml.HashEmbedder
+import graft.multimodal.Multimodal
+import graft.post.Rerank
+import graft.seismic.Seismic
+import graft.sparse.SparseRetrieval
+import graft.text.TextAnalysis
+
+class SparseRetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val corpus = Seq(
+    (1L, "spark join table join fast"),
+    (2L, "slow scan big table"),
+    (3L, "spark spark spark stream"),
+    (4L, "window agg merge"),
+    (5L, "join table scan fast fast fast")
+  ).toDF("doc_id", "text").withColumn("tokens", Enrich.encodeUdf(col("text")))
+
+  private val q = HashEmbedder.encode("spark join fast")
+
+  test("scoreDocs and scorePostings agree (two physical strategies, one operator)") {
+    val a = SparseRetrieval.scoreDocs(corpus, q).orderBy("doc_id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val postings = SparseRetrieval.buildPostings(corpus)
+    val b = SparseRetrieval.scorePostings(postings, q).orderBy("doc_id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(a.toSeq == b.toSeq)
+    assert(a.nonEmpty)
+  }
+
+  test("two-phase equals exact when window covers corpus") {
+    val exact = SparseRetrieval.exactTopK(corpus, q, 3).collect().map(_.getLong(0)).toSeq
+    val tp = SparseRetrieval.twoPhaseTopK(corpus, q, 3, maxWindowSize = 100).collect().map(_.getLong(0)).toSeq
+    assert(tp == exact)
+  }
+
+  test("sparse score matches hand computation") {
+    // doc1 tokens: spark1 join2 table1 fast1 ; q: spark1 join1 fast1 (all weight 1+ln2)
+    val w1 = (1.0 + math.log(2.0)).toFloat
+    val w2 = (1.0 + math.log(3.0)).toFloat
+    val expected = BigDecimal(w1.toDouble * w1 + w2.toDouble * w1 + w1.toDouble * w1)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = SparseRetrieval.scoreDocs(corpus, q).where($"doc_id" === 1).collect()(0).getDouble(1)
+    assert(math.abs(got - expected) < 1e-6)
+  }
+}
+
+class SeismicSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val corpus = {
+    val words = Seq("spark", "join", "table", "scan", "fast", "slow", "agg", "merge", "window", "stream", "data", "row")
+    val docs = (1L to 60L).map { i =>
+      val text = (0 until 12).map(j => words(((i * 7 + j * 3) % words.size).toInt)).mkString(" ")
+      (i, text)
+    }
+    docs.toDF("doc_id", "text").withColumn("tokens", Enrich.encodeUdf(col("text")))
+  }
+  private val q = HashEmbedder.encode("spark join fast table")
+
+  test("seismic with no pruning equals exact top-k (invariant)") {
+    val idx = Seismic.build(corpus, clusterRatio = 0.3f, summaryPruneRatio = 1.0f)
+    val exact = SparseRetrieval.exactTopK(corpus, q, 10).collect().map(_.getLong(0)).toSeq
+    val got = Seismic.search(idx, corpus, q, k = 10, topN = q.size, heapFactor = Float.PositiveInfinity)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == exact)
+  }
+
+  test("seismic pruned search still returns k docs with high overlap") {
+    val idx = Seismic.build(corpus)
+    val exact = SparseRetrieval.exactTopK(corpus, q, 10).collect().map(_.getLong(0)).toSet
+    val got = Seismic.search(idx, corpus, q, k = 10, topN = 3, heapFactor = 2.0f)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.size == 10)
+    assert((got intersect exact).size >= 5, s"recall too low: ${(got intersect exact).size}")
+  }
+
+  test("build is deterministic (seeded clustering)") {
+    val a = Seismic.build(corpus).clusters.orderBy("token", "cluster_id", "doc_id").collect().toSeq
+    val b = Seismic.build(corpus).clusters.orderBy("token", "cluster_id", "doc_id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("quantization round-trip") {
+    assert(Seismic.quantize(0f, 3f) == 0)
+    assert(Seismic.quantize(3f, 3f) == 255)
+    assert(Seismic.quantize(5f, 3f) == 255) // clamped at ceiling
+    assert(math.abs(Seismic.dequantize(Seismic.quantize(1.5f, 3f), 3f) - 1.5f) < 0.01f)
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 1
+    (3L, "completely different content about spark distributed compute engines"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank today") // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups") {
+    val out = Dedup.exact(docs).collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == 2L) // docs 1 and 4 identical, keep_id=1
+    assert(out(2L) == 1L && out(3L) == 1L)
+  }
+
+  test("minhash LSH finds exact and near duplicates") {
+    val pairs = Dedup.minhashLsh(docs, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L))) // exact dup always found
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L))) // near dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash pairs on exact + near dup") {
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs.get((1L, 4L)).contains(0)) // identical → hamming 0
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("ngram jaccard brute pairs") {
+    val pairs = Dedup.ngramJaccardPairs(docs, threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((1L, 4L)) == 1.0)
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) < 1.0)
+  }
+
+  test("embedding near-dup: brute and LSH agree on planted dup") {
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f, 0f, 1f, 0f, 0f, 1f)),
+      (2L, Array(1f, 0f, 0.1f, 0f, 1f, 0f, 0f, 1f)), // near-dup of 1
+      (3L, Array(0f, 1f, 0f, 1f, 0f, 0f, 1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val brute = Dedup.embeddingNearDupBrute(vecs, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute == Set((1L, 2L)))
+    val lsh = Dedup.embeddingNearDupLsh(vecs, dim = 8, threshold = 0.95, nbits = 4, tables = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == Set((1L, 2L)))
+  }
+}
+
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+  private val q = HashEmbedder.embed("vector search engine query data", 64)
+
+  test("ivf with full probing equals brute force") {
+    val centroids = Ann.trainCentroids(emb, dim = 64, nlist = 8, iters = 1)
+    val assigned = Ann.assign(emb, centroids)
+    val brute = Ann.bruteForceTopK(emb, q, 10).collect().map(_.getLong(0)).toSeq
+    val ivf = Ann.ivfTopK(assigned, centroids, q, 10, nprobe = 8).collect().map(_.getLong(0)).toSeq
+    assert(ivf == brute)
+  }
+
+  test("ivf partial probe has reasonable recall") {
+    val centroids = Ann.trainCentroids(emb, dim = 64, nlist = 8, iters = 2)
+    val assigned = Ann.assign(emb, centroids)
+    val brute = Ann.bruteForceTopK(emb, q, 10).collect().map(_.getLong(0)).toSet
+    val ivf = Ann.ivfTopK(assigned, centroids, q, 10, nprobe = 3).collect().map(_.getLong(0)).toSet
+    assert((ivf intersect brute).size >= 4, s"recall: ${(ivf intersect brute).size}/10")
+  }
+
+  test("batch brute-force matches single-query brute-force") {
+    val queries = Seq((0L, HashEmbedder.embed("alpha", 64)), (1L, q)).toDF("query_id", "qvec")
+    val batch = Ann.bruteForceTopKBatch(emb, queries, 5)
+      .where($"query_id" === 1).orderBy($"rank").collect().map(_.getLong(1)).toSeq
+    val single = Ann.bruteForceTopK(emb, q, 5).collect().map(_.getLong(0)).toSeq
+    assert(batch == single)
+  }
+}
+
+class EnrichRerankSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("textEmbedding matches HashEmbedder directly") {
+    val df = Seq((1L, "hello world")).toDF("doc_id", "title")
+    val out = Enrich.textEmbedding(df, Map("title" -> "title_emb")).collect()(0)
+      .getSeq[Float](2).toArray
+    assert(out.toSeq == HashEmbedder.embed("hello world", 8).toSeq)
+  }
+
+  test("semanticField produces chunks with embeddings struct") {
+    val df = Seq((1L, (1 to 20).map(i => s"w$i").mkString(" "))).toDF("doc_id", "body")
+    val out = Enrich.semanticField(df, "body", chunked = true, tokenLimit = 8)
+    val info = out.select(col("body_semantic_info")).collect()(0).getStruct(0)
+    val chunks = info.getSeq[org.apache.spark.sql.Row](0)
+    assert(chunks.length == 3) // 20 tokens / 8 per chunk
+    assert(chunks.forall(c => c.getSeq[Float](1).length == 8))
+    assert(info.getStruct(1).getString(0) == "hash-embedder")
+  }
+
+  test("skip_existing reuses unchanged embeddings and recomputes changed") {
+    val prev = Seq((1L, "same text", HashEmbedder.embed("STALE MARKER", 8)),
+      (2L, "old text", HashEmbedder.embed("old text", 8))).toDF("doc_id", "body", "emb")
+    val cur = Seq((1L, "same text"), (2L, "new text"), (3L, "brand new")).toDF("doc_id", "body")
+    val out = Enrich.embedWithSkipExisting(cur, prev, "doc_id", "body", "emb")
+      .orderBy("doc_id").collect()
+    // doc1 unchanged → reuses previous (STALE MARKER proves no recompute)
+    assert(out(0).getSeq[Float](2).toSeq == HashEmbedder.embed("STALE MARKER", 8).toSeq)
+    assert(out(1).getSeq[Float](2).toSeq == HashEmbedder.embed("new text", 8).toSeq)
+    assert(out(2).getSeq[Float](2).toSeq == HashEmbedder.embed("brand new", 8).toSeq)
+  }
+
+  test("byField rerank replaces score and re-sorts") {
+    val df = Seq((1L, 0.9, 10), (2L, 0.8, 99), (3L, 0.7, 50)).toDF("doc_id", "score", "popularity")
+    val out = Rerank.byField(df, "popularity", keepPreviousScore = true).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(2L, 3L, 1L))
+    assert(out(0).getDouble(1) == 99.0)
+    assert(out(0).getAs[Double]("previous_score") == 0.8)
+  }
+
+  test("mlRerank orders by cross-encoder similarity") {
+    val df = Seq((1L, 0.1, "spark table join"), (2L, 0.9, "unrelated words here"))
+      .toDF("doc_id", "score", "body")
+    val out = Rerank.mlRerank(df, "spark table join", "body").collect()
+    assert(out(0).getLong(0) == 1L)
+    assert(out(0).getDouble(1) > out(1).getDouble(1))
+  }
+
+  test("MMR balances relevance and diversity") {
+    // d1 and d2 nearly identical vectors, d3 orthogonal but slightly less relevant
+    val cands = Array(
+      (1L, 1.0, Array(1f, 0f, 0f, 0f)),
+      (2L, 0.95, Array(1f, 0.01f, 0f, 0f)),
+      (3L, 0.5, Array(0f, 1f, 0f, 0f)))
+    val sel = Rerank.mmr(cands, k = 2, lambda = 0.5)
+    assert(sel.map(_._1) == Seq(1L, 3L)) // picks diverse d3 over near-dup d2
+    val selRel = Rerank.mmr(cands, k = 2, lambda = 1.0)
+    assert(selRel.map(_._1) == Seq(1L, 2L)) // pure relevance at lambda=1
+  }
+}
+
+class TextMultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("langId predicts stopword-bearing language") {
+    val df = Seq(
+      (1L, "the cat sat of the mat and it is that"),
+      (2L, "el perro de la casa y que en un dia"),
+      (3L, "xyzzy qwerty asdf")).toDF("doc_id", "text")
+    val out = TextAnalysis.langId(df).select("doc_id", "pred_lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "es")
+    assert(out(3L) == "und")
+  }
+
+  test("quality + tokenCounts produce expected values") {
+    val df = Seq((1L, "the quick fox")).toDF("doc_id", "text")
+    val q = TextAnalysis.quality(df).collect()(0)
+    assert(q.getAs[Int]("n_tokens") == 3)
+    val t = TextAnalysis.tokenCounts(df).collect()(0)
+    assert(t.getAs[Int]("n_tokens") == 3)
+    assert(t.getAs[Long]("n_subword_est") == 1 + 2 + 1) // ceil(3/4)+ceil(5/4)+ceil(3/4)
+  }
+
+  test("rolling hash is order-sensitive and deterministic") {
+    val a = TextAnalysis.rollingHash(Seq("a", "b", "c"))
+    val b = TextAnalysis.rollingHash(Seq("c", "b", "a"))
+    assert(a != b)
+    assert(a == TextAnalysis.rollingHash(Seq("a", "b", "c")))
+  }
+
+  test("multimodal feature extraction is deterministic with stable schema") {
+    val df = Seq((1L, Array[Byte](1, 2, 3, 4, 5, 6)), (2L, Array[Byte](9, 9, 9))).toDF("id", "payload")
+    val out = Multimodal.extractFeatures(df, "payload", dim = 8)
+    assert(out.schema.fieldNames.toSeq == Seq("id", "payload", "media_features"))
+    val v1 = out.where($"id" === 1).collect()(0).getSeq[Float](2)
+    val v2 = Multimodal.extractFeatures(df, "payload", dim = 8).where($"id" === 1).collect()(0).getSeq[Float](2)
+    assert(v1 == v2)
+    val norm = math.sqrt(v1.map(x => x.toDouble * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-5)
+  }
+
+  test("frame sampling explodes n frames per payload") {
+    val df = Seq((1L, Array.tabulate[Byte](100)(_.toByte))).toDF("id", "payload")
+    val out = Multimodal.sampleFrames(df, "payload", n = 4).collect()
+    assert(out.length == 4)
+    assert(out.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 1, 2, 3))
+  }
+}
