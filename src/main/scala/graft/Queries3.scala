@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.exec.{Explain, HybridPipeline, NeuralQuery}
+import graft.functions.VectorExpressions
+import graft.ingest.Enrich
+import graft.ml.HashEmbedder
+import graft.model._
+import graft.post.Highlight
+
+/** Third bank: neural dense query paths, semantic highlighting, agentic
+  * translation, pagination, collapse, explain. */
+object Queries3 {
+
+  import SparkEntry.{qTokensA, qTokensB}
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  private def docsWithTokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").withColumn("tokens", Enrich.encodeUdf(col("text")))
+
+  private def hybridScored(s: SparkSession, dir: String): DataFrame = {
+    val docs = docsWithTokens(s, dir)
+    def sub(q: Map[String, Float]): Column = {
+      val sc = round(VectorExpressions.sparse_dot(col("tokens"), typedLit(q)), 6)
+      when(sc > 0.0, sc)
+    }
+    HybridPipeline.score(docs, col("doc_id"), Seq(sub(qTokensA), sub(qTokensB)))
+  }
+
+  private val queryText = "spark join fast table scan"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // neural dense query: text→vector inference on both sides, top-k cosine
+    "q_neural_dense" -> ((s, dir) =>
+      NeuralQuery.topK(
+        NeuralQuery.scoreByText(t(s, dir, "documents"), queryText, "text")
+          .select(col("doc_id"), col("score")), 10)),
+
+    // radial variant: min_score cut instead of top-k (NeuralQueryBuilder
+    // radius search: min_score/max_distance)
+    "q_neural_radial" -> ((s, dir) =>
+      NeuralQuery.radial(
+        NeuralQuery.scoreByText(t(s, dir, "documents"), queryText, "text")
+          .select(col("doc_id"), col("score")), minScore = 0.5)
+        .orderBy(col("doc_id"))),
+
+    // chunked semantic target with ScoreMode.Max nested semantics
+    "q_neural_chunked" -> ((s, dir) => {
+      val enriched = Enrich.semanticField(
+        t(s, dir, "documents"), "text", chunked = true, tokenLimit = 16)
+      NeuralQuery.topK(
+        NeuralQuery.chunkedMaxScore(enriched, queryText, "text_semantic_info.chunks"), 10)
+    }),
+
+    // semantic highlighting over the top sparse hits
+    "q_highlight" -> ((s, dir) => {
+      val top = graft.sparse.SparseRetrieval.exactTopK(docsWithTokens(s, dir), qTokensA, 5)
+        .join(t(s, dir, "documents").select(col("doc_id"), col("text")), "doc_id")
+      Highlight.highlight(top, queryText, "text")
+        .select(col("doc_id"), col("score"), col("highlights"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // agentic translation: NL → spec (rule-based translator) → hybrid run
+    "q_agentic" -> ((s, dir) => {
+      val subs = RuleBasedTranslator.translate(
+        "find docs about \"spark join\" fast table scan", Seq("text"))
+      val enriched = NeuralQueryEnricher.enrich(subs, Some("hash-embedder"))
+      val docs = docsWithTokens(s, dir)
+      val scoreCols = enriched.map { sq =>
+        val qt = sq.queryText.getOrElse("")
+        sq.kind match {
+          case "neural" =>
+            val qv = HashEmbedder.embed(qt, HashEmbedder.DefaultDim)
+            val sc = round(VectorExpressions.dense_cosine(
+              Enrich.embedUdf(HashEmbedder.DefaultDim)(col("text")), typedLit(qv)), 6)
+            when(sc > 0.0, sc)
+          case _ => // match + neural_sparse both score via token overlap here
+            val sc = round(VectorExpressions.sparse_dot(
+              col("tokens"), typedLit(HashEmbedder.encode(qt))), 6)
+            when(sc > 0.0, sc)
+        }
+      }
+      val scored = HybridPipeline.score(docs, col("doc_id"), scoreCols)
+      HybridPipeline.run(scored, scoreCols.size, NormalizationSpec.MinMax(),
+        CombinationSpec.ArithmeticMean(), paginationDepth = Some(100), size = 10)
+        .select(col("doc_id"), round(col("score"), 4).as("score"), col("rank"))
+    }),
+
+    // pagination: from=5, size=5 window of the flagship hybrid
+    "q_hybrid_paginated" -> ((s, dir) =>
+      HybridPipeline.run(hybridScored(s, dir), 2, NormalizationSpec.MinMax(),
+        CombinationSpec.ArithmeticMean(), paginationDepth = Some(100), from = 5, size = 5)
+        .select(col("doc_id"), round(col("score"), 4).as("score"), col("rank"))),
+
+    // collapse: one group per lang, top-2 docs per group
+    "q_hybrid_collapse" -> ((s, dir) => {
+      val keys = t(s, dir, "documents").select(col("doc_id"), col("lang").as("collapse_key"))
+      HybridPipeline.run(hybridScored(s, dir), 2, NormalizationSpec.MinMax(),
+        CombinationSpec.ArithmeticMean(), paginationDepth = Some(100), size = 10,
+        collapse = Some((keys, 2)))
+        .select(col("doc_id"), round(col("score"), 4).as("score"), col("rank"))
+    }),
+
+    // hybrid with explain fragments (raw + normalized per subquery)
+    "q_hybrid_explain" -> ((s, dir) =>
+      Explain.runWithExplain(hybridScored(s, dir), 2, NormalizationSpec.MinMax(),
+        CombinationSpec.ArithmeticMean(), paginationDepth = Some(100), size = 10)
+        .select(col("doc_id"), round(col("score"), 4).as("score"), col("rank"),
+          col("explain.technique").as("technique"),
+          size(col("explain.details")).as("n_fragments"))
+        .orderBy(col("rank")))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_hybrid_paginated" -> OracleGen.hybridSql(
+      qTokensA, qTokensB, "min_max", "arithmetic_mean", from = 5, size = 5),
+    "q_hybrid_collapse" -> OracleGen.hybridSql(
+      qTokensA, qTokensB, "min_max", "arithmetic_mean", collapse = Some(("lang", 2)))
+  )
+}

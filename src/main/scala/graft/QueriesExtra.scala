@@ -34,93 +34,10 @@ object QueriesExtra {
     t(s, dir, "documents").withColumn("tokens", Enrich.encodeUdf(col("text")))
 
   // ---------------------------------------------------------------- helpers
-
-  private def f32(w: Float): String = s"CAST(${w.toString} AS REAL)"
-  private def valuesOf(m: Map[String, Float]): String =
-    m.toSeq.sortBy(_._1).map { case (tk, w) => s"('$tk', ${f32(w)})" }.mkString(", ")
-
-  private val docVectorsCte =
-    """tok AS (
-      |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS t
-      |  FROM documents
-      |), dv AS (
-      |  SELECT doc_id, t, CAST(1.0 + ln(1.0 + count(*)) AS REAL) AS w
-      |  FROM tok WHERE t <> '' GROUP BY doc_id, t
-      |)""".stripMargin
-
-  private def sparseScoreSql(qValues: String): String =
-    s"""SELECT dv.doc_id,
-       |       round(sum(CAST(dv.w AS DOUBLE) * CAST(q.qw AS DOUBLE)), 6) AS score
-       |FROM dv JOIN (VALUES $qValues) AS q(t, qw) USING (t)
-       |GROUP BY dv.doc_id""".stripMargin
+  import OracleGen.{valuesOf, docVectorsCte, sparseScoreSql}
 
   // two-phase split computed ONCE, shared by the Spark query and the oracle
   private val (tpHi, tpLo) = PruneUtils.split(qTokensA, PruneUtils.MaxRatio, 0.4f)
-
-  /** Hybrid oracle for (l2|z_score, geometric|arith[weights]) pairs — same
-    * skeleton as SparkEntry.hybridMinMaxSql with swapped technique CTEs. */
-  private def hybridSql(norm: String, comb: String, weights: Option[(Double, Double)]): String = {
-    def subq(name: String, values: String, k: Int): String =
-      s"""s_$name AS (${sparseScoreSql(values)}),
-         |k_$name AS (
-         |  SELECT doc_id, score FROM (
-         |    SELECT doc_id, score,
-         |           row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
-         |    FROM s_$name) WHERE rn <= $k
-         |)""".stripMargin
-    def normCte(name: String): String = norm match {
-      case "l2" =>
-        s"""SELECT doc_id,
-           |       CASE WHEN nrm = 0.0 THEN 0.001 ELSE score / nrm END AS nscore
-           |FROM (SELECT doc_id, score, sqrt(sum(score * score) OVER ()) AS nrm
-           |      FROM k_$name)""".stripMargin
-      case "z_score" =>
-        s"""SELECT doc_id,
-           |       CASE WHEN sd IS NULL OR sd = 0.0 THEN 0.0
-           |            ELSE (score - mn) / sd END AS nscore
-           |FROM (SELECT doc_id, score, avg(score) OVER () AS mn,
-           |             stddev_samp(score) OVER () AS sd
-           |      FROM k_$name)""".stripMargin
-      case "min_max" =>
-        s"""SELECT doc_id,
-           |       CASE WHEN mx = mn AND mx = score THEN 1.0
-           |            WHEN (score - mn) / (mx - mn) = 0.0 THEN 0.001
-           |            ELSE (score - mn) / (mx - mn) END AS nscore
-           |FROM (SELECT doc_id, score,
-           |             min(score) OVER () AS mn, max(score) OVER () AS mx
-           |      FROM k_$name)""".stripMargin
-    }
-    val (w0, w1) = weights.getOrElse((1.0, 1.0))
-    val combine = comb match {
-      case "geometric_mean" =>
-        """CASE WHEN sum(CASE WHEN nscore > 0 THEN w END) IS NULL THEN 0.0
-          |     ELSE exp(sum(CASE WHEN nscore > 0 THEN w * ln(nscore) END)
-          |              / sum(CASE WHEN nscore > 0 THEN w END)) END""".stripMargin
-      case "harmonic_mean" =>
-        """CASE WHEN coalesce(sum(CASE WHEN nscore > 0 THEN w / nscore END), 0.0) <= 0.0 THEN 0.0
-          |     ELSE sum(CASE WHEN nscore > 0 THEN w END)
-          |          / sum(CASE WHEN nscore > 0 THEN w / nscore END) END""".stripMargin
-      case "arithmetic_mean" =>
-        """coalesce(sum(CASE WHEN nscore >= 0 THEN w * nscore END)
-          |         / sum(CASE WHEN nscore >= 0 THEN w END), 0.0)""".stripMargin
-    }
-    s"""WITH $docVectorsCte,
-       |${subq("a", valuesOf(qTokensA), 100)},
-       |${subq("b", valuesOf(qTokensB), 100)},
-       |n0 AS (${normCte("a")}), n1 AS (${normCte("b")}),
-       |comb AS (
-       |  SELECT doc_id, $combine AS score
-       |  FROM (SELECT doc_id, nscore, $w0 AS w FROM n0
-       |        UNION ALL SELECT doc_id, nscore, $w1 AS w FROM n1)
-       |  GROUP BY doc_id
-       |), ranked AS (
-       |  SELECT doc_id, score,
-       |         CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank
-       |  FROM comb
-       |)
-       |SELECT doc_id, round(score, 4) AS score, rank
-       |FROM ranked WHERE rank <= 10 ORDER BY rank""".stripMargin
-  }
 
   private def hybridRun(s: SparkSession, dir: String, norm: NormalizationSpec,
       comb: CombinationSpec): DataFrame = {
@@ -433,9 +350,9 @@ object QueriesExtra {
          |FROM documents d JOIN top50 USING (doc_id)
          |ORDER BY score DESC, d.doc_id ASC LIMIT 10""".stripMargin,
 
-    "q_hybrid_l2_geo" -> hybridSql("l2", "geometric_mean", None),
-    "q_hybrid_zscore" -> hybridSql("z_score", "arithmetic_mean", None),
-    "q_hybrid_weighted" -> hybridSql("min_max", "arithmetic_mean", Some((0.7, 0.3))),
-    "q_hybrid_harmonic" -> hybridSql("min_max", "harmonic_mean", None)
+    "q_hybrid_l2_geo" -> OracleGen.hybridSql(qTokensA, qTokensB, "l2", "geometric_mean"),
+    "q_hybrid_zscore" -> OracleGen.hybridSql(qTokensA, qTokensB, "z_score", "arithmetic_mean"),
+    "q_hybrid_weighted" -> OracleGen.hybridSql(qTokensA, qTokensB, "min_max", "arithmetic_mean", Some((0.7, 0.3))),
+    "q_hybrid_harmonic" -> OracleGen.hybridSql(qTokensA, qTokensB, "min_max", "harmonic_mean")
   )
 }

@@ -33,33 +33,7 @@ object SparkEntry {
   private[graft] val qDense64 = HashEmbedder.embed("vector search engine query data", 64)
 
   // -------------------------------------------------- oracle SQL generators
-
-  /** Float literal that DuckDB parses back to the identical float. */
-  private def f32(w: Float): String = s"CAST(${w.toString} AS REAL)"
-
-  private def valuesOf(m: Map[String, Float]): String =
-    m.toSeq.sortBy(_._1)
-      .map { case (t, w) => s"('$t', ${f32(w)})" }
-      .mkString(", ")
-
-  /** Shared CTE: documents → (doc_id, t, w) sparse vectors via the
-    * HashEmbedder encoding re-derived in SQL (tokenize = lower + split on
-    * whitespace, weight = float(1 + ln(1 + count))). */
-  private val docVectorsCte =
-    """tok AS (
-      |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS t
-      |  FROM documents
-      |), dv AS (
-      |  SELECT doc_id, t, CAST(1.0 + ln(1.0 + count(*)) AS REAL) AS w
-      |  FROM tok WHERE t <> '' GROUP BY doc_id, t
-      |)""".stripMargin
-
-  /** Sparse dot-product scores for one query token map, as a CTE body. */
-  private def sparseScoreSql(qValues: String): String =
-    s"""SELECT dv.doc_id,
-       |       round(sum(CAST(dv.w AS DOUBLE) * CAST(q.qw AS DOUBLE)), 6) AS score
-       |FROM dv JOIN (VALUES $qValues) AS q(t, qw) USING (t)
-       |GROUP BY dv.doc_id""".stripMargin
+  import OracleGen.{valuesOf, docVectorsCte, sparseScoreSql}
 
   private def denseLit(v: Array[Float]): String =
     v.map(_.toString).mkString("[", ", ", "]")
@@ -91,62 +65,10 @@ object SparkEntry {
       .select(col("doc_id"), round(col("score"), 4).as("score"), col("rank"))
   }
 
-  /** SQL replica of the full hybrid pipeline for the DuckDB oracle:
-    * per-subquery top-K → min_max (1.0 single-score, 0.001 floor) →
-    * arithmetic mean with skip semantics → final rank. */
-  private def hybridMinMaxSql(norm: String): String = {
-    def subq(name: String, values: String, k: Int): String =
-      s"""s_$name AS (${sparseScoreSql(values)}),
-         |k_$name AS (
-         |  SELECT doc_id, score FROM (
-         |    SELECT doc_id, score,
-         |           row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
-         |    FROM s_$name) WHERE rn <= $k
-         |)""".stripMargin
-    val normalized = norm match {
-      case "min_max" =>
-        def mm(name: String) =
-          s"""SELECT doc_id,
-             |       CASE WHEN mx = mn AND mx = score THEN 1.0
-             |            WHEN (score - mn) / (mx - mn) = 0.0 THEN 0.001
-             |            ELSE (score - mn) / (mx - mn) END AS nscore
-             |FROM (SELECT doc_id, score,
-             |             min(score) OVER () AS mn, max(score) OVER () AS mx
-             |      FROM k_$name)""".stripMargin
-        s"n0 AS (${mm("a")}), n1 AS (${mm("b")})"
-      case "rrf" =>
-        def rr(name: String) =
-          s"""SELECT doc_id,
-             |       1.0 / (60 + row_number() OVER (ORDER BY score DESC, doc_id ASC)) AS nscore
-             |FROM k_$name""".stripMargin
-        s"n0 AS (${rr("a")}), n1 AS (${rr("b")})"
-    }
-    val combine = norm match {
-      case "min_max" => "sum(nscore) / count(*)" // arithmetic mean, absent subqueries skipped
-      case "rrf"     => "sum(nscore)" // rrf combination = weighted SUM
-    }
-    s"""WITH $docVectorsCte,
-       |${subq("a", valuesOf(qTokensA), 100)},
-       |${subq("b", valuesOf(qTokensB), 100)},
-       |$normalized,
-       |comb AS (
-       |  SELECT doc_id, $combine AS score
-       |  FROM (SELECT * FROM n0 UNION ALL SELECT * FROM n1)
-       |  GROUP BY doc_id
-       |), ranked AS (
-       |  -- rank on the RAW combined score (matches the Spark pipeline);
-       |  -- rounding is applied only to the emitted value
-       |  SELECT doc_id, score,
-       |         CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank
-       |  FROM comb
-       |)
-       |SELECT doc_id, round(score, 4) AS score, rank
-       |FROM ranked WHERE rank <= 10 ORDER BY rank""".stripMargin
-  }
-
   // ---------------------------------------------------------------- queries
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = coreQueries ++ QueriesExtra.queries
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    coreQueries ++ QueriesExtra.queries ++ Queries3.queries
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- relational skeleton (scan/filter/agg/join/window/topk) --------------
@@ -275,7 +197,8 @@ object SparkEntry {
 
   // ------------------------------------------------------------- oracle SQL
 
-  def oracleSql: Map[String, String] = coreOracleSql ++ QueriesExtra.oracleSql
+  def oracleSql: Map[String, String] =
+    coreOracleSql ++ QueriesExtra.oracleSql ++ Queries3.oracleSql
 
   private def coreOracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -348,7 +271,7 @@ object SparkEntry {
          |WHERE score > 0.0
          |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
 
-    "q_hybrid_minmax_arith" -> hybridMinMaxSql("min_max"),
-    "q_hybrid_rrf" -> hybridMinMaxSql("rrf")
+    "q_hybrid_minmax_arith" -> OracleGen.hybridSql(qTokensA, qTokensB, "min_max", "arithmetic_mean"),
+    "q_hybrid_rrf" -> OracleGen.hybridSql(qTokensA, qTokensB, "rrf", "rrf")
   )
 }

@@ -1,0 +1,62 @@
+package graft.exec
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorExpressions
+import graft.ingest.Enrich
+import graft.ml.HashEmbedder
+
+/** The `neural` query (dense k-NN driven by text→vector inference) —
+  * reference query/NeuralQueryBuilder.java:125-1325. The query text is
+  * embedded ONCE at plan time (the reference's coordinator-side inference
+  * hoisting, L905-931) and becomes a literal, so Catalyst constant-folds it
+  * into the scan-side scoring expression.
+  *
+  * Covers:
+  *   - top-k by cosine (k-NN; DEFAULT_K 10)
+  *   - radial: min_score / max_distance filters (L127-175)
+  *   - pre-filter pushed below scoring (the `filter` param, plain
+  *     Catalyst predicate pushdown)
+  *   - chunked/nested semantic targets with ScoreMode.Max semantics
+  *     (expand_nested; L786-787, 828-829): posexplode chunks → max per doc.
+  */
+object NeuralQuery {
+
+  /** Score a corpus text column against query text: embed both sides with
+    * the deterministic model, cosine. `vecCol` scores a precomputed
+    * embedding column instead (no doc-side inference). */
+  def scoreByText(corpus: DataFrame, queryText: String, textCol: String,
+      dim: Int = HashEmbedder.DefaultDim): DataFrame = {
+    val qv = HashEmbedder.embed(queryText, dim)
+    corpus.withColumn("score",
+      round(VectorExpressions.dense_cosine(Enrich.embedUdf(dim)(col(textCol)), typedLit(qv)), 6))
+  }
+
+  def scoreByVector(corpus: DataFrame, queryVec: Array[Float], vecCol: String): DataFrame =
+    corpus.withColumn("score",
+      round(VectorExpressions.dense_cosine(col(vecCol), typedLit(queryVec)), 6))
+
+  def topK(scored: DataFrame, k: Int, docId: String = "doc_id"): DataFrame =
+    scored.orderBy(col("score").desc, col(docId).asc).limit(k)
+
+  /** Radial search: keep docs with score ≥ minScore (cosine form of the
+    * reference's min_score; max_distance is the metric-space dual). */
+  def radial(scored: DataFrame, minScore: Double): DataFrame =
+    scored.where(col("score") >= minScore)
+
+  /** Nested/chunked semantic scoring with ScoreMode.Max: score every chunk,
+    * keep the max per document (reference wraps the knn query in a nested
+    * query with ScoreMode.Max). `chunksCol`: Array[Struct(text, embedding)]
+    * as produced by Enrich.semanticField. */
+  def chunkedMaxScore(corpus: DataFrame, queryText: String, chunksCol: String,
+      docId: String = "doc_id", dim: Int = HashEmbedder.DefaultDim): DataFrame = {
+    val qv = HashEmbedder.embed(queryText, dim)
+    corpus
+      .select(col(docId), posexplode(col(chunksCol)).as(Seq("chunk_idx", "chunk")))
+      .select(col(docId), col("chunk_idx"),
+        VectorExpressions.dense_cosine(col("chunk.embedding"), typedLit(qv)).as("chunk_score"))
+      .groupBy(col(docId))
+      .agg(round(max(col("chunk_score")), 6).as("score"))
+  }
+}

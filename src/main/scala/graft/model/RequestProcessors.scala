@@ -1,0 +1,60 @@
+package graft.model
+
+/** Request-stage processors: pure spec-to-spec transforms, the Spark
+  * counterpart of the reference's search-pipeline request processors.
+  */
+
+/** A subquery spec as seen by request processors (pre-compilation). */
+case class SubquerySpec(
+    kind: String, // neural | neural_sparse | match | term | range
+    field: String,
+    queryText: Option[String] = None,
+    modelId: Option[String] = None,
+    queryTokens: Option[Map[String, Float]] = None)
+
+/** neural_query_enricher (processor/NeuralQueryEnricherProcessor.java:70-108
+  * + query/visitor/NeuralSearchQueryVisitor.java): walk the query tree and
+  * fill in `default_model_id` / per-field `neural_field_default_id` on
+  * neural and neural_sparse subqueries that lack a model. */
+object NeuralQueryEnricher {
+  def enrich(
+      subs: Seq[SubquerySpec],
+      defaultModelId: Option[String],
+      fieldDefaults: Map[String, String] = Map.empty): Seq[SubquerySpec] =
+    subs.map { sq =>
+      if ((sq.kind == "neural" || sq.kind == "neural_sparse") && sq.modelId.isEmpty)
+        sq.copy(modelId = fieldDefaults.get(sq.field).orElse(defaultModelId))
+      else sq
+    }
+}
+
+/** agentic query translator (processor/AgenticQueryTranslatorProcessor.java,
+  * query/AgenticSearchQueryBuilder.java): natural language → concrete query
+  * spec. The reference calls an LLM agent out-of-band; the data plane only
+  * sees the translated query, so the engine exposes a pluggable translator
+  * with a deterministic rule-based default (LLM execution is out of scope —
+  * SURVEY.md §7.4).
+  */
+trait QueryTranslator {
+  def translate(naturalLanguage: String, queryFields: Seq[String]): Seq[SubquerySpec]
+}
+
+/** Deterministic rule-based translator: "quoted phrases" become match
+  * subqueries, the remainder becomes one neural + one neural_sparse subquery
+  * over the given fields — enough to exercise the agentic path end-to-end. */
+object RuleBasedTranslator extends QueryTranslator {
+  private val Quoted = "\"([^\"]+)\"".r
+  def translate(naturalLanguage: String, queryFields: Seq[String]): Seq[SubquerySpec] = {
+    val field = queryFields.headOption.getOrElse("text")
+    val phrases = Quoted.findAllMatchIn(naturalLanguage).map(_.group(1)).toSeq
+    val rest = Quoted.replaceAllIn(naturalLanguage, " ").trim
+    val phraseSubs = phrases.map(p => SubquerySpec("match", field, queryText = Some(p)))
+    val neuralSubs =
+      if (rest.nonEmpty)
+        Seq(
+          SubquerySpec("neural", field, queryText = Some(rest)),
+          SubquerySpec("neural_sparse", field, queryText = Some(rest)))
+      else Seq.empty
+    (phraseSubs ++ neuralSubs).take(HybridLimits.MaxSubqueries)
+  }
+}

@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.exec.{Explain, HybridPipeline, NeuralQuery}
+import graft.ingest.Enrich
+import graft.ml.HashEmbedder
+import graft.model._
+import graft.post.Highlight
+import graft.streaming.StreamingEnrich
+
+class HighlightSpec extends SparkSpec {
+  test("highlights exactly the argmax-similarity sentence") {
+    val doc = "spark joins tables fast. bananas are yellow fruit. nothing else here."
+    val q = "spark join table"
+    val sents = Highlight.splitSentences(doc)
+    val best = sents.maxBy(s => graft.ml.HashEmbedder.similarity(q, s))
+    val out = Highlight.highlightText(q, doc)
+    assert(out.contains(s"<em>$best</em>"))
+    // non-best sentences below threshold must not be wrapped
+    sents.filterNot(_ == best).foreach { s0 =>
+      if (graft.ml.HashEmbedder.similarity(q, s0) <
+          graft.ml.HashEmbedder.similarity(q, best) * 0.999)
+        assert(!out.contains(s"<em>$s0</em>"))
+    }
+  }
+  test("no sentence punctuation → whole text is one sentence") {
+    val out = Highlight.highlightText("spark", "spark fast engine")
+    assert(out == "<em>spark fast engine</em>")
+  }
+  test("zero-similarity doc unchanged") {
+    assert(Highlight.highlightText("xyz", "abc def") == "abc def")
+  }
+}
+
+class NeuralQuerySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("scoreByText + topK orders by cosine to the query embedding") {
+    val df = Seq((1L, "spark join table"), (2L, "unrelated words entirely"), (3L, "spark join"))
+      .toDF("doc_id", "text")
+    val out = NeuralQuery.topK(
+      NeuralQuery.scoreByText(df, "spark join table", "text").select($"doc_id", $"score"), 3)
+      .collect()
+    assert(out(0).getLong(0) == 1L)
+    assert(math.abs(out(0).getDouble(1) - 1.0) < 1e-4)
+  }
+
+  test("chunkedMaxScore takes max over chunk embeddings (ScoreMode.Max)") {
+    val df = Seq((1L, ("spark join table " * 8).trim)).toDF("doc_id", "body")
+    val enriched = Enrich.semanticField(df, "body", chunked = true, tokenLimit = 6)
+    val out = NeuralQuery.chunkedMaxScore(enriched, "spark join table", "body_semantic_info.chunks")
+      .collect()(0)
+    // every chunk is a repetition of the query tokens → max cosine ≈ 1
+    assert(math.abs(out.getDouble(1) - 1.0) < 1e-4)
+  }
+
+  test("radial keeps only docs above min_score") {
+    val df = Seq((1L, "spark join table"), (2L, "zzz yyy xxx")).toDF("doc_id", "text")
+    val out = NeuralQuery.radial(
+      NeuralQuery.scoreByText(df, "spark join table", "text"), 0.9).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(1L))
+  }
+}
+
+class RequestProcessorSpec extends SparkSpec {
+  test("enricher fills missing model ids with field default then global default") {
+    val subs = Seq(
+      SubquerySpec("neural", "title"),
+      SubquerySpec("neural_sparse", "body", modelId = Some("explicit")),
+      SubquerySpec("match", "body"))
+    val out = NeuralQueryEnricher.enrich(subs, Some("global"), Map("title" -> "per-field"))
+    assert(out(0).modelId.contains("per-field"))
+    assert(out(1).modelId.contains("explicit"))
+    assert(out(2).modelId.isEmpty) // lexical queries untouched
+  }
+
+  test("rule-based agentic translator: quoted phrases + neural remainder") {
+    val subs = RuleBasedTranslator.translate("find \"exact phrase\" about spark", Seq("text"))
+    assert(subs.exists(s => s.kind == "match" && s.queryText.contains("exact phrase")))
+    assert(subs.exists(_.kind == "neural"))
+    assert(subs.exists(_.kind == "neural_sparse"))
+    assert(subs.size <= HybridLimits.MaxSubqueries)
+  }
+}
+
+class ExplainSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("explain carries raw and normalized per-subquery scores; ranks match plain run") {
+    val scored = Seq(
+      (0L, 0, 1L, 10.0), (0L, 0, 2L, 5.0), (0L, 1, 1L, 4.0), (0L, 1, 3L, 8.0)
+    ).toDF("query_id", "subq", "doc_id", "score")
+    val plain = HybridPipeline.run(scored, 2, NormalizationSpec.MinMax(),
+      CombinationSpec.ArithmeticMean(), size = 10)
+      .collect().map(r => r.getLong(1) -> (r.getDouble(2), r.getInt(3))).toMap
+    val explained = Explain.runWithExplain(scored, 2, NormalizationSpec.MinMax(),
+      CombinationSpec.ArithmeticMean(), size = 10).collect()
+    explained.foreach { r =>
+      val docId = r.getAs[Long]("doc_id")
+      assert(plain(docId)._1 == r.getAs[Double]("score"))
+      assert(plain(docId)._2 == r.getAs[Int]("rank"))
+      val ex = r.getAs[org.apache.spark.sql.Row]("explain")
+      assert(ex.getString(0).contains("min_max"))
+      val details = ex.getSeq[org.apache.spark.sql.Row](1)
+      assert(details.nonEmpty && details.length <= 2)
+      // doc1 is in both subqueries → two fragments with raw scores 10 and 4
+      if (docId == 1L) {
+        assert(details.map(d => d.getDouble(1)).toSet == Set(10.0, 4.0))
+      }
+    }
+  }
+}
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stateless enrichment runs identically on a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    val docs = mem.toDF().toDF("doc_id", "text", "source")
+    val q = StreamingEnrich.enrich(docs)
+      .writeStream.format("memory").queryName("enriched_docs").outputMode("append").start()
+    mem.addData((1L, "the cat sat on the mat and it is that", "s1"),
+      (2L, "el perro de la casa y que en un dia", "s2"))
+    q.processAllAvailable()
+    val out = spark.table("enriched_docs").orderBy("doc_id").collect()
+    q.stop()
+    assert(out.length == 2)
+    assert(out(0).getAs[String]("pred_lang") == "en")
+    assert(out(1).getAs[String]("pred_lang") == "es")
+    assert(out(0).getSeq[Float](out(0).fieldIndex("embedding")).length == 8)
+    assert(out(0).getMap[String, Float](out(0).fieldIndex("tokens")).nonEmpty)
+  }
+
+  test("windowed counts with watermark aggregate per source") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String, java.sql.Timestamp)]
+    val docs = mem.toDF().toDF("doc_id", "text", "source", "ts")
+    val q = StreamingEnrich.countsPerSourceWindow(docs, "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("win_counts").outputMode("complete").start()
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:15:00")
+    val t1 = java.sql.Timestamp.valueOf("2026-01-01 10:45:00")
+    val t2 = java.sql.Timestamp.valueOf("2026-01-01 11:15:00")
+    mem.addData((1L, "aaa", "s1", t0), (2L, "bbb", "s1", t1), (3L, "ccc", "s1", t2))
+    q.processAllAvailable()
+    val out = spark.table("win_counts").collect()
+    q.stop()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == 3)
+    assert(out.length == 2) // two hour windows for s1
+  }
+}
