@@ -142,23 +142,30 @@ object Dedup {
 
   // --------------------------------------------------------- ngram jaccard
 
-  /** Exact n-gram Jaccard similarity for all pairs above threshold —
-    * O(n²) verification kernel; use only on bounded candidate sets. */
+  /** Exact n-gram Jaccard pairs above threshold, via inverted-index join:
+    * explode distinct shingles → self-join on shingle → per-pair
+    * intersection counts → |A∪B| = |A|+|B|−|A∩B|. Only pairs sharing at
+    * least one shingle are materialized (pairs below any positive threshold
+    * can't have zero intersection), so cost is Σ bucket² over shingle
+    * buckets, not n² over documents — the scale-correct shape. Skewed
+    * (very common) shingles are the residual hotspot; cap them upstream or
+    * let AQE skew-split the join. */
   def ngramJaccardPairs(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0.0, "threshold must be positive (zero-overlap pairs are not materialized)")
     val shUdf = udf((s: String) => shingles(s, n).toSeq)
-    val sh = df.select(col(idCol).as("id"), shUdf(col(textCol)).as("sh"))
-    val l = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
-    val r = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
-    val jacc = udf((a: Seq[String], b: Seq[String]) => {
-      val sa = a.toSet; val sb = b.toSet
-      val uni = sa.union(sb).size.toDouble
-      if (uni == 0) 1.0 else sa.intersect(sb).size.toDouble / uni
-    })
-    l.crossJoin(r).where(col("id_a") < col("id_b"))
-      .withColumn("jaccard", round(jacc(col("sh_a"), col("sh_b")), 4))
-      .where(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    val sh = df.select(col(idCol).as("id"), explode(shUdf(col(textCol))).as("s"))
+    val cnt = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("x").join(sh.as("y"), "s")
+      .where(col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(cnt.select(col("id").as("id_a"), col("n_sh").as("na")), "id_a")
+      .join(cnt.select(col("id").as("id_b"), col("n_sh").as("nb")), "id_b")
+      .withColumn("__raw", col("i").cast("double") / (col("na") + col("nb") - col("i")))
+      .where(col("__raw") >= threshold) // threshold on the RAW ratio (matches oracle)
+      .select(col("id_a"), col("id_b"), round(col("__raw"), 4).as("jaccard"))
   }
 
   // ----------------------------------------------------- embedding near-dup

@@ -104,14 +104,27 @@ object Seismic {
             val numCluster = math.min(size, math.max(1, math.ceil(size * clusterRatio).toInt))
             val rnd = new scala.util.Random(seed ^ token.hashCode.toLong)
             val centerIdx = rnd.shuffle(members.indices.toList).take(numCluster).sorted
-            val centers = centerIdx.map(i => vecs(members(i)._2)).toArray
-            members.map { m =>
-              val dv = vecs(m._2)
+            // Densify over the group's token vocabulary once: assignment is
+            // then numCluster × vocab int-array dots per doc instead of
+            // per-pair hash-map probes (the hot loop of the build).
+            val vocab = members.iterator.flatMap(_._4.keysIterator).toSet.toArray.sorted
+            val tokIdx = vocab.zipWithIndex.toMap
+            def densify(m: Map[String, Int]): Array[Int] = {
+              val a = new Array[Int](vocab.length)
+              m.foreach { case (t, w) => a(tokIdx(t)) = w }
+              a
+            }
+            val dense = members.map(m => densify(m._4))
+            val centers = centerIdx.map(i => dense(i)).toArray
+            members.zipWithIndex.map { case (m, mi) =>
+              val dv = dense(mi)
               var best = 0; var bestScore = Long.MinValue
               var i = 0
               while (i < centers.length) {
+                val c = centers(i)
                 var s = 0L
-                centers(i).foreach { case (t, w) => dv.get(t).foreach(dw => s += w.toLong * dw) }
+                var j = 0
+                while (j < dv.length) { s += c(j).toLong * dv(j); j += 1 }
                 if (s > bestScore) { bestScore = s; best = i }
                 i += 1
               }
