@@ -106,6 +106,15 @@ object Queries3 {
         .select(col("doc_id"), round(col("score"), 4).as("score"), col("rank"))
     }),
 
+    // query-set-at-a-time batch sparse retrieval: one postings pass for
+    // the whole query batch (the 100 TB serving posture)
+    "q_sparse_batch" -> ((s, dir) => {
+      val postings = graft.sparse.SparseRetrieval.buildPostings(docsWithTokens(s, dir))
+      graft.sparse.SparseRetrieval.batchTopK(
+        postings, Map(0L -> qTokensA, 1L -> qTokensB), k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // hybrid with explain fragments (raw + normalized per subquery)
     "q_hybrid_explain" -> ((s, dir) =>
       Explain.runWithExplain(hybridScored(s, dir), 2, NormalizationSpec.MinMax(),
@@ -116,7 +125,26 @@ object Queries3 {
         .orderBy(col("rank")))
   )
 
+  private def batchValues: String =
+    Seq(0L -> qTokensA, 1L -> qTokensB).flatMap { case (qid, m) =>
+      m.toSeq.sortBy(_._1).map { case (tk, w) => s"($qid, '$tk', ${OracleGen.f32(w)})" }
+    }.mkString(", ")
+
   def oracleSql: Map[String, String] = Map(
+    "q_sparse_batch" ->
+      s"""WITH ${OracleGen.docVectorsCte},
+         |q(query_id, t, qw) AS (VALUES $batchValues),
+         |s AS (
+         |  SELECT q.query_id, dv.doc_id,
+         |         round(sum(CAST(dv.w AS DOUBLE) * CAST(q.qw AS DOUBLE)), 6) AS score
+         |  FROM dv JOIN q USING (t) GROUP BY 1, 2
+         |)
+         |SELECT query_id, doc_id, score, rank FROM (
+         |  SELECT query_id, doc_id, score,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |              ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+         |  FROM s WHERE score > 0.0)
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "q_hybrid_paginated" -> OracleGen.hybridSql(
       qTokensA, qTokensB, "min_max", "arithmetic_mean", from = 5, size = 5),
     "q_hybrid_collapse" -> OracleGen.hybridSql(

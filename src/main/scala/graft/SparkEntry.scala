@@ -43,8 +43,27 @@ object SparkEntry {
   /** Flagship: hybrid (sparse ⊕ dense-neural) retrieval over the documents
     * corpus, min_max normalization + arithmetic mean combination — the
     * reference's headline query path (SURVEY.md §3.1) on sf0.001. */
-  def entry(spark: SparkSession): DataFrame =
-    hybridMinMax(spark, "/root/testdata/sf0.001")
+  def entry(spark: SparkSession): DataFrame = {
+    import graft.exec.NeuralQuery
+    val dir = "/root/testdata/sf0.001"
+    val docs = t(spark, dir, "documents")
+      .withColumn("tokens", encodeUdf(col("text")))
+      .withColumn("emb", embedUdf(HashEmbedder.DefaultDim)(col("text")))
+    val qv = HashEmbedder.embed("spark join fast table scan", HashEmbedder.DefaultDim)
+    val sparseScore = {
+      val sc = round(sparse_dot(col("tokens"), typedLit(qTokensA)), 6)
+      when(sc > 0.0, sc)
+    }
+    val denseScore = {
+      val sc = round(dense_cosine(col("emb"), typedLit(qv)), 6)
+      when(sc > 0.0, sc)
+    }
+    val scored = HybridPipeline.score(docs, col("doc_id"), Seq(sparseScore, denseScore))
+    HybridPipeline.run(
+      scored, 2, NormalizationSpec.MinMax(), CombinationSpec.ArithmeticMean(),
+      paginationDepth = Some(100), size = 10)
+      .select(col("doc_id"), round(col("score"), 4).as("score"), col("rank"))
+  }
 
   private def hybridMinMax(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")

@@ -55,6 +55,31 @@ object SparseRetrieval {
   def topK(scored: DataFrame, k: Int): DataFrame =
     scored.orderBy(col("score").desc, col("doc_id").asc).limit(k)
 
+  /** Query-set-at-a-time batch retrieval (SURVEY.md §3.1 Spark equivalent):
+    * a whole batch of sparse queries is scored in ONE pass over the
+    * postings table. Queries arrive as a small DataFrame
+    * (query_id, token, qw) — broadcast onto the postings join, so the
+    * corpus-side scan cost is paid once for the batch, not per query.
+    * Per-query top-k = rank window partitioned by query_id.
+    */
+  def batchTopK(postings: DataFrame, queries: Map[Long, Map[String, Float]], k: Int,
+      roundTo: Int = 6): DataFrame = {
+    val spark = postings.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val qDf = queries.toSeq
+      .flatMap { case (qid, m) => m.toSeq.map { case (tk, w) => (qid, tk, w) } }
+      .toDF("query_id", "token", "qw")
+    val scored = postings
+      .join(broadcast(qDf), "token")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(col("weight").cast("double") * col("qw").cast("double")), roundTo).as("score"))
+      .where(col("score") > 0.0)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   def exactTopK(corpus: DataFrame, qTokens: Map[String, Float], k: Int = HybridLimits.DefaultK,
       docId: String = "doc_id", tokens: String = "tokens"): DataFrame =
     topK(scoreDocs(corpus, qTokens, docId, tokens), k)
