@@ -1,0 +1,197 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.exec.{HybridPipeline, Lexical}
+import graft.functions.VectorExpressions
+import graft.ingest.Enrich
+import graft.model._
+
+/** Fourth bank: lexical tf-idf match, term/range filters as hybrid
+  * subqueries, event sessionization, batched hybrid. */
+object Queries4 {
+
+  import SparkEntry.{qTokensA, qTokensB}
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  private def docsWithTokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").withColumn("tokens", Enrich.encodeUdf(col("text")))
+
+  private val matchTerms = Seq("spark", "join", "window", "vector")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // lexical match with pinned tf-idf scorer
+    "q_match_tfidf" -> ((s, dir) => {
+      val scored = Lexical.matchScore(t(s, dir, "documents"), matchTerms)
+      scored.orderBy(col("score").desc, col("doc_id").asc).limit(20)
+    }),
+
+    // hybrid of lexical match ⊕ neural_sparse (the classic BM25+neural pair)
+    "q_hybrid_lexical" -> ((s, dir) => {
+      val docs = docsWithTokens(s, dir)
+      val lex = Lexical.matchScore(t(s, dir, "documents"), matchTerms)
+        .withColumnRenamed("score", "lex_score")
+      val joined = docs.join(lex, Seq("doc_id"), "left")
+      val sparseScore = {
+        val sc = round(VectorExpressions.sparse_dot(col("tokens"), typedLit(qTokensA)), 6)
+        when(sc > 0.0, sc)
+      }
+      val scored = HybridPipeline.score(joined, col("doc_id"),
+        Seq(col("lex_score"), sparseScore))
+      HybridPipeline.run(scored, 2, NormalizationSpec.MinMax(),
+        CombinationSpec.ArithmeticMean(), paginationDepth = Some(100), size = 10)
+        .select(col("doc_id"), round(col("score"), 4).as("score"), col("rank"))
+    }),
+
+    // term + range as filters composed with sparse scoring
+    "q_term_range" -> ((s, dir) => {
+      val docs = docsWithTokens(s, dir)
+        .where(col("lang") === "en" && col("n_chars") >= 100 && col("n_chars") < 400)
+      val scored = docs.select(col("doc_id"),
+        round(VectorExpressions.sparse_dot(col("tokens"), typedLit(qTokensA)), 6).as("score"))
+        .where(col("score") > 0.0)
+      scored.orderBy(col("score").desc, col("doc_id").asc).limit(10)
+    }),
+
+    // event sessionization: 30-min-gap sessions per user (gaps-and-islands)
+    "q_sessionize" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = t(s, dir, "events") // ts is Long nanos under nanosAsLong
+      val wUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gapNs = 30L * 60 * 1000 * 1000 * 1000
+      val sessions = ev
+        .withColumn("prev_ts", lag(col("ts"), 1).over(wUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapNs, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("new_session")).over(
+          wUser.rowsBetween(Window.unboundedPreceding, 0)))
+      sessions
+        .groupBy(col("user_id"))
+        .agg(max(col("session_id")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    }),
+
+    // batched hybrid: two queries (swapped subquery order) in one pipeline run
+    "q_hybrid_batch" -> ((s, dir) => {
+      val docs = docsWithTokens(s, dir)
+      def sub(q: Map[String, Float]): Column = {
+        val sc = round(VectorExpressions.sparse_dot(col("tokens"), typedLit(q)), 6)
+        when(sc > 0.0, sc)
+      }
+      val q0 = HybridPipeline.score(docs, col("doc_id"), Seq(sub(qTokensA), sub(qTokensB)), queryId = 0L)
+      val q1 = HybridPipeline.score(docs, col("doc_id"), Seq(sub(qTokensB), sub(qTokensA)), queryId = 1L)
+      HybridPipeline.run(q0.unionByName(q1), 2, NormalizationSpec.MinMax(),
+        CombinationSpec.ArithmeticMean(), paginationDepth = Some(100), size = 10)
+        .select(col("query_id"), col("doc_id"), round(col("score"), 4).as("score"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    })
+  )
+
+  // ------------------------------------------------------------- oracle SQL
+
+  private val matchCte: String = {
+    val termList = matchTerms.map(w => s"'$w'").mkString("(", ", ", ")")
+    s"""lex_tok AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+       |  FROM documents
+       |), lex_tf AS (
+       |  SELECT doc_id, token, count(*) AS tf FROM lex_tok
+       |  WHERE token IN $termList GROUP BY doc_id, token
+       |), lex_df AS (
+       |  SELECT token, count(*) AS df FROM lex_tf GROUP BY token
+       |), lex_n AS (SELECT count(*) AS N FROM documents),
+       |lex AS (
+       |  SELECT tf.doc_id,
+       |         round(sum(tf.tf * ln(1.0 + (lex_n.N - lex_df.df + 0.5) / (lex_df.df + 0.5))), 6) AS score
+       |  FROM lex_tf tf JOIN lex_df USING (token) CROSS JOIN lex_n
+       |  GROUP BY tf.doc_id HAVING score > 0.0
+       |)""".stripMargin
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "q_match_tfidf" ->
+      s"""WITH $matchCte
+         |SELECT doc_id, score FROM lex
+         |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin,
+
+    "q_hybrid_lexical" ->
+      s"""WITH ${OracleGen.docVectorsCte},
+         |$matchCte,
+         |s_b AS (${OracleGen.sparseScoreSql(OracleGen.valuesOf(qTokensA))}),
+         |k_a AS (
+         |  SELECT doc_id, score FROM (
+         |    SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+         |    FROM lex) WHERE rn <= 100
+         |),
+         |k_b AS (
+         |  SELECT doc_id, score FROM (
+         |    SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+         |    FROM s_b WHERE score > 0.0) WHERE rn <= 100
+         |),
+         |n0 AS (
+         |  SELECT doc_id,
+         |         CASE WHEN mx = mn AND mx = score THEN 1.0
+         |              WHEN (score - mn) / (mx - mn) = 0.0 THEN 0.001
+         |              ELSE (score - mn) / (mx - mn) END AS nscore
+         |  FROM (SELECT doc_id, score, min(score) OVER () AS mn, max(score) OVER () AS mx FROM k_a)
+         |),
+         |n1 AS (
+         |  SELECT doc_id,
+         |         CASE WHEN mx = mn AND mx = score THEN 1.0
+         |              WHEN (score - mn) / (mx - mn) = 0.0 THEN 0.001
+         |              ELSE (score - mn) / (mx - mn) END AS nscore
+         |  FROM (SELECT doc_id, score, min(score) OVER () AS mn, max(score) OVER () AS mx FROM k_b)
+         |),
+         |comb AS (
+         |  SELECT doc_id, sum(nscore) / count(*) AS score
+         |  FROM (SELECT * FROM n0 UNION ALL SELECT * FROM n1) GROUP BY doc_id
+         |), ranked AS (
+         |  SELECT doc_id, score,
+         |         CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+         |  FROM comb
+         |)
+         |SELECT doc_id, round(score, 4) AS score, rank
+         |FROM ranked WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    "q_term_range" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE lang = 'en' AND n_chars >= 100 AND n_chars < 400
+         |), tok AS (
+         |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS t FROM base
+         |), dv AS (
+         |  SELECT doc_id, t, CAST(1.0 + ln(1.0 + count(*)) AS REAL) AS w
+         |  FROM tok WHERE t <> '' GROUP BY doc_id, t
+         |), scores AS (${OracleGen.sparseScoreSql(OracleGen.valuesOf(qTokensA))})
+         |SELECT doc_id, score FROM scores WHERE score > 0.0
+         |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS tns,
+        |         lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events
+        |), flagged AS (
+        |  SELECT user_id,
+        |         CASE WHEN prev IS NULL OR tns - prev > 1800000000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM seq
+        |)
+        |SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions,
+        |       count(*) AS n_events
+        |FROM flagged GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_hybrid_batch" -> {
+      val h0 = OracleGen.hybridSql(qTokensA, qTokensB, "min_max", "arithmetic_mean")
+      val h1 = OracleGen.hybridSql(qTokensB, qTokensA, "min_max", "arithmetic_mean")
+      s"""SELECT * FROM (
+         |SELECT CAST(0 AS BIGINT) AS query_id, doc_id, score, rank FROM ($h0)
+         |UNION ALL
+         |SELECT CAST(1 AS BIGINT) AS query_id, doc_id, score, rank FROM ($h1)
+         |) ORDER BY query_id, rank""".stripMargin
+    }
+  )
+}

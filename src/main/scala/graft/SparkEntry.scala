@@ -87,7 +87,7 @@ object SparkEntry {
   // ---------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    coreQueries ++ QueriesExtra.queries ++ Queries3.queries
+    coreQueries ++ QueriesExtra.queries ++ Queries3.queries ++ Queries4.queries
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- relational skeleton (scan/filter/agg/join/window/topk) --------------
@@ -217,7 +217,7 @@ object SparkEntry {
   // ------------------------------------------------------------- oracle SQL
 
   def oracleSql: Map[String, String] =
-    coreOracleSql ++ QueriesExtra.oracleSql ++ Queries3.oracleSql
+    coreOracleSql ++ QueriesExtra.oracleSql ++ Queries3.oracleSql ++ Queries4.oracleSql
 
   private def coreOracleSql: Map[String, String] = Map(
     "q1_agg" ->
