@@ -67,7 +67,9 @@ object QueriesExtra {
     // SEISMIC pruned sparse ANN (no SQL oracle: clustered index; invariant
     // vs exact covered by SeismicSpec)
     "q_seismic" -> ((s, dir) => {
-      val docs = docsWithTokens(s, dir)
+      // the corpus feeds the build AND two exact-rescore passes — cache it
+      // (the reference's forward-index cache, SURVEY §2.6, maps to persist())
+      val docs = docsWithTokens(s, dir).persist()
       val idx = Seismic.build(docs)
       Seismic.search(idx, docs, qTokensA, k = 10, topN = 5, heapFactor = 2.0f)
     }),

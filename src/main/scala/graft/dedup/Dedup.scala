@@ -72,22 +72,24 @@ object Dedup {
 
     val sigs = df.select(col(idCol).as("id"), col(textCol).as("__text"))
       .withColumn("sig", sigUdf(col("__text")))
-      .withColumn("sh", shUdf(col("__text")))
       .drop("__text")
 
-    // band key = hash of the band's signature slice
+    // band key = hash of the band's signature slice; ONLY (band, bucket, id)
+    // is shuffled through candidate generation — payloads join back after
+    // the pair set is deduped (keeps the wide columns out of the shuffle)
     val banded = sigs.select(
-      col("id"), col("sh"),
+      col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
         xxhash64(lit("band"), b, slice(col("sig"), b * lit(rows) + 1, lit(rows))))).as(Seq("band", "bucket")))
 
-    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
+    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
     val candidates = l.join(r, Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
 
+    val shingleSets = df.select(col(idCol).as("id"), shUdf(col(textCol)).as("sh"))
     val jacc = udf((a: Seq[String], b: Seq[String]) => {
       val sa = a.toSet; val sb = b.toSet
       val inter = sa.intersect(sb).size.toDouble
@@ -95,6 +97,8 @@ object Dedup {
       if (uni == 0) 1.0 else inter / uni
     })
     candidates
+      .join(shingleSets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(shingleSets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard", round(jacc(col("sh_a"), col("sh_b")), 4))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
@@ -208,15 +212,20 @@ object Dedup {
         sig
       }
     })
+    // only (table, bucket, id) flows through pair generation; vectors join
+    // back after dedup (narrow shuffle — see SCALE.md)
     val bucketed = df
       .select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("buckets", bucketUdf(col("v")))
-      .select(col("id"), col("v"), posexplode(col("buckets")).as(Seq("table", "bucket")))
-    val l = bucketed.select(col("table"), col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val r = bucketed.select(col("table"), col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+      .select(col("id"), posexplode(col("buckets")).as(Seq("table", "bucket")))
+    val l = bucketed.select(col("table"), col("bucket"), col("id").as("id_a"))
+    val r = bucketed.select(col("table"), col("bucket"), col("id").as("id_b"))
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     l.join(r, Seq("table", "bucket"))
       .where(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
+      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
       .withColumn("cosine", round(VectorExpressions.dense_cosine(col("v_a"), col("v_b")), 6))
       .where(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))

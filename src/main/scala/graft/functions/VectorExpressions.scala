@@ -90,7 +90,7 @@ object VectorExpressions {
     * materialized once into a Java HashMap and probed per doc token.
     */
   case class SparseDot(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def prettyName: String = "sparse_dot"
 
@@ -110,9 +110,11 @@ object VectorExpressions {
       out
     }
 
-    override protected def nullSafeEval(l: Any, r: Any): Any = {
-      val doc = l.asInstanceOf[MapData]
-      val q = if (foldedRight != null) foldedRight else toJavaMap(r.asInstanceOf[MapData])
+    /** Kernel shared by the interpreted and codegen paths. The query-side
+      * HashMap is materialized once when the right child is foldable. */
+    def computeDot(docAny: Any, rAny: Any): Double = {
+      val doc = docAny.asInstanceOf[MapData]
+      val q = if (foldedRight != null) foldedRight else toJavaMap(rAny.asInstanceOf[MapData])
       val ks = doc.keyArray(); val vs = doc.valueArray()
       var s = 0.0; var i = 0
       while (i < doc.numElements()) {
@@ -121,6 +123,17 @@ object VectorExpressions {
         i += 1
       }
       s
+    }
+
+    override protected def nullSafeEval(l: Any, r: Any): Any = computeDot(l, r)
+
+    /** Codegen: call the kernel through a reference object so the
+      * surrounding operator stays inside WholeStageCodegen (no interpreted
+      * projection fallback for the whole stage). */
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("sparseDot", this,
+        "graft.functions.VectorExpressions.SparseDot")
+      nullSafeCodeGen(ctx, ev, (l, r) => s"${ev.value} = $ref.computeDot($l, $r);")
     }
 
     override protected def withNewChildrenInternal(l: Expression, r: Expression) =

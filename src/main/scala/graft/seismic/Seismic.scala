@@ -154,6 +154,11 @@ object Seismic {
         }
       }
       .toDF("token", "cluster_id", "doc_id", "summary")
+      // The search plan consumes this twice (theta seed pass + final
+      // candidate pass) and a driver action sits between them — persist so
+      // the clustering job runs once (at scale these are written Parquet
+      // tables partitioned by token; persist is the local-session analogue).
+      .persist()
 
     val clusters = clustered.select(col("token"), col("cluster_id"), col("doc_id"))
     val summaries = clustered
