@@ -75,6 +75,22 @@ object Queries4 {
         .orderBy(col("user_id"))
     }),
 
+    // MLlib engines (BASELINE approach: MLlib for vectorization/indexing)
+    "q_mllib_tfidf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = graft.ml.MllibVectorizer.fitTfIdf(docs)
+      graft.ml.MllibVectorizer.tfIdfTopK(model, docs, "spark join fast table scan", 10)
+    }),
+
+    "q_mllib_minhash" -> ((s, dir) =>
+      graft.ml.MllibVectorizer.minhashNearDup(t(s, dir, "documents"),
+        maxJaccardDistance = 0.5)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "q_mllib_ann" -> ((s, dir) =>
+      graft.ml.MllibVectorizer.annTopK(t(s, dir, "embeddings"),
+        SparkEntry.qDense64, 10, numHashTables = 6, bucketLength = 5.0)),
+
     // batched hybrid: two queries (swapped subquery order) in one pipeline run
     "q_hybrid_batch" -> ((s, dir) => {
       val docs = docsWithTokens(s, dir)

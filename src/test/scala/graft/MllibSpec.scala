@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ml.{HashEmbedder, MllibVectorizer}
+
+class MllibSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "spark join table join fast"),
+    (2L, "slow scan big table"),
+    (3L, "spark spark spark stream"),
+    (4L, "completely unrelated words here"),
+    (5L, "spark join table join fast") // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("tf-idf topk ranks the exact-match docs first") {
+    val model = MllibVectorizer.fitTfIdf(docs, numFeatures = 1 << 12)
+    val out = MllibVectorizer.tfIdfTopK(model, docs, "spark join table join fast", 5).collect()
+    // docs 1 and 5 are identical to the query → cosine 1.0, top two
+    assert(out.take(2).map(_.getLong(0)).toSet == Set(1L, 5L))
+    assert(math.abs(out(0).getDouble(1) - 1.0) < 1e-6)
+    assert(!out.map(_.getLong(0)).take(3).contains(4L))
+  }
+
+  test("MLlib MinHashLSH finds the exact-dup pair") {
+    val pairs = MllibVectorizer.minhashNearDup(docs, maxJaccardDistance = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.get((1L, 5L)).contains(1.0))
+    assert(!pairs.keys.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("BucketedRandomProjectionLSH ANN returns k nearest by distance") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = HashEmbedder.embed("vector search engine query data", 64)
+    val ann = MllibVectorizer.annTopK(emb, q, 10, numHashTables = 6, bucketLength = 5.0)
+      .collect().map(_.getLong(0)).toSet
+    // compare against exact: ANN with generous tables should overlap heavily
+    val exact = graft.ann.Ann.bruteForceTopK(emb, q, 10).collect().map(_.getLong(0)).toSet
+    // Euclidean vs cosine rank differ on non-normalized vectors; require overlap
+    assert(ann.size == 10)
+    assert((ann intersect exact).nonEmpty)
+  }
+}
