@@ -95,6 +95,22 @@ object Queries4 {
       graft.ml.MllibVectorizer.annTopK(t(s, dir, "embeddings"),
         SparkEntry.qDense64, 10, numHashTables = 6, bucketLength = 5.0)),
 
+    // full QuerySpec->DataFrame compiler path (SURVEY §3.1): 4 subquery
+    // kinds + filter + collapse in one declarative request
+    "q_compiler" -> ((s, dir) => {
+      import graft.exec.QueryCompiler
+      val req = QueryCompiler.QueryRequest(
+        subqueries = Seq(
+          SubquerySpec("neural", "text", queryText = Some("spark join fast table scan")),
+          SubquerySpec("neural_sparse", "text", queryText = Some("spark join fast table scan")),
+          SubquerySpec("term", "lang", queryText = Some("en")),
+          SubquerySpec("range", "n_chars", queryText = Some("100..500"))),
+        paginationDepth = Some(100), k = 10,
+        collapseField = Some("source"), collapseDocsPerGroup = 2)
+      QueryCompiler.run(t(s, dir, "documents"), req)
+        .select(col("doc_id"), round(col("score"), 4).as("score"), col("rank"))
+    }),
+
     // batched hybrid: two queries (swapped subquery order) in one pipeline run
     "q_hybrid_batch" -> ((s, dir) => {
       val docs = docsWithTokens(s, dir)

@@ -1,0 +1,105 @@
+package graft.exec
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorExpressions
+import graft.ingest.Enrich
+import graft.ml.HashEmbedder
+import graft.model._
+
+/** The `QuerySpec → DataFrame` compiler promised by SURVEY.md §3.1: one
+  * declarative request object compiles to the full retrieval plan
+  *
+  *   corpus → filter → [subquery score exprs] → per-subquery topK →
+  *   normalize → combine → collapse? → sort/paginate
+  *
+  * This is the engine's user-facing entry point — the Spark analogue of
+  * `POST /index/_search` with a hybrid body. Subquery kinds mirror the
+  * reference's registered queries (neural, neural_sparse, match, term,
+  * range); request processors (enricher, agentic translation) run as pure
+  * spec-to-spec passes before compilation.
+  */
+object QueryCompiler {
+
+  case class QueryRequest(
+      queryId: Long = 0L,
+      subqueries: Seq[SubquerySpec],
+      k: Int = HybridLimits.DefaultK,
+      from: Int = 0,
+      paginationDepth: Option[Int] = None,
+      normalization: NormalizationSpec = NormalizationSpec.MinMax(),
+      combination: CombinationSpec = CombinationSpec.ArithmeticMean(),
+      filterExpr: Option[String] = None,
+      collapseField: Option[String] = None,
+      collapseDocsPerGroup: Int = 1,
+      minScore: Option[Double] = None,
+      explain: Boolean = false)
+
+  /** Compile one subquery spec into its score column over the corpus.
+    * Null = no match for that subquery (reference scorer no-hit). */
+  def scoreColumn(sq: SubquerySpec, dim: Int = HashEmbedder.DefaultDim): Column = sq.kind match {
+    case "neural" =>
+      val qv = HashEmbedder.embed(sq.queryText.getOrElse(""), dim)
+      val sc = round(VectorExpressions.dense_cosine(
+        Enrich.embedUdf(dim)(col(sq.field)), typedLit(qv)), 6)
+      when(sc > 0.0, sc)
+    case "neural_sparse" =>
+      val q = sq.queryTokens.getOrElse(HashEmbedder.encode(sq.queryText.getOrElse("")))
+      val sc = round(VectorExpressions.sparse_dot(
+        Enrich.encodeUdf(col(sq.field)), typedLit(q)), 6)
+      when(sc > 0.0, sc)
+    case "match" =>
+      // tf overlap against the query's token multiset (pinned lexical
+      // scorer; corpus-wide idf needs a side aggregation — use
+      // Lexical.matchScore for the idf-weighted form)
+      val q = HashEmbedder.encode(sq.queryText.getOrElse(""))
+      val sc = round(VectorExpressions.sparse_dot(
+        Enrich.encodeUdf(col(sq.field)), typedLit(q)), 6)
+      when(sc > 0.0, sc)
+    case "term" =>
+      when(col(sq.field) === sq.queryText.getOrElse(""), lit(1.0))
+    case "range" =>
+      // params packed as "gte..lt" in queryText for this compact surface
+      val Array(gte, lt) = sq.queryText.getOrElse("..").split("\\.\\.", -1)
+      val c1 = if (gte.nonEmpty) col(sq.field) >= gte else lit(true)
+      val c2 = if (lt.nonEmpty) col(sq.field) < lt else lit(true)
+      when(c1 && c2, lit(1.0))
+    case "hybrid" =>
+      throw new IllegalArgumentException(
+        "hybrid query cannot be nested inside another hybrid query") // HybridQueryPhaseSearcher guard
+    case other =>
+      throw new IllegalArgumentException(s"unknown subquery kind: $other")
+  }
+
+  /** Compile and run a request against a corpus table. */
+  def run(corpus: DataFrame, req: QueryRequest, docId: String = "doc_id"): DataFrame = {
+    HybridValidation.validate(
+      req.subqueries.size, req.normalization, req.combination, req.paginationDepth)
+    // the hybrid filter param is pushed below scoring into every subquery
+    // (HybridQueryBuilder.java:117-128) — in Spark, one filter on the scan
+    val filtered = req.filterExpr.fold(corpus)(corpus.filter)
+    val scored = HybridPipeline.score(
+      filtered, col(docId), req.subqueries.map(scoreColumn(_)), req.queryId)
+    val collapse = req.collapseField.map { f =>
+      (filtered.select(col(docId).as("doc_id"), col(f).as("collapse_key")),
+        req.collapseDocsPerGroup)
+    }
+    if (req.explain)
+      Explain.runWithExplain(scored, req.subqueries.size, req.normalization,
+        req.combination, req.paginationDepth, req.from, req.k)
+    else
+      HybridPipeline.run(scored, req.subqueries.size, req.normalization,
+        req.combination, req.paginationDepth, req.from, req.k, req.minScore, collapse)
+  }
+
+  /** Natural-language entry: translate (agentic path) → enrich → compile. */
+  def runNaturalLanguage(corpus: DataFrame, question: String,
+      queryFields: Seq[String], translator: QueryTranslator = RuleBasedTranslator,
+      defaultModelId: Option[String] = Some("hash-embedder"),
+      k: Int = HybridLimits.DefaultK): DataFrame = {
+    val subs = NeuralQueryEnricher.enrich(
+      translator.translate(question, queryFields), defaultModelId)
+    run(corpus, QueryRequest(subqueries = subs, k = k))
+  }
+}

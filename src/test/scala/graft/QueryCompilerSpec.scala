@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.exec.QueryCompiler
+import graft.exec.QueryCompiler.QueryRequest
+import graft.model._
+
+class QueryCompilerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val corpus = Seq(
+    (1L, "spark join table fast", "en", 120),
+    (2L, "slow scan big table", "en", 300),
+    (3L, "spark spark stream window", "de", 80),
+    (4L, "unrelated words entirely here", "en", 500),
+    (5L, "spark join fast fast", "de", 150)
+  ).toDF("doc_id", "text", "lang", "n_chars")
+
+  test("4-kind hybrid: neural + sparse + term + range through one compile") {
+    val req = QueryRequest(subqueries = Seq(
+      SubquerySpec("neural", "text", queryText = Some("spark join table fast")),
+      SubquerySpec("neural_sparse", "text", queryText = Some("spark join")),
+      SubquerySpec("term", "lang", queryText = Some("en")),
+      SubquerySpec("range", "n_chars", queryText = Some("100..400"))))
+    val out = QueryCompiler.run(corpus, req).collect()
+    assert(out.nonEmpty)
+    // doc1 matches all four subqueries → must rank first
+    assert(out.head.getAs[Long]("doc_id") == 1L)
+    val ranks = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("rank")).toMap
+    assert(ranks.values.toSeq.sorted == (1 to out.length).toSeq)
+  }
+
+  test("filter is applied below scoring; collapse keeps top doc per group") {
+    val req = QueryRequest(
+      subqueries = Seq(SubquerySpec("neural_sparse", "text", queryText = Some("spark join"))),
+      filterExpr = Some("n_chars >= 100"),
+      collapseField = Some("lang"))
+    val out = QueryCompiler.run(corpus, req).collect()
+    assert(!out.map(_.getAs[Long]("doc_id")).contains(3L)) // filtered (n_chars 80)
+    // collapse: at most one doc per lang
+    val langOf = Map(1L -> "en", 2L -> "en", 4L -> "en", 5L -> "de")
+    val langs = out.map(r => langOf(r.getAs[Long]("doc_id")))
+    assert(langs.distinct.length == langs.length)
+  }
+
+  test("explain variant returns fragments; validation rejects nested hybrid") {
+    val req = QueryRequest(
+      subqueries = Seq(SubquerySpec("neural_sparse", "text", queryText = Some("spark"))),
+      explain = true)
+    val out = QueryCompiler.run(corpus, req).collect()
+    assert(out.forall(!_.isNullAt(out.head.fieldIndex("explain"))))
+    intercept[IllegalArgumentException] {
+      QueryCompiler.scoreColumn(SubquerySpec("hybrid", "text"))
+    }
+  }
+
+  test("natural-language entry end-to-end (agentic path)") {
+    val out = QueryCompiler.runNaturalLanguage(
+      corpus, "find \"spark join\" fast documents", Seq("text"))
+    assert(out.count() > 0)
+  }
+
+  test("SQL function registration exposes the native expressions") {
+    Graft.registerFunctions(spark)
+    corpus.createOrReplaceTempView("qc_corpus")
+    val r = spark.sql(
+      """SELECT doc_id, sparse_dot(map('spark', CAST(1.0 AS FLOAT)),
+        |                          map('spark', CAST(2.0 AS FLOAT))) AS s
+        |FROM qc_corpus WHERE doc_id = 1""".stripMargin).collect()
+    assert(r(0).getDouble(1) == 2.0)
+    val d = spark.sql(
+      "SELECT dense_cosine(array(CAST(1.0 AS FLOAT)), array(CAST(2.0 AS FLOAT))) AS c")
+      .collect()
+    assert(math.abs(d(0).getDouble(0) - 1.0) < 1e-9)
+  }
+}
