@@ -83,12 +83,8 @@ object Queries4 {
     }),
 
     "q_mllib_minhash" -> ((s, dir) =>
-      // NOTE: this corpus draws from a ~31-word vocabulary, so token-SET
-      // jaccard (what MinHashLSH measures) is high across many pairs —
-      // shingle-based Dedup.minhashLsh is the discriminative variant; this
-      // query demonstrates the MLlib-native engine
       graft.ml.MllibVectorizer.minhashNearDup(t(s, dir, "documents"),
-        maxJaccardDistance = 0.15)
+        maxJaccardDistance = 0.5)
         .orderBy(col("id_a"), col("id_b"))),
 
     "q_mllib_ann" -> ((s, dir) =>

@@ -78,16 +78,21 @@ object MllibVectorizer {
       .limit(k)
   }
 
-  /** MLlib MinHashLSH near-dup pairs on binarized term sets. */
+  /** MLlib MinHashLSH near-dup pairs on binarized word-shingle sets.
+    * Shingles (not unigrams) keep the feature sets discriminative — with a
+    * small vocabulary, unigram SETS of any two long documents are nearly
+    * identical and the approx join degenerates to all-pairs. */
   def minhashNearDup(corpus: DataFrame, textCol: String = "text",
-      docId: String = "doc_id", numFeatures: Int = DefaultNumFeatures,
+      docId: String = "doc_id", shingleSize: Int = 3,
+      numFeatures: Int = DefaultNumFeatures,
       numHashTables: Int = 8, maxJaccardDistance: Double = 0.5,
       seed: Long = 42L): DataFrame = {
-    val tok = new RegexTokenizer().setInputCol(textCol).setOutputCol("__words")
-      .setPattern("\\s+").setToLowercase(true)
+    val shinglesUdf = udf((s: String) =>
+      graft.dedup.Dedup.shingles(s, shingleSize).toSeq)
     val tf = new HashingTF().setInputCol("__words").setOutputCol("__tf")
       .setNumFeatures(numFeatures).setBinary(true)
-    val feats = tf.transform(tok.transform(corpus))
+    val feats = tf.transform(
+      corpus.withColumn("__words", shinglesUdf(col(textCol))))
       .select(col(docId).as("id"), col("__tf").as("features"))
       .where(udf((v: MlVector) => v.numNonzeros > 0).apply(col("features")))
     val lsh = new MinHashLSH().setInputCol("features").setOutputCol("__hashes")
