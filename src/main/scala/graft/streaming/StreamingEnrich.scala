@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.ingest.Enrich
 import graft.text.TextAnalysis
@@ -37,4 +38,39 @@ object StreamingEnrich {
       .withWatermark("ts", watermark)
       .groupBy(col("source"), window(col("ts"), windowDuration))
       .agg(count(lit(1)).as("n_docs"), avg(length(col("text"))).as("avg_len"))
+}
+
+/** Custom streaming state: continuous per-user sessionization with
+  * `mapGroupsWithState` — the streaming form of the batch gaps-and-islands
+  * sessionizer (q_sessionize). State per user survives across micro-batches;
+  * a new session opens when the gap to the previous event exceeds `gapNs`.
+  */
+object StreamingSessionize {
+
+  case class Event(user_id: Long, ts_ns: Long)
+  case class SessionState(nSessions: Long, lastTs: Long, nEvents: Long)
+  case class SessionUpdate(user_id: Long, n_sessions: Long, n_events: Long)
+
+  def update(gapNs: Long)(
+      userId: Long, events: Iterator[Event],
+      state: GroupState[SessionState]): SessionUpdate = {
+    var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
+    events.toSeq.sortBy(e => e.ts_ns).foreach { e =>
+      val newSession = st.nEvents == 0L || e.ts_ns - st.lastTs > gapNs
+      st = SessionState(
+        nSessions = st.nSessions + (if (newSession) 1 else 0),
+        lastTs = math.max(st.lastTs, e.ts_ns),
+        nEvents = st.nEvents + 1)
+    }
+    state.update(st)
+    SessionUpdate(userId, st.nSessions, st.nEvents)
+  }
+
+  /** events(user_id, ts_ns) → running (user_id, n_sessions, n_events). */
+  def sessionize(events: Dataset[Event], gapNs: Long = 30L * 60 * 1000000000L): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(update(gapNs))
+  }
 }

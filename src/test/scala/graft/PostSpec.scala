@@ -150,3 +150,28 @@ class StreamingSpec extends SparkSpec {
     assert(out.length == 2) // two hour windows for s1
   }
 }
+
+class StatefulSessionSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.streaming.StreamingSessionize
+  import graft.streaming.StreamingSessionize.Event
+
+  test("mapGroupsWithState sessionization carries state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val q = StreamingSessionize.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("sessions").outputMode("update").start()
+    val h = 3600L * 1000000000L
+    // batch 1: user 1 has two events 10 min apart → one session
+    mem.addData(Event(1L, 0L), Event(1L, 600L * 1000000000L))
+    q.processAllAvailable()
+    val b1 = spark.table("sessions").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(b1.contains((1L, 1L, 2L)))
+    // batch 2: event 2h later → NEW session; state remembered across batches
+    mem.addData(Event(1L, 2 * h))
+    q.processAllAvailable()
+    val b2 = spark.table("sessions").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    q.stop()
+    assert(b2.contains((1L, 2L, 3L)))
+  }
+}
