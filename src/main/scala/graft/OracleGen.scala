@@ -45,6 +45,19 @@ private[graft] object OracleGen {
       k: Int = 100,
       from: Int = 0,
       size: Int = 10,
+      collapse: Option[(String, Int)] = None): String =
+    hybridSqlN(Seq(qA, qB), norm, comb,
+      weights.map { case (a, b) => Seq(a, b) }, k, from, size, collapse)
+
+  /** N-subquery generalization (≤5 per the hybrid validation table). */
+  def hybridSqlN(
+      qs: Seq[Map[String, Float]],
+      norm: String,
+      comb: String,
+      weightsN: Option[Seq[Double]] = None,
+      k: Int = 100,
+      from: Int = 0,
+      size: Int = 10,
       collapse: Option[(String, Int)] = None): String = {
     def subq(name: String, values: String): String =
       s"""s_$name AS (${sparseScoreSql(values)}),
@@ -80,7 +93,7 @@ private[graft] object OracleGen {
            |       1.0 / (60 + row_number() OVER (ORDER BY score DESC, doc_id ASC)) AS nscore
            |FROM k_$name""".stripMargin
     }
-    val (w0, w1) = weights.getOrElse((1.0, 1.0))
+    val ws = weightsN.getOrElse(Seq.fill(qs.size)(1.0))
     val combine = comb match {
       case "arithmetic_mean" =>
         """coalesce(sum(CASE WHEN nscore >= 0 THEN w * nscore END)
@@ -108,14 +121,17 @@ private[graft] object OracleGen {
       case None => ""
     }
     val rankedSrc = if (collapse.isDefined) "coll" else "comb"
+    val names = qs.indices.map(i => ('a' + i).toChar.toString)
+    val subqCtes = names.zip(qs).map { case (n, q) => subq(n, valuesOf(q)) }.mkString(",\n")
+    val normCtes = names.zipWithIndex.map { case (n, i) => s"n$i AS (${normCte(n)})" }.mkString(", ")
+    val unioned = names.indices.map(i => s"SELECT doc_id, nscore, ${ws(i)} AS w FROM n$i")
+      .mkString(" UNION ALL ")
     s"""WITH $docVectorsCte,
-       |${subq("a", valuesOf(qA))},
-       |${subq("b", valuesOf(qB))},
-       |n0 AS (${normCte("a")}), n1 AS (${normCte("b")}),
+       |$subqCtes,
+       |$normCtes,
        |comb AS (
        |  SELECT doc_id, $combine AS score
-       |  FROM (SELECT doc_id, nscore, $w0 AS w FROM n0
-       |        UNION ALL SELECT doc_id, nscore, $w1 AS w FROM n1)
+       |  FROM ($unioned)
        |  GROUP BY doc_id
        |)$collapseCte, ranked AS (
        |  SELECT doc_id, score,

@@ -14,6 +14,7 @@ import graft.model._
 object Queries4 {
 
   import SparkEntry.{qTokensA, qTokensB}
+  private val qTokensC = graft.ml.HashEmbedder.encode("data row column group filter")
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
@@ -91,6 +92,21 @@ object Queries4 {
       graft.ml.MllibVectorizer.annTopK(t(s, dir, "embeddings"),
         SparkEntry.qDense64, 10, numHashTables = 6, bucketLength = 5.0)),
 
+    // 3-subquery hybrid (arity > 2 path), weighted
+    "q_hybrid_3way" -> ((s, dir) => {
+      val docs = docsWithTokens(s, dir)
+      def sub(q: Map[String, Float]): Column = {
+        val sc = round(VectorExpressions.sparse_dot(col("tokens"), typedLit(q)), 6)
+        when(sc > 0.0, sc)
+      }
+      val scored = HybridPipeline.score(docs, col("doc_id"),
+        Seq(sub(qTokensA), sub(qTokensB), sub(qTokensC)))
+      HybridPipeline.run(scored, 3, NormalizationSpec.MinMax(),
+        CombinationSpec.ArithmeticMean(Some(Seq(0.5, 0.3, 0.2))),
+        paginationDepth = Some(100), size = 10)
+        .select(col("doc_id"), round(col("score"), 4).as("score"), col("rank"))
+    }),
+
     // full QuerySpec->DataFrame compiler path (SURVEY §3.1): 4 subquery
     // kinds + filter + collapse in one declarative request
     "q_compiler" -> ((s, dir) => {
@@ -145,6 +161,9 @@ object Queries4 {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q_hybrid_3way" -> OracleGen.hybridSqlN(
+      Seq(qTokensA, qTokensB, qTokensC), "min_max", "arithmetic_mean",
+      Some(Seq(0.5, 0.3, 0.2))),
     "q_match_tfidf" ->
       s"""WITH $matchCte
          |SELECT doc_id, score FROM lex
