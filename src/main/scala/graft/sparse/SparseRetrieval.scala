@@ -84,6 +84,22 @@ object SparseRetrieval {
       docId: String = "doc_id", tokens: String = "tokens"): DataFrame =
     topK(scoreDocs(corpus, qTokens, docId, tokens), k)
 
+  /** approximate_threshold strategy (sparse/common/SparseConstants.java:35,
+    * codec gate SparseCodecService): exact scan below the threshold, SEISMIC
+    * above — the reference's per-segment cost-based physical choice becomes
+    * a per-table strategy pick here. The logical result contract is the
+    * same top-k; below threshold it is exact. */
+  def autoTopK(corpus: DataFrame, qTokens: Map[String, Float], k: Int = HybridLimits.DefaultK,
+      approximateThreshold: Long = graft.seismic.Seismic.DefaultApproximateThreshold.toLong,
+      docId: String = "doc_id", tokens: String = "tokens"): DataFrame = {
+    val n = corpus.count()
+    if (n < approximateThreshold) exactTopK(corpus, qTokens, k, docId, tokens)
+    else {
+      val idx = graft.seismic.Seismic.build(corpus, docId = docId, tokens = tokens)
+      graft.seismic.Seismic.search(idx, corpus, qTokens, k = k, docId = docId, tokens = tokens)
+    }
+  }
+
   /** Two-phase cascade (NeuralSparseTwoPhaseProcessor defaults: prune_ratio
     * 0.4 / max_ratio split, window = size × 5.0 capped at 10000):
     * phase 1 ranks by the HIGH-weight query tokens only and keeps a candidate

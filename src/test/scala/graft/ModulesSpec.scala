@@ -287,3 +287,25 @@ class TextMultimodalSpec extends SparkSpec {
     assert(out.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 1, 2, 3))
   }
 }
+
+class StrategySpec extends SparkSpec {
+  import spark.implicits._
+  import graft.sparse.SparseRetrieval
+  import graft.ml.HashEmbedder
+
+  test("approximate_threshold picks exact below and SEISMIC above") {
+    val corpus = (1L to 40L).map { i =>
+      (i, s"spark join t$i table ${if (i % 2 == 0) "fast" else "slow"} scan")
+    }.toDF("doc_id", "text").withColumn("tokens", graft.ingest.Enrich.encodeUdf(col("text")))
+    val q = HashEmbedder.encode("spark join fast")
+    val exact = SparseRetrieval.exactTopK(corpus, q, 5).collect().map(_.getLong(0)).toSeq
+    // below threshold → identical to exact
+    val below = SparseRetrieval.autoTopK(corpus, q, 5, approximateThreshold = 1000)
+      .collect().map(_.getLong(0)).toSeq
+    assert(below == exact)
+    // above threshold → SEISMIC path still returns k ranked docs
+    val above = SparseRetrieval.autoTopK(corpus, q, 5, approximateThreshold = 10)
+      .collect().map(_.getLong(0))
+    assert(above.length == 5)
+  }
+}
