@@ -20,7 +20,7 @@ object Queries3 {
     spark.read.parquet(s"$dir/$name.parquet")
 
   private def docsWithTokens(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").withColumn("tokens", Enrich.encodeUdf(col("text")))
+    SparkEntry.docsWithTokens(s, dir)
 
   private def hybridScored(s: SparkSession, dir: String): DataFrame = {
     val docs = docsWithTokens(s, dir)

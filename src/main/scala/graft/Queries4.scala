@@ -20,7 +20,7 @@ object Queries4 {
     spark.read.parquet(s"$dir/$name.parquet")
 
   private def docsWithTokens(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").withColumn("tokens", Enrich.encodeUdf(col("text")))
+    SparkEntry.docsWithTokens(s, dir)
 
   private val matchTerms = Seq("spark", "join", "window", "vector")
 

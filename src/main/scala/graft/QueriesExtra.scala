@@ -31,7 +31,7 @@ object QueriesExtra {
     spark.read.parquet(s"$dir/$name.parquet")
 
   private def docsWithTokens(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").withColumn("tokens", Enrich.encodeUdf(col("text")))
+    SparkEntry.docsWithTokens(s, dir)
 
   // ---------------------------------------------------------------- helpers
   import OracleGen.{valuesOf, docVectorsCte, sparseScoreSql}
@@ -67,9 +67,10 @@ object QueriesExtra {
     // SEISMIC pruned sparse ANN (no SQL oracle: clustered index; invariant
     // vs exact covered by SeismicSpec)
     "q_seismic" -> ((s, dir) => {
-      // the corpus feeds the build AND two exact-rescore passes — cache it
-      // (the reference's forward-index cache, SURVEY §2.6, maps to persist())
-      val docs = docsWithTokens(s, dir).persist()
+      // corpus is persisted by the shared ingest cache; it feeds the build
+      // AND two exact-rescore passes (the reference's forward-index cache,
+      // SURVEY §2.6, maps to persist())
+      val docs = docsWithTokens(s, dir)
       val idx = Seismic.build(docs)
       Seismic.search(idx, docs, qTokensA, k = 10, topN = 5, heapFactor = 2.0f)
     }),
