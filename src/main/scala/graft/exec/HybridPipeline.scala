@@ -120,6 +120,18 @@ object HybridPipeline {
 
   private def broadcastIfSmall(df: DataFrame): DataFrame = df
 
+  /** search_after keyset pagination (HybridTopFieldDocSortCollector /
+    * PagingFieldCollector, SURVEY §2.5): resume below the last-seen
+    * (score, doc_id) cursor instead of a numeric offset — O(k) per page at
+    * any depth, the scale-correct pagination. */
+  def searchAfter(results: DataFrame, afterScore: Double, afterDocId: Long,
+      size: Int = HybridLimits.DefaultK): DataFrame =
+    results
+      .where(col("score") < afterScore ||
+        (col("score") === afterScore && col("doc_id") > afterDocId))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(size)
+
   /** Convenience: single-query hybrid end-to-end over a corpus. */
   def hybrid(
       corpus: DataFrame,

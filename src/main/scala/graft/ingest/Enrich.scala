@@ -42,9 +42,35 @@ object Enrich {
   def chunkFixedCharUdf(charLimit: Int, overlapRate: Double, maxChunkLimit: Int) =
     udf((s: String) => Chunkers.fixedCharLength(s, charLimit, overlapRate, maxChunkLimit))
 
-  /** text_embedding processor: add `<target>` dense vector per mapped field. */
+  /** text_embedding processor: add `<target>` dense vector per mapped field.
+    * Field-map traversal semantics per the reference
+    * (InferenceProcessor.java:443-447 buildNLPResult + ProcessorDocumentUtils,
+    * exercised by the ingest_doc fixtures):
+    *   - plain string column        → one embedding
+    *   - dotted path ("a.b")        → nested struct sub-field
+    *   - Array[String] column       → one embedding PER ELEMENT
+    *   - Array[Struct{text,…}] with "arr.text" syntax → embed each
+    *     element's text into a parallel array (nested_passages case)
+    */
   def textEmbedding(df: DataFrame, fieldMap: Map[String, String], dim: Int = DefaultDim): DataFrame =
-    fieldMap.foldLeft(df) { case (d, (src, dst)) => d.withColumn(dst, embedUdf(dim)(col(src))) }
+    fieldMap.foldLeft(df) { case (d, (src, dst)) =>
+      import org.apache.spark.sql.types._
+      val parts = src.split("\\.")
+      def typeAt(schema: StructType, path: Seq[String]): DataType =
+        path.foldLeft(schema: DataType) {
+          case (st: StructType, p) => st(p).dataType
+          case (ArrayType(st: StructType, _), p) => ArrayType(st(p).dataType)
+          case (other, p) => throw new IllegalArgumentException(s"cannot traverse $p in $other")
+        }
+      typeAt(d.schema, parts.toIndexedSeq) match {
+        case StringType =>
+          d.withColumn(dst, embedUdf(dim)(col(src)))
+        case ArrayType(StringType, _) =>
+          d.withColumn(dst, transform(col(src), e => embedUdf(dim)(e)))
+        case other =>
+          throw new IllegalArgumentException(s"unsupported field type for embedding: $other at $src")
+      }
+    }
 
   /** sparse_encoding processor with optional prune. */
   def sparseEncoding(df: DataFrame, fieldMap: Map[String, String],

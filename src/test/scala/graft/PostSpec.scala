@@ -175,3 +175,47 @@ class StatefulSessionSpec extends SparkSpec {
     assert(b2.contains((1L, 2L, 3L)))
   }
 }
+
+class FieldMapSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ingest.Enrich
+  import graft.ml.HashEmbedder
+
+  test("field-map traversal: plain, nested struct path, string list") {
+    val df = Seq(
+      (1L, "top text", Seq("fav one", "fav two"), ("game txt", "movie txt"))
+    ).toDF("doc_id", "title", "favor_list", "favorites")
+      .withColumn("favorites", struct($"favorites._1".as("game"), $"favorites._2".as("movie")))
+    val out = Enrich.textEmbedding(df, Map(
+      "title" -> "title_emb",
+      "favorites.game" -> "game_emb",
+      "favor_list" -> "favor_emb"))
+    val r = out.collect()(0)
+    assert(r.getSeq[Float](r.fieldIndex("title_emb")).toSeq ==
+      HashEmbedder.embed("top text", 8).toSeq)
+    assert(r.getSeq[Float](r.fieldIndex("game_emb")).toSeq ==
+      HashEmbedder.embed("game txt", 8).toSeq)
+    val favEmb = r.getSeq[scala.collection.Seq[Float]](r.fieldIndex("favor_emb"))
+    assert(favEmb.length == 2)
+    assert(favEmb(0).toSeq == HashEmbedder.embed("fav one", 8).toSeq)
+  }
+
+  test("unsupported type raises") {
+    val df = Seq((1L, 5)).toDF("doc_id", "n")
+    intercept[IllegalArgumentException](Enrich.textEmbedding(df, Map("n" -> "x")))
+  }
+}
+
+class SearchAfterSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.exec.HybridPipeline
+
+  test("search_after resumes below the cursor with tie-aware keyset") {
+    val res = Seq((1L, 0.9), (2L, 0.8), (3L, 0.8), (4L, 0.7))
+      .toDF("doc_id", "score")
+    // cursor at (0.8, doc 2) → next page: doc 3 (tie, higher id), then doc 4
+    val page = HybridPipeline.searchAfter(res, 0.8, 2L, size = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(page == Seq(3L, 4L))
+  }
+}
