@@ -92,6 +92,34 @@ object Queries4 {
       graft.ml.MllibVectorizer.annTopK(t(s, dir, "embeddings"),
         SparkEntry.qDense64, 10, numHashTables = 6, bucketLength = 5.0)),
 
+    // aggregations alongside hybrid (HybridAggregationProcessor, §2.5):
+    // aggs consume the UNION of matched docs, not the top-k
+    "q_hybrid_aggs" -> ((s, dir) => {
+      val docs = docsWithTokens(s, dir)
+      def matched(q: Map[String, Float]) =
+        docs.select(col("doc_id"),
+          round(VectorExpressions.sparse_dot(col("tokens"), typedLit(q)), 6).as("score"))
+          .where(col("score") > 0.0)
+      val union = matched(qTokensA).unionByName(matched(qTokensB))
+        .groupBy(col("doc_id")).agg(max(col("score")).as("best_score"))
+      union.join(t(s, dir, "documents").select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_matched"), round(avg(col("best_score")), 4).as("avg_best"))
+        .orderBy(col("lang"))
+    }),
+
+    // near-dup cluster resolution: pairs -> connected components -> groups
+    "q_dedup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = graft.dedup.Dedup.ngramJaccardPairs(docs, threshold = 0.5)
+        .select(col("id_a"), col("id_b"))
+      graft.dedup.Dedup.resolveClusters(pairs, docs.select(col("doc_id").as("id")))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"))
+        .where(col("cluster_size") > 1)
+        .orderBy(col("cluster_id"))
+    }),
+
     // 3-subquery hybrid (arity > 2 path), weighted
     "q_hybrid_3way" -> ((s, dir) => {
       val docs = docsWithTokens(s, dir)
@@ -161,6 +189,22 @@ object Queries4 {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q_hybrid_aggs" -> {
+      def sc(v: String) = OracleGen.sparseScoreSql(v)
+      s"""WITH ${OracleGen.docVectorsCte},
+         |s_a AS (${sc(OracleGen.valuesOf(qTokensA))}),
+         |s_b AS (${sc(OracleGen.valuesOf(qTokensB))}),
+         |u AS (
+         |  SELECT doc_id, max(score) AS best_score FROM (
+         |    SELECT * FROM s_a WHERE score > 0.0
+         |    UNION ALL SELECT * FROM s_b WHERE score > 0.0)
+         |  GROUP BY doc_id
+         |)
+         |SELECT d.lang, count(*) AS n_matched,
+         |       round(avg(u.best_score), 4) AS avg_best
+         |FROM u JOIN documents d USING (doc_id)
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+    },
     "q_hybrid_3way" -> OracleGen.hybridSqlN(
       Seq(qTokensA, qTokensB, qTokensC), "min_max", "arithmetic_mean",
       Some(Seq(0.5, 0.3, 0.2))),

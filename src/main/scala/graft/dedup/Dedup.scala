@@ -230,4 +230,42 @@ object Dedup {
       .where(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
+
+  // ------------------------------------------------------- cluster resolve
+
+  /** Resolve near-dup PAIRS into clusters: iterative min-id label
+    * propagation (connected components) — each round joins every id to its
+    * neighbors' current minimum label; converges in O(log(diameter))
+    * rounds, all relational (no driver-side graph). Returns
+    * (id, cluster_id = min id of the component); singletons map to
+    * themselves. Use to pick one representative per duplicate group:
+    * keep rows where id == cluster_id. */
+  def resolveClusters(pairs: DataFrame, allIds: DataFrame,
+      maxIterations: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = allIds.select(col("id"), col("id").as("cluster_id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIterations) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("cluster_id", "n_label"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("n_label")).as("neighbor_label"))
+      val updated = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("neighbor_label"), col("cluster_id"))).as("cluster_id"))
+        .persist()
+      val changed = updated.alias("u")
+        .join(labels.alias("l"), "id")
+        .where(col("u.cluster_id") =!= col("l.cluster_id"))
+        .limit(1).count() > 0
+      labels.unpersist()
+      labels = updated
+      converged = !changed
+      i += 1
+    }
+    labels
+  }
 }

@@ -309,3 +309,19 @@ class StrategySpec extends SparkSpec {
     assert(above.length == 5)
   }
 }
+
+class ClusterResolveSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.dedup.Dedup
+
+  test("connected components: chain and singleton resolve to min-id clusters") {
+    // pairs: 1-2, 2-3 (chain), 5-6; 4 is a singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val ids = (1L to 6L).toDF("id")
+    val out = Dedup.resolveClusters(pairs, ids).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == 1L && out(2L) == 1L && out(3L) == 1L)
+    assert(out(4L) == 4L)
+    assert(out(5L) == 5L && out(6L) == 5L)
+  }
+}
