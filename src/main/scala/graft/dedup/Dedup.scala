@@ -242,8 +242,11 @@ object Dedup {
     * keep rows where id == cluster_id. */
   def resolveClusters(pairs: DataFrame, allIds: DataFrame,
       maxIterations: Int = 10): DataFrame = {
+    // the pair set may be expensive to produce (LSH/ngram joins) and is
+    // consumed once per iteration — persist it for the fixpoint loop
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
     var labels = allIds.select(col("id"), col("id").as("cluster_id"))
     var converged = false
     var i = 0
@@ -266,6 +269,7 @@ object Dedup {
       converged = !changed
       i += 1
     }
+    edges.unpersist()
     labels
   }
 }
