@@ -78,15 +78,18 @@ private[graft] object OracleGen {
            |      FROM k_$name)""".stripMargin
       case "l2" =>
         s"""SELECT doc_id,
-           |       CASE WHEN nrm = 0.0 THEN 0.001 ELSE score / nrm END AS nscore
+           |       CASE WHEN nrm = 0.0 THEN 0.0 ELSE score / nrm END AS nscore
            |FROM (SELECT doc_id, score, sqrt(sum(score * score) OVER ()) AS nrm
            |      FROM k_$name)""".stripMargin
       case "z_score" =>
         s"""SELECT doc_id,
-           |       CASE WHEN sd IS NULL OR sd = 0.0 THEN 0.0
-           |            ELSE (score - mn) / sd END AS nscore
-           |FROM (SELECT doc_id, score, avg(score) OVER () AS mn,
-           |             stddev_samp(score) OVER () AS sd
+           |       CASE WHEN score = mean THEN mx
+           |            WHEN sd IS NULL OR sd = 0.0 THEN mn
+           |            WHEN (score - mean) / sd <= 0.0 THEN 0.001
+           |            ELSE (score - mean) / sd END AS nscore
+           |FROM (SELECT doc_id, score, avg(score) OVER () AS mean,
+           |             stddev_samp(score) OVER () AS sd,
+           |             max(score) OVER () AS mx, min(score) OVER () AS mn
            |      FROM k_$name)""".stripMargin
       case "rrf" =>
         s"""SELECT doc_id,

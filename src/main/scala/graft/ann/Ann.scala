@@ -69,17 +69,20 @@ object Ann {
     centroids
   }
 
-  /** Assign each vector to its max-cosine centroid (codegen'd fold over a
-    * literal centroid array — no shuffle). */
+  /** Assign each vector to its max-cosine centroid (codegen'd, no shuffle).
+    * Scores land in one array column and the argmax is
+    * array_position(scores, array_max(scores)) — first max wins on ties.
+    * (A when-chain fold here nests each prior score expression twice per
+    * step → exponential generated code → janino's 64 KB method limit →
+    * silent interpreted fallback; the array form stays linear.) */
   def assign(df: DataFrame, centroids: Array[Array[Float]],
       vecCol: String = "embedding"): DataFrame = {
-    val scoreCols = centroids.zipWithIndex.map { case (c, i) =>
-      (i, VectorExpressions.dense_cosine(col(vecCol), typedLit(c)))
-    }
-    val best = scoreCols.foldLeft((lit(-1), lit(Double.MinValue))) { case ((bi, bs), (i, s)) =>
-      (when(s > bs, lit(i)).otherwise(bi), when(s > bs, s).otherwise(bs))
-    }
-    df.withColumn("centroid_id", best._1)
+    val scores = array(centroids.map(c =>
+      VectorExpressions.dense_cosine(col(vecCol), typedLit(c))): _*)
+    df.withColumn("__cscores", scores)
+      .withColumn("centroid_id",
+        (array_position(col("__cscores"), array_max(col("__cscores"))) - 1).cast("int"))
+      .drop("__cscores")
   }
 
   /** IVF search: probe the `nprobe` centroids nearest to the query, exact

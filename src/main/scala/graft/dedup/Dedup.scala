@@ -233,21 +233,38 @@ object Dedup {
 
   // ------------------------------------------------------- cluster resolve
 
-  /** Resolve near-dup PAIRS into clusters: iterative min-id label
-    * propagation (connected components) — each round joins every id to its
-    * neighbors' current minimum label; converges in O(log(diameter))
-    * rounds, all relational (no driver-side graph). Returns
-    * (id, cluster_id = min id of the component); singletons map to
-    * themselves. Use to pick one representative per duplicate group:
-    * keep rows where id == cluster_id. */
+  /** Resolve near-dup PAIRS into clusters (connected components), fully
+    * relational (no driver-side graph). Each round does
+    *   (1) min-label propagation: l(v) ← min(l(v), min over neighbors l(u))
+    *   (2) pointer jumping:       l(v) ← min(l(v), l(l(v)))
+    * The shortcut step roughly doubles how far the component minimum has
+    * traveled per round, so convergence takes O(log(diameter)) rounds even
+    * on long duplicate chains (propagation alone needs O(diameter) — the
+    * round-1 bug this replaces). Convergence is detected by the Σ cluster_id
+    * checksum: labels are monotonically non-increasing per id (`least`), so
+    * the sum strictly decreases iff any label changed (decimal(38,0) — no
+    * long overflow at any corpus size). Throws if maxIterations rounds do
+    * not converge rather than silently returning split clusters.
+    *
+    * Returns (id, cluster_id = min id of the component); singletons map to
+    * themselves. Keep rows where id == cluster_id for one representative
+    * per duplicate group. */
   def resolveClusters(pairs: DataFrame, allIds: DataFrame,
-      maxIterations: Int = 10): DataFrame = {
+      maxIterations: Int = 20): DataFrame = {
     // the pair set may be expensive to produce (LSH/ngram joins) and is
     // consumed once per iteration — persist it for the fixpoint loop
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
-    var labels = allIds.select(col("id"), col("id").as("cluster_id"))
+    def checksum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head.getDecimal(0)
+    // localCheckpoint (not persist): truncates the logical plan each round —
+    // an iterative join loop otherwise accumulates a lineage whose
+    // optimization cost grows faster than the data cost. On a real cluster
+    // prefer reliable checkpointing (sc.setCheckpointDir + .checkpoint) so
+    // executor loss does not kill the fixpoint.
+    var labels = allIds.select(col("id"), col("id").as("cluster_id")).localCheckpoint()
+    var prevSum = checksum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIterations) {
@@ -255,21 +272,29 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("cluster_id", "n_label"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("n_label")).as("neighbor_label"))
-      val updated = labels
+      val propagated = labels
         .join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("neighbor_label"), col("cluster_id"))).as("cluster_id"))
-        .persist()
-      val changed = updated.alias("u")
-        .join(labels.alias("l"), "id")
-        .where(col("u.cluster_id") =!= col("l.cluster_id"))
-        .limit(1).count() > 0
-      labels.unpersist()
+      // pointer jumping: follow the label one more hop (l(l(v))) — labels
+      // form a pointer forest since l(v) ≤ v always holds
+      val parents = propagated
+        .select(col("id").as("cluster_id"), col("cluster_id").as("__jump"))
+      val updated = propagated
+        .join(parents, Seq("cluster_id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("__jump"), col("cluster_id"))).as("cluster_id"))
+        .localCheckpoint()
+      val curSum = checksum(updated)
       labels = updated
-      converged = !changed
+      converged = curSum.compareTo(prevSum) == 0
+      prevSum = curSum
       i += 1
     }
     edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"resolveClusters did not converge in $maxIterations rounds — component diameter exceeds 2^$maxIterations?")
     labels
   }
 }

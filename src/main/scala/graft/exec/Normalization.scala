@@ -21,9 +21,13 @@ import graft.model._
   *     n = (s - min)/(max - min); min==max==s → 1.0; n==0 → 0.001 floor;
   *     optional per-subquery lower/upper bounds, modes apply|clip|ignore
   *     (bounds/LowerBound.java, UpperBound.java).
-  *   - l2 (L2ScoreNormalizationTechnique.java:115-145): n = s/sqrt(Σ s²);
-  *     zero norm → 0.001.
-  *   - z_score (ZScoreNormalizationTechnique.java): n = (s-mean)/σ, σ=0 → 0.
+  *   - l2 (L2ScoreNormalizationTechnique.java:36,143-145): n = s/sqrt(Σ s²);
+  *     zero norm → that technique's own MIN_SCORE = 0.0 (NOT min_max's 0.001).
+  *   - z_score (ZScoreNormalizationTechnique.java:206-224), edge cases in
+  *     reference order: s==mean → per-subquery MAX raw score; σ==0 →
+  *     per-subquery MIN raw score; else (s-mean)/σ floored at MIN_SCORE
+  *     0.001 when ≤ 0 (so below-mean docs still contribute 0.001·weight
+  *     to the combination instead of being skipped).
   *   - rrf (RRFNormalizationTechnique.java:77-133): n = 1/(rank_constant +
   *     rank), rank = 1-based GLOBAL position in the subquery's result list,
   *     ordered by score desc. Reference tie-breaks by (score, doc, shard);
@@ -107,18 +111,23 @@ object Normalization {
     val norm = sqrt(sum(col("score") * col("score")).over(w))
     df.withColumn(
       "score",
-      when(norm === 0.0, lit(MinScore)).otherwise(col("score") / norm))
+      when(norm === 0.0, lit(0.0)).otherwise(col("score") / norm))
   }
 
   def zScore(df: DataFrame): DataFrame = {
     val w = Window.partitionBy(bySubquery: _*)
     val mean = avg(col("score")).over(w)
     // commons-math DescriptiveStatistics.getStandardDeviation is the SAMPLE
-    // stddev (n-1 denominator) — ZScoreNormalizationTechnique.java:174-178.
+    // stddev (n-1 denominator) — ZScoreNormalizationTechnique.java:184-193.
     val sd = stddev_samp(col("score")).over(w)
+    val mx = max(col("score")).over(w)
+    val mn = min(col("score")).over(w)
+    val z = (col("score") - mean) / sd
     df.withColumn(
       "score",
-      when(sd === 0.0 || isnull(sd), lit(0.0)).otherwise((col("score") - mean) / sd))
+      when(col("score") === mean, mx)
+        .when(sd === 0.0 || isnull(sd), mn)
+        .otherwise(when(z <= 0.0, lit(MinScore)).otherwise(z)))
   }
 
   def rrf(df: DataFrame, rankConstant: Int = HybridLimits.DefaultRankConstant): DataFrame = {

@@ -20,14 +20,20 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object VectorExpressions {
 
-  private def loopDot(a: String, b: String): String =
+  // Local names come from ctx.freshName: nullSafeCodeGen only brace-wraps
+  // the result code when a child is nullable, so fixed names would collide
+  // (janino compile error → silent interpreted fallback) when two dense ops
+  // over non-nullable inputs share one codegen scope.
+  private def loopDot(ctx: CodegenContext, a: String, b: String, acc: String): String = {
+    val n = ctx.freshName("n"); val i = ctx.freshName("i")
     s"""
-       |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-       |double acc = 0.0;
-       |for (int i = 0; i < n; i++) {
-       |  acc += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+       |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+       |double $acc = 0.0;
+       |for (int $i = 0; $i < $n; $i++) {
+       |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
        |}
      """.stripMargin
+  }
 
   case class DenseDot(left: Expression, right: Expression)
       extends BinaryExpression {
@@ -43,7 +49,10 @@ object VectorExpressions {
     }
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      nullSafeCodeGen(ctx, ev, (a, b) => s"${loopDot(a, b)}\n${ev.value} = acc;")
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val acc = ctx.freshName("acc")
+        s"${loopDot(ctx, a, b, acc)}\n${ev.value} = $acc;"
+      })
 
     override protected def withNewChildrenInternal(l: Expression, r: Expression) =
       copy(left = l, right = r)
@@ -66,17 +75,22 @@ object VectorExpressions {
     }
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      nullSafeCodeGen(ctx, ev, (a, b) =>
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n"); val i = ctx.freshName("i")
+        val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+        val nb = ctx.freshName("nb")
+        val x = ctx.freshName("x"); val y = ctx.freshName("y")
         s"""
-           |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-           |double dot = 0.0, na = 0.0, nb = 0.0;
-           |for (int i = 0; i < n; i++) {
-           |  double x = (double) $a.getFloat(i);
-           |  double y = (double) $b.getFloat(i);
-           |  dot += x * y; na += x * x; nb += y * y;
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $x = (double) $a.getFloat($i);
+           |  double $y = (double) $b.getFloat($i);
+           |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
            |}
-           |${ev.value} = (na == 0.0 || nb == 0.0) ? 0.0 : dot / java.lang.Math.sqrt(na * nb);
-         """.stripMargin)
+           |${ev.value} = ($na == 0.0 || $nb == 0.0) ? 0.0 : $dot / java.lang.Math.sqrt($na * $nb);
+         """.stripMargin
+      })
 
     override protected def withNewChildrenInternal(l: Expression, r: Expression) =
       copy(left = l, right = r)

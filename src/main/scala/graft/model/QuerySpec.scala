@@ -99,6 +99,15 @@ object HybridValidation {
       numSubqueries <= HybridLimits.MaxSubqueries,
       s"Number of sub-queries exceeds maximum supported by [hybrid] query: ${HybridLimits.MaxSubqueries}")
     require(validPair(norm, comb), s"unsupported technique combination: ${norm.name} + ${comb.name}")
+    // MinMaxScoreNormalizationTechnique bounds-count check: the reference
+    // throws when the bounds array size differs from the subquery count.
+    norm match {
+      case NormalizationSpec.MinMax(bounds) if bounds.nonEmpty =>
+        require(
+          bounds.length == numSubqueries,
+          s"expected bounds array to contain $numSubqueries elements matching the number of sub-queries, but found ${bounds.length}")
+      case _ => ()
+    }
     CombinationSpec.weightsOf(comb).foreach { w =>
       require(
         w.length == numSubqueries,

@@ -33,6 +33,28 @@ class VectorExprSpec extends SparkSpec {
     assert(r(0).getDouble(1) == 20.0)
     assert(r(1).getDouble(1) == 5.0)
   }
+
+  test("multiple dense ops over NON-nullable inputs stay in codegen (freshName, no collisions)") {
+    // Non-nullable children mean nullSafeCodeGen does NOT brace-wrap the
+    // result code, so fixed local names would collide across ops in one
+    // projection. fallback=false turns a janino failure into a hard error.
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = spark.range(2).select(
+        array($"id".cast("float"), lit(2f)).as("a"),
+        array(lit(3f), lit(4f)).as("b"))
+      val r = df.select(
+        dense_dot($"a", $"b").as("d1"),
+        dense_dot($"b", $"b").as("d2"),
+        dense_cosine($"a", $"b").as("c1"),
+        dense_cosine($"b", $"a").as("c2")
+      ).orderBy("d1").collect()
+      assert(r(0).getDouble(0) == 8.0) // (0,2)·(3,4)
+      assert(r(0).getDouble(1) == 25.0)
+      assert(r(1).getDouble(0) == 11.0) // (1,2)·(3,4)
+      assert(math.abs(r(1).getDouble(2) - r(1).getDouble(3)) < 1e-12)
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
 }
 
 class NormalizationSpec_ extends SparkSpec {
@@ -70,21 +92,27 @@ class NormalizationSpec_ extends SparkSpec {
     assert(math.abs(out((1, 2L)) - 1.0) < 1e-9)
   }
 
-  test("l2 normalization and zero-norm floor") {
+  test("l2 normalization; zero norm -> 0.0 (L2's own MIN_SCORE)") {
     val out = scoresOf(Normalization.l2(rel((0, 0, 1, 3.0), (0, 0, 2, 4.0))))
     assert(math.abs(out((0, 1L)) - 0.6) < 1e-9)
     assert(math.abs(out((0, 2L)) - 0.8) < 1e-9)
     val z = scoresOf(Normalization.l2(rel((0, 0, 1, 0.0))))
-    assert(z((0, 1L)) == 0.001)
+    assert(z((0, 1L)) == 0.0)
   }
 
-  test("z_score and sigma=0 -> 0") {
+  test("z_score reference edge cases: below-mean floor, all-equal -> max") {
     val out = scoresOf(Normalization.zScore(rel((0, 0, 1, 1.0), (0, 0, 2, 3.0))))
-    // sample stddev of {1,3} = sqrt(2); mean 2
-    assert(math.abs(out((0, 1L)) - (-1.0 / math.sqrt(2))) < 1e-9)
+    // sample stddev of {1,3} = sqrt(2); mean 2; below-mean z floored to 0.001
+    assert(out((0, 1L)) == 0.001)
     assert(math.abs(out((0, 2L)) - (1.0 / math.sqrt(2))) < 1e-9)
+    // score == mean -> per-subquery max raw score (reference edge-case order)
     val e = scoresOf(Normalization.zScore(rel((0, 0, 1, 5.0), (0, 0, 2, 5.0))))
-    assert(e((0, 1L)) == 0.0)
+    assert(e((0, 1L)) == 5.0 && e((0, 2L)) == 5.0)
+    // three scores where the middle equals the mean -> gets the max (4.0)
+    val m = scoresOf(Normalization.zScore(rel((0, 0, 1, 2.0), (0, 0, 2, 3.0), (0, 0, 3, 4.0))))
+    assert(m((0, 2L)) == 4.0)
+    assert(m((0, 1L)) == 0.001)
+    assert(math.abs(m((0, 3L)) - 1.0) < 1e-9) // (4-3)/1
   }
 
   test("rrf rank-based scores with rank_constant") {
@@ -190,5 +218,11 @@ class HybridPipelineSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       HybridValidation.validate(1, NormalizationSpec.RRF(rankConstant = 60), CombinationSpec.RRF(), Some(20000))
     }
+    // min_max bounds count must match subquery count (reference throws)
+    val oneBound = Seq((ScoreBound.disabledLower, ScoreBound.disabledUpper))
+    intercept[IllegalArgumentException] {
+      HybridValidation.validate(2, NormalizationSpec.MinMax(oneBound), CombinationSpec.ArithmeticMean(), None)
+    }
+    HybridValidation.validate(1, NormalizationSpec.MinMax(oneBound), CombinationSpec.ArithmeticMean(), None)
   }
 }

@@ -324,4 +324,13 @@ class ClusterResolveSpec extends SparkSpec {
     assert(out(4L) == 4L)
     assert(out(5L) == 5L && out(6L) == 5L)
   }
+
+  test("connected components: 40-hop chain converges via pointer jumping") {
+    // would need 40 propagation-only rounds; pointer jumping needs ~log2(40)
+    val pairs = (1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val ids = (1L to 40L).toDF("id")
+    val out = Dedup.resolveClusters(pairs, ids, maxIterations = 12).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 40L).forall(out(_) == 1L))
+  }
 }
