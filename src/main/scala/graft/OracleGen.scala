@@ -14,6 +14,69 @@ private[graft] object OracleGen {
   /** Float literal that DuckDB parses back to the identical float. */
   def f32(w: Float): String = s"CAST(${w.toString} AS REAL)"
 
+  /** Double literal carrying a float's exact double value (Float.toString
+    * re-parsed as DOUBLE would differ in the last ulps; Double.toString of
+    * the widened value round-trips exactly). */
+  def f64(w: Float): String = w.toDouble.toString
+
+  def doubleList(v: Array[Float]): String =
+    v.map(f64).mkString("[", ", ", "]")
+
+  /** FNV-1a 32-bit over an (ASCII) string SQL expression — bit-exact
+    * HashEmbedder.tokenHash as unsigned BIGINT. list_filter drops the ''
+    * artifact string_split('','') produces for empty input (reduce then
+    * returns the unmodified 2166136261 basis, matching the Scala loop). */
+  def fnvSql(strExpr: String): String =
+    s"""list_reduce(list_prepend(CAST(2166136261 AS BIGINT),
+       |  list_transform(list_filter(string_split($strExpr, ''), ch -> ch <> ''),
+       |                 ch -> CAST(unicode(ch) AS BIGINT))),
+       |  (h, ch) -> ((xor(h, ch) * 16777619) % 4294967296))""".stripMargin
+
+  /** documents → (doc_id, v DOUBLE[dim]) dense hash embeddings — bit-exact
+    * HashEmbedder.embed: idx = fnv(t) mod dim (dim divides 2^32 so unsigned
+    * mod ≡ Java floorMod of the signed hash), count per idx, L2-normalized
+    * with a per-component float cast. Names are prefixed e_ to compose with
+    * the sparse docVectorsCte in one WITH. */
+  def embedCte(dim: Int): String =
+    s"""e_tok AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS t
+       |  FROM documents
+       |), e_cnt AS (
+       |  SELECT doc_id, t, count(*) AS c FROM e_tok WHERE t <> '' GROUP BY doc_id, t
+       |), e_hash AS (
+       |  SELECT t, ${fnvSql("t")} % $dim AS idx FROM (SELECT DISTINCT t FROM e_cnt)
+       |), e_idx AS (
+       |  SELECT doc_id, idx, CAST(sum(c) AS DOUBLE) AS c
+       |  FROM e_cnt JOIN e_hash USING (t) GROUP BY doc_id, idx
+       |), e_vec AS (
+       |  SELECT d.doc_id, list(coalesce(e.c, 0.0) ORDER BY g.i) AS cnts
+       |  FROM (SELECT DISTINCT doc_id FROM documents) d
+       |  CROSS JOIN (SELECT unnest(range(0, $dim)) AS i) g
+       |  LEFT JOIN e_idx e ON e.doc_id = d.doc_id AND e.idx = g.i
+       |  GROUP BY d.doc_id
+       |), e_emb AS (
+       |  SELECT doc_id,
+       |         CASE WHEN nrm > 0
+       |              THEN list_transform(cnts, x -> CAST(CAST(x / nrm AS REAL) AS DOUBLE))
+       |              ELSE cnts END AS v
+       |  FROM (SELECT doc_id, cnts,
+       |               sqrt(list_sum(list_transform(cnts, x -> x * x))) AS nrm
+       |        FROM e_vec)
+       |)""".stripMargin
+
+  /** dense_cosine over two DOUBLE[] SQL expressions: dot/sqrt(na*nb), 0.0
+    * on zero norms — the VectorExpressions.DenseCosine kernel. */
+  def denseCosineSql(a: String, b: String): String =
+    s"""(CASE WHEN list_sum(list_transform($a, x -> x * x)) = 0.0
+       |       OR list_sum(list_transform($b, x -> x * x)) = 0.0 THEN 0.0
+       |      ELSE list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2]))
+       |           / sqrt(list_sum(list_transform($a, x -> x * x))
+       |                  * list_sum(list_transform($b, x -> x * x))) END)""".stripMargin
+
+  /** Plain dot product of two DOUBLE[] expressions. */
+  def denseDotSql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2]))"
+
   def valuesOf(m: Map[String, Float]): String =
     m.toSeq.sortBy(_._1).map { case (tk, w) => s"('$tk', ${f32(w)})" }.mkString(", ")
 

@@ -130,7 +130,28 @@ object Queries3 {
       m.toSeq.sortBy(_._1).map { case (tk, w) => s"($qid, '$tk', ${OracleGen.f32(w)})" }
     }.mkString(", ")
 
+  // query-side embedding, computed by the SAME model code the query uses,
+  // inlined as an exact-double literal list
+  private def qEmbLit: String =
+    OracleGen.doubleList(HashEmbedder.embed(queryText, HashEmbedder.DefaultDim))
+
   def oracleSql: Map[String, String] = Map(
+    "q_neural_dense" ->
+      s"""WITH ${OracleGen.embedCte(HashEmbedder.DefaultDim)}
+         |SELECT doc_id, score FROM (
+         |  SELECT doc_id,
+         |         round(${OracleGen.denseCosineSql("v", qEmbLit)}, 6) AS score
+         |  FROM e_emb)
+         |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
+
+    "q_neural_radial" ->
+      s"""WITH ${OracleGen.embedCte(HashEmbedder.DefaultDim)}
+         |SELECT doc_id, score FROM (
+         |  SELECT doc_id,
+         |         round(${OracleGen.denseCosineSql("v", qEmbLit)}, 6) AS score
+         |  FROM e_emb)
+         |WHERE score >= 0.5 ORDER BY doc_id""".stripMargin,
+
     "q_sparse_batch" ->
       s"""WITH ${OracleGen.docVectorsCte},
          |q(query_id, t, qw) AS (VALUES $batchValues),

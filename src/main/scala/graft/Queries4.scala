@@ -189,6 +189,43 @@ object Queries4 {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // connected components via transitive closure (recursive CTE): the
+    // min reachable id IS the min-label fixpoint resolveClusters computes.
+    // Closure size is bounded by sum(component size^2) — near-dup groups
+    // are small, so this stays cheap at oracle scale.
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE parts AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS p,
+        |         generate_subscripts(string_split(lower(text), ' '), 1) AS ord
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT a.doc_id, a.p || ' ' || b.p || ' ' || c.p AS s
+        |  FROM parts a
+        |  JOIN parts b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+        |  JOIN parts c ON c.doc_id = a.doc_id AND c.ord = a.ord + 2
+        |), cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+        |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2
+        |), pr AS (
+        |  SELECT a AS id_a, b AS id_b
+        |  FROM inter JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b
+        |  WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.5
+        |), edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pr
+        |  UNION ALL SELECT id_b, id_a FROM pr
+        |), reach(src, dst) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+        |), labels AS (
+        |  SELECT src AS id, min(dst) AS cluster_id FROM reach GROUP BY src
+        |)
+        |SELECT cluster_id, count(*) AS cluster_size
+        |FROM labels GROUP BY cluster_id HAVING count(*) > 1
+        |ORDER BY cluster_id""".stripMargin,
+
     "q_hybrid_aggs" -> {
       def sc(v: String) = OracleGen.sparseScoreSql(v)
       s"""WITH ${OracleGen.docVectorsCte},

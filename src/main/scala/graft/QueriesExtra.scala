@@ -353,6 +353,108 @@ object QueriesExtra {
          |FROM documents d JOIN top50 USING (doc_id)
          |ORDER BY score DESC, d.doc_id ASC LIMIT 10""".stripMargin,
 
+    // SimHash all-pairs oracle: the 64-bit fingerprint is recomputed in SQL
+    // (FNV halves, weighted bit votes), kept as two BIGINT halves, hamming =
+    // bit_count(xor) per half. With the pigeonhole chunk blocking the Spark
+    // side is exhaustive for d <= maxHamming, so it must equal this
+    // brute-force form exactly.
+    "q_dedup_simhash" -> {
+      val fnvT = OracleGen.fnvSql("t")
+      val fnvR = OracleGen.fnvSql("reverse(t) || '#'")
+      s"""WITH sh_tok AS (
+         |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS t FROM documents
+         |), sh_cnt AS (
+         |  SELECT doc_id, t, count(*) AS c FROM sh_tok WHERE t <> '' GROUP BY doc_id, t
+         |), sh_hash AS (
+         |  SELECT t, $fnvT AS h1, $fnvR AS h2
+         |  FROM (SELECT DISTINCT t FROM sh_cnt)
+         |), sh_bits AS (
+         |  SELECT doc_id, b.i,
+         |         sum(CASE WHEN (CASE WHEN b.i < 32 THEN (h2 >> b.i) & 1
+         |                        ELSE (h1 >> (b.i - 32)) & 1 END) = 1
+         |             THEN c ELSE -c END) AS acc
+         |  FROM sh_cnt JOIN sh_hash USING (t)
+         |  CROSS JOIN (SELECT unnest(range(0, 64)) AS i) b
+         |  GROUP BY doc_id, b.i
+         |), sh_fp AS (
+         |  SELECT doc_id,
+         |         CAST(sum(CASE WHEN acc > 0 AND i < 32 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS lo,
+         |         CAST(sum(CASE WHEN acc > 0 AND i >= 32 THEN (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END) AS BIGINT) AS hi
+         |  FROM sh_bits GROUP BY doc_id
+         |)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS INT) AS hamming
+         |FROM sh_fp a JOIN sh_fp b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 6
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    // MinHash-LSH oracle: same seeded universal-hash family inlined as
+    // literals; band equality = signature-slice equality (the xxhash bucket
+    // key on the Spark side is injective up to hash collisions, which the
+    // Jaccard verification absorbs).
+    "q_dedup_minhash" -> {
+      val params = Dedup.hashParams(32, 42L).zipWithIndex
+        .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+      val fnvS = OracleGen.fnvSql("s")
+      s"""WITH mh_parts AS (
+         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS p,
+         |         generate_subscripts(string_split(lower(text), ' '), 1) AS ord
+         |  FROM documents
+         |), mh_sh AS (
+         |  SELECT DISTINCT a.doc_id, a.p || ' ' || b.p || ' ' || c.p AS s
+         |  FROM mh_parts a
+         |  JOIN mh_parts b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+         |  JOIN mh_parts c ON c.doc_id = a.doc_id AND c.ord = a.ord + 2
+         |), mh_n AS (SELECT doc_id, count(*) AS n FROM mh_sh GROUP BY doc_id),
+         |mh_x AS (SELECT s, $fnvS AS x FROM (SELECT DISTINCT s FROM mh_sh)),
+         |mh_params(i, a, b) AS (VALUES $params),
+         |mh_sig AS (
+         |  SELECT doc_id, p.i,
+         |         CAST(min((CAST(p.a AS HUGEINT) * x.x + p.b) % ${Dedup.P}) AS BIGINT) AS sig
+         |  FROM mh_sh sh JOIN mh_x x USING (s) CROSS JOIN mh_params p
+         |  GROUP BY doc_id, p.i
+         |), mh_band AS (
+         |  SELECT doc_id, i // 4 AS band, list(sig ORDER BY i) AS bsig
+         |  FROM mh_sig GROUP BY doc_id, band
+         |), mh_cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM mh_band a JOIN mh_band b
+         |    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+         |), mh_inter AS (
+         |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS i
+         |  FROM mh_sh x JOIN mh_sh y ON x.s = y.s AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT c.id_a, c.id_b,
+         |       round(i.i * 1.0 / (ca.n + cb.n - i.i), 4) AS jaccard
+         |FROM mh_cand c
+         |JOIN mh_inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+         |JOIN mh_n ca ON ca.doc_id = c.id_a
+         |JOIN mh_n cb ON cb.doc_id = c.id_b
+         |WHERE round(i.i * 1.0 / (ca.n + cb.n - i.i), 4) >= 0.5
+         |ORDER BY c.id_a, c.id_b""".stripMargin
+    },
+
+    // ml rerank: cross-encoder stand-in = dot of normalized hash embeddings,
+    // cast through REAL exactly as HashEmbedder.similarity returns Float
+    "q_rerank_ml" -> {
+      val qv = OracleGen.doubleList(
+        HashEmbedder.embed("spark join fast table scan", HashEmbedder.DefaultDim))
+      s"""WITH $docVectorsCte,
+         |scores AS (${sparseScoreSql(valuesOf(qTokensA))}),
+         |top50 AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+         |    FROM scores WHERE score > 0.0) WHERE rn <= 50
+         |),
+         |${OracleGen.embedCte(HashEmbedder.DefaultDim)}
+         |SELECT doc_id,
+         |       round(CAST(CAST(${OracleGen.denseDotSql("v", qv)} AS REAL) AS DOUBLE), 6) AS score
+         |FROM e_emb JOIN top50 USING (doc_id)
+         |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin
+    },
+
     "q_hybrid_l2_geo" -> OracleGen.hybridSql(qTokensA, qTokensB, "l2", "geometric_mean"),
     "q_hybrid_zscore" -> OracleGen.hybridSql(qTokensA, qTokensB, "z_score", "arithmetic_mean"),
     "q_hybrid_weighted" -> OracleGen.hybridSql(qTokensA, qTokensB, "min_max", "arithmetic_mean", Some((0.7, 0.3))),

@@ -41,9 +41,11 @@ object Dedup {
 
   // ---------------------------------------------------------------- minhash
 
-  /** Deterministic universal-hash family h_i(x) = (a_i*x + b_i) mod p. */
-  private val P = 4294967311L // prime > 2^32
-  private def hashParams(numHashes: Int, seed: Long): Array[(Long, Long)] = {
+  /** Deterministic universal-hash family h_i(x) = (a_i*x + b_i) mod p.
+    * private[graft]: the oracle generator inlines the same params as SQL
+    * literals so both engines evaluate the identical hash family. */
+  private[graft] val P = 4294967311L // prime > 2^32
+  private[graft] def hashParams(numHashes: Int, seed: Long): Array[(Long, Long)] = {
     val rnd = new scala.util.Random(seed)
     Array.fill(numHashes)((1 + rnd.nextLong(P - 1), rnd.nextLong(P)))
   }
@@ -125,15 +127,26 @@ object Dedup {
 
   private val simhashUdf = udf((s: String) => simhash(s))
 
-  /** SimHash near-dup pairs with hamming ≤ maxHamming, blocked on 16-bit
-    * fingerprint chunks (any pair within distance d ≤ 3 shares at least one
-    * of 4 chunks — pigeonhole). */
+  /** SimHash near-dup pairs with hamming ≤ maxHamming, blocked on
+    * maxHamming+1 fingerprint chunks: flipping ≤ maxHamming bits cannot
+    * touch all maxHamming+1 chunks (pigeonhole), so every qualifying pair
+    * shares at least one chunk — the blocking is exhaustive, not
+    * probabilistic. (Fixed-4×16-bit chunking was only valid for d ≤ 3 and
+    * silently dropped pairs at the default d=6.) */
   def simhashPairs(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       maxHamming: Int = 3): DataFrame = {
+    val nChunks = math.min(maxHamming + 1, 64)
+    val w = (64 + nChunks - 1) / nChunks // ceil(64 / nChunks) bits per chunk
     val fps = df.select(col(idCol).as("id"), simhashUdf(col(textCol)).as("fp"))
     val chunked = fps.select(col("id"), col("fp"),
-      posexplode(array((0 until 4).map(i =>
-        shiftright(col("fp"), i * 16).bitwiseAND(lit(0xffffL))): _*)).as(Seq("chunk_idx", "chunk")))
+      posexplode(array((0 until nChunks).map { i =>
+        val lo = i * w
+        // mask to the chunk's true width: shiftright is arithmetic, so a
+        // negative fp sign-extends and an over-wide mask would admit
+        // phantom high bits in the last chunk
+        val bits = math.min(w, 64 - lo)
+        shiftright(col("fp"), lo).bitwiseAND(lit((1L << bits) - 1))
+      }: _*)).as(Seq("chunk_idx", "chunk")))
     val l = chunked.select(col("chunk_idx"), col("chunk"), col("id").as("id_a"), col("fp").as("fp_a"))
     val r = chunked.select(col("chunk_idx"), col("chunk"), col("id").as("id_b"), col("fp").as("fp_b"))
     l.join(r, Seq("chunk_idx", "chunk"))
