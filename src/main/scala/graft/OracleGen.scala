@@ -77,6 +77,16 @@ private[graft] object OracleGen {
   def denseDotSql(a: String, b: String): String =
     s"list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2]))"
 
+  /** Dense (neural) subquery score SELECT against e_emb (embedCte must be
+    * in the preamble): round-6 cosine vs the literal query embedding,
+    * null-guard >0 as the Spark score column does. */
+  def denseScoreSql(qEmb: Array[Float]): String = {
+    val q = doubleList(qEmb)
+    s"""SELECT doc_id, score FROM (
+       |  SELECT doc_id, round(${denseCosineSql("v", q)}, 6) AS score
+       |  FROM e_emb) WHERE score > 0.0""".stripMargin
+  }
+
   def valuesOf(m: Map[String, Float]): String =
     m.toSeq.sortBy(_._1).map { case (tk, w) => s"('$tk', ${f32(w)})" }.mkString(", ")
 
@@ -121,9 +131,27 @@ private[graft] object OracleGen {
       k: Int = 100,
       from: Int = 0,
       size: Int = 10,
-      collapse: Option[(String, Int)] = None): String = {
-    def subq(name: String, values: String): String =
-      s"""s_$name AS (${sparseScoreSql(values)}),
+      collapse: Option[(String, Int)] = None): String =
+    hybridFromScores(qs.map(q => sparseScoreSql(valuesOf(q))), norm, comb,
+      weightsN, k, from, size, collapse)
+
+  /** Fully general hybrid oracle: each element of `scoreSqls` is a SELECT
+    * producing (doc_id, score) for one subquery (already >0-filtered where
+    * the Spark side null-guards), `preamble` carries the shared CTEs the
+    * score SELECTs reference (sparse doc vectors, hash embeddings, ...). */
+  def hybridFromScores(
+      scoreSqls: Seq[String],
+      norm: String,
+      comb: String,
+      weightsN: Option[Seq[Double]] = None,
+      k: Int = 100,
+      from: Int = 0,
+      size: Int = 10,
+      collapse: Option[(String, Int)] = None,
+      preamble: String = docVectorsCte): String = {
+    val qs = scoreSqls
+    def subq(name: String, scoreSql: String): String =
+      s"""s_$name AS ($scoreSql),
          |k_$name AS (
          |  SELECT doc_id, score FROM (
          |    SELECT doc_id, score,
@@ -188,11 +216,11 @@ private[graft] object OracleGen {
     }
     val rankedSrc = if (collapse.isDefined) "coll" else "comb"
     val names = qs.indices.map(i => ('a' + i).toChar.toString)
-    val subqCtes = names.zip(qs).map { case (n, q) => subq(n, valuesOf(q)) }.mkString(",\n")
+    val subqCtes = names.zip(qs).map { case (n, sql) => subq(n, sql) }.mkString(",\n")
     val normCtes = names.zipWithIndex.map { case (n, i) => s"n$i AS (${normCte(n)})" }.mkString(", ")
     val unioned = names.indices.map(i => s"SELECT doc_id, nscore, ${ws(i)} AS w FROM n$i")
       .mkString(" UNION ALL ")
-    s"""WITH $docVectorsCte,
+    s"""WITH $preamble,
        |$subqCtes,
        |$normCtes,
        |comb AS (

@@ -135,7 +135,149 @@ object Queries3 {
   private def qEmbLit: String =
     OracleGen.doubleList(HashEmbedder.embed(queryText, HashEmbedder.DefaultDim))
 
+  private def denseScoreSql(qText: String): String =
+    OracleGen.denseScoreSql(HashEmbedder.embed(qText, HashEmbedder.DefaultDim))
+
   def oracleSql: Map[String, String] = Map(
+    // agentic: the SAME rule-based translation generates the oracle's
+    // subquery list, so a translator change re-derives both sides
+    "q_agentic" -> {
+      val subs = NeuralQueryEnricher.enrich(
+        RuleBasedTranslator.translate(
+          "find docs about \"spark join\" fast table scan", Seq("text")),
+        Some("hash-embedder"))
+      val scoreSqls = subs.map { sq =>
+        sq.kind match {
+          case "neural" => denseScoreSql(sq.queryText.getOrElse(""))
+          case _ => OracleGen.sparseScoreSql(
+            OracleGen.valuesOf(HashEmbedder.encode(sq.queryText.getOrElse(""))))
+        }
+      }
+      OracleGen.hybridFromScores(scoreSqls, "min_max", "arithmetic_mean",
+        preamble = OracleGen.docVectorsCte + ",\n" +
+          OracleGen.embedCte(HashEmbedder.DefaultDim))
+    },
+
+    // explain: flagship hybrid + technique literal + per-doc fragment count
+    "q_hybrid_explain" -> {
+      val base = OracleGen.hybridSql(qTokensA, qTokensB, "min_max", "arithmetic_mean")
+      val technique = "normalization [min_max], combination [arithmetic_mean]"
+      // fragment count = how many subqueries kept the doc in their top-100
+      // candidate cut; recompute the two candidate sets independently
+      def kCut(values: String) =
+        s"""SELECT doc_id FROM (
+           |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+           |  FROM (${OracleGen.sparseScoreSql(values)})) WHERE rn <= 100""".stripMargin
+      s"""WITH ${OracleGen.docVectorsCte},
+         |frag AS (
+         |  SELECT doc_id, CAST(count(*) AS INT) AS n_fragments FROM (
+         |    ${kCut(OracleGen.valuesOf(qTokensA))}
+         |    UNION ALL
+         |    ${kCut(OracleGen.valuesOf(qTokensB))}
+         |  ) GROUP BY doc_id
+         |)
+         |SELECT h.doc_id, h.score, h.rank, '$technique' AS technique, frag.n_fragments
+         |FROM ($base) h JOIN frag USING (doc_id) ORDER BY h.rank""".stripMargin
+    },
+
+    // chunked ScoreMode.Max: overlap-0 fixed-token chunks are contiguous
+    // 16-token blocks, so chunk membership is (ord-1)//16 — embed per
+    // (doc, chunk), max cosine per doc
+    "q_neural_chunked" -> {
+      val fnvP = OracleGen.fnvSql("p")
+      s"""WITH nc_parts AS (
+         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS p,
+         |         generate_subscripts(string_split(lower(text), ' '), 1) AS ord
+         |  FROM documents
+         |), nc_cnt AS (
+         |  SELECT doc_id, CAST((ord - 1) // 16 AS INT) AS ck, p, count(*) AS c
+         |  FROM nc_parts WHERE p <> '' GROUP BY 1, 2, 3
+         |), nc_hash AS (
+         |  SELECT p, $fnvP % 8 AS idx FROM (SELECT DISTINCT p FROM nc_cnt)
+         |), nc_idx AS (
+         |  SELECT doc_id, ck, idx, CAST(sum(c) AS DOUBLE) AS c
+         |  FROM nc_cnt JOIN nc_hash USING (p) GROUP BY 1, 2, 3
+         |), nc_vec AS (
+         |  SELECT dk.doc_id, dk.ck, list(coalesce(e.c, 0.0) ORDER BY g.i) AS cnts
+         |  FROM (SELECT DISTINCT doc_id, ck FROM nc_cnt) dk
+         |  CROSS JOIN (SELECT unnest(range(0, 8)) AS i) g
+         |  LEFT JOIN nc_idx e ON e.doc_id = dk.doc_id AND e.ck = dk.ck AND e.idx = g.i
+         |  GROUP BY dk.doc_id, dk.ck
+         |), nc_emb AS (
+         |  SELECT doc_id, ck,
+         |         CASE WHEN nrm > 0
+         |              THEN list_transform(cnts, x -> CAST(CAST(x / nrm AS REAL) AS DOUBLE))
+         |              ELSE cnts END AS v
+         |  FROM (SELECT doc_id, ck, cnts,
+         |               sqrt(list_sum(list_transform(cnts, x -> x * x))) AS nrm
+         |        FROM nc_vec)
+         |)
+         |SELECT doc_id, score FROM (
+         |  SELECT doc_id, round(max(${OracleGen.denseCosineSql("v", qEmbLit)}), 6) AS score
+         |  FROM nc_emb GROUP BY doc_id)
+         |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin
+    },
+
+    // highlight: sentence split emulated without lookbehind (RE2) by
+    // marking boundaries with chr(1); per-sentence hash-embed similarity,
+    // tag sentences within 0.999 of the best
+    "q_highlight" -> {
+      val fnvP = OracleGen.fnvSql("p")
+      s"""WITH ${OracleGen.docVectorsCte},
+         |hl_top AS (
+         |  SELECT doc_id, score FROM (
+         |    SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+         |    FROM (${OracleGen.sparseScoreSql(OracleGen.valuesOf(qTokensA))})
+         |    WHERE score > 0.0) WHERE rn <= 5
+         |), hl_sent AS (
+         |  SELECT s.doc_id, s.sent, s.ord FROM (
+         |    SELECT doc_id,
+         |           unnest(string_split(regexp_replace(text, '([.!?])(\\s+)', '\\1' || chr(1), 'g'), chr(1))) AS sent,
+         |           generate_subscripts(string_split(regexp_replace(text, '([.!?])(\\s+)', '\\1' || chr(1), 'g'), chr(1)), 1) AS ord
+         |    FROM documents JOIN hl_top USING (doc_id)) s
+         |  WHERE s.sent <> ''
+         |), hl_cnt AS (
+         |  SELECT doc_id, ord, p, count(*) AS c FROM (
+         |    SELECT doc_id, ord, unnest(regexp_split_to_array(lower(sent), '\\s+')) AS p
+         |    FROM hl_sent) WHERE p <> '' GROUP BY 1, 2, 3
+         |), hl_hash AS (
+         |  SELECT p, $fnvP % 8 AS idx FROM (SELECT DISTINCT p FROM hl_cnt)
+         |), hl_idx AS (
+         |  SELECT doc_id, ord, idx, CAST(sum(c) AS DOUBLE) AS c
+         |  FROM hl_cnt JOIN hl_hash USING (p) GROUP BY 1, 2, 3
+         |), hl_vec AS (
+         |  SELECT dk.doc_id, dk.ord, list(coalesce(e.c, 0.0) ORDER BY g.i) AS cnts
+         |  FROM (SELECT DISTINCT doc_id, ord FROM hl_cnt) dk
+         |  CROSS JOIN (SELECT unnest(range(0, 8)) AS i) g
+         |  LEFT JOIN hl_idx e ON e.doc_id = dk.doc_id AND e.ord = dk.ord AND e.idx = g.i
+         |  GROUP BY dk.doc_id, dk.ord
+         |), hl_emb AS (
+         |  SELECT doc_id, ord,
+         |         CASE WHEN nrm > 0
+         |              THEN list_transform(cnts, x -> CAST(CAST(x / nrm AS REAL) AS DOUBLE))
+         |              ELSE cnts END AS v
+         |  FROM (SELECT doc_id, ord, cnts,
+         |               sqrt(list_sum(list_transform(cnts, x -> x * x))) AS nrm
+         |        FROM hl_vec)
+         |), hl_sim AS (
+         |  SELECT s.doc_id, s.ord, s.sent,
+         |         CAST(CAST(${OracleGen.denseDotSql("e.v", qEmbLit)} AS REAL) AS DOUBLE) AS sim
+         |  FROM hl_sent s JOIN hl_emb e ON e.doc_id = s.doc_id AND e.ord = s.ord
+         |), hl_best AS (
+         |  SELECT doc_id, max(sim) AS best FROM hl_sim GROUP BY doc_id
+         |), hl_mark AS (
+         |  SELECT s.doc_id,
+         |         string_agg(CASE WHEN s.sim >= b.best * 0.999
+         |                         THEN '<em>' || s.sent || '</em>' ELSE s.sent END,
+         |                    ' ' ORDER BY s.ord) AS tagged
+         |  FROM hl_sim s JOIN hl_best b USING (doc_id) GROUP BY s.doc_id
+         |)
+         |SELECT t.doc_id, t.score,
+         |       CASE WHEN b.best <= 0.0 THEN d.text ELSE m.tagged END AS highlights
+         |FROM hl_top t JOIN hl_mark m USING (doc_id) JOIN hl_best b USING (doc_id)
+         |JOIN documents d USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin
+    },
     "q_neural_dense" ->
       s"""WITH ${OracleGen.embedCte(HashEmbedder.DefaultDim)}
          |SELECT doc_id, score FROM (

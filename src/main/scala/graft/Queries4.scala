@@ -226,6 +226,21 @@ object Queries4 {
         |FROM labels GROUP BY cluster_id HAVING count(*) > 1
         |ORDER BY cluster_id""".stripMargin,
 
+    // compiler path: 4 heterogeneous subqueries (neural cosine, sparse dot,
+    // term and range as constant-score 1.0 filters) + collapse on source
+    "q_compiler" -> {
+      val neural = OracleGen.denseScoreSql(
+        graft.ml.HashEmbedder.embed("spark join fast table scan", graft.ml.HashEmbedder.DefaultDim))
+      val sparse = OracleGen.sparseScoreSql(OracleGen.valuesOf(qTokensA))
+      val term = "SELECT doc_id, 1.0 AS score FROM documents WHERE lang = 'en'"
+      val range = "SELECT doc_id, 1.0 AS score FROM documents WHERE n_chars >= 100 AND n_chars < 500"
+      OracleGen.hybridFromScores(
+        Seq(neural, sparse, term, range), "min_max", "arithmetic_mean",
+        k = 100, size = 10, collapse = Some(("source", 2)),
+        preamble = OracleGen.docVectorsCte + ",\n" +
+          OracleGen.embedCte(graft.ml.HashEmbedder.DefaultDim))
+    },
+
     "q_hybrid_aggs" -> {
       def sc(v: String) = OracleGen.sparseScoreSql(v)
       s"""WITH ${OracleGen.docVectorsCte},

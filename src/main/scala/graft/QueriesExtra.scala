@@ -455,6 +455,160 @@ object QueriesExtra {
          |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin
     },
 
+    // fingerprints: md5 is native; the Rabin-Karp base-31 mod-(2^61-1)
+    // rolling hash folds the ordered token FNV list in HUGEINT arithmetic
+    "q_fingerprint" -> {
+      val fnvP = OracleGen.fnvSql("p")
+      val M = (1L << 61) - 1
+      s"""WITH fp_parts AS (
+         |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS p,
+         |         generate_subscripts(regexp_split_to_array(lower(text), '\\s+'), 1) AS ord
+         |  FROM documents
+         |), fp_hash AS (
+         |  SELECT p, $fnvP AS th FROM (SELECT DISTINCT p FROM fp_parts WHERE p <> '')
+         |), fp_list AS (
+         |  SELECT f.doc_id, list(h.th ORDER BY f.ord) AS hl
+         |  FROM fp_parts f JOIN fp_hash h USING (p)
+         |  WHERE f.p <> '' GROUP BY f.doc_id
+         |)
+         |SELECT d.doc_id,
+         |       md5(d.text) AS fp_md5,
+         |       list_reduce(
+         |         list_prepend(CAST(0 AS BIGINT), coalesce(l.hl, [])),
+         |         (h, th) -> CAST((CAST(h AS HUGEINT) * 31 % $M + th) % $M AS BIGINT)
+         |       ) AS fp_rolling
+         |FROM documents d LEFT JOIN fp_list l USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+    },
+
+    // semantic-field enrichment summary: chunk count is ceil(n/32) for the
+    // overlap-0 fixed-token chunker; first-chunk embedding rebuilt from the
+    // first min(32, n) tokens with the float-cast normalize
+    "q_enrich_semantic" -> {
+      val fnvP = OracleGen.fnvSql("p")
+      s"""WITH es_parts AS (
+         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS p,
+         |         generate_subscripts(string_split(lower(text), ' '), 1) AS ord
+         |  FROM documents
+         |), es_n AS (
+         |  SELECT doc_id, count(*) AS n FROM es_parts WHERE p <> '' GROUP BY doc_id
+         |), es_cnt AS (
+         |  SELECT doc_id, p, count(*) AS c FROM es_parts
+         |  WHERE p <> '' AND ord <= 32 GROUP BY doc_id, p
+         |), es_hash AS (
+         |  SELECT p, $fnvP % 8 AS idx FROM (SELECT DISTINCT p FROM es_cnt)
+         |), es_idx AS (
+         |  SELECT doc_id, idx, CAST(sum(c) AS DOUBLE) AS c
+         |  FROM es_cnt JOIN es_hash USING (p) GROUP BY doc_id, idx
+         |), es_vec AS (
+         |  SELECT d.doc_id, list(coalesce(e.c, 0.0) ORDER BY g.i) AS cnts
+         |  FROM (SELECT DISTINCT doc_id FROM documents) d
+         |  CROSS JOIN (SELECT unnest(range(0, 8)) AS i) g
+         |  LEFT JOIN es_idx e ON e.doc_id = d.doc_id AND e.idx = g.i
+         |  GROUP BY d.doc_id
+         |), es_emb AS (
+         |  SELECT doc_id,
+         |         CASE WHEN nrm > 0
+         |              THEN list_transform(cnts, x -> CAST(CAST(x / nrm AS REAL) AS DOUBLE))
+         |              ELSE cnts END AS v
+         |  FROM (SELECT doc_id, cnts,
+         |               sqrt(list_sum(list_transform(cnts, x -> x * x))) AS nrm
+         |        FROM es_vec)
+         |)
+         |SELECT e.doc_id,
+         |       CAST(ceil(n.n * 1.0 / 32) AS INT) AS n_chunks,
+         |       round(list_sum(list_transform(e.v, x -> x * x)), 4) AS first_norm2
+         |FROM es_emb e JOIN es_n n USING (doc_id)
+         |ORDER BY e.doc_id""".stripMargin
+    },
+
+    // multimodal stub features: v[(byte_i + i*31) mod 8] += 1 over the
+    // utf-8 payload (ASCII corpus: byte = codepoint), float-cast normalize,
+    // feat_norm2 = sum of squares
+    "q_multimodal" ->
+      """WITH mm_pos AS (
+        |  SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i FROM documents
+        |), mm_idx AS (
+        |  SELECT doc_id, CAST((unicode(substr(text, i, 1)) + (i - 1) * 31) % 8 AS INT) AS idx,
+        |         count(*) AS c
+        |  FROM mm_pos GROUP BY 1, 2
+        |), mm_vec AS (
+        |  SELECT d.doc_id, list(coalesce(CAST(m.c AS DOUBLE), 0.0) ORDER BY g.i) AS cnts
+        |  FROM (SELECT DISTINCT doc_id FROM documents) d
+        |  CROSS JOIN (SELECT unnest(range(0, 8)) AS i) g
+        |  LEFT JOIN mm_idx m ON m.doc_id = d.doc_id AND m.idx = g.i
+        |  GROUP BY d.doc_id
+        |), mm_emb AS (
+        |  SELECT doc_id,
+        |         CASE WHEN nrm > 0
+        |              THEN list_transform(cnts, x -> CAST(CAST(x / nrm AS REAL) AS DOUBLE))
+        |              ELSE cnts END AS v
+        |  FROM (SELECT doc_id, cnts,
+        |               sqrt(list_sum(list_transform(cnts, x -> x * x))) AS nrm
+        |        FROM mm_vec)
+        |)
+        |SELECT doc_id, round(list_sum(list_transform(v, x -> x * x)), 4) AS feat_norm2
+        |FROM mm_emb ORDER BY doc_id""".stripMargin,
+
+    // embedding LSH: the same seeded hyperplanes inlined as exact-double
+    // literals; candidate = all-bits-equal in >=1 table, then exact cosine
+    "q_dedup_embedding_lsh" -> {
+      val planes = Dedup.lshPlanes(tables = 8, nbits = 4, dim = 64, seed = 42L)
+      val planeRows = (for {
+        t <- 0 until 8; b <- 0 until 4
+      } yield s"($t, $b, ${OracleGen.doubleList(planes(t)(b))})").mkString(",\n")
+      s"""WITH lsh_planes(t, b, pl) AS (VALUES
+         |$planeRows
+         |), lsh_bits AS (
+         |  SELECT e.vec_id, p.t, p.b,
+         |         CASE WHEN ${OracleGen.denseDotSql("CAST(e.embedding AS DOUBLE[])", "p.pl")} >= 0
+         |              THEN 1 ELSE 0 END AS bit
+         |  FROM embeddings e CROSS JOIN lsh_planes p
+         |), lsh_sig AS (
+         |  SELECT vec_id, t, list(bit ORDER BY b) AS sig FROM lsh_bits GROUP BY vec_id, t
+         |), lsh_cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM lsh_sig a JOIN lsh_sig b
+         |    ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id
+         |)
+         |SELECT id_a, id_b, cosine FROM (
+         |  SELECT c.id_a, c.id_b,
+         |         round(${OracleGen.denseCosineSql(
+               "CAST(ea.embedding AS DOUBLE[])", "CAST(eb.embedding AS DOUBLE[])")}, 6) AS cosine
+         |  FROM lsh_cand c
+         |  JOIN embeddings ea ON ea.vec_id = c.id_a
+         |  JOIN embeddings eb ON eb.vec_id = c.id_b)
+         |WHERE cosine >= 0.45 ORDER BY id_a, id_b""".stripMargin
+    },
+
+    // MMR greedy selection as a recursive CTE: level N carries the selected
+    // id list; the LATERAL picks argmax of lambda*rel - (1-lambda)*maxSim
+    // with the same (value desc, id asc) tie-break as Rerank.mmr. Cosines
+    // use the dot/sqrt(na*nb) kernel so doubles agree bit-for-bit.
+    "q_mmr" -> {
+      val qv = OracleGen.doubleList(qDense64)
+      def cos(a: String, b: String) = OracleGen.denseCosineSql(a, b)
+      s"""WITH RECURSIVE cand AS (
+         |  SELECT vec_id, round(${cos("CAST(embedding AS DOUBLE[])", qv)}, 6) AS rel,
+         |         CAST(embedding AS DOUBLE[]) AS emb
+         |  FROM embeddings ORDER BY rel DESC, vec_id ASC LIMIT 50
+         |), sel(step, ids, pick_id, pick_rel) AS (
+         |  SELECT 1, [vec_id], vec_id, rel
+         |  FROM (SELECT * FROM cand ORDER BY rel DESC, vec_id ASC LIMIT 1)
+         |  UNION ALL
+         |  SELECT s.step + 1, list_append(s.ids, p.vec_id), p.vec_id, p.rel
+         |  FROM sel s, LATERAL (
+         |    SELECT c.vec_id, c.rel FROM cand c WHERE NOT list_contains(s.ids, c.vec_id)
+         |    ORDER BY 0.5 * c.rel - 0.5 * (SELECT max(${cos("c.emb", "c2.emb")})
+         |                                  FROM cand c2 WHERE list_contains(s.ids, c2.vec_id)) DESC,
+         |             c.vec_id ASC
+         |    LIMIT 1) p
+         |  WHERE s.step < 10
+         |)
+         |SELECT pick_id AS doc_id, pick_rel AS score, CAST(step AS INT) AS rank
+         |FROM sel ORDER BY step""".stripMargin
+    },
+
     "q_hybrid_l2_geo" -> OracleGen.hybridSql(qTokensA, qTokensB, "l2", "geometric_mean"),
     "q_hybrid_zscore" -> OracleGen.hybridSql(qTokensA, qTokensB, "z_score", "arithmetic_mean"),
     "q_hybrid_weighted" -> OracleGen.hybridSql(qTokensA, qTokensB, "min_max", "arithmetic_mean", Some((0.7, 0.3))),

@@ -203,11 +203,18 @@ object Dedup {
   /** Scale path: random-hyperplane LSH buckets, exact cosine within bucket.
     * nbits hyperplanes → 2^nbits buckets; pairs with cosine ≥ τ collide with
     * probability (1 − θ/π)^nbits per table; multiple tables raise recall. */
+  /** Seeded random hyperplanes, shared with the oracle generator (which
+    * inlines them as SQL literals so both engines bucket identically). */
+  private[graft] def lshPlanes(tables: Int, nbits: Int, dim: Int,
+      seed: Long): Array[Array[Array[Float]]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(tables, nbits, dim)(rnd.nextGaussian().toFloat)
+  }
+
   def embeddingNearDupLsh(df: DataFrame, dim: Int, vecCol: String = "embedding",
       idCol: String = "vec_id", threshold: Double = 0.95,
       nbits: Int = 8, tables: Int = 4, seed: Long = 42L): DataFrame = {
-    val rnd = new scala.util.Random(seed)
-    val planes = Array.fill(tables, nbits, dim)(rnd.nextGaussian().toFloat)
+    val planes = lshPlanes(tables, nbits, dim, seed)
     val bucketUdf = udf((v: Seq[Float]) => {
       val arr = v.toArray
       (0 until tables).map { t =>
