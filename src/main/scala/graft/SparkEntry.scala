@@ -35,6 +35,17 @@ object SparkEntry {
         .persist()
     })
 
+  /** SEISMIC index memo: the reference builds its clustered sparse index at
+    * INGEST time (sparse/algorithm/seismic builds on merge/flush), so index
+    * construction is an ingest artifact like the token column above —
+    * queries measure search cost against a built index. */
+  private val seismicCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), graft.seismic.Seismic.SeismicIndex]()
+  private[graft] def seismicIndex(spark: SparkSession, dir: String): graft.seismic.Seismic.SeismicIndex =
+    seismicCache.computeIfAbsent((spark, dir), { case (s, d) =>
+      graft.seismic.Seismic.build(docsWithTokens(s, d))
+    })
+
   private[graft] val encodeUdf = udf((s: String) => HashEmbedder.encode(s))
   private[graft] def embedUdf(dim: Int) = udf((s: String) => HashEmbedder.embed(s, dim))
 

@@ -127,29 +127,39 @@ object Dedup {
 
   private val simhashUdf = udf((s: String) => simhash(s))
 
-  /** SimHash near-dup pairs with hamming ≤ maxHamming, blocked on
-    * maxHamming+1 fingerprint chunks: flipping ≤ maxHamming bits cannot
-    * touch all maxHamming+1 chunks (pigeonhole), so every qualifying pair
-    * shares at least one chunk — the blocking is exhaustive, not
-    * probabilistic. (Fixed-4×16-bit chunking was only valid for d ≤ 3 and
-    * silently dropped pairs at the default d=6.) */
+  /** SimHash near-dup pairs with hamming ≤ maxHamming, blocked on PAIRS of
+    * fingerprint chunks: with nChunks = maxHamming+2 chunks, flipping ≤
+    * maxHamming bits leaves ≥ 2 chunks untouched (pigeonhole), so every
+    * qualifying pair agrees on at least one (chunk_i, chunk_j) combination
+    * — exhaustive, not probabilistic. Pair-keys double the key width
+    * (2·64/nChunks bits vs 64/(d+1) for single-chunk blocking), which on a
+    * near-dup-heavy corpus cuts candidate pairs ~6× for C(nChunks,2)≈4×
+    * the exploded rows — the join output, not the join input, is the scale
+    * bottleneck. (The earlier fixed-4×16-bit single-chunk scheme was only
+    * valid for d ≤ 3 and silently dropped pairs at the default d=6.) */
   def simhashPairs(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       maxHamming: Int = 3): DataFrame = {
-    val nChunks = math.min(maxHamming + 1, 64)
+    val nChunks = math.min(maxHamming + 2, 64)
     val w = (64 + nChunks - 1) / nChunks // ceil(64 / nChunks) bits per chunk
     val fps = df.select(col(idCol).as("id"), simhashUdf(col(textCol)).as("fp"))
-    val chunked = fps.select(col("id"), col("fp"),
-      posexplode(array((0 until nChunks).map { i =>
-        val lo = i * w
-        // mask to the chunk's true width: shiftright is arithmetic, so a
-        // negative fp sign-extends and an over-wide mask would admit
-        // phantom high bits in the last chunk
-        val bits = math.min(w, 64 - lo)
-        shiftright(col("fp"), lo).bitwiseAND(lit((1L << bits) - 1))
-      }: _*)).as(Seq("chunk_idx", "chunk")))
-    val l = chunked.select(col("chunk_idx"), col("chunk"), col("id").as("id_a"), col("fp").as("fp_a"))
-    val r = chunked.select(col("chunk_idx"), col("chunk"), col("id").as("id_b"), col("fp").as("fp_b"))
-    l.join(r, Seq("chunk_idx", "chunk"))
+    def chunk(i: Int): Column = {
+      val lo = i * w
+      // mask to the chunk's true width: shiftright is arithmetic, so a
+      // negative fp sign-extends and an over-wide mask would admit
+      // phantom high bits in the last chunk
+      val bits = math.max(1, math.min(w, 64 - lo))
+      shiftright(col("fp"), lo).bitwiseAND(lit((1L << bits) - 1))
+    }
+    val combos = for {
+      i <- 0 until nChunks; j <- i + 1 until nChunks
+    } yield struct(lit(i * nChunks + j).as("combo"), chunk(i).as("v1"), chunk(j).as("v2"))
+    val keyed = fps.select(col("id"), col("fp"),
+      explode(array(combos: _*)).as("k"))
+      .select(col("id"), col("fp"), col("k.combo").as("combo"),
+        col("k.v1").as("v1"), col("k.v2").as("v2"))
+    val l = keyed.select(col("combo"), col("v1"), col("v2"), col("id").as("id_a"), col("fp").as("fp_a"))
+    val r = keyed.select(col("combo"), col("v1"), col("v2"), col("id").as("id_b"), col("fp").as("fp_b"))
+    l.join(r, Seq("combo", "v1", "v2"))
       .where(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
@@ -270,20 +280,37 @@ object Dedup {
     * themselves. Keep rows where id == cluster_id for one representative
     * per duplicate group. */
   def resolveClusters(pairs: DataFrame, allIds: DataFrame,
-      maxIterations: Int = 20): DataFrame = {
+      maxIterations: Int = 20,
+      driverCutoff: Long = 1000000L): DataFrame = {
     // the pair set may be expensive to produce (LSH/ngram joins) and is
     // consumed once per iteration — persist it for the fixpoint loop
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
+    // Adaptive: the VERIFIED pair set is the small residue of dedup (the
+    // corpus-scale work — shingling, banding, verification — already ran
+    // distributed). Below the cutoff (~16 MB of longs) a driver union-find
+    // beats a multi-round shuffle fixpoint by an order of magnitude; the
+    // relational path below remains for the billion-pair regime.
+    val nEdges = edges.count()
+    if (nEdges / 2 <= driverCutoff) {
+      val out = resolveClustersDriver(edges, allIds)
+      edges.unpersist()
+      return out
+    }
     def checksum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head.getDecimal(0)
+    // The fixpoint runs ONLY over nodes that appear in some pair — on a
+    // dedup workload that is orders of magnitude smaller than the corpus
+    // (pairs ≪ docs); untouched ids are singletons by definition and are
+    // unioned back at the end without ever entering the loop.
+    val nodes = edges.select(col("src").as("id")).distinct().localCheckpoint()
     // localCheckpoint (not persist): truncates the logical plan each round —
     // an iterative join loop otherwise accumulates a lineage whose
     // optimization cost grows faster than the data cost. On a real cluster
     // prefer reliable checkpointing (sc.setCheckpointDir + .checkpoint) so
     // executor loss does not kill the fixpoint.
-    var labels = allIds.select(col("id"), col("id").as("cluster_id")).localCheckpoint()
+    var labels = nodes.select(col("id"), col("id").as("cluster_id")).localCheckpoint()
     var prevSum = checksum(labels)
     var converged = false
     var i = 0
@@ -311,10 +338,45 @@ object Dedup {
       prevSum = curSum
       i += 1
     }
-    edges.unpersist()
-    if (!converged)
+    if (!converged) {
+      edges.unpersist()
       throw new IllegalStateException(
         s"resolveClusters did not converge in $maxIterations rounds — component diameter exceeds 2^$maxIterations?")
-    labels
+    }
+    val singletons = allIds.select(col("id"))
+      .join(nodes, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("cluster_id"))
+    val out = labels.union(singletons)
+    edges.unpersist()
+    out
+  }
+
+  /** Driver union-find with path compression for small verified pair sets;
+    * cluster_id = min id of the component, singletons map to themselves. */
+  private def resolveClustersDriver(edges: DataFrame, allIds: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val es = edges.select(col("src"), col("dst")).as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // min-id root: union always points the larger root at the smaller, so
+    // find() already yields the component minimum
+    val nodeIds = es.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+    val labels = nodeIds.iterator.map(v => (v, find(v))).toSeq.toDF("id", "cluster_id")
+    val nodesDf = nodeIds.toSeq.toDF("id")
+    val singletons = allIds.select(col("id"))
+      .join(broadcast(nodesDf), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("cluster_id"))
+    labels.union(singletons)
   }
 }

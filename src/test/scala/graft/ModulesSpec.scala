@@ -325,12 +325,26 @@ class ClusterResolveSpec extends SparkSpec {
     assert(out(5L) == 5L && out(6L) == 5L)
   }
 
-  test("connected components: 40-hop chain converges via pointer jumping") {
-    // would need 40 propagation-only rounds; pointer jumping needs ~log2(40)
+  test("connected components: 40-hop chain converges via pointer jumping (distributed path)") {
+    // driverCutoff = 0 forces the relational fixpoint; a chain this long
+    // would need 40 propagation-only rounds, pointer jumping needs ~log2(40)
     val pairs = (1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val ids = (1L to 40L).toDF("id")
-    val out = Dedup.resolveClusters(pairs, ids, maxIterations = 12).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val out = Dedup.resolveClusters(pairs, ids, maxIterations = 12, driverCutoff = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert((1L to 40L).forall(out(_) == 1L))
+  }
+
+  test("connected components: driver union-find path matches distributed path") {
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(60)((rnd.nextInt(30).toLong + 1, rnd.nextInt(30).toLong + 1))
+      .filter(p => p._1 != p._2).map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+      .toDF("id_a", "id_b")
+    val ids = (1L to 35L).toDF("id")
+    val drv = Dedup.resolveClusters(pairs, ids).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.resolveClusters(pairs, ids, driverCutoff = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(drv == dist)
   }
 }
