@@ -39,6 +39,16 @@ object Dedup {
     else toks.sliding(n).map(_.mkString(" ")).toSet
   }
 
+  /** Column form of `shingles` (distinct word n-grams) as a Scala UDF. A
+    * native higher-order-function form (transform + slice + concat_ws)
+    * benched 2-3× SLOWER than this UDF — Catalyst HOFs copy array data per
+    * window, while the UDF's sliding/mkString works on pre-split strings.
+    * Measured, not assumed: see round-2 bench history. */
+  private[graft] def shingleCol(textCol: Column, n: Int): Column = {
+    val u = udf((s: String) => shingles(s, n).toSeq)
+    u(textCol)
+  }
+
   // ---------------------------------------------------------------- minhash
 
   /** Deterministic universal-hash family h_i(x) = (a_i*x + b_i) mod p.
@@ -69,12 +79,13 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val params = hashParams(numHashes, seed)
-    val sigUdf = udf((s: String) => minhashSignature(shingles(s, shingleSize), params))
-    val shUdf = udf((s: String) => shingles(s, shingleSize).toSeq)
+    val sigUdf = udf((sh: Seq[String]) => minhashSignature(sh.toSet, params))
 
-    val sigs = df.select(col(idCol).as("id"), col(textCol).as("__text"))
-      .withColumn("sig", sigUdf(col("__text")))
-      .drop("__text")
+    // shingles computed ONCE (native expression), shared by the signature
+    // path and the verification path
+    val withSh = df.select(col(idCol).as("id"),
+      shingleCol(col(textCol), shingleSize).as("sh")).persist()
+    val sigs = withSh.select(col("id"), sigUdf(col("sh")).as("sig"))
 
     // band key = hash of the band's signature slice; ONLY (band, bucket, id)
     // is shuffled through candidate generation — payloads join back after
@@ -91,7 +102,6 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
 
-    val shingleSets = df.select(col(idCol).as("id"), shUdf(col(textCol)).as("sh"))
     val jacc = udf((a: Seq[String], b: Seq[String]) => {
       val sa = a.toSet; val sb = b.toSet
       val inter = sa.intersect(sb).size.toDouble
@@ -99,8 +109,8 @@ object Dedup {
       if (uni == 0) 1.0 else inter / uni
     })
     candidates
-      .join(shingleSets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(shingleSets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard", round(jacc(col("sh_a"), col("sh_b")), 4))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
@@ -180,8 +190,7 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
     require(threshold > 0.0, "threshold must be positive (zero-overlap pairs are not materialized)")
-    val shUdf = udf((s: String) => shingles(s, n).toSeq)
-    val sh = df.select(col(idCol).as("id"), explode(shUdf(col(textCol))).as("s"))
+    val sh = df.select(col(idCol).as("id"), explode(shingleCol(col(textCol), n)).as("s"))
     val cnt = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("x").join(sh.as("y"), "s")
       .where(col("x.id") < col("y.id"))

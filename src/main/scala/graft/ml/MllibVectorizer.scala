@@ -91,10 +91,13 @@ object MllibVectorizer {
       graft.dedup.Dedup.shingles(s, shingleSize).toSeq)
     val tf = new HashingTF().setInputCol("__words").setOutputCol("__tf")
       .setNumFeatures(numFeatures).setBinary(true)
+    // persist: consumed three times (fit + both sides of the self-join) —
+    // without it the shingle UDF + HashingTF run per consumer
     val feats = tf.transform(
       corpus.withColumn("__words", shinglesUdf(col(textCol))))
       .select(col(docId).as("id"), col("__tf").as("features"))
       .where(udf((v: MlVector) => v.numNonzeros > 0).apply(col("features")))
+      .persist()
     val lsh = new MinHashLSH().setInputCol("features").setOutputCol("__hashes")
       .setNumHashTables(numHashTables).setSeed(seed)
     val lshModel = lsh.fit(feats)
