@@ -151,6 +151,34 @@ object Queries4 {
         .select(col("doc_id"), round(col("score"), 4).as("score"), col("rank"))
     }),
 
+    // neural_sparse analyzer path: query tokens from the analyzer (weight
+    // 1.0 each), no model inference — through the compiler
+    "q_sparse_analyzer" -> ((s, dir) => {
+      import graft.exec.QueryCompiler
+      val req = QueryCompiler.QueryRequest(
+        subqueries = Seq(SubquerySpec("neural_sparse", "text",
+          queryText = Some("spark join fast table scan"), analyzer = Some("standard"))),
+        paginationDepth = Some(100), k = 10)
+      QueryCompiler.run(t(s, dir, "documents"), req)
+        .select(col("doc_id"), round(col("score"), 4).as("score"), col("rank"))
+    }),
+
+    // field-sorted hybrid (HybridTopFieldDocSortCollector): K-cut AND final
+    // order by n_chars desc instead of score
+    "q_hybrid_sorted" -> ((s, dir) => {
+      val docs = docsWithTokens(s, dir)
+      def sub(q: Map[String, Float]): Column = {
+        val sc = round(VectorExpressions.sparse_dot(col("tokens"), typedLit(q)), 6)
+        when(sc > 0.0, sc)
+      }
+      val scored = HybridPipeline.score(docs, col("doc_id"), Seq(sub(qTokensA), sub(qTokensB)))
+      val sortKeys = t(s, dir, "documents").select(col("doc_id"), col("n_chars").as("sort_key"))
+      HybridPipeline.runSorted(scored, 2, NormalizationSpec.MinMax(),
+        CombinationSpec.ArithmeticMean(), sortKeys, ascending = false,
+        paginationDepth = Some(100), size = 10)
+        .select(col("doc_id"), round(col("score"), 4).as("score"), col("rank"))
+    }),
+
     // batched hybrid: two queries (swapped subquery order) in one pipeline run
     "q_hybrid_batch" -> ((s, dir) => {
       val docs = docsWithTokens(s, dir)
@@ -239,6 +267,50 @@ object Queries4 {
         k = 100, size = 10, collapse = Some(("source", 2)),
         preamble = OracleGen.docVectorsCte + ",\n" +
           OracleGen.embedCte(graft.ml.HashEmbedder.DefaultDim))
+    },
+
+    // analyzer path: same tokens at weight 1.0 through the standard hybrid
+    "q_sparse_analyzer" -> {
+      val analyzerTokens = graft.ml.HashEmbedder
+        .tokenize("spark join fast table scan").distinct.map(_ -> 1.0f).toMap
+      OracleGen.hybridFromScores(
+        Seq(OracleGen.sparseScoreSql(OracleGen.valuesOf(analyzerTokens))),
+        "min_max", "arithmetic_mean", k = 100, size = 10)
+    },
+
+    // field-sorted hybrid: K-cut and final rank by n_chars desc, doc_id asc
+    "q_hybrid_sorted" -> {
+      def kCut(name: String, values: String) =
+        s"""s_$name AS (${OracleGen.sparseScoreSql(values)}),
+           |k_$name AS (
+           |  SELECT doc_id, score FROM (
+           |    SELECT s.doc_id, s.score,
+           |           row_number() OVER (ORDER BY d.n_chars DESC, s.doc_id ASC) AS rn
+           |    FROM s_$name s JOIN documents d USING (doc_id)) WHERE rn <= 100
+           |)""".stripMargin
+      def minMax(i: Int, name: String) =
+        s"""n$i AS (
+           |  SELECT doc_id,
+           |         CASE WHEN mx = mn AND mx = score THEN 1.0
+           |              WHEN (score - mn) / (mx - mn) = 0.0 THEN 0.001
+           |              ELSE (score - mn) / (mx - mn) END AS nscore
+           |  FROM (SELECT doc_id, score, min(score) OVER () AS mn, max(score) OVER () AS mx
+           |        FROM k_$name)
+           |)""".stripMargin
+      s"""WITH ${OracleGen.docVectorsCte},
+         |${kCut("a", OracleGen.valuesOf(qTokensA))},
+         |${kCut("b", OracleGen.valuesOf(qTokensB))},
+         |${minMax(0, "a")}, ${minMax(1, "b")},
+         |comb AS (
+         |  SELECT doc_id, sum(nscore) / count(*) AS score
+         |  FROM (SELECT * FROM n0 UNION ALL SELECT * FROM n1) GROUP BY doc_id
+         |), ranked AS (
+         |  SELECT c.doc_id, c.score,
+         |         CAST(row_number() OVER (ORDER BY d.n_chars DESC, c.doc_id ASC) AS INT) AS rank
+         |  FROM comb c JOIN documents d USING (doc_id)
+         |)
+         |SELECT doc_id, round(score, 4) AS score, rank
+         |FROM ranked WHERE rank <= 10 ORDER BY rank""".stripMargin
     },
 
     "q_hybrid_aggs" -> {

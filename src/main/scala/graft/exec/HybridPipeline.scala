@@ -120,6 +120,47 @@ object HybridPipeline {
 
   private def broadcastIfSmall(df: DataFrame): DataFrame = df
 
+  /** Field-sorted hybrid (HybridTopFieldDocSortCollector, SURVEY §2.5):
+    * when the request carries a `sort`, BOTH the per-subquery K-cut and the
+    * final ordering use the sort key instead of the score (the reference's
+    * field collectors collect by sort during the query phase). Scores are
+    * still normalized/combined and reported (trackScores=true form).
+    *
+    * @param sortKeys DataFrame[doc_id, sort_key]; ties break by doc_id asc
+    * @param ascending sort direction for sort_key
+    */
+  def runSorted(
+      scored: DataFrame,
+      numSubqueries: Int,
+      norm: NormalizationSpec,
+      comb: CombinationSpec,
+      sortKeys: DataFrame,
+      ascending: Boolean = false,
+      paginationDepth: Option[Int] = None,
+      from: Int = 0,
+      size: Int = HybridLimits.DefaultK): DataFrame = {
+    HybridValidation.validate(numSubqueries, norm, comb, paginationDepth)
+    val k = paginationDepth.getOrElse(from + size)
+    val keyOrder = if (ascending) col("sort_key").asc else col("sort_key").desc
+    val keyed = scored.join(broadcastIfSmall(sortKeys), Seq("doc_id"))
+    val wCut = Window.partitionBy(col("query_id"), col("subq"))
+      .orderBy(keyOrder, col("doc_id").asc)
+    val candidates = keyed
+      .withColumn("__rank", row_number().over(wCut))
+      .where(col("__rank") <= k)
+      .drop("__rank")
+    val normalized = Normalization.normalize(
+      candidates.select(col("query_id"), col("subq"), col("doc_id"), col("score")), norm)
+    val combined = Combination.combine(normalized, comb)
+    val wFinal = Window.partitionBy(col("query_id"))
+      .orderBy(keyOrder, col("doc_id").asc)
+    combined
+      .join(broadcastIfSmall(sortKeys), Seq("doc_id"))
+      .withColumn("rank", row_number().over(wFinal))
+      .where(col("rank") > from && col("rank") <= from + size)
+      .drop("sort_key")
+  }
+
   /** search_after keyset pagination (HybridTopFieldDocSortCollector /
     * PagingFieldCollector, SURVEY §2.5): resume below the last-seen
     * (score, doc_id) cursor instead of a numeric offset — O(k) per page at

@@ -45,7 +45,13 @@ object QueryCompiler {
         Enrich.embedUdf(dim)(col(sq.field)), typedLit(qv)), 6)
       when(sc > 0.0, sc)
     case "neural_sparse" =>
-      val q = sq.queryTokens.getOrElse(HashEmbedder.encode(sq.queryText.getOrElse("")))
+      // token priority per NeuralSparseQueryBuilder.getQueryTokens: raw
+      // query_tokens > analyzer (tokens at weight 1.0) > model inference
+      val q = sq.queryTokens.getOrElse {
+        if (sq.analyzer.isDefined)
+          HashEmbedder.tokenize(sq.queryText.getOrElse("")).distinct.map(_ -> 1.0f).toMap
+        else HashEmbedder.encode(sq.queryText.getOrElse(""))
+      }
       val sc = round(VectorExpressions.sparse_dot(
         Enrich.encodeUdf(col(sq.field)), typedLit(q)), 6)
       when(sc > 0.0, sc)

@@ -5,12 +5,18 @@ package graft.model
   */
 
 /** A subquery spec as seen by request processors (pre-compilation). */
+/** `analyzer`: the neural_sparse analyzer path (NeuralSparseQueryBuilder
+  * .getQueryTokens:509-566) — tokenize the query text instead of running
+  * model inference; tokens carry weight 1.0 unless the analyzer supplies
+  * payloads (our regex analyzer never does, matching the null-payload
+  * default branch). */
 case class SubquerySpec(
     kind: String, // neural | neural_sparse | match | term | range
     field: String,
     queryText: Option[String] = None,
     modelId: Option[String] = None,
-    queryTokens: Option[Map[String, Float]] = None)
+    queryTokens: Option[Map[String, Float]] = None,
+    analyzer: Option[String] = None)
 
 /** neural_query_enricher (processor/NeuralQueryEnricherProcessor.java:70-108
   * + query/visitor/NeuralSearchQueryVisitor.java): walk the query tree and

@@ -60,6 +60,36 @@ class QueryCompilerSpec extends SparkSpec {
     assert(out.count() > 0)
   }
 
+  test("neural_sparse analyzer path: tokens at weight 1.0, no inference") {
+    val req = QueryRequest(subqueries = Seq(
+      SubquerySpec("neural_sparse", "text", queryText = Some("spark join"),
+        analyzer = Some("standard"))))
+    val out = QueryCompiler.run(corpus, req).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    // analyzer weights are 1.0 per distinct query token, so the RAW score
+    // of doc 1 is w_d(spark)+w_d(join) = 2*(1+ln 2); with min_max over the
+    // candidate set doc 1 (both tokens, max weights) normalizes to 1.0
+    assert(out.contains(1L) && out(1L) == 1.0)
+    assert(!out.contains(4L)) // no token overlap -> no match
+  }
+
+  test("field-sorted hybrid: rank follows sort key, not score") {
+    import graft.exec.HybridPipeline
+    import org.apache.spark.sql.functions._
+    val docs = corpus.withColumn("tokens", graft.ingest.Enrich.encodeUdf(col("text")))
+    val q = graft.ml.HashEmbedder.encode("spark join")
+    val sc0 = round(graft.functions.VectorExpressions.sparse_dot(col("tokens"), typedLit(q)), 6)
+    val scored = HybridPipeline.score(docs, col("doc_id"), Seq(when(sc0 > 0.0, sc0)))
+    val sortKeys = corpus.select(col("doc_id"), col("n_chars").as("sort_key"))
+    val out = HybridPipeline.runSorted(scored, 1, NormalizationSpec.MinMax(),
+      CombinationSpec.ArithmeticMean(), sortKeys, ascending = false).collect()
+    val byRank = out.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("doc_id"))
+    // matching docs are 1, 3, 5 ('spark'/'join' overlap); order = n_chars
+    // desc: doc5 (150), doc1 (120), doc3 (80) — NOT score order (doc1 has
+    // the highest score but ranks second)
+    assert(byRank.toSeq == Seq(5L, 1L, 3L))
+  }
+
   test("SQL function registration exposes the native expressions") {
     Graft.registerFunctions(spark)
     corpus.createOrReplaceTempView("qc_corpus")
