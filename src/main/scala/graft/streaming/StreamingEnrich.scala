@@ -40,6 +40,47 @@ object StreamingEnrich {
       .agg(count(lit(1)).as("n_docs"), avg(length(col("text"))).as("avg_len"))
 }
 
+/** Streaming exact dedup: first-writer-wins per content hash with
+  * `flatMapGroupsWithState` — the streaming form of the batch
+  * `Dedup.exact` groupBy. State per hash is (keep_id, dup_count) and
+  * survives across micro-batches, so a duplicate arriving hours later is
+  * still flagged against the original. At scale the state store is
+  * RocksDB-backed and keyed by the 16-byte hash — state size is bounded by
+  * DISTINCT content, not stream length; pair with a TTL timeout when the
+  * dedup horizon is finite.
+  */
+object StreamingDedup {
+
+  case class DocIn(doc_id: Long, text_hash: String)
+  case class SeenState(keepId: Long, dupCount: Long)
+  case class DedupOut(doc_id: Long, text_hash: String, is_duplicate: Boolean, keep_id: Long)
+
+  def update(
+      hash: String, docs: Iterator[DocIn],
+      state: GroupState[SeenState]): Iterator[DedupOut] = {
+    var st = state.getOption.orNull
+    val out = docs.toSeq.sortBy(_.doc_id).map { d =>
+      if (st == null) {
+        st = SeenState(d.doc_id, 0L)
+        DedupOut(d.doc_id, hash, is_duplicate = false, keep_id = d.doc_id)
+      } else {
+        st = st.copy(dupCount = st.dupCount + 1)
+        DedupOut(d.doc_id, hash, is_duplicate = true, keep_id = st.keepId)
+      }
+    }
+    state.update(st)
+    out.iterator
+  }
+
+  /** docs(doc_id, text_hash) → per-doc duplicate flag + canonical keep id. */
+  def dedupStream(docs: Dataset[DocIn]): Dataset[DedupOut] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_.text_hash)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
+}
+
 /** Custom streaming state: continuous per-user sessionization with
   * `mapGroupsWithState` — the streaming form of the batch gaps-and-islands
   * sessionizer (q_sessionize). State per user survives across micro-batches;

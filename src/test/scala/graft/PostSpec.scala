@@ -176,6 +176,35 @@ class StatefulSessionSpec extends SparkSpec {
   }
 }
 
+class StreamingDedupSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.streaming.StreamingDedup
+  import graft.streaming.StreamingDedup.DocIn
+
+  test("flatMapGroupsWithState dedup flags late duplicates across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[DocIn]
+    val q = StreamingDedup.dedupStream(mem.toDS())
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    // batch 1: two distinct docs + one in-batch duplicate of h1
+    mem.addData(DocIn(1L, "h1"), DocIn(2L, "h2"), DocIn(3L, "h1"))
+    q.processAllAvailable()
+    val b1 = spark.table("dedup_out").collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Boolean]("is_duplicate"), r.getAs[Long]("keep_id"))).toMap
+    assert(b1(1L) == ((false, 1L)))
+    assert(b1(2L) == ((false, 2L)))
+    assert(b1(3L) == ((true, 1L))) // in-batch dup, kept id = first seen
+    // batch 2: a LATE duplicate of h1 — state must remember keep_id=1
+    mem.addData(DocIn(9L, "h1"), DocIn(10L, "h3"))
+    q.processAllAvailable()
+    val b2 = spark.table("dedup_out").collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Boolean]("is_duplicate"), r.getAs[Long]("keep_id"))).toMap
+    q.stop()
+    assert(b2(9L) == ((true, 1L)))
+    assert(b2(10L) == ((false, 10L)))
+  }
+}
+
 class FieldMapSpec extends SparkSpec {
   import spark.implicits._
   import graft.ingest.Enrich
