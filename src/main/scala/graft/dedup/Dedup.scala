@@ -190,7 +190,14 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
     require(threshold > 0.0, "threshold must be positive (zero-overlap pairs are not materialized)")
-    val sh = df.select(col(idCol).as("id"), explode(shingleCol(col(textCol), n)).as("s"))
+    // join on the 64-bit shingle hash, not the shingle string: the
+    // inverted-index shuffle carries 8-byte keys instead of ~n·8-char
+    // strings, and the join compares longs. xxhash64 collisions would
+    // conflate distinct shingles with probability ~|shingles|²/2^65 —
+    // negligible against the engine's 1e-6 score tolerance.
+    val sh = df.select(col(idCol).as("id"),
+        explode(shingleCol(col(textCol), n)).as("__s"))
+      .select(col("id"), xxhash64(col("__s")).as("s"))
     val cnt = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("x").join(sh.as("y"), "s")
       .where(col("x.id") < col("y.id"))
