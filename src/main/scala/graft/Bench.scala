@@ -23,16 +23,19 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
-    // Warmup: JIT + codegen + parquet footer caches on two representative
-    // plans, plus the ingest-time artifacts a resident engine would hold
-    // (token-enriched corpus, SEISMIC index — the reference builds these at
-    // ingest/merge, so query timings measure search, not re-indexing).
-    try {
-      force("q1_agg"); force("q_hybrid_minmax_arith")
-      SparkEntry.seismicIndex(spark, sfDir).clusters.count()
-    } catch { case _: Throwable => }
+    // Warmup: one untimed pass over EVERY query — JIT, per-plan codegen
+    // compilation, parquet footer caches, and the ingest-time artifacts a
+    // resident engine would hold (token-enriched corpus, SEISMIC index —
+    // the reference builds these at ingest/merge). The timed pass below
+    // then measures steady-state query latency, not first-call JVM costs.
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    try SparkEntry.seismicIndex(spark, sfDir).clusters.count()
+    catch { case _: Throwable => }
+    names.foreach { name =>
+      try force(name) catch { case _: Throwable => }
+    }
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    val results = names.map { name =>
       val t0 = System.nanoTime()
       try force(name)
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
