@@ -77,6 +77,14 @@ private[graft] object OracleGen {
   def denseDotSql(a: String, b: String): String =
     s"list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2]))"
 
+  /** Cosine from precomputed norms: dot/(‖a‖·‖b‖), 0.0 on a zero norm —
+    * mirrors the hoisted-norm pair kernels in Dedup (NOT dense_cosine's
+    * dot/sqrt(na·nb), which differs in the last ulp). `na`/`nb` are SQL
+    * expressions for the two vector norms. */
+  def cosineFromNormsSql(a: String, b: String, na: String, nb: String): String =
+    s"""(CASE WHEN $na = 0.0 OR $nb = 0.0 THEN 0.0
+       |      ELSE ${denseDotSql(a, b)} / ($na * $nb) END)""".stripMargin
+
   /** Dense (neural) subquery score SELECT against e_emb (embedCte must be
     * in the preamble): round-6 cosine vs the literal query embedding,
     * null-guard >0 as the Spark score column does. */

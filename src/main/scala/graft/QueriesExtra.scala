@@ -296,14 +296,18 @@ object QueriesExtra {
         |WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
 
-    "q_dedup_embedding" ->
-      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.45
-        |ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_embedding" -> {
+      val cos = OracleGen.cosineFromNormsSql("a.v", "b.v", "a.nrm", "b.nrm")
+      s"""WITH emb_n AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+         |  FROM embeddings
+         |)
+         |SELECT id_a, id_b, cosine FROM (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, round($cos, 6) AS cosine
+         |  FROM emb_n a JOIN emb_n b ON a.vec_id < b.vec_id)
+         |WHERE cosine >= 0.45 ORDER BY id_a, id_b""".stripMargin
+    },
 
     "q_lang_id" -> langIdSql,
 
@@ -570,14 +574,17 @@ object QueriesExtra {
          |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
          |  FROM lsh_sig a JOIN lsh_sig b
          |    ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id
+         |), lsh_emb_n AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+         |  FROM embeddings
          |)
          |SELECT id_a, id_b, cosine FROM (
          |  SELECT c.id_a, c.id_b,
-         |         round(${OracleGen.denseCosineSql(
-               "CAST(ea.embedding AS DOUBLE[])", "CAST(eb.embedding AS DOUBLE[])")}, 6) AS cosine
+         |         round(${OracleGen.cosineFromNormsSql("ea.v", "eb.v", "ea.nrm", "eb.nrm")}, 6) AS cosine
          |  FROM lsh_cand c
-         |  JOIN embeddings ea ON ea.vec_id = c.id_a
-         |  JOIN embeddings eb ON eb.vec_id = c.id_b)
+         |  JOIN lsh_emb_n ea ON ea.vec_id = c.id_a
+         |  JOIN lsh_emb_n eb ON eb.vec_id = c.id_b)
          |WHERE cosine >= 0.45 ORDER BY id_a, id_b""".stripMargin
     },
 

@@ -215,13 +215,19 @@ object Dedup {
 
   /** Embedding cosine near-dup pairs (cosine ≥ threshold). Brute-force
     * variant: full self-join — O(n²), exact; only for candidate sets /
-    * verification. */
+    * verification. Norms are hoisted out of the pair loop: per pair only
+    * the dot product is computed (cosine = dot / (‖a‖·‖b‖)), a 3× flop
+    * reduction over recomputing both norms per pair. */
   def embeddingNearDupBrute(df: DataFrame, vecCol: String = "embedding",
       idCol: String = "vec_id", threshold: Double = 0.95): DataFrame = {
-    val l = df.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
-    val r = df.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    val withNorm = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      sqrt(VectorExpressions.dense_dot(col(vecCol), col(vecCol))).as("nrm"))
+    val l = withNorm.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
+    val r = withNorm.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
     l.crossJoin(r).where(col("id_a") < col("id_b"))
-      .withColumn("cosine", round(VectorExpressions.dense_cosine(col("v_a"), col("v_b")), 6))
+      .withColumn("cosine", round(
+        when(col("n_a") === 0.0 || col("n_b") === 0.0, lit(0.0))
+          .otherwise(VectorExpressions.dense_dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))), 6))
       .where(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
@@ -266,13 +272,16 @@ object Dedup {
       .select(col("id"), posexplode(col("buckets")).as(Seq("table", "bucket")))
     val l = bucketed.select(col("table"), col("bucket"), col("id").as("id_a"))
     val r = bucketed.select(col("table"), col("bucket"), col("id").as("id_b"))
-    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      sqrt(VectorExpressions.dense_dot(col(vecCol), col(vecCol))).as("nrm"))
     l.join(r, Seq("table", "bucket"))
       .where(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
-      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
-      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
-      .withColumn("cosine", round(VectorExpressions.dense_cosine(col("v_a"), col("v_b")), 6))
+      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b")), "id_b")
+      .withColumn("cosine", round(
+        when(col("n_a") === 0.0 || col("n_b") === 0.0, lit(0.0))
+          .otherwise(VectorExpressions.dense_dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))), 6))
       .where(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
