@@ -28,6 +28,31 @@ object Enrich {
 
   def embedUdf(dim: Int) = udf((s: String) => if (s == null) null else HashEmbedder.embed(s, dim))
   val encodeUdf = udf((s: String) => if (s == null) null else HashEmbedder.encode(s))
+
+  /** Batched embedding via mapPartitions — the seam for a REAL inference
+    * model: one model invocation per `batchSize` rows, mirroring the
+    * reference's `AbstractBatchingProcessor.subBatchExecute` (default
+    * semantic_ingest_batch_size = 10, NeuralSearchSettings.java:63-69).
+    * With the deterministic HashEmbedder the output is identical to the
+    * per-row UDF; swap `embedBatch` for a model client to get true batch
+    * inference with per-batch amortized setup. */
+  def embedBatched(df: DataFrame, src: String, dst: String,
+      dim: Int = DefaultDim, batchSize: Int = 10): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    def embedBatch(texts: Seq[String]): Seq[Array[Float]] =
+      texts.map(s => if (s == null) null else HashEmbedder.embed(s, dim))
+    val schema = df.schema.add(dst, ArrayType(FloatType))
+    val srcIdx = df.schema.fieldIndex(src)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        val embs = embedBatch(batch.map(_.getString(srcIdx)))
+        batch.zip(embs).map { case (row, e) =>
+          Row.fromSeq(row.toSeq :+ (if (e == null) null else e.toSeq))
+        }
+      }
+    }(Encoders.row(schema))
+  }
   def encodePrunedUdf(pruneType: String, ratio: Float) = udf { (s: String) =>
     if (s == null) null
     else PruneUtils.prune(HashEmbedder.encode(s), PruneUtils.pruneType(pruneType), ratio)

@@ -191,11 +191,15 @@ object Seismic {
           round(graft.functions.VectorExpressions.sparse_dot(
             corpus(tokens), typedLit(qTokens)), 6).as("score"))
 
-    // summary score per (token, cluster) against the cut query
+    // summary score per (token, cluster) against the cut query — persisted:
+    // it is tiny (top_n tokens × clusters/token) and consumed by BOTH the
+    // seed pass and the pruning pass; without it the summaries
+    // dropDuplicates shuffle re-runs per consumer
     val sumScores = index.summaries
       .join(qDf, "token")
       .withColumn("sscore",
         graft.functions.VectorExpressions.sparse_dot(col("summary"), typedLit(cut)))
+      .persist()
 
     // 2. seed candidates: best-summary cluster per token → exact → θ
     val wTok = Window.partitionBy(col("token")).orderBy(col("sscore").desc, col("cluster_id").asc)

@@ -180,6 +180,16 @@ class AnnSpec extends SparkSpec {
 class EnrichRerankSpec extends SparkSpec {
   import spark.implicits._
 
+  test("embedBatched (mapPartitions batching seam) equals the per-row UDF") {
+    val df = (1L to 25L).map(i => (i, s"doc number $i words vary $i"))
+      .toDF("doc_id", "text")
+    val batched = Enrich.embedBatched(df, "text", "emb", batchSize = 10)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    val udfOut = df.withColumn("emb", Enrich.embedUdf(Enrich.DefaultDim)(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    assert(batched == udfOut)
+  }
+
   test("textEmbedding matches HashEmbedder directly") {
     val df = Seq((1L, "hello world")).toDF("doc_id", "title")
     val out = Enrich.textEmbedding(df, Map("title" -> "title_emb")).collect()(0)
