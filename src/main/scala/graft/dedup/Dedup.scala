@@ -195,9 +195,12 @@ object Dedup {
     // strings, and the join compares longs. xxhash64 collisions would
     // conflate distinct shingles with probability ~|shingles|²/2^65 —
     // negligible against the engine's 1e-6 score tolerance.
+    // persisted: consumed three times (per-doc counts + both sides of the
+    // inverted-index self-join) — the UDF explode would otherwise run 3×
     val sh = df.select(col(idCol).as("id"),
         explode(shingleCol(col(textCol), n)).as("__s"))
       .select(col("id"), xxhash64(col("__s")).as("s"))
+      .persist()
     val cnt = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("x").join(sh.as("y"), "s")
       .where(col("x.id") < col("y.id"))
