@@ -179,6 +179,23 @@ object Queries4 {
         .select(col("doc_id"), round(col("score"), 4).as("score"), col("rank"))
     }),
 
+    // verbatim reference JSON: search body + pipeline definition parsed by
+    // QueryDsl, compiled and run — the "paste your existing request" path
+    "q_dsl_hybrid" -> ((s, dir) => {
+      import graft.exec.QueryCompiler
+      val body =
+        """{"query": {"hybrid": {"pagination_depth": 100, "queries": [
+          |  {"neural_sparse": {"text": {"query_text": "spark join fast table scan"}}},
+          |  {"neural_sparse": {"text": {"query_text": "stream window agg merge sort batch"}}}]}},
+          | "size": 10}""".stripMargin
+      val pipeline =
+        """{"phase_results_processors": [{"normalization-processor": {
+          |  "normalization": {"technique": "min_max"},
+          |  "combination": {"technique": "arithmetic_mean"}}}]}""".stripMargin
+      QueryCompiler.run(t(s, dir, "documents"), QueryDsl.parse(body, Some(pipeline)))
+        .select(col("doc_id"), round(col("score"), 4).as("score"), col("rank"))
+    }),
+
     // batched hybrid: two queries (swapped subquery order) in one pipeline run
     "q_hybrid_batch" -> ((s, dir) => {
       val docs = docsWithTokens(s, dir)
@@ -268,6 +285,9 @@ object Queries4 {
         preamble = OracleGen.docVectorsCte + ",\n" +
           OracleGen.embedCte(graft.ml.HashEmbedder.DefaultDim))
     },
+
+    // the DSL-parsed hybrid is the same logical query as the flagship pair
+    "q_dsl_hybrid" -> OracleGen.hybridSql(qTokensA, qTokensB, "min_max", "arithmetic_mean"),
 
     // analyzer path: same tokens at weight 1.0 through the standard hybrid
     "q_sparse_analyzer" -> {

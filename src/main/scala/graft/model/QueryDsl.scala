@@ -1,0 +1,184 @@
+package graft.model
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Parser for the reference's JSON request DSL — the query/parser package
+  * plus the builder fromXContent surface (reference: HybridQueryBuilder
+  * .fromXContent, NeuralQueryBuilder.fromXContent, NeuralSparseQueryBuilder
+  * .fromXContent). A user of the reference can paste their search body and
+  * search-pipeline definition verbatim:
+  *
+  *   QueryDsl.parse(searchBodyJson, Some(pipelineJson)) : QueryRequest
+  *
+  * Supported query kinds: hybrid (≤5 subqueries), neural (query_text, k,
+  * min_score), neural_sparse (query_text | query_tokens | analyzer), match,
+  * term, range (gte/lt). Body params: from, size, pagination_depth (inside
+  * hybrid), collapse.field. Pipeline: normalization.technique (+parameters:
+  * lower_bounds/upper_bounds for min_max), combination.technique
+  * (+parameters.weights).
+  *
+  * This is deliberately the SEARCH surface, not the REST transport: the
+  * output is the same QueryRequest the programmatic API uses, so parsing
+  * and execution cannot drift.
+  */
+object QueryDsl {
+
+  private implicit val formats: Formats = DefaultFormats
+
+  def parse(searchBody: String, pipeline: Option[String] = None): graft.exec.QueryCompiler.QueryRequest = {
+    val body = JsonMethods.parse(searchBody)
+    val (norm, comb) = pipeline.map(parsePipeline).getOrElse(
+      (NormalizationSpec.MinMax(): NormalizationSpec,
+        CombinationSpec.ArithmeticMean(): CombinationSpec))
+
+    val queryObj = body \ "query"
+    val (subs, paginationDepth) = queryObj match {
+      case JObject(fields) => fields match {
+        case ("hybrid", hybrid) :: Nil =>
+          val qs = (hybrid \ "queries") match {
+            case JArray(arr) => arr.map(parseSubquery)
+            case _ => throw new IllegalArgumentException("hybrid.queries must be an array")
+          }
+          val pd = (hybrid \ "pagination_depth").toOption.map(_.extract[Int])
+          (qs, pd)
+        case (kind, q) :: Nil => (List(parseSubquery(JObject(kind -> q))), None)
+        case _ => throw new IllegalArgumentException("query must contain exactly one root operator")
+      }
+      case _ => throw new IllegalArgumentException("missing query object")
+    }
+
+    val from = (body \ "from").toOption.map(_.extract[Int]).getOrElse(0)
+    val size = (body \ "size").toOption.map(_.extract[Int]).getOrElse(HybridLimits.DefaultK)
+    val collapseField = (body \ "collapse" \ "field").toOption.map(_.extract[String])
+    val minScore = (body \ "min_score").toOption.map(_.extract[Double])
+
+    graft.exec.QueryCompiler.QueryRequest(
+      subqueries = subs,
+      k = size,
+      from = from,
+      paginationDepth = paginationDepth,
+      normalization = norm,
+      combination = comb,
+      collapseField = collapseField,
+      collapseDocsPerGroup = 1,
+      minScore = minScore)
+  }
+
+  /** One subquery object, e.g. {"neural": {"emb_field": {"query_text": …}}}. */
+  private[graft] def parseSubquery(j: JValue): SubquerySpec = j match {
+    case JObject((kind, JObject((field, params) :: Nil)) :: Nil) =>
+      kind match {
+        case "neural" =>
+          SubquerySpec("neural", field,
+            queryText = (params \ "query_text").toOption.map(_.extract[String]),
+            modelId = (params \ "model_id").toOption.map(_.extract[String]))
+        case "neural_sparse" =>
+          val tokens = (params \ "query_tokens").toOption.collect {
+            case JObject(tf) => tf.map { case (t, v) => t -> v.extract[Double].toFloat }.toMap
+          }
+          SubquerySpec("neural_sparse", field,
+            queryText = (params \ "query_text").toOption.map(_.extract[String]),
+            modelId = (params \ "model_id").toOption.map(_.extract[String]),
+            queryTokens = tokens,
+            analyzer = (params \ "analyzer").toOption.map(_.extract[String]))
+        case "match" =>
+          // {"match": {"field": "text value"}} or {"match": {"field": {"query": …}}}
+          val qt = params match {
+            case JString(s) => Some(s)
+            case o => (o \ "query").toOption.map(_.extract[String])
+          }
+          SubquerySpec("match", field, queryText = qt)
+        case "term" =>
+          val qt = params match {
+            case JString(s) => Some(s)
+            case o => (o \ "value").toOption.map(_.extract[String])
+          }
+          SubquerySpec("term", field, queryText = qt)
+        case "range" =>
+          val gte = (params \ "gte").toOption.map(jvNum).getOrElse("")
+          val lt = (params \ "lt").toOption.map(jvNum).getOrElse("")
+          SubquerySpec("range", field, queryText = Some(s"$gte..$lt"))
+        case other =>
+          throw new IllegalArgumentException(s"unknown query kind: $other")
+      }
+    case JObject((kind, _) :: Nil) if kind == "hybrid" =>
+      throw new IllegalArgumentException(
+        "hybrid query cannot be nested inside another hybrid query")
+    case _ =>
+      throw new IllegalArgumentException(s"malformed subquery: ${JsonMethods.compact(j)}")
+  }
+
+  private def jvNum(j: JValue): String = j match {
+    case JInt(v)     => v.toString
+    case JLong(v)    => v.toString
+    case JDouble(v)  => v.toString
+    case JDecimal(v) => v.toString
+    case JString(v)  => v
+    case other       => other.extract[String]
+  }
+
+  /** Search-pipeline definition: {"phase_results_processors": [
+    *   {"normalization-processor": {"normalization": {"technique": …},
+    *                                "combination": {"technique": …}}}]}
+    * or the bare inner object. */
+  private[graft] def parsePipeline(json: String): (NormalizationSpec, CombinationSpec) = {
+    val root = JsonMethods.parse(json)
+    val proc = (root \ "phase_results_processors") match {
+      case JArray(arr) =>
+        arr.collectFirst {
+          case JObject((name, inner) :: Nil)
+              if name == "normalization-processor" || name == "score-ranker-processor" => inner
+        }.getOrElse(throw new IllegalArgumentException("no normalization processor in pipeline"))
+      case _ => root // bare {"normalization": …, "combination": …}
+    }
+    val normTech = (proc \ "normalization" \ "technique").toOption
+      .map(_.extract[String]).getOrElse("min_max")
+    val norm: NormalizationSpec = normTech match {
+      case "min_max" =>
+        val lows = boundsOf(proc \ "normalization" \ "parameters" \ "lower_bounds",
+          isLower = true)
+        val highs = boundsOf(proc \ "normalization" \ "parameters" \ "upper_bounds",
+          isLower = false)
+        val n = math.max(lows.length, highs.length)
+        if (n == 0) NormalizationSpec.MinMax()
+        else NormalizationSpec.MinMax((0 until n).map { i =>
+          (lows.lift(i).getOrElse(ScoreBound.disabledLower),
+            highs.lift(i).getOrElse(ScoreBound.disabledUpper))
+        })
+      case "rrf" =>
+        val rc = (proc \ "normalization" \ "parameters" \ "rank_constant").toOption
+          .map(_.extract[Int]).getOrElse(HybridLimits.DefaultRankConstant)
+        NormalizationSpec.RRF(rc)
+      case other => NormalizationSpec.fromString(other)
+    }
+    val combTech = (proc \ "combination" \ "technique").toOption
+      .map(_.extract[String]).getOrElse("arithmetic_mean")
+    val weights = (proc \ "combination" \ "parameters" \ "weights") match {
+      case JArray(ws) => Some(ws.map(_.extract[Double]))
+      case _          => None
+    }
+    val comb: CombinationSpec = combTech match {
+      case "arithmetic_mean" => CombinationSpec.ArithmeticMean(weights)
+      case "geometric_mean"  => CombinationSpec.GeometricMean(weights)
+      case "harmonic_mean"   => CombinationSpec.HarmonicMean(weights)
+      case "rrf"             => CombinationSpec.RRF(weights)
+      case other => throw new IllegalArgumentException(s"unknown combination technique: $other")
+    }
+    (norm, comb)
+  }
+
+  private def boundsOf(j: JValue, isLower: Boolean): Seq[ScoreBound] = j match {
+    case JArray(arr) => arr.map {
+      case JObject(fields) =>
+        val m = fields.toMap
+        val mode = m.get("mode").map(_.extract[String]).getOrElse("")
+        val score = m.get(if (isLower) "min_score" else "max_score")
+          .map(_.extract[Double].toFloat)
+          .getOrElse(if (isLower) 0.0f else 1.0f)
+        ScoreBound(enabled = true, BoundMode.fromString(mode), score)
+      case _ => if (isLower) ScoreBound.disabledLower else ScoreBound.disabledUpper
+    }
+    case _ => Nil
+  }
+}
