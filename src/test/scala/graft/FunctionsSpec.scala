@@ -116,4 +116,21 @@ class ChunkersSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Chunkers.delimiter("x", ""))
     intercept[IllegalArgumentException](Chunkers.fixedCharLength("x", charLimit = 0))
   }
+  test("property: overlap-0 chunks always rejoin to the original content") {
+    val rnd = new scala.util.Random(7L)
+    (1 to 60).foreach { _ =>
+      val nTok = rnd.nextInt(40) + 1
+      val content = (1 to nTok)
+        .map(_ => "a" * (rnd.nextInt(4) + 1))
+        .mkString(" " * (rnd.nextInt(2) + 1))
+      val tl = rnd.nextInt(7) + 1
+      val tokOut = Chunkers.fixedTokenLength(content, tokenLimit = tl)
+      assert(tokOut.mkString("") == content, s"token chunks drop text for tl=$tl")
+      val cl = rnd.nextInt(9) + 2
+      val charOut = Chunkers.fixedCharLength(content, charLimit = cl, overlapRate = 0.0)
+      assert(charOut.mkString("") == content, s"char chunks drop text for cl=$cl")
+      val delimOut = Chunkers.delimiter(content, " ")
+      assert(delimOut.mkString("") == content)
+    }
+  }
 }
