@@ -319,10 +319,16 @@ object Dedup {
     // corpus-scale work — shingling, banding, verification — already ran
     // distributed). Below the cutoff (~16 MB of longs) a driver union-find
     // beats a multi-round shuffle fixpoint by an order of magnitude; the
-    // relational path below remains for the billion-pair regime.
-    val nEdges = edges.count()
-    if (nEdges / 2 <= driverCutoff) {
-      val out = resolveClustersDriver(edges, allIds)
+    // relational path below remains for the billion-pair regime. A single
+    // bounded take() both tests the cutoff and fetches the edges (no
+    // separate count pass).
+    val bound = (2L * driverCutoff + 1).min(Int.MaxValue.toLong).toInt
+    val sample = {
+      import edges.sparkSession.implicits._
+      edges.select(col("src"), col("dst")).as[(Long, Long)].take(bound)
+    }
+    if (sample.length < bound) {
+      val out = resolveClustersDriver(sample, allIds, edges.sparkSession)
       edges.unpersist()
       return out
     }
@@ -381,10 +387,9 @@ object Dedup {
 
   /** Driver union-find with path compression for small verified pair sets;
     * cluster_id = min id of the component, singletons map to themselves. */
-  private def resolveClustersDriver(edges: DataFrame, allIds: DataFrame): DataFrame = {
-    val spark = edges.sparkSession
+  private def resolveClustersDriver(es: Array[(Long, Long)], allIds: DataFrame,
+      spark: org.apache.spark.sql.SparkSession): DataFrame = {
     import spark.implicits._
-    val es = edges.select(col("src"), col("dst")).as[(Long, Long)].collect()
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
     def find(x: Long): Long = {
       var r = x
