@@ -53,11 +53,17 @@ object Dedup {
 
   /** Deterministic universal-hash family h_i(x) = (a_i*x + b_i) mod p.
     * private[graft]: the oracle generator inlines the same params as SQL
-    * literals so both engines evaluate the identical hash family. */
+    * literals so both engines evaluate the identical hash family.
+    * a, b are drawn below 2^31 so a*x (x < 2^32) stays within signed-Long
+    * range — with a up to p the product silently wrapped in Scala while the
+    * SQL oracle computed exactly in 128-bit, giving the two engines
+    * DIFFERENT hash families (masked downstream by Jaccard verification,
+    * but a latent band-recall divergence). */
   private[graft] val P = 4294967311L // prime > 2^32
   private[graft] def hashParams(numHashes: Int, seed: Long): Array[(Long, Long)] = {
     val rnd = new scala.util.Random(seed)
-    Array.fill(numHashes)((1 + rnd.nextLong(P - 1), rnd.nextLong(P)))
+    val lim = 1L << 31
+    Array.fill(numHashes)((1 + rnd.nextLong(lim - 1), rnd.nextLong(lim)))
   }
 
   def minhashSignature(sh: Set[String], params: Array[(Long, Long)]): Array[Long] = {
