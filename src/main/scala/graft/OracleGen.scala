@@ -77,6 +77,35 @@ private[graft] object OracleGen {
   def denseDotSql(a: String, b: String): String =
     s"list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2]))"
 
+  /** documents → (doc_id, s) DISTINCT word n-gram shingles — bit-exact
+    * Dedup.shingles: tokenize = lower + split \s+ + drop empties; docs with
+    * fewer than n tokens fall back to the whole token list joined (the
+    * reference Scala's `Set(toks.mkString(" "))`), and token-less docs get
+    * the empty-string shingle. Emits a fixed `sh_tok` helper CTE plus the
+    * named shingle CTE — use once per statement. */
+  def shingleCte(n: Int, name: String): String = {
+    val toks = """list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')"""
+    val aliases = (0 until n).map(i => s"g$i")
+    val joins = aliases.tail.zipWithIndex.map { case (al, i) =>
+      s"JOIN sh_tok $al ON $al.doc_id = g0.doc_id AND $al.ord = g0.ord + ${i + 1}"
+    }.mkString("\n  ")
+    val concat = aliases.map(_ + ".p").mkString(" || ' ' || ")
+    s"""sh_tok AS (
+       |  SELECT doc_id, unnest($toks) AS p, generate_subscripts($toks, 1) AS ord
+       |  FROM documents
+       |), $name AS (
+       |  SELECT DISTINCT g0.doc_id, $concat AS s
+       |  FROM sh_tok g0
+       |  $joins
+       |  UNION
+       |  SELECT doc_id, string_agg(p, ' ' ORDER BY ord) AS s
+       |  FROM sh_tok GROUP BY doc_id HAVING count(*) < $n
+       |  UNION
+       |  SELECT d.doc_id, '' AS s FROM documents d
+       |  WHERE NOT EXISTS (SELECT 1 FROM sh_tok t WHERE t.doc_id = d.doc_id)
+       |)""".stripMargin
+  }
+
   /** Cosine from precomputed norms: dot/(‖a‖·‖b‖), 0.0 on a zero norm —
     * mirrors the hoisted-norm pair kernels in Dedup (NOT dense_cosine's
     * dot/sqrt(na·nb), which differs in the last ulp). `na`/`nb` are SQL
@@ -181,9 +210,11 @@ private[graft] object OracleGen {
            |FROM (SELECT doc_id, score, sqrt(sum(score * score) OVER ()) AS nrm
            |      FROM k_$name)""".stripMargin
       case "z_score" =>
+        // float-cast predicates mirror the reference's Floats.compare (and
+        // the Spark side's .cast("float") comparisons)
         s"""SELECT doc_id,
-           |       CASE WHEN score = mean THEN mx
-           |            WHEN sd IS NULL OR sd = 0.0 THEN mn
+           |       CASE WHEN CAST(score AS REAL) = CAST(mean AS REAL) THEN mx
+           |            WHEN sd IS NULL OR CAST(sd AS REAL) = CAST(0.0 AS REAL) THEN mn
            |            WHEN (score - mean) / sd <= 0.0 THEN 0.001
            |            ELSE (score - mean) / sd END AS nscore
            |FROM (SELECT doc_id, score, avg(score) OVER () AS mean,

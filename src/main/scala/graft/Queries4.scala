@@ -239,16 +239,8 @@ object Queries4 {
     // Closure size is bounded by sum(component size^2) — near-dup groups
     // are small, so this stays cheap at oracle scale.
     "q_dedup_clusters" ->
-      """WITH RECURSIVE parts AS (
-        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS p,
-        |         generate_subscripts(string_split(lower(text), ' '), 1) AS ord
-        |  FROM documents
-        |), sh AS (
-        |  SELECT DISTINCT a.doc_id, a.p || ' ' || b.p || ' ' || c.p AS s
-        |  FROM parts a
-        |  JOIN parts b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
-        |  JOIN parts c ON c.doc_id = a.doc_id AND c.ord = a.ord + 2
-        |), cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      s"""WITH RECURSIVE ${OracleGen.shingleCte(3, "sh")},
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         |inter AS (
         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
         |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id

@@ -275,16 +275,8 @@ object QueriesExtra {
         |ORDER BY doc_id, idx""".stripMargin,
 
     "q_dedup_ngram" ->
-      """WITH parts AS (
-        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS p,
-        |         generate_subscripts(string_split(lower(text), ' '), 1) AS ord
-        |  FROM documents
-        |), sh AS (
-        |  SELECT DISTINCT a.doc_id, a.p || ' ' || b.p || ' ' || c.p AS s
-        |  FROM parts a
-        |  JOIN parts b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
-        |  JOIN parts c ON c.doc_id = a.doc_id AND c.ord = a.ord + 2
-        |), cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      s"""WITH ${OracleGen.shingleCte(3, "sh")},
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         |inter AS (
         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
         |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
@@ -401,16 +393,8 @@ object QueriesExtra {
       val params = Dedup.hashParams(32, 42L).zipWithIndex
         .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
       val fnvS = OracleGen.fnvSql("s")
-      s"""WITH mh_parts AS (
-         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS p,
-         |         generate_subscripts(string_split(lower(text), ' '), 1) AS ord
-         |  FROM documents
-         |), mh_sh AS (
-         |  SELECT DISTINCT a.doc_id, a.p || ' ' || b.p || ' ' || c.p AS s
-         |  FROM mh_parts a
-         |  JOIN mh_parts b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
-         |  JOIN mh_parts c ON c.doc_id = a.doc_id AND c.ord = a.ord + 2
-         |), mh_n AS (SELECT doc_id, count(*) AS n FROM mh_sh GROUP BY doc_id),
+      s"""WITH ${OracleGen.shingleCte(3, "mh_sh")},
+         |mh_n AS (SELECT doc_id, count(*) AS n FROM mh_sh GROUP BY doc_id),
          |mh_x AS (SELECT s, $fnvS AS x FROM (SELECT DISTINCT s FROM mh_sh)),
          |mh_params(i, a, b) AS (VALUES $params),
          |mh_sig AS (

@@ -155,16 +155,26 @@ object Dedup {
     * valid for d ≤ 3 and silently dropped pairs at the default d=6.) */
   def simhashPairs(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 63,
+      s"maxHamming must be < 63 (got $maxHamming): 64 one-bit chunks cannot leave 2 untouched")
     val nChunks = math.min(maxHamming + 2, 64)
     val w = (64 + nChunks - 1) / nChunks // ceil(64 / nChunks) bits per chunk
     val fps = df.select(col(idCol).as("id"), simhashUdf(col(textCol)).as("fp"))
     def chunk(i: Int): Column = {
       val lo = i * w
-      // mask to the chunk's true width: shiftright is arithmetic, so a
-      // negative fp sign-extends and an over-wide mask would admit
-      // phantom high bits in the last chunk
-      val bits = math.max(1, math.min(w, 64 - lo))
-      shiftright(col("fp"), lo).bitwiseAND(lit((1L << bits) - 1))
+      // When ceil rounding exhausts the 64 bits early, trailing chunks are
+      // EMPTY: emit a constant (always-equal) chunk — shiftright(fp, >=64)
+      // would wrap (shift masked to 6 bits) and alias LOW bits, silently
+      // breaking the pigeonhole guarantee for e.g. maxHamming=7 (9 chunks
+      // of 8 bits: chunk 8 would read bit 0 again).
+      if (lo >= 64) lit(0L)
+      else {
+        // mask to the chunk's true width: shiftright is arithmetic, so a
+        // negative fp sign-extends and an over-wide mask would admit
+        // phantom high bits in the last chunk
+        val bits = math.min(w, 64 - lo)
+        shiftright(col("fp"), lo).bitwiseAND(lit((1L << bits) - 1))
+      }
     }
     val combos = for {
       i <- 0 until nChunks; j <- i + 1 until nChunks
@@ -333,13 +343,18 @@ object Dedup {
       import edges.sparkSession.implicits._
       edges.select(col("src"), col("dst")).as[(Long, Long)].take(bound)
     }
+    if (sample.isEmpty) { // no pairs at all: everyone is a singleton
+      edges.unpersist()
+      return allIds.select(col("id"), col("id").as("cluster_id"))
+    }
     if (sample.length < bound) {
       val out = resolveClustersDriver(sample, allIds, edges.sparkSession)
       edges.unpersist()
       return out
     }
     def checksum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head.getDecimal(0)
+      df.agg(coalesce(sum(col("cluster_id").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)"))).head.getDecimal(0)
     // The fixpoint runs ONLY over nodes that appear in some pair — on a
     // dedup workload that is orders of magnitude smaller than the corpus
     // (pairs ≪ docs); untouched ids are singletons by definition and are

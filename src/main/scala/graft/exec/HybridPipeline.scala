@@ -141,8 +141,13 @@ object HybridPipeline {
       size: Int = HybridLimits.DefaultK): DataFrame = {
     HybridValidation.validate(numSubqueries, norm, comb, paginationDepth)
     val k = paginationDepth.getOrElse(from + size)
-    val keyOrder = if (ascending) col("sort_key").asc else col("sort_key").desc
-    val keyed = scored.join(broadcastIfSmall(sortKeys), Seq("doc_id"))
+    // LEFT join + nulls-last: a matching doc with no sort key still appears
+    // (sorted after all keyed docs), mirroring the reference field
+    // collector's missing-value policy — an inner join would silently drop
+    // top-scoring docs whenever the sort-key table has gaps
+    val keyOrder =
+      if (ascending) col("sort_key").asc_nulls_last else col("sort_key").desc_nulls_last
+    val keyed = scored.join(broadcastIfSmall(sortKeys), Seq("doc_id"), "left")
     val wCut = Window.partitionBy(col("query_id"), col("subq"))
       .orderBy(keyOrder, col("doc_id").asc)
     val candidates = keyed
@@ -155,7 +160,7 @@ object HybridPipeline {
     val wFinal = Window.partitionBy(col("query_id"))
       .orderBy(keyOrder, col("doc_id").asc)
     combined
-      .join(broadcastIfSmall(sortKeys), Seq("doc_id"))
+      .join(broadcastIfSmall(sortKeys), Seq("doc_id"), "left")
       .withColumn("rank", row_number().over(wFinal))
       .where(col("rank") > from && col("rank") <= from + size)
       .drop("sort_key")

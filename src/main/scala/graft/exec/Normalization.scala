@@ -123,10 +123,14 @@ object Normalization {
     val mx = max(col("score")).over(w)
     val mn = min(col("score")).over(w)
     val z = (col("score") - mean) / sd
+    // edge-case predicates compare FLOAT-cast values: the reference casts
+    // its double-precision stats to float before Floats.compare, so a score
+    // equal to the float mean (but not the double mean) must take the max
+    // branch — a full-magnitude divergence if compared in double
     df.withColumn(
       "score",
-      when(col("score") === mean, mx)
-        .when(sd === 0.0 || isnull(sd), mn)
+      when(col("score").cast("float") === mean.cast("float"), mx)
+        .when(isnull(sd) || sd.cast("float") === lit(0.0f), mn)
         .otherwise(when(z <= 0.0, lit(MinScore)).otherwise(z)))
   }
 

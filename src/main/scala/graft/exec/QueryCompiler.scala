@@ -43,7 +43,12 @@ object QueryCompiler {
       val qv = HashEmbedder.embed(sq.queryText.getOrElse(""), dim)
       val sc = round(VectorExpressions.dense_cosine(
         Enrich.embedUdf(dim)(col(sq.field)), typedLit(qv)), 6)
-      when(sc > 0.0, sc)
+      // min_score = the neural query's radial cut: below-threshold docs are
+      // non-matches for THIS subquery (NeuralQueryBuilder min_score)
+      sq.minScore match {
+        case Some(ms) => when(sc > 0.0 && sc >= ms, sc)
+        case None     => when(sc > 0.0, sc)
+      }
     case "neural_sparse" =>
       // token priority per NeuralSparseQueryBuilder.getQueryTokens: raw
       // query_tokens > analyzer (tokens at weight 1.0) > model inference
@@ -87,16 +92,23 @@ object QueryCompiler {
     val filtered = req.filterExpr.fold(corpus)(corpus.filter)
     val scored = HybridPipeline.score(
       filtered, col(docId), req.subqueries.map(scoreColumn(_)), req.queryId)
+    // per-subquery k (neural candidate depth) maps onto the shared
+    // candidate cut when no explicit pagination_depth was given — the
+    // per-subquery K-heap is uniform in the hybrid pipeline
+    val pd = req.paginationDepth.orElse {
+      val ks = req.subqueries.flatMap(_.k)
+      if (ks.nonEmpty) Some(ks.max) else None
+    }
     val collapse = req.collapseField.map { f =>
       (filtered.select(col(docId).as("doc_id"), col(f).as("collapse_key")),
         req.collapseDocsPerGroup)
     }
     if (req.explain)
       Explain.runWithExplain(scored, req.subqueries.size, req.normalization,
-        req.combination, req.paginationDepth, req.from, req.k)
+        req.combination, pd, req.from, req.k)
     else
       HybridPipeline.run(scored, req.subqueries.size, req.normalization,
-        req.combination, req.paginationDepth, req.from, req.k, req.minScore, collapse)
+        req.combination, pd, req.from, req.k, req.minScore, collapse)
   }
 
   /** Natural-language entry: translate (agentic path) → enrich → compile. */

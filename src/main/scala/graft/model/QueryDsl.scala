@@ -67,12 +67,20 @@ object QueryDsl {
 
   /** One subquery object, e.g. {"neural": {"emb_field": {"query_text": …}}}. */
   private[graft] def parseSubquery(j: JValue): SubquerySpec = j match {
+    // checked BEFORE the generic single-field destructuring, which would
+    // otherwise match {"hybrid": {"queries": […]}} as kind=hybrid/
+    // field=queries and report a misleading "unknown query kind"
+    case JObject(("hybrid", _) :: _) =>
+      throw new IllegalArgumentException(
+        "hybrid query cannot be nested inside another hybrid query")
     case JObject((kind, JObject((field, params) :: Nil)) :: Nil) =>
       kind match {
         case "neural" =>
           SubquerySpec("neural", field,
             queryText = (params \ "query_text").toOption.map(_.extract[String]),
-            modelId = (params \ "model_id").toOption.map(_.extract[String]))
+            modelId = (params \ "model_id").toOption.map(_.extract[String]),
+            k = (params \ "k").toOption.map(_.extract[Int]),
+            minScore = (params \ "min_score").toOption.map(_.extract[Double]))
         case "neural_sparse" =>
           val tokens = (params \ "query_tokens").toOption.collect {
             case JObject(tf) => tf.map { case (t, v) => t -> v.extract[Double].toFloat }.toMap
@@ -102,9 +110,6 @@ object QueryDsl {
         case other =>
           throw new IllegalArgumentException(s"unknown query kind: $other")
       }
-    case JObject((kind, _) :: Nil) if kind == "hybrid" =>
-      throw new IllegalArgumentException(
-        "hybrid query cannot be nested inside another hybrid query")
     case _ =>
       throw new IllegalArgumentException(s"malformed subquery: ${JsonMethods.compact(j)}")
   }

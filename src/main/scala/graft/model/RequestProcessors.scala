@@ -16,7 +16,9 @@ case class SubquerySpec(
     queryText: Option[String] = None,
     modelId: Option[String] = None,
     queryTokens: Option[Map[String, Float]] = None,
-    analyzer: Option[String] = None)
+    analyzer: Option[String] = None,
+    k: Option[Int] = None, // neural k: candidate depth (maps to pagination depth)
+    minScore: Option[Double] = None) // neural min_score: radial cut on the subquery
 
 /** neural_query_enricher (processor/NeuralQueryEnricherProcessor.java:70-108
   * + query/visitor/NeuralSearchQueryVisitor.java): walk the query tree and

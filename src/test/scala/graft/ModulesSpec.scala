@@ -345,6 +345,28 @@ class ClusterResolveSpec extends SparkSpec {
     assert((1L to 40L).forall(out(_) == 1L))
   }
 
+  test("simhash blocking is exhaustive at maxHamming=7 (empty trailing chunk)") {
+    // 9 chunks of 8 bits exhaust 64 bits at chunk 8 — a wrapped shift there
+    // aliased bit 0 and silently dropped pairs; verify against brute force
+    val rnd = new scala.util.Random(11)
+    val base = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta")
+    val docs = (1L to 30L).map { i =>
+      val words = (0 until 12).map(j =>
+        if (rnd.nextDouble() < 0.15) base(rnd.nextInt(base.length)) + i
+        else base((j + rnd.nextInt(2)) % base.length))
+      (i, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = Dedup.simhashPairs(docs, maxHamming = 7).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fps = docs.collect().map(r => r.getLong(0) -> Dedup.simhash(r.getString(1)))
+    val expected = (for {
+      (ia, fa) <- fps; (ib, fb) <- fps if ia < ib
+      if java.lang.Long.bitCount(fa ^ fb) <= 7
+    } yield (ia, ib)).toSet
+    assert(got == expected)
+    intercept[IllegalArgumentException](Dedup.simhashPairs(docs, maxHamming = 63))
+  }
+
   test("connected components: driver union-find path matches distributed path") {
     val rnd = new scala.util.Random(7)
     val pairs = Seq.fill(60)((rnd.nextInt(30).toLong + 1, rnd.nextInt(30).toLong + 1))

@@ -111,6 +111,19 @@ class NormalizationProperties extends SparkSpec {
     }
   }
 
+  test("z_score float-mean edge: score equals the FLOAT mean but not the double mean") {
+    // double mean of {0.1f, 0.2f, 0.15f} != 0.15f as double, but the float
+    // cast of the mean equals 0.15f — the reference takes the max branch
+    val scores = Array(0.1f, 0.2f, 0.15f)
+    val exp = refZScore(scores)
+    assert(exp(2) == 0.2f, "transcription itself must take the max branch")
+    val got = runNorm(scores, NormalizationSpec.ZScore)
+    scores.indices.foreach { i =>
+      assert(math.abs(got(i.toLong) - exp(i)) < 2e-5,
+        s"mismatch at $i: got ${got(i.toLong)}, exp ${exp(i)}")
+    }
+  }
+
   test("z_score matches the reference float transcription on 60 random sets") {
     (1 to 60).foreach { _ =>
       val scores = randScores(rnd.nextInt(8) + 1)

@@ -60,6 +60,20 @@ class QueryCompilerSpec extends SparkSpec {
     assert(out.count() > 0)
   }
 
+  test("neural min_score acts as a per-subquery radial cut") {
+    val all = QueryCompiler.run(corpus, QueryRequest(subqueries = Seq(
+      SubquerySpec("neural", "text", queryText = Some("spark join table fast"))))).collect()
+    assert(all.length > 1)
+    // with a cut just under the best raw cosine only the parallel-vector
+    // docs survive (doc 1 exactly, doc 5 via 8-dim hash collision — its
+    // count vector is parallel to the query's); the others are excluded
+    val cut = QueryCompiler.run(corpus, QueryRequest(subqueries = Seq(
+      SubquerySpec("neural", "text", queryText = Some("spark join table fast"),
+        minScore = Some(0.999))))).collect()
+    assert(cut.length < all.length)
+    assert(cut.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 5L))
+  }
+
   test("neural_sparse analyzer path: tokens at weight 1.0, no inference") {
     val req = QueryRequest(subqueries = Seq(
       SubquerySpec("neural_sparse", "text", queryText = Some("spark join"),
@@ -88,6 +102,12 @@ class QueryCompilerSpec extends SparkSpec {
     // desc: doc5 (150), doc1 (120), doc3 (80) — NOT score order (doc1 has
     // the highest score but ranks second)
     assert(byRank.toSeq == Seq(5L, 1L, 3L))
+    // a doc MISSING from sortKeys is kept and sorts last, not dropped
+    val partialKeys = sortKeys.where(col("doc_id") =!= 5L)
+    val out2 = HybridPipeline.runSorted(scored, 1, NormalizationSpec.MinMax(),
+      CombinationSpec.ArithmeticMean(), partialKeys, ascending = false).collect()
+    val byRank2 = out2.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("doc_id"))
+    assert(byRank2.toSeq == Seq(1L, 3L, 5L))
   }
 
   test("SQL function registration exposes the native expressions") {

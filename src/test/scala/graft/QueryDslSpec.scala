@@ -19,6 +19,13 @@ class QueryDslSpec extends AnyFunSuite {
     assert(req.collapseField.contains("lang"))
   }
 
+  test("neural per-subquery k and min_score are carried, not dropped") {
+    val req = QueryDsl.parse(
+      """{"query": {"neural": {"emb": {"query_text": "q", "k": 50, "min_score": 0.8}}}}""")
+    assert(req.subqueries.head.k.contains(50))
+    assert(req.subqueries.head.minScore.contains(0.8))
+  }
+
   test("neural_sparse token map, analyzer, match/term/range forms") {
     val req = QueryDsl.parse(
       """{"query": {"hybrid": {"queries": [
@@ -72,10 +79,11 @@ class QueryDslSpec extends AnyFunSuite {
   }
 
   test("nested hybrid and unknown kinds are rejected") {
-    intercept[IllegalArgumentException] {
+    val e = intercept[IllegalArgumentException] {
       QueryDsl.parse(
         """{"query": {"hybrid": {"queries": [{"hybrid": {"queries": []}}]}}}""")
     }
+    assert(e.getMessage.contains("cannot be nested"))
     intercept[IllegalArgumentException] {
       QueryDsl.parse("""{"query": {"wibble": {"f": {"x": 1}}}}""")
     }
