@@ -197,9 +197,13 @@ private[graft] object OracleGen {
          |)""".stripMargin
     def normCte(name: String): String = norm match {
       case "min_max" =>
+        // float-cast predicates mirror Normalization.minMax (and the
+        // reference's float arithmetic): the floor fires iff the float
+        // subtraction s_f - mn_f is zero
         s"""SELECT doc_id,
-           |       CASE WHEN mx = mn AND mx = score THEN 1.0
-           |            WHEN (score - mn) / (mx - mn) = 0.0 THEN 0.001
+           |       CASE WHEN CAST(mx AS REAL) = CAST(mn AS REAL)
+           |                  AND CAST(mx AS REAL) = CAST(score AS REAL) THEN 1.0
+           |            WHEN CAST(score AS REAL) = CAST(mn AS REAL) THEN 0.001
            |            ELSE (score - mn) / (mx - mn) END AS nscore
            |FROM (SELECT doc_id, score,
            |             min(score) OVER () AS mn, max(score) OVER () AS mx
@@ -229,8 +233,9 @@ private[graft] object OracleGen {
     val ws = weightsN.getOrElse(Seq.fill(qs.size)(1.0))
     val combine = comb match {
       case "arithmetic_mean" =>
-        """coalesce(sum(CASE WHEN nscore >= 0 THEN w * nscore END)
-          |         / sum(CASE WHEN nscore >= 0 THEN w END), 0.0)""".stripMargin
+        """CASE WHEN coalesce(sum(CASE WHEN nscore >= 0 THEN w END), 0.0) = 0.0 THEN 0.0
+          |     ELSE sum(CASE WHEN nscore >= 0 THEN w * nscore END)
+          |          / sum(CASE WHEN nscore >= 0 THEN w END) END""".stripMargin
       case "geometric_mean" =>
         """CASE WHEN sum(CASE WHEN nscore > 0 THEN w END) IS NULL THEN 0.0
           |     ELSE exp(sum(CASE WHEN nscore > 0 THEN w * ln(nscore) END)

@@ -303,8 +303,9 @@ object Queries4 {
       def minMax(i: Int, name: String) =
         s"""n$i AS (
            |  SELECT doc_id,
-           |         CASE WHEN mx = mn AND mx = score THEN 1.0
-           |              WHEN (score - mn) / (mx - mn) = 0.0 THEN 0.001
+           |         CASE WHEN CAST(mx AS REAL) = CAST(mn AS REAL)
+           |                   AND CAST(mx AS REAL) = CAST(score AS REAL) THEN 1.0
+           |              WHEN CAST(score AS REAL) = CAST(mn AS REAL) THEN 0.001
            |              ELSE (score - mn) / (mx - mn) END AS nscore
            |  FROM (SELECT doc_id, score, min(score) OVER () AS mn, max(score) OVER () AS mx
            |        FROM k_$name)
@@ -365,15 +366,17 @@ object Queries4 {
          |),
          |n0 AS (
          |  SELECT doc_id,
-         |         CASE WHEN mx = mn AND mx = score THEN 1.0
-         |              WHEN (score - mn) / (mx - mn) = 0.0 THEN 0.001
+         |         CASE WHEN CAST(mx AS REAL) = CAST(mn AS REAL)
+         |                   AND CAST(mx AS REAL) = CAST(score AS REAL) THEN 1.0
+         |              WHEN CAST(score AS REAL) = CAST(mn AS REAL) THEN 0.001
          |              ELSE (score - mn) / (mx - mn) END AS nscore
          |  FROM (SELECT doc_id, score, min(score) OVER () AS mn, max(score) OVER () AS mx FROM k_a)
          |),
          |n1 AS (
          |  SELECT doc_id,
-         |         CASE WHEN mx = mn AND mx = score THEN 1.0
-         |              WHEN (score - mn) / (mx - mn) = 0.0 THEN 0.001
+         |         CASE WHEN CAST(mx AS REAL) = CAST(mn AS REAL)
+         |                   AND CAST(mx AS REAL) = CAST(score AS REAL) THEN 1.0
+         |              WHEN CAST(score AS REAL) = CAST(mn AS REAL) THEN 0.001
          |              ELSE (score - mn) / (mx - mn) END AS nscore
          |  FROM (SELECT doc_id, score, min(score) OVER () AS mn, max(score) OVER () AS mx FROM k_b)
          |),

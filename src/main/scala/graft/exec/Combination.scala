@@ -37,10 +37,15 @@ object Combination {
     val combined: DataFrame = spec match {
       case _: CombinationSpec.ArithmeticMean =>
         val keep = s >= 0.0
+        // zero-weight guard: a kept row with weight 0.0 makes the weight
+        // sum 0 (not null) — the reference returns ZERO_SCORE, and 0/0
+        // must never reach the Divide (NaN, or an error under ANSI)
         df.groupBy(keys: _*).agg(
-          (coalesce(sum(when(keep, w * s)), lit(0.0)) /
-            sum(when(keep, w))).as("__c"))
-          .withColumn("score", coalesce(col("__c"), lit(0.0)))
+          coalesce(sum(when(keep, w * s)), lit(0.0)).as("__cs"),
+          sum(when(keep, w)).as("__sw"))
+          .withColumn("score",
+            when(col("__sw").isNull || col("__sw") === 0.0, lit(0.0))
+              .otherwise(col("__cs") / col("__sw")))
       case _: CombinationSpec.GeometricMean =>
         val keep = s > 0.0
         df.groupBy(keys: _*).agg(

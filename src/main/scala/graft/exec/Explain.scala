@@ -23,7 +23,9 @@ object Explain {
       comb: CombinationSpec,
       paginationDepth: Option[Int] = None,
       from: Int = 0,
-      size: Int = HybridLimits.DefaultK): DataFrame = {
+      size: Int = HybridLimits.DefaultK,
+      minScore: Option[Double] = None,
+      collapse: Option[(DataFrame, Int)] = None): DataFrame = {
     HybridValidation.validate(numSubqueries, norm, comb, paginationDepth)
     val k = paginationDepth.getOrElse(from + size)
     val candidates = HybridPipeline.perSubqueryTopK(scored, k)
@@ -35,10 +37,28 @@ object Explain {
         col("subq"), col("raw_score"), col("score").as("norm_score")))).as("details"))
     val combined = Combination.combine(
       normalized.select(col("query_id"), col("subq"), col("doc_id"), col("score")), comb)
+    // min_score floor and collapse must apply here exactly as in
+    // HybridPipeline.run — explain is an OUTPUT decoration, never a
+    // different result set than the unexplained query
+    val floored = minScore match {
+      case Some(ms) => combined.where(col("score") >= ms)
+      case None     => combined
+    }
+    val collapsed = collapse match {
+      case Some((keys, docsPerGroup)) =>
+        val wc = Window.partitionBy(col("query_id"), col("collapse_key"))
+          .orderBy(col("score").desc, col("doc_id").asc)
+        floored
+          .join(keys, Seq("doc_id"), "left")
+          .withColumn("__gr", row_number().over(wc))
+          .where(col("__gr") <= docsPerGroup)
+          .drop("__gr", "collapse_key")
+      case None => floored
+    }
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id").asc)
     val technique = s"normalization [${norm.name}], combination [${comb.name}]"
-    combined
+    collapsed
       .withColumn("rank", row_number().over(w))
       .where(col("rank") > from && col("rank") <= from + size)
       .join(fragments, Seq("query_id", "doc_id"), "left")

@@ -97,12 +97,18 @@ object Normalization {
       .withColumn("__max", max(s).over(w))
     val (effMin, effMax, clipLo, clipHi) = boundCols
     val raw = (s - effMin) / (effMax - effMin)
+    // edge-case predicates compare FLOAT-cast values (the reference's
+    // Floats.compare runs on float-cast stats — see the zScore note); in
+    // particular the MIN_SCORE floor fires whenever the reference's FLOAT
+    // subtraction s_f - effMin_f is zero, i.e. s_f == effMin_f, even when
+    // the doubles differ in the last decimals
+    def f(c: Column): Column = c.cast("float")
     val normalized =
-      when(mx === mn && mx === s, lit(SingleResultScore)) // single/all-equal score
-        .when(clipLo && s < effMin, lit(MinScore)) // shouldClipToBound lower
-        .when(clipHi && s > effMax, lit(1.0)) // shouldClipToBound upper → MAX_SCORE
-        .when(effMax === effMin, lit(SingleResultScore))
-        .otherwise(when(raw === 0.0, lit(MinScore)).otherwise(raw))
+      when(f(mx) === f(mn) && f(mx) === f(s), lit(SingleResultScore)) // single/all-equal score
+        .when(clipLo && f(s) < f(effMin), lit(MinScore)) // shouldClipToBound lower
+        .when(clipHi && f(s) > f(effMax), lit(1.0)) // shouldClipToBound upper → MAX_SCORE
+        .when(f(effMax) === f(effMin), lit(SingleResultScore))
+        .otherwise(when(f(s) === f(effMin), lit(MinScore)).otherwise(raw))
     withStats.withColumn("score", normalized).drop("__min", "__max")
   }
 

@@ -72,7 +72,10 @@ object QueryCompiler {
       when(col(sq.field) === sq.queryText.getOrElse(""), lit(1.0))
     case "range" =>
       // params packed as "gte..lt" in queryText for this compact surface
-      val Array(gte, lt) = sq.queryText.getOrElse("..").split("\\.\\.", -1)
+      val parts = sq.queryText.getOrElse("..").split("\\.\\.", -1)
+      require(parts.length == 2,
+        s"range params must be 'gte..lt' (either side may be empty), got: ${sq.queryText.getOrElse("")}")
+      val Array(gte, lt) = parts
       val c1 = if (gte.nonEmpty) col(sq.field) >= gte else lit(true)
       val c2 = if (lt.nonEmpty) col(sq.field) < lt else lit(true)
       when(c1 && c2, lit(1.0))
@@ -105,7 +108,7 @@ object QueryCompiler {
     }
     if (req.explain)
       Explain.runWithExplain(scored, req.subqueries.size, req.normalization,
-        req.combination, pd, req.from, req.k)
+        req.combination, pd, req.from, req.k, req.minScore, collapse)
     else
       HybridPipeline.run(scored, req.subqueries.size, req.normalization,
         req.combination, pd, req.from, req.k, req.minScore, collapse)

@@ -132,7 +132,11 @@ object Enrich {
     current
       .join(prev, current(docId) === col("__prev_id"), "left")
       .withColumn(dst,
-        when(col("__prev_src").isNotNull && col("__prev_src") === col(src), col("__prev_emb"))
+        // reuse only when a prior embedding actually EXISTS — a null prior
+        // (partial backfill, failed ingest) must fall through to inference,
+        // as the reference's InferenceFilter does
+        when(col("__prev_src").isNotNull && col("__prev_src") === col(src)
+          && col("__prev_emb").isNotNull, col("__prev_emb"))
           .otherwise(embedUdf(dim)(col(src))))
       .drop("__prev_id", "__prev_src", "__prev_emb")
   }

@@ -72,6 +72,16 @@ object Seismic {
     val spark = corpus.sparkSession
     import spark.implicits._
 
+    // the typed clustering path keys docs by a Long id — fail fast on
+    // non-integral id columns instead of an ANSI cast error mid-job (or,
+    // with ANSI off, silently nulled ids that match nothing at search time)
+    val idType = corpus.schema(docId).dataType
+    require(
+      idType == org.apache.spark.sql.types.LongType ||
+        idType == org.apache.spark.sql.types.IntegerType ||
+        idType == org.apache.spark.sql.types.ShortType,
+      s"SEISMIC build requires an integral $docId column, got $idType")
+
     // quantized doc vectors (token -> byte weight as Int), carried into the
     // per-token groups so clustering sees full vectors (the reference reads
     // them through the forward index / SparseVectorReader)
@@ -182,6 +192,13 @@ object Seismic {
 
     // 1. query cut: top_n tokens by weight (tie: token asc)
     val cut = qTokens.toSeq.sortBy { case (t, w) => (-w, t) }.take(topN).toMap
+    // summary scoring sees the query through the SEARCH-side byte quantizer
+    // (reference SeismicBaseScorer dots a CeilSearch-quantized query against
+    // the quantized summaries) — pruning decisions carry that precision
+    // loss, final rescoring below uses the exact query
+    val cutQuantized = cut.map { case (t, w) =>
+      t -> dequantize(quantize(w, CeilSearch), CeilSearch)
+    }
     val qDf = broadcast(cut.toSeq.toDF("token", "qw"))
 
     def exactScores(cands: DataFrame): DataFrame =
@@ -198,7 +215,7 @@ object Seismic {
     val sumScores = index.summaries
       .join(qDf, "token")
       .withColumn("sscore",
-        graft.functions.VectorExpressions.sparse_dot(col("summary"), typedLit(cut)))
+        graft.functions.VectorExpressions.sparse_dot(col("summary"), typedLit(cutQuantized)))
       .persist()
 
     // 2. seed candidates: best-summary cluster per token → exact → θ
