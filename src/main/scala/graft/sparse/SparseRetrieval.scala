@@ -88,14 +88,23 @@ object SparseRetrieval {
     * codec gate SparseCodecService): exact scan below the threshold, SEISMIC
     * above — the reference's per-segment cost-based physical choice becomes
     * a per-table strategy pick here. The logical result contract is the
-    * same top-k; below threshold it is exact. */
+    * same top-k; below threshold it is exact.
+    *
+    * The SEISMIC index and the corpus row count are INGEST-time artifacts
+    * (the reference builds on merge/flush and reads segment doc counts);
+    * pass them in (`index`, `docCount`) so repeated queries do not pay a
+    * clustering job and a count scan each — when omitted they are computed
+    * once here, which is only appropriate for one-shot use. */
   def autoTopK(corpus: DataFrame, qTokens: Map[String, Float], k: Int = HybridLimits.DefaultK,
       approximateThreshold: Long = graft.seismic.Seismic.DefaultApproximateThreshold.toLong,
-      docId: String = "doc_id", tokens: String = "tokens"): DataFrame = {
-    val n = corpus.count()
+      docId: String = "doc_id", tokens: String = "tokens",
+      index: Option[graft.seismic.Seismic.SeismicIndex] = None,
+      docCount: Option[Long] = None): DataFrame = {
+    val n = docCount.getOrElse(corpus.count())
     if (n < approximateThreshold) exactTopK(corpus, qTokens, k, docId, tokens)
     else {
-      val idx = graft.seismic.Seismic.build(corpus, docId = docId, tokens = tokens)
+      val idx = index.getOrElse(
+        graft.seismic.Seismic.build(corpus, docId = docId, tokens = tokens))
       graft.seismic.Seismic.search(idx, corpus, qTokens, k = k, docId = docId, tokens = tokens)
     }
   }
