@@ -354,7 +354,7 @@ object Dedup {
     }
     def checksum(df: DataFrame): java.math.BigDecimal =
       df.agg(coalesce(sum(col("cluster_id").cast("decimal(38,0)")),
-        lit(0).cast("decimal(38,0)"))).head.getDecimal(0)
+        lit(0).cast("decimal(38,0)"))).head().getDecimal(0)
     // The fixpoint runs ONLY over nodes that appear in some pair — on a
     // dedup workload that is orders of magnitude smaller than the corpus
     // (pairs ≪ docs); untouched ids are singletons by definition and are
