@@ -233,22 +233,54 @@ object Dedup {
   // ----------------------------------------------------- embedding near-dup
 
   /** Embedding cosine near-dup pairs (cosine ≥ threshold). Brute-force
-    * variant: full self-join — O(n²), exact; only for candidate sets /
-    * verification. Norms are hoisted out of the pair loop: per pair only
-    * the dot product is computed (cosine = dot / (‖a‖·‖b‖)), a 3× flop
-    * reduction over recomputing both norms per pair. */
+    * variant — O(n²), exact; only for candidate sets / verification (the
+    * scale path is the LSH variant below). One side is broadcast and the
+    * pair loop runs in mapPartitions over row ranges: the same
+    * distribution posture as the BroadcastNestedLoopJoin Catalyst picks
+    * for the crossJoin form (which also materializes one side driver-side
+    * to build its broadcast relation), but without per-pair join-row
+    * materialization — the join OUTPUT rows, not the flops, were the
+    * cost. Norms are hoisted; per pair only the dot product runs. */
   def embeddingNearDupBrute(df: DataFrame, vecCol: String = "embedding",
       idCol: String = "vec_id", threshold: Double = 0.95): DataFrame = {
-    val withNorm = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      sqrt(VectorExpressions.dense_dot(col(vecCol), col(vecCol))).as("nrm"))
-    val l = withNorm.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
-    val r = withNorm.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
-    l.crossJoin(r).where(col("id_a") < col("id_b"))
-      .withColumn("cosine", round(
-        when(col("n_a") === 0.0 || col("n_b") === 0.0, lit(0.0))
-          .otherwise(VectorExpressions.dense_dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))), 6))
-      .where(col("cosine") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cosine"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val all = df.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Seq[Float])].collect()
+      .sortBy(_._1)
+      .map { case (i, v) =>
+        val a = v.toArray
+        var s = 0.0; var k = 0
+        while (k < a.length) { s += a(k).toDouble * a(k); k += 1 }
+        (i, a, math.sqrt(s))
+      }
+    val bc = spark.sparkContext.broadcast(all)
+    val n = all.length
+    // Spark's round() semantics: BigDecimal HALF_UP at 6 dp (matches the
+    // DuckDB oracle's round as the SQL-expression form did)
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    spark.sparkContext
+      .parallelize(0 until n,
+        math.max(1, math.min(n, spark.sparkContext.defaultParallelism * 4)))
+      .flatMap { i =>
+        val arr = bc.value
+        val (ia, va, na) = arr(i)
+        Iterator.range(i + 1, arr.length).flatMap { j =>
+          val (ib, vb, nb) = arr(j)
+          val cos =
+            if (na == 0.0 || nb == 0.0) 0.0
+            else {
+              var dot = 0.0; var k = 0
+              val len = math.min(va.length, vb.length)
+              while (k < len) { dot += va(k).toDouble * vb(k); k += 1 }
+              dot / (na * nb)
+            }
+          val r = round6(cos)
+          if (r >= threshold) Some((ia, ib, r)) else None
+        }
+      }
+      .toDF("id_a", "id_b", "cosine")
   }
 
   /** Scale path: random-hyperplane LSH buckets, exact cosine within bucket.
