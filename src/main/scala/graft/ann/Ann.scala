@@ -50,7 +50,10 @@ object Ann {
   def trainCentroids(df: DataFrame, dim: Int, nlist: Int, iters: Int = 2,
       vecCol: String = "embedding", seed: Long = 42L): Array[Array[Float]] = {
     var centroids = df.select(col(vecCol))
-      .orderBy(xxhash64(col(vecCol).cast("string"), lit(seed)))
+      // secondary sort on the vector's string form: hash ties (identical
+      // vectors, or collisions) would otherwise resolve by partition order
+      // and make the seed set layout-dependent
+      .orderBy(xxhash64(col(vecCol).cast("string"), lit(seed)), col(vecCol).cast("string"))
       .limit(nlist)
       .collect()
       .map(_.getSeq[Float](0).toArray)
@@ -81,7 +84,11 @@ object Ann {
       VectorExpressions.dense_cosine(col(vecCol), typedLit(c))): _*)
     df.withColumn("__cscores", scores)
       .withColumn("centroid_id",
-        (array_position(col("__cscores"), array_max(col("__cscores"))) - 1).cast("int"))
+        // null embedding -> every cosine null -> sentinel -1 (never probed,
+        // never a null groupBy key in trainCentroids' refinement)
+        coalesce(
+          (array_position(col("__cscores"), array_max(col("__cscores"))) - 1).cast("int"),
+          lit(-1)))
       .drop("__cscores")
   }
 
@@ -90,14 +97,8 @@ object Ann {
   def ivfTopK(assigned: DataFrame, centroids: Array[Array[Float]],
       query: Array[Float], k: Int, nprobe: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    def cos(a: Array[Float], b: Array[Float]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
-      if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
-    }
     val probed = centroids.zipWithIndex
-      .map { case (c, i) => (i, cos(c, query)) }
+      .map { case (c, i) => (i, VectorExpressions.cosineArrays(c, query)) }
       .sortBy { case (i, s) => (-s, i) }
       .take(nprobe).map(_._1)
     bruteForceTopK(

@@ -6,7 +6,9 @@ package graft.functions
   *   - max_ratio  (PruneUtils.java:74-92):   keep weights >= ratio * max
   *   - abs_value  (PruneUtils.java:104-121): keep weights >= threshold
   *   - alpha_mass (PruneUtils.java:133-166): keep the largest-weight prefix
-  *     whose cumulative mass stays <= ratio * total (first element always kept)
+  *     whose INCLUSIVE cumulative mass stays <= ratio * total — the crossing
+  *     item is dropped, and nothing is kept when the single largest weight
+  *     already exceeds ratio * total (no first-element special case)
   * `split` (PruneUtils.splitSparseVector:189-199) returns (kept, pruned) —
   * used by sparse two-phase and SEISMIC summary pruning.
   */

@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, MapData}
@@ -19,6 +20,47 @@ import org.apache.spark.unsafe.types.UTF8String
   * precision and are null-safe (null in → null out).
   */
 object VectorExpressions {
+
+  // Input-type checks: ExpectsInputTypes is private[sql] in Spark 4, so the
+  // expressions validate via checkInputDataTypes instead — a SQL call with
+  // ArrayType(DoubleType) would otherwise misread 4 of every 8 bytes
+  // through getFloat (silently wrong scores, not an error).
+  private def checkFloatArrays(name: String, children: Seq[Expression]): TypeCheckResult = {
+    val bad = children.find(c => c.dataType match {
+      case ArrayType(FloatType, _) => false
+      case _                       => true
+    })
+    bad match {
+      case Some(c) => TypeCheckResult.TypeCheckFailure(
+        s"$name requires array<float> arguments, got ${c.dataType.catalogString} — cast embeddings to array<float>")
+      case None => TypeCheckResult.TypeCheckSuccess
+    }
+  }
+
+  private def checkFloatMaps(name: String, children: Seq[Expression]): TypeCheckResult = {
+    val bad = children.find(c => c.dataType match {
+      case MapType(StringType, FloatType, _) => false
+      case _                                 => true
+    })
+    bad match {
+      case Some(c) => TypeCheckResult.TypeCheckFailure(
+        s"$name requires map<string,float> arguments, got ${c.dataType.catalogString}")
+      case None => TypeCheckResult.TypeCheckSuccess
+    }
+  }
+
+  /** Driver-side scalar cosine over float arrays — the one shared kernel
+    * for small collected candidate sets (MMR, IVF probing); matches
+    * DenseCosine's dot/sqrt(na·nb) with 0.0 on zero norms. */
+  private[graft] def cosineArrays(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
 
   // Local names come from ctx.freshName: nullSafeCodeGen only brace-wraps
   // the result code when a child is nullable, so fixed names would collide
@@ -39,6 +81,8 @@ object VectorExpressions {
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def prettyName: String = "dense_dot"
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkFloatArrays(prettyName, children)
 
     override protected def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
@@ -62,6 +106,8 @@ object VectorExpressions {
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def prettyName: String = "dense_cosine"
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkFloatArrays(prettyName, children)
 
     override protected def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
@@ -107,6 +153,8 @@ object VectorExpressions {
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def prettyName: String = "sparse_dot"
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkFloatMaps(prettyName, children)
 
     @transient private lazy val foldedRight: java.util.HashMap[UTF8String, java.lang.Float] =
       if (right.foldable) {

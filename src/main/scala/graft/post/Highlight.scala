@@ -20,6 +20,12 @@ import graft.ml.HashEmbedder
   * Applied post-top-k (a projection over ≤ k rows), batch mode = the same
   * UDF evaluated once per partition batch — mirroring the reference's
   * single vs batch inference split.
+  *
+  * Known divergence: sentences are rejoined with a single space, so
+  * original inter-sentence whitespace (newlines, runs of spaces) is
+  * normalized in the highlighted output; the DuckDB oracle replicates the
+  * same normalization. Preserve-original-spans would require carrying
+  * sentence offsets through the split.
   */
 object Highlight {
 

@@ -47,20 +47,17 @@ object Rerank {
     */
   def mmr(candidates: Array[(Long, Double, Array[Float])], k: Int,
       lambda: Double = 0.5): Seq[(Long, Double, Int)] = {
-    def cosine(a: Array[Float], b: Array[Float]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
-      if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
-    }
+    import graft.functions.VectorExpressions.cosineArrays
     val vecOf = candidates.map(c => c._1 -> c._3).toMap
     val remaining = scala.collection.mutable.LinkedHashMap(candidates.map(c => c._1 -> c): _*)
     val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Int)]
     var rank = 1
-    while (selected.length < math.min(k, candidates.length)) {
+    // bound on remaining.nonEmpty, not candidates.length: duplicate doc_ids
+    // collapse in the map, and a length-based bound would maxBy on empty
+    while (selected.length < k && remaining.nonEmpty) {
       val best = remaining.values.maxBy { case (id, rel, v) =>
         val maxSim = if (selected.isEmpty) 0.0
-        else selected.iterator.map(s => cosine(v, vecOf(s._1))).max
+        else selected.iterator.map(s => cosineArrays(v, vecOf(s._1))).max
         (lambda * rel - (1 - lambda) * maxSim, -id.toDouble) // deterministic tie-break
       }
       selected += ((best._1, best._2, rank))

@@ -33,8 +33,7 @@ object TextAnalysis {
       d.withColumn(s"hits_$lang", size(filter(t, x => array_contains(wl, x))))
     }
     // argmax with deterministic tie-break: highest hits, then lang code asc
-    val langs = stopwords.keys.toSeq.sorted
-    val best = langs.foldLeft((lit("und"), lit(0))) { case ((bl, bh), l) =>
+    val best = langsSorted.foldLeft((lit("und"), lit(0))) { case ((bl, bh), l) =>
       val h = col(s"hits_$l")
       (when(h > bh, lit(l)).otherwise(bl), when(h > bh, h).otherwise(bh))
     }
@@ -82,9 +81,19 @@ object TextAnalysis {
     }
     h
   }
-  private def mulMod(a: Long, b: Long, m: Long): Long =
-    java.math.BigInteger.valueOf(a).multiply(java.math.BigInteger.valueOf(b))
-      .mod(java.math.BigInteger.valueOf(m)).longValue()
+  /** (a*b) mod (2^61-1) without allocation — the BigInteger form burned
+    * three objects per TOKEN inside the corpus-wide fingerprint UDF. The
+    * 128-bit product is (hi, lo) via Math.multiplyHigh; with the Mersenne
+    * modulus 2^61 ≡ 1, fold v = q·2^61 + r ≡ q + r twice. Equality with the
+    * BigInteger form is property-tested. */
+  private[graft] def mulMod(a: Long, b: Long, m: Long): Long = {
+    val hi = Math.multiplyHigh(a, b)
+    val lo = a * b
+    // q = floor(v / 2^61) = (hi << 3) | (lo >>> 61); r = (lo mod 2^61) + q
+    var r = (lo & m) + ((hi << 3) | (lo >>> 61))
+    while (r >= m) r -= m // at most twice for our ranges; r == m reduces to 0
+    r
+  }
 
   private val rollingHashUdf = udf((s: String) => rollingHash(HashEmbedder.tokenize(s).toSeq))
 

@@ -279,6 +279,20 @@ class TextMultimodalSpec extends SparkSpec {
     assert(a == TextAnalysis.rollingHash(Seq("a", "b", "c")))
   }
 
+  test("allocation-free mulMod equals the BigInteger form (property)") {
+    val M = (1L << 61) - 1
+    def ref(a: Long, b: Long): Long =
+      java.math.BigInteger.valueOf(a).multiply(java.math.BigInteger.valueOf(b))
+        .mod(java.math.BigInteger.valueOf(M)).longValue()
+    val rnd = new scala.util.Random(3L)
+    val edge = Seq(0L, 1L, 31L, M - 1, M, (1L << 32) - 1)
+    val cases = edge.flatMap(a => edge.map(a -> _)) ++
+      Seq.fill(500)((rnd.nextLong(M), rnd.nextLong(1L << 32)))
+    cases.foreach { case (a, b) =>
+      assert(TextAnalysis.mulMod(a, b, M) == ref(a, b), s"mulMod($a, $b)")
+    }
+  }
+
   test("multimodal feature extraction is deterministic with stable schema") {
     val df = Seq((1L, Array[Byte](1, 2, 3, 4, 5, 6)), (2L, Array[Byte](9, 9, 9))).toDF("id", "payload")
     val out = Multimodal.extractFeatures(df, "payload", dim = 8)
