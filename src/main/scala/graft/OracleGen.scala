@@ -143,6 +143,89 @@ private[graft] object OracleGen {
        |FROM dv JOIN (VALUES $qValues) AS q(t, qw) USING (t)
        |GROUP BY dv.doc_id""".stripMargin
 
+  /** SEISMIC pruned-search oracle, valid when the index was built with
+    * `nPostings < Seismic.MinClusterSize` (λ-truncated postings → every
+    * token's posting list is a SINGLE cluster, so the build contains no
+    * seeded randomness and the whole pipeline is SQL-expressible):
+    * quantized postings (ingest ceiling 3.0, byte quantizer float steps
+    * replicated — DuckDB REAL arithmetic is float32), top-λ truncation,
+    * token-wise-max summaries with α-mass prefix pruning, summary scores
+    * against the search-quantized query cut, θ = k-th exact seed score,
+    * cluster pruning at θ/heap_factor, exact rescore of survivors.
+    * Mirrors graft.seismic.Seismic.{build,search} step for step. */
+  def seismicSql(q: Map[String, Float], nPostings: Int, k: Int, topN: Int,
+      heapFactor: Float): String = {
+    import graft.seismic.Seismic
+    require(nPostings > 0 && nPostings < Seismic.MinClusterSize,
+      "oracle form requires single-cluster (λ < min cluster size) builds")
+    val cut = q.toSeq.sortBy { case (t, w) => (-w, t) }.take(topN).toMap
+    val cutQuantized = cut.map { case (t, w) =>
+      t -> Seismic.dequantize(Seismic.quantize(w, Seismic.CeilSearch), Seismic.CeilSearch)
+    }
+    val cutValues = valuesOf(cutQuantized)
+    val fullValues = valuesOf(q)
+    val alpha = f64(Seismic.DefaultSummaryPruneRatio)
+    val hf = f64(heapFactor)
+    // float-exact byte quantizer: REAL ops stay float32 in DuckDB
+    val quant =
+      """CAST(round(CAST(least(w, CAST(3.0 AS REAL)) AS REAL)
+        |     * CAST(255.0 AS REAL) / CAST(3.0 AS REAL)) AS INT)""".stripMargin
+    val dequant = // mq INT → float steps of dequantize(mq, CeilIngest)
+      """CAST(CAST(mq AS REAL) * CAST(3.0 AS REAL) / CAST(255.0 AS REAL) AS DOUBLE)"""
+    s"""WITH $docVectorsCte,
+       |qp AS (
+       |  SELECT doc_id, t, $quant AS q FROM dv
+       |),
+       |members AS (
+       |  SELECT token, doc_id FROM (
+       |    SELECT t AS token, doc_id,
+       |           row_number() OVER (PARTITION BY t ORDER BY q DESC, doc_id ASC) AS rn
+       |    FROM qp) WHERE rn <= $nPostings
+       |),
+       |summ AS (
+       |  SELECT m.token, p.t, max(p.q) AS mq
+       |  FROM members m JOIN qp p USING (doc_id)
+       |  GROUP BY m.token, p.t
+       |),
+       |spruned AS (
+       |  SELECT token, t, mq FROM (
+       |    SELECT token, t, mq,
+       |           sum(mq) OVER (PARTITION BY token ORDER BY mq DESC, t ASC
+       |                         ROWS UNBOUNDED PRECEDING) - mq AS prior,
+       |           floor(sum(mq) OVER (PARTITION BY token) * $alpha) AS thr
+       |    FROM summ) WHERE prior <= thr
+       |),
+       |cutq(t, qw) AS (VALUES $cutValues),
+       |ctoks AS (SELECT DISTINCT m.token FROM members m JOIN cutq c ON c.t = m.token),
+       |ov AS (
+       |  SELECT s.token, sum($dequant * CAST(c.qw AS DOUBLE)) AS s
+       |  FROM spruned s JOIN cutq c ON c.t = s.t GROUP BY s.token
+       |),
+       |sscore AS (
+       |  SELECT ct.token, round(coalesce(ov.s, 0.0), 6) AS sc
+       |  FROM ctoks ct LEFT JOIN ov ON ov.token = ct.token
+       |),
+       |seedd AS (SELECT DISTINCT m.doc_id FROM members m JOIN ctoks USING (token)),
+       |sexact AS (
+       |  SELECT dv.doc_id, round(sum(CAST(dv.w AS DOUBLE) * CAST(fq.qw AS DOUBLE)), 6) AS score
+       |  FROM dv JOIN (VALUES $fullValues) AS fq(t, qw) ON fq.t = dv.t
+       |  JOIN seedd USING (doc_id) GROUP BY dv.doc_id
+       |),
+       |theta AS (
+       |  SELECT CASE WHEN count(*) < $k THEN 0.0 ELSE min(score) END AS th
+       |  FROM (SELECT score FROM sexact ORDER BY score DESC LIMIT $k)
+       |),
+       |kept AS (SELECT s.token FROM sscore s, theta WHERE s.sc >= theta.th / $hf),
+       |cand AS (SELECT DISTINCT m.doc_id FROM members m JOIN kept USING (token)),
+       |fexact AS (
+       |  SELECT dv.doc_id, round(sum(CAST(dv.w AS DOUBLE) * CAST(fq.qw AS DOUBLE)), 6) AS score
+       |  FROM dv JOIN (VALUES $fullValues) AS fq(t, qw) ON fq.t = dv.t
+       |  JOIN cand USING (doc_id) GROUP BY dv.doc_id
+       |)
+       |SELECT doc_id, score FROM fexact WHERE score > 0.0
+       |ORDER BY score DESC, doc_id ASC LIMIT $k""".stripMargin
+  }
+
   /** Full hybrid pipeline oracle: two sparse subqueries (A, B), per-subquery
     * top-K, normalization, combination (with skip semantics), optional
     * collapse, pagination. */
@@ -175,7 +258,14 @@ private[graft] object OracleGen {
   /** Fully general hybrid oracle: each element of `scoreSqls` is a SELECT
     * producing (doc_id, score) for one subquery (already >0-filtered where
     * the Spark side null-guards), `preamble` carries the shared CTEs the
-    * score SELECTs reference (sparse doc vectors, hash embeddings, ...). */
+    * score SELECTs reference (sparse doc vectors, hash embeddings, ...).
+    *
+    * `subqueryCollapse` = (documents key column, docsPerGroup): collapse
+    * each SUBQUERY's matches per key before the K-cut (the
+    * HybridCollapsingTopDocsCollector per-subquery semantics).
+    * `postFilterWhere`: condition over `documents d` applied to the
+    * combined result AFTER normalization/combination (post_filter — does
+    * not change normalization statistics). */
   def hybridFromScores(
       scoreSqls: Seq[String],
       norm: String,
@@ -185,16 +275,28 @@ private[graft] object OracleGen {
       from: Int = 0,
       size: Int = 10,
       collapse: Option[(String, Int)] = None,
-      preamble: String = docVectorsCte): String = {
+      preamble: String = docVectorsCte,
+      subqueryCollapse: Option[(String, Int)] = None,
+      postFilterWhere: Option[String] = None): String = {
     val qs = scoreSqls
-    def subq(name: String, scoreSql: String): String =
+    def subq(name: String, scoreSql: String): String = {
+      val kSrc = subqueryCollapse match {
+        case Some((keyCol, perGroup)) =>
+          s"""(SELECT doc_id, score FROM (
+             |    SELECT s.doc_id, s.score,
+             |           row_number() OVER (PARTITION BY d.$keyCol
+             |                ORDER BY s.score DESC, s.doc_id ASC) AS gr
+             |    FROM s_$name s JOIN documents d USING (doc_id)) WHERE gr <= $perGroup)""".stripMargin
+        case None => s"s_$name"
+      }
       s"""s_$name AS ($scoreSql),
          |k_$name AS (
          |  SELECT doc_id, score FROM (
          |    SELECT doc_id, score,
          |           row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
-         |    FROM s_$name) WHERE rn <= $k
+         |    FROM $kSrc) WHERE rn <= $k
          |)""".stripMargin
+    }
     def normCte(name: String): String = norm match {
       case "min_max" =>
         // float-cast predicates mirror Normalization.minMax (and the
@@ -247,18 +349,27 @@ private[graft] object OracleGen {
       case "rrf" =>
         "coalesce(sum(CASE WHEN nscore >= 0 THEN w * nscore END), 0.0)"
     }
+    val postFilterCte = postFilterWhere match {
+      case Some(cond) =>
+        s""", pcomb AS (
+           |  SELECT c.doc_id, c.score FROM comb c JOIN documents d USING (doc_id)
+           |  WHERE $cond
+           |)""".stripMargin
+      case None => ""
+    }
+    val combSrc = if (postFilterWhere.isDefined) "pcomb" else "comb"
     val collapseCte = collapse match {
       case Some((keyCol, perGroup)) =>
         s""", coll AS (
            |  SELECT doc_id, score FROM (
-           |    SELECT comb.doc_id, comb.score,
+           |    SELECT c.doc_id, c.score,
            |           row_number() OVER (PARTITION BY d.$keyCol
-           |                ORDER BY comb.score DESC, comb.doc_id ASC) AS gr
-           |    FROM comb JOIN documents d USING (doc_id)) WHERE gr <= $perGroup
+           |                ORDER BY c.score DESC, c.doc_id ASC) AS gr
+           |    FROM $combSrc c JOIN documents d USING (doc_id)) WHERE gr <= $perGroup
            |)""".stripMargin
       case None => ""
     }
-    val rankedSrc = if (collapse.isDefined) "coll" else "comb"
+    val rankedSrc = if (collapse.isDefined) "coll" else combSrc
     val names = qs.indices.map(i => ('a' + i).toChar.toString)
     val subqCtes = names.zip(qs).map { case (n, sql) => subq(n, sql) }.mkString(",\n")
     val normCtes = names.zipWithIndex.map { case (n, i) => s"n$i AS (${normCte(n)})" }.mkString(", ")
@@ -271,7 +382,7 @@ private[graft] object OracleGen {
        |  SELECT doc_id, $combine AS score
        |  FROM ($unioned)
        |  GROUP BY doc_id
-       |)$collapseCte, ranked AS (
+       |)$postFilterCte$collapseCte, ranked AS (
        |  SELECT doc_id, score,
        |         CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank
        |  FROM $rankedSrc

@@ -76,20 +76,22 @@ object Queries4 {
         .orderBy(col("user_id"))
     }),
 
-    // MLlib engines (BASELINE approach: MLlib for vectorization/indexing)
-    "q_mllib_tfidf" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val model = graft.ml.MllibVectorizer.fitTfIdf(docs)
-      graft.ml.MllibVectorizer.tfIdfTopK(model, docs, "spark join fast table scan", 10)
-    }),
+    // MLlib engines (BASELINE approach: MLlib for vectorization/indexing),
+    // restructured as candidates-from-MLlib + engine-exact-rescore cascades
+    // so the emitted relation is oracle-verifiable even though the MLlib
+    // internals (murmur3 hashing, minhash families, BRP projections) are
+    // opaque to SQL. Candidate margins are checked by MllibSpec.
+    "q_mllib_tfidf" -> ((s, dir) =>
+      graft.ml.MllibVectorizer.tfIdfTopKRescored(
+        t(s, dir, "documents"), "spark join fast table scan", 10)),
 
     "q_mllib_minhash" -> ((s, dir) =>
-      graft.ml.MllibVectorizer.minhashNearDup(t(s, dir, "documents"),
-        maxJaccardDistance = 0.5)
+      graft.ml.MllibVectorizer.minhashNearDupRescored(
+        t(s, dir, "documents"), threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))),
 
     "q_mllib_ann" -> ((s, dir) =>
-      graft.ml.MllibVectorizer.annTopK(t(s, dir, "embeddings"),
+      graft.ml.MllibVectorizer.annTopKRescored(t(s, dir, "embeddings"),
         SparkEntry.qDense64, 10, numHashTables = 6, bucketLength = 5.0)),
 
     // aggregations alongside hybrid (HybridAggregationProcessor, §2.5):
@@ -234,6 +236,72 @@ object Queries4 {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // exact term-space tf-idf cosine (MLlib-compatible formula: tf = raw
+    // count, idf = ln((m+1)/(df+1)), L2 norms both sides) — the engine's
+    // rescoring stage recomputes precisely this, so the MLlib candidate
+    // stage only has to COVER the true top-10
+    "q_mllib_tfidf" -> {
+      val qt = graft.ml.HashEmbedder.tokenize("spark join fast table scan")
+        .groupBy(identity).map { case (tk, ts) => (tk, ts.length) }.toSeq.sortBy(_._1)
+        .map { case (tk, c) => s"('$tk', ${c.toDouble})" }.mkString(", ")
+      s"""WITH tfq AS (
+         |  SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf FROM (
+         |    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS t
+         |    FROM documents)
+         |  WHERE t <> '' GROUP BY doc_id, t
+         |), dfq AS (SELECT t, count(*) AS df FROM tfq GROUP BY t),
+         |mq AS (SELECT count(*) AS m FROM documents),
+         |wd AS (
+         |  SELECT doc_id, t, tf * ln((mq.m + 1.0) / (dfq.df + 1.0)) AS w
+         |  FROM tfq JOIN dfq USING (t) CROSS JOIN mq
+         |), dnorm AS (SELECT doc_id, sqrt(sum(w * w)) AS dnorm FROM wd GROUP BY doc_id),
+         |qt(t, qtf) AS (VALUES $qt),
+         |qw AS (
+         |  SELECT qt.t, qt.qtf * ln((mq.m + 1.0) / (coalesce(dfq.df, 0) + 1.0)) AS qw
+         |  FROM qt LEFT JOIN dfq USING (t) CROSS JOIN mq
+         |), qnorm AS (SELECT sqrt(sum(qw * qw)) AS qn FROM qw),
+         |dots AS (
+         |  SELECT wd.doc_id, sum(wd.w * qw.qw) AS dot
+         |  FROM wd JOIN qw USING (t) GROUP BY wd.doc_id
+         |)
+         |SELECT doc_id, score FROM (
+         |  SELECT d.doc_id,
+         |         round(d.dot / (dn.dnorm * (SELECT qn FROM qnorm)), 6) AS score
+         |  FROM dots d JOIN dnorm dn USING (doc_id))
+         |WHERE score > 0.0
+         |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin
+    },
+
+    // exact all-pairs shingle Jaccard ≥ 0.5 — the engine's verification
+    // stage recomputes string-shingle Jaccard on the MLlib candidate pairs,
+    // so the relation equals the brute-force form
+    "q_mllib_minhash" ->
+      s"""WITH ${OracleGen.shingleCte(3, "mm_sh")},
+         |cnt AS (SELECT doc_id, count(*) AS n FROM mm_sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+         |  FROM mm_sh x JOIN mm_sh y ON x.s = y.s AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT a AS id_a, b AS id_b,
+         |       round(i * 1.0 / (ca.n + cb.n - i), 4) AS jaccard
+         |FROM inter JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b
+         |WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // exact Euclidean top-10 (the BRP-LSH metric); candidates from MLlib,
+    // distances recomputed by the engine's kernel
+    "q_mllib_ann" -> {
+      val qv = OracleGen.doubleList(SparkEntry.qDense64)
+      s"""SELECT vec_id, dist FROM (
+         |  SELECT vec_id,
+         |         round(sqrt(list_sum(list_transform(
+         |           list_zip(CAST(embedding AS DOUBLE[]), $qv),
+         |           p -> (p[1] - p[2]) * (p[1] - p[2])))), 6) AS dist
+         |  FROM embeddings)
+         |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin
+    },
+
     // connected components via transitive closure (recursive CTE): the
     // min reachable id IS the min-label fixpoint resolveClusters computes.
     // Closure size is bounded by sum(component size^2) — near-dup groups

@@ -64,15 +64,19 @@ object QueriesExtra {
     "q_sparse_two_phase" -> ((s, dir) =>
       SparseRetrieval.twoPhaseTopK(docsWithTokens(s, dir), qTokensA, k = 10)),
 
-    // SEISMIC pruned sparse ANN (no SQL oracle: clustered index; invariant
-    // vs exact covered by SeismicSpec)
+    // SEISMIC pruned sparse ANN over the λ-truncated (single-cluster,
+    // randomness-free) index: the ENTIRE pipeline — byte quantization,
+    // posting truncation, α-pruned summaries, θ seeding, heap_factor
+    // cluster pruning, exact rescore — is replicated in the DuckDB oracle
+    // (OracleGen.seismicSql). The default multi-cluster index keeps its
+    // no-pruning≡exact invariant in SeismicSpec.
     "q_seismic" -> ((s, dir) => {
       // corpus is persisted by the shared ingest cache; the index comes from
       // the ingest-time memo (the reference builds SEISMIC on merge/flush —
       // queries measure search, not re-indexing)
       val docs = docsWithTokens(s, dir)
-      val idx = SparkEntry.seismicIndex(s, dir)
-      Seismic.search(idx, docs, qTokensA, k = 10, topN = 5, heapFactor = 2.0f)
+      val idx = SparkEntry.seismicTruncIndex(s, dir)
+      Seismic.search(idx, docs, qTokensA, k = 10, topN = 3, heapFactor = 2.0f)
     }),
 
     // chunkers
@@ -163,11 +167,15 @@ object QueriesExtra {
       Rerank.mmrRerank(cands, "embedding", k = 10, lambda = 0.5, candidates = 50)
     }),
 
-    // ANN scale path
+    // ANN scale path: IVF with the SEEDED coarse quantizer (the centroid
+    // literals are inlined into the oracle like Dedup.lshPlanes; the
+    // trained-centroid variant keeps its full-probe≡brute invariant in
+    // AnnSpec). Cell assignment rounds cosines to 6dp before the argmax so
+    // both engines assign identically.
     "q_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val centroids = Ann.trainCentroids(emb, dim = 64, nlist = 8, iters = 1)
-      Ann.ivfTopK(Ann.assign(emb, centroids), centroids, qDense64, 10, nprobe = 4)
+      val centroids = Ann.seededCentroids(nlist = 8, dim = 64)
+      Ann.ivfTopK(Ann.assign(emb, centroids, roundDp = 6), centroids, qDense64, 10, nprobe = 4)
     }),
 
     // ingest enrichment (semantic field pipeline) — summary stats output
@@ -222,6 +230,39 @@ object QueriesExtra {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // the whole SEISMIC build+search pipeline in SQL (valid because the
+    // λ-truncated build is single-cluster and randomness-free)
+    "q_seismic" -> OracleGen.seismicSql(qTokensA,
+      nPostings = SparkEntry.SeismicTruncNPostings, k = 10, topN = 3,
+      heapFactor = 2.0f),
+
+    // IVF: seeded centroid literals + rounded-argmax assignment + probed
+    // cells (computed by the same Scala code the query uses) + exact cosine
+    "q_ann_ivf" -> {
+      val centroids = Ann.seededCentroids(nlist = 8, dim = 64)
+      val probed = Ann.probedCells(centroids, qDense64, nprobe = 4)
+      val centRows = centroids.zipWithIndex
+        .map { case (c, i) => s"($i, ${OracleGen.doubleList(c)})" }
+        .mkString(",\n")
+      val cosAssign = OracleGen.denseCosineSql("CAST(e.embedding AS DOUBLE[])", "c.c")
+      val cosScore = OracleGen.denseCosineSql("CAST(e.embedding AS DOUBLE[])",
+        OracleGen.doubleList(qDense64))
+      s"""WITH cents(i, c) AS (VALUES
+         |$centRows
+         |), assigned AS (
+         |  SELECT vec_id, ci FROM (
+         |    SELECT e.vec_id, c.i AS ci,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |                ORDER BY round($cosAssign, 6) DESC, c.i ASC) AS rn
+         |    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1
+         |)
+         |SELECT vec_id, score FROM (
+         |  SELECT e.vec_id, round($cosScore, 6) AS score
+         |  FROM embeddings e JOIN assigned a USING (vec_id)
+         |  WHERE a.ci IN (${probed.mkString(", ")}))
+         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin
+    },
+
     "q_sparse_postings" ->
       s"""WITH $docVectorsCte,
          |scores AS (${sparseScoreSql(valuesOf(qTokensA))})

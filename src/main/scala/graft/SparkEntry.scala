@@ -22,16 +22,18 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Ingest-time enrichment cache: the `tokens` column is written ONCE at
-    * ingest in a real deployment (Enrich.sparseEncoding), not recomputed per
-    * query — memoize the enriched corpus per (session, dir) so the 50+
-    * driver-contract queries measure QUERY cost, not re-ingest cost. */
+  /** Ingest-time enrichment cache: the `tokens` and `emb` columns are
+    * written ONCE at ingest in a real deployment (Enrich.sparseEncoding /
+    * textEmbedding), not recomputed per query — memoize the enriched corpus
+    * per (session, dir) so the 50+ driver-contract queries measure QUERY
+    * cost, not re-ingest cost. */
   private val corpusCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private[graft] def docsWithTokens(spark: SparkSession, dir: String): DataFrame =
     corpusCache.computeIfAbsent((spark, dir), { case (s, d) =>
       t(s, d, "documents")
         .withColumn("tokens", encodeUdf(col("text")))
+        .withColumn("emb", embedUdf(HashEmbedder.DefaultDim)(col("text")))
         .persist()
     })
 
@@ -44,6 +46,19 @@ object SparkEntry {
   private[graft] def seismicIndex(spark: SparkSession, dir: String): graft.seismic.Seismic.SeismicIndex =
     seismicCache.computeIfAbsent((spark, dir), { case (s, d) =>
       graft.seismic.Seismic.build(docsWithTokens(s, d))
+    })
+
+  /** λ-truncated SEISMIC index (posting truncation below the min cluster
+    * size ⇒ single-cluster-per-token, seeded-randomness-free build) — the
+    * driver-gate variant whose whole search pipeline the DuckDB oracle
+    * replicates (OracleGen.seismicSql). The default multi-cluster index
+    * above stays invariant-tested in SeismicSpec. */
+  private[graft] val SeismicTruncNPostings = 8
+  private val seismicTruncCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), graft.seismic.Seismic.SeismicIndex]()
+  private[graft] def seismicTruncIndex(spark: SparkSession, dir: String): graft.seismic.Seismic.SeismicIndex =
+    seismicTruncCache.computeIfAbsent((spark, dir), { case (s, d) =>
+      graft.seismic.Seismic.build(docsWithTokens(s, d), nPostings = SeismicTruncNPostings)
     })
 
   private[graft] val encodeUdf = udf((s: String) => HashEmbedder.encode(s))
@@ -111,7 +126,7 @@ object SparkEntry {
   // ---------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    coreQueries ++ QueriesExtra.queries ++ Queries3.queries ++ Queries4.queries
+    coreQueries ++ QueriesExtra.queries ++ Queries3.queries ++ Queries4.queries ++ Queries5.queries
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- relational skeleton (scan/filter/agg/join/window/topk) --------------
@@ -241,7 +256,7 @@ object SparkEntry {
   // ------------------------------------------------------------- oracle SQL
 
   def oracleSql: Map[String, String] =
-    coreOracleSql ++ QueriesExtra.oracleSql ++ Queries3.oracleSql ++ Queries4.oracleSql
+    coreOracleSql ++ QueriesExtra.oracleSql ++ Queries3.oracleSql ++ Queries4.oracleSql ++ Queries5.oracleSql
 
   private def coreOracleSql: Map[String, String] = Map(
     "q1_agg" ->

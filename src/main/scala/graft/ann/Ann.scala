@@ -72,16 +72,33 @@ object Ann {
     centroids
   }
 
+  /** Data-independent seeded Gaussian centroids — a coarse quantizer whose
+    * cell layout does not depend on the corpus (k-means with zero Lloyd
+    * iterations). trainCentroids is the quality path; this one exists so
+    * the assignment is reproducible from the seed alone (the oracle
+    * generator inlines the identical centroid literals, the same protocol
+    * as Dedup.lshPlanes). */
+  def seededCentroids(nlist: Int, dim: Int, seed: Long = 42L): Array[Array[Float]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nlist, dim)(rnd.nextGaussian().toFloat)
+  }
+
   /** Assign each vector to its max-cosine centroid (codegen'd, no shuffle).
     * Scores land in one array column and the argmax is
     * array_position(scores, array_max(scores)) — first max wins on ties.
     * (A when-chain fold here nests each prior score expression twice per
     * step → exponential generated code → janino's 64 KB method limit →
-    * silent interpreted fallback; the array form stays linear.) */
+    * silent interpreted fallback; the array form stays linear.)
+    *
+    * `roundDp ≥ 0` rounds each cosine before the argmax: cross-engine
+    * cell-assignment determinism (double sums in different orders diverge
+    * in the last ulp, which at a cell boundary flips the assignment). */
   def assign(df: DataFrame, centroids: Array[Array[Float]],
-      vecCol: String = "embedding"): DataFrame = {
-    val scores = array(centroids.map(c =>
-      VectorExpressions.dense_cosine(col(vecCol), typedLit(c))): _*)
+      vecCol: String = "embedding", roundDp: Int = -1): DataFrame = {
+    val scores = array(centroids.map { c =>
+      val sc = VectorExpressions.dense_cosine(col(vecCol), typedLit(c))
+      if (roundDp >= 0) round(sc, roundDp) else sc
+    }: _*)
     df.withColumn("__cscores", scores)
       .withColumn("centroid_id",
         // null embedding -> every cosine null -> sentinel -1 (never probed,
@@ -96,13 +113,19 @@ object Ann {
     * cosine within the probed cells only. */
   def ivfTopK(assigned: DataFrame, centroids: Array[Array[Float]],
       query: Array[Float], k: Int, nprobe: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val probed = centroids.zipWithIndex
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    bruteForceTopK(
+      assigned.where(col("centroid_id").isin(
+        probedCells(centroids, query, nprobe).toIndexedSeq: _*)),
+      query, k, idCol, vecCol)
+
+  /** The `nprobe` centroid ids nearest to the query (driver-side — nlist
+    * floats). Shared with the oracle generator so both engines probe the
+    * identical cell set. */
+  private[graft] def probedCells(centroids: Array[Array[Float]],
+      query: Array[Float], nprobe: Int): Array[Int] =
+    centroids.zipWithIndex
       .map { case (c, i) => (i, VectorExpressions.cosineArrays(c, query)) }
       .sortBy { case (i, s) => (-s, i) }
       .take(nprobe).map(_._1)
-    bruteForceTopK(
-      assigned.where(col("centroid_id").isin(probed.toIndexedSeq: _*)),
-      query, k, idCol, vecCol)
-  }
 }

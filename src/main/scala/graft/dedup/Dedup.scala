@@ -24,6 +24,11 @@ import graft.ml.HashEmbedder
   */
 object Dedup {
 
+  /** Ceiling for the brute-force embedding kernel's driver collect —
+    * ~100k × 64-float vectors ≈ 26 MB broadcast, comfortably driver-safe;
+    * anything larger must go through the LSH path. */
+  val DefaultBruteMaxRows: Int = 100000
+
   // ------------------------------------------------------------------ exact
 
   /** Exact dedup groups: (text_hash, keep_id = min doc_id, dup_count). */
@@ -204,7 +209,7 @@ object Dedup {
     * (very common) shingles are the residual hotspot; cap them upstream or
     * let AQE skew-split the join. */
   def ngramJaccardPairs(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
-      n: Int = 3, threshold: Double = 0.5): DataFrame = {
+      n: Int = 3, threshold: Double = 0.5, maxDf: Option[Int] = None): DataFrame = {
     require(threshold > 0.0, "threshold must be positive (zero-overlap pairs are not materialized)")
     // join on the 64-bit shingle hash, not the shingle string: the
     // inverted-index shuffle carries 8-byte keys instead of ~n·8-char
@@ -218,10 +223,39 @@ object Dedup {
       .select(col("id"), xxhash64(col("__s")).as("s"))
       .persist()
     val cnt = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("x").join(sh.as("y"), "s")
-      .where(col("x.id") < col("y.id"))
-      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .agg(count(lit(1)).as("i"))
+    val inter = maxDf match {
+      case None =>
+        // candidate generation and intersection counting are the same join
+        sh.as("x").join(sh.as("y"), "s")
+          .where(col("x.id") < col("y.id"))
+          .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+          .agg(count(lit(1)).as("i"))
+      case Some(cap) =>
+        // Skew cap: a stop-shingle ("the quick brown") posting of length L
+        // contributes L² candidate rows to the self-join — at 100× corpus
+        // scale one hot bucket dominates the stage. Shingles with document
+        // frequency > cap are dropped from CANDIDATE GENERATION only: they
+        // are the least discriminative shingles (P(pair is a near-dup |
+        // shares this shingle) is lowest), and any true near-dup pair at
+        // threshold τ shares ~τ/(1+τ) of its shingles, so it is still found
+        // unless EVERY shared shingle is corpus-hot. Verification below
+        // recomputes the intersection over the FULL shingle sets, so
+        // emitted jaccard values are exact — the cap costs recall on pairs
+        // whose entire overlap is stop-shingles, never precision.
+        val rare = sh.join(
+          sh.groupBy(col("s")).agg(count(lit(1)).as("__df"))
+            .where(col("__df") <= cap).select(col("s")),
+          "s")
+        val candidates = rare.as("x").join(rare.as("y"), "s")
+          .where(col("x.id") < col("y.id"))
+          .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+          .dropDuplicates("id_a", "id_b")
+        candidates
+          .join(sh.select(col("id").as("id_a"), col("s")), "id_a")
+          .join(sh.select(col("id").as("id_b"), col("s")), Seq("id_b", "s"))
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(count(lit(1)).as("i"))
+    }
     inter
       .join(cnt.select(col("id").as("id_a"), col("n_sh").as("na")), "id_a")
       .join(cnt.select(col("id").as("id_b"), col("n_sh").as("nb")), "id_b")
@@ -242,11 +276,22 @@ object Dedup {
     * materialization — the join OUTPUT rows, not the flops, were the
     * cost. Norms are hoisted; per pair only the dot product runs. */
   def embeddingNearDupBrute(df: DataFrame, vecCol: String = "embedding",
-      idCol: String = "vec_id", threshold: Double = 0.95): DataFrame = {
+      idCol: String = "vec_id", threshold: Double = 0.95,
+      maxRows: Int = DefaultBruteMaxRows): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val all = df.select(col(idCol).cast("long"), col(vecCol))
-      .as[(Long, Seq[Float])].collect()
+    // Row-count ceiling (mirrors resolveClusters' driverCutoff): the kernel
+    // broadcasts every vector, so an unbounded corpus would kill the driver
+    // at the collect below before the O(n²) even starts. One bounded take()
+    // both enforces the gate and fetches the rows; past the ceiling the
+    // caller must use the LSH path (embeddingNearDupLsh), which never
+    // collects.
+    val fetched = df.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Seq[Float])].take(maxRows + 1)
+    require(fetched.length <= maxRows,
+      s"embeddingNearDupBrute is the verification kernel for ≤ $maxRows rows; " +
+        "use embeddingNearDupLsh (bucketed, no driver collect) at corpus scale")
+    val all = fetched
       .sortBy(_._1)
       .map { case (i, v) =>
         val a = v.toArray

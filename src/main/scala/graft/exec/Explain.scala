@@ -25,7 +25,8 @@ object Explain {
       from: Int = 0,
       size: Int = HybridLimits.DefaultK,
       minScore: Option[Double] = None,
-      collapse: Option[(DataFrame, Int)] = None): DataFrame = {
+      collapse: Option[(DataFrame, Int)] = None,
+      postFilter: Option[DataFrame] = None): DataFrame = {
     HybridValidation.validate(numSubqueries, norm, comb, paginationDepth)
     val k = paginationDepth.getOrElse(from + size)
     val candidates = HybridPipeline.perSubqueryTopK(scored, k)
@@ -37,12 +38,16 @@ object Explain {
         col("subq"), col("raw_score"), col("score").as("norm_score")))).as("details"))
     val combined = Combination.combine(
       normalized.select(col("query_id"), col("subq"), col("doc_id"), col("score")), comb)
-    // min_score floor and collapse must apply here exactly as in
-    // HybridPipeline.run — explain is an OUTPUT decoration, never a
+    // post_filter, min_score floor and collapse must apply here exactly as
+    // in HybridPipeline.run — explain is an OUTPUT decoration, never a
     // different result set than the unexplained query
+    val postFiltered = postFilter match {
+      case Some(ids) => combined.join(ids.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      case None      => combined
+    }
     val floored = minScore match {
-      case Some(ms) => combined.where(col("score") >= ms)
-      case None     => combined
+      case Some(ms) => postFiltered.where(col("score") >= ms)
+      case None     => postFiltered
     }
     val collapsed = collapse match {
       case Some((keys, docsPerGroup)) =>

@@ -79,6 +79,13 @@ object HybridPipeline {
     *                        rows per (query, collapse key) — CollapseExecutor.java
     * @param from,size       pagination; from > #results is an error in the
     *                        reference ("increase pagination_depth")
+    * @param postFilter      optional doc-id set applied AFTER normalization and
+    *                        combination (the search-request post_filter,
+    *                        HybridQueryPostFilterIT): unlike the hybrid `filter`
+    *                        param (pushed below scoring), it does NOT change the
+    *                        per-subquery candidate sets or the normalization
+    *                        statistics — faceted-search semantics. Ranks and
+    *                        pagination apply to the filtered hit list.
     */
   def run(
       scored: DataFrame,
@@ -89,15 +96,22 @@ object HybridPipeline {
       from: Int = 0,
       size: Int = HybridLimits.DefaultK,
       minScore: Option[Double] = None,
-      collapse: Option[(DataFrame, Int)] = None): DataFrame = {
+      collapse: Option[(DataFrame, Int)] = None,
+      postFilter: Option[DataFrame] = None): DataFrame = {
     HybridValidation.validate(numSubqueries, norm, comb, paginationDepth)
     val k = paginationDepth.getOrElse(from + size)
     val candidates = perSubqueryTopK(scored, k)
     val normalized = Normalization.normalize(candidates, norm)
     val combined = Combination.combine(normalized, comb)
+    val postFiltered = postFilter match {
+      // the allowed-id set is a filter on a (small) combined result — a
+      // broadcastable left-semi join, never a shuffle of the corpus
+      case Some(ids) => combined.join(ids.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      case None      => combined
+    }
     val floored = minScore match {
-      case Some(ms) => combined.where(col("score") >= ms)
-      case None     => combined
+      case Some(ms) => postFiltered.where(col("score") >= ms)
+      case None     => postFiltered
     }
     val collapsed = collapse match {
       case Some((keys, docsPerGroup)) =>
@@ -119,6 +133,81 @@ object HybridPipeline {
   }
 
   private def broadcastIfSmall(df: DataFrame): DataFrame = df
+
+  /** Per-subquery collapse during collection — the semantics of the
+    * reference's HybridCollapsingTopDocsCollector.java:54-423: each
+    * SUBQUERY's candidate list is collapsed to the top `docsPerGroup` docs
+    * per collapse key BEFORE normalization (deprecated docs-per-group
+    * setting default 2, NeuralSearchSettings.java:79-87). Post-combination
+    * collapse (run's `collapse` param) is the final-hits form; this one
+    * changes which candidates each subquery contributes, and therefore the
+    * normalization statistics. Apply to the scored relation before `run`.
+    *
+    * @param keys DataFrame[doc_id, collapse_key]
+    */
+  def perSubqueryCollapse(scored: DataFrame, keys: DataFrame, docsPerGroup: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"), col("subq"), col("collapse_key"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored
+      .join(broadcastIfSmall(keys), Seq("doc_id"), "left")
+      .withColumn("__gr", row_number().over(w))
+      .where(col("__gr") <= docsPerGroup)
+      .select(col("query_id"), col("subq"), col("doc_id"), col("score"))
+  }
+
+  /** Collapse with inner hits (HybridQueryInnerHitsIT; the bool(must=hybrid,
+    * filter) unwrap of HybridQueryPhaseSearcher.java:58-193 exists so
+    * collapse inner-hit subrequests can re-enter the hybrid query): the
+    * final hit list keeps ONE representative per collapse key (the group
+    * top), ranked and paginated as usual, and each representative row is
+    * accompanied by the group's top `innerSize` member rows. Emitted
+    * FLATTENED — one row per (representative, inner hit) with columns
+    * [query_id, collapse_key, doc_id, score, rank, inner_rank, inner_doc_id,
+    * inner_score] — which is the relational (and cross-engine-hashable)
+    * encoding of the nested inner_hits response section.
+    */
+  def runCollapseInnerHits(
+      scored: DataFrame,
+      numSubqueries: Int,
+      norm: NormalizationSpec,
+      comb: CombinationSpec,
+      keys: DataFrame,
+      innerSize: Int,
+      paginationDepth: Option[Int] = None,
+      from: Int = 0,
+      size: Int = HybridLimits.DefaultK,
+      minScore: Option[Double] = None): DataFrame = {
+    HybridValidation.validate(numSubqueries, norm, comb, paginationDepth)
+    val k = paginationDepth.getOrElse(from + size)
+    val candidates = perSubqueryTopK(scored, k)
+    val normalized = Normalization.normalize(candidates, norm)
+    val combined = Combination.combine(normalized, comb)
+    val floored = minScore match {
+      case Some(ms) => combined.where(col("score") >= ms)
+      case None     => combined
+    }
+    // one window pass ranks every doc within its collapse group; the
+    // group-rank-1 rows are the representatives, ranks ≤ innerSize are the
+    // group's inner hits — no second aggregation over the corpus
+    val wGroup = Window.partitionBy(col("query_id"), col("collapse_key"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val grouped = floored
+      .join(broadcastIfSmall(keys), Seq("doc_id"), "left")
+      .withColumn("__gr", row_number().over(wGroup))
+    val wFinal = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val reps = grouped
+      .where(col("__gr") === 1)
+      .withColumn("rank", row_number().over(wFinal))
+      .where(col("rank") > from && col("rank") <= from + size)
+      .select(col("query_id"), col("collapse_key"),
+        col("doc_id"), col("score"), col("rank"))
+    val inner = grouped
+      .where(col("__gr") <= innerSize)
+      .select(col("query_id"), col("collapse_key"), col("__gr").as("inner_rank"),
+        col("doc_id").as("inner_doc_id"), col("score").as("inner_score"))
+    reps.join(inner, Seq("query_id", "collapse_key"))
+  }
 
   /** Field-sorted hybrid (HybridTopFieldDocSortCollector, SURVEY §2.5):
     * when the request carries a `sort`, BOTH the per-subquery K-cut and the

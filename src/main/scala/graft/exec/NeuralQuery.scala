@@ -45,6 +45,17 @@ object NeuralQuery {
   def radial(scored: DataFrame, minScore: Double): DataFrame =
     scored.where(col("score") >= minScore)
 
+  /** Radial search, distance form — the reference accepts EITHER min_score
+    * or max_distance (NeuralQueryBuilder.java:127-175; both set is an
+    * error, L166-170). For the cosine space the distance is d = 1 − cos, so
+    * keep docs with d ≤ maxDistance ⇔ score ≥ 1 − maxDistance. The cut is
+    * applied to the distance column so the emitted relation carries the
+    * metric the caller asked in. */
+  def radialMaxDistance(scored: DataFrame, maxDistance: Double): DataFrame =
+    scored
+      .withColumn("distance", round(lit(1.0) - col("score"), 6))
+      .where(col("distance") <= maxDistance)
+
   /** Nested/chunked semantic scoring with ScoreMode.Max: score every chunk,
     * keep the max per document (reference wraps the knn query in a nested
     * query with ScoreMode.Max). `chunksCol`: Array[Struct(text, embedding)]

@@ -31,18 +31,29 @@ object QueryCompiler {
       normalization: NormalizationSpec = NormalizationSpec.MinMax(),
       combination: CombinationSpec = CombinationSpec.ArithmeticMean(),
       filterExpr: Option[String] = None,
+      postFilterExpr: Option[String] = None,
       collapseField: Option[String] = None,
       collapseDocsPerGroup: Int = 1,
       minScore: Option[Double] = None,
-      explain: Boolean = false)
+      explain: Boolean = false,
+      // request-pipeline state (see guards in run):
+      twoPhase: Option[TwoPhaseSpec] = None,   // neural_sparse_two_phase_processor
+      sortField: Option[String] = None,        // body `sort` (non-score sort)
+      fieldSpecs: Seq[FieldSpec] = Nil)        // index mapping registry (SEISMIC marks)
 
   /** Compile one subquery spec into its score column over the corpus.
-    * Null = no match for that subquery (reference scorer no-hit). */
+    * Null = no match for that subquery (reference scorer no-hit).
+    *
+    * Doc-side inference runs ONLY when the spec names no ingest-time
+    * column: an enriched corpus (vecCol/tokensCol set) is scored directly
+    * off the precomputed column — at 100 TB re-embedding the corpus per
+    * query is the exact cost the reference's ingest pipeline exists to
+    * avoid (processor/TextEmbeddingProcessor.java). */
   def scoreColumn(sq: SubquerySpec, dim: Int = HashEmbedder.DefaultDim): Column = sq.kind match {
     case "neural" =>
       val qv = HashEmbedder.embed(sq.queryText.getOrElse(""), dim)
-      val sc = round(VectorExpressions.dense_cosine(
-        Enrich.embedUdf(dim)(col(sq.field)), typedLit(qv)), 6)
+      val docVec = sq.vecCol.map(col).getOrElse(Enrich.embedUdf(dim)(col(sq.field)))
+      val sc = round(VectorExpressions.dense_cosine(docVec, typedLit(qv)), 6)
       // min_score = the neural query's radial cut: below-threshold docs are
       // non-matches for THIS subquery (NeuralQueryBuilder min_score)
       sq.minScore match {
@@ -57,16 +68,16 @@ object QueryCompiler {
           HashEmbedder.tokenize(sq.queryText.getOrElse("")).distinct.map(_ -> 1.0f).toMap
         else HashEmbedder.encode(sq.queryText.getOrElse(""))
       }
-      val sc = round(VectorExpressions.sparse_dot(
-        Enrich.encodeUdf(col(sq.field)), typedLit(q)), 6)
+      val docTokens = sq.tokensCol.map(col).getOrElse(Enrich.encodeUdf(col(sq.field)))
+      val sc = round(VectorExpressions.sparse_dot(docTokens, typedLit(q)), 6)
       when(sc > 0.0, sc)
     case "match" =>
       // tf overlap against the query's token multiset (pinned lexical
       // scorer; corpus-wide idf needs a side aggregation — use
       // Lexical.matchScore for the idf-weighted form)
       val q = HashEmbedder.encode(sq.queryText.getOrElse(""))
-      val sc = round(VectorExpressions.sparse_dot(
-        Enrich.encodeUdf(col(sq.field)), typedLit(q)), 6)
+      val docTokens = sq.tokensCol.map(col).getOrElse(Enrich.encodeUdf(col(sq.field)))
+      val sc = round(VectorExpressions.sparse_dot(docTokens, typedLit(q)), 6)
       when(sc > 0.0, sc)
     case "term" =>
       when(col(sq.field) === sq.queryText.getOrElse(""), lit(1.0))
@@ -90,6 +101,37 @@ object QueryCompiler {
   def run(corpus: DataFrame, req: QueryRequest, docId: String = "doc_id"): DataFrame = {
     HybridValidation.validate(
       req.subqueries.size, req.normalization, req.combination, req.paginationDepth)
+    // ---- two-phase processor guards + cascade dispatch -------------------
+    // NeuralSparseTwoPhaseProcessor.java:110-116 rejects non-score sorts
+    // (the rescore window is meaningless when collection order is not by
+    // score) and :254-267 rejects SEISMIC target fields (the ANN index has
+    // its own pruned traversal — splitting its tokens would search a
+    // different index than the one built).
+    req.twoPhase.filter(_.enabled).foreach { tp =>
+      require(req.sortField.isEmpty,
+        "neural_sparse_two_phase_processor does not support non-score sort")
+      val seismic = graft.model.SemanticSchema.seismicFields(req.fieldSpecs)
+      val targets = req.subqueries.filter(_.kind == "neural_sparse")
+      targets.foreach { sq =>
+        require(!seismic.contains(sq.field),
+          s"neural_sparse_two_phase_processor is not supported on SEISMIC field [${sq.field}]")
+      }
+      require(targets.size == 1 && req.subqueries.size == 1,
+        "two-phase processor supported for a single neural_sparse query " +
+          "(the reference's IT coverage); drop the processor for hybrid bodies")
+    }
+    req.twoPhase.filter(_.enabled).foreach { tp =>
+      val sq = req.subqueries.head
+      val q = sq.queryTokens.getOrElse(HashEmbedder.encode(sq.queryText.getOrElse("")))
+      val scored = sq.tokensCol match {
+        case Some(_) => corpus
+        case None    => corpus.withColumn("__tokens", Enrich.encodeUdf(col(sq.field)))
+      }
+      val tokensCol = sq.tokensCol.getOrElse("__tokens")
+      return graft.sparse.SparseRetrieval.twoPhaseTopK(
+        scored, q, req.k, tp.pruneRatio, tp.expansionRate, tp.maxWindowSize,
+        docId, tokensCol)
+    }
     // the hybrid filter param is pushed below scoring into every subquery
     // (HybridQueryBuilder.java:117-128) — in Spark, one filter on the scan
     val filtered = req.filterExpr.fold(corpus)(corpus.filter)
@@ -106,12 +148,16 @@ object QueryCompiler {
       (filtered.select(col(docId).as("doc_id"), col(f).as("collapse_key")),
         req.collapseDocsPerGroup)
     }
+    // post_filter evaluates on the UNFILTERED corpus (it is independent of
+    // the hybrid `filter` param) and restricts hits only after combination
+    val postFilter = req.postFilterExpr.map(e =>
+      corpus.filter(e).select(col(docId).as("doc_id")))
     if (req.explain)
       Explain.runWithExplain(scored, req.subqueries.size, req.normalization,
-        req.combination, pd, req.from, req.k, req.minScore, collapse)
+        req.combination, pd, req.from, req.k, req.minScore, collapse, postFilter)
     else
       HybridPipeline.run(scored, req.subqueries.size, req.normalization,
-        req.combination, pd, req.from, req.k, req.minScore, collapse)
+        req.combination, pd, req.from, req.k, req.minScore, collapse, postFilter)
   }
 
   /** Natural-language entry: translate (agentic path) → enrich → compile. */

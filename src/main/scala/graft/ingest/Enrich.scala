@@ -108,15 +108,50 @@ object Enrich {
   /** semantic-field system pipeline: `<field>_semantic_info.chunks[i] =
     * {text, embedding}` + model struct (SemanticInfoFieldConstants). */
   def semanticField(df: DataFrame, field: String, dim: Int = DefaultDim,
-      chunked: Boolean = true, tokenLimit: Int = Chunkers.DefaultTokenLimit): DataFrame = {
+      chunked: Boolean = true, tokenLimit: Int = Chunkers.DefaultTokenLimit,
+      dense: Boolean = true): DataFrame = {
     val chunksCol: Column =
       if (chunked) chunkFixedTokenUdf(tokenLimit, 0.0, Chunkers.DefaultMaxChunkLimit)(col(field))
       else array(col(field))
+    // dense vs sparse embedding of the chunks follows the model config —
+    // the decision SemanticMappingTransformer resolves from the model at
+    // mapping time (FieldKind.Semantic.dense in our registry)
+    def emb(c: Column): Column = if (dense) embedUdf(dim)(c) else encodeUdf(c)
     df.withColumn(s"${field}_semantic_info",
       struct(
         transform(chunksCol, c =>
-          struct(c.as("text"), embedUdf(dim)(c).as("embedding"))).as("chunks"),
-        struct(lit("hash-embedder").as("id"), lit("dense").as("type")).as("model")))
+          struct(c.as("text"), emb(c).as("embedding"))).as("chunks"),
+        struct(lit("hash-embedder").as("id"),
+          lit(if (dense) "dense" else "sparse").as("type")).as("model")))
+  }
+
+  /** Schema-driven enrichment — the ingest side of the
+    * SemanticMappingTransformer analogue (graft.model.SemanticSchema): one
+    * FieldSpec registry drives BOTH the derived schema and the enrichment
+    * dataflow, so the produced DataFrame always matches
+    * `deriveSemanticSchema(df.schema, specs)` (asserted here; the reference
+    * guarantees the same by construction — system ingest processors are
+    * generated from the transformed mapping, plugin/NeuralSearch.java:473-484).
+    */
+  def enrichBySpec(df: DataFrame, specs: Seq[graft.model.FieldSpec]): DataFrame = {
+    import graft.model.{FieldKind, SemanticSchema}
+    val out = specs.foldLeft(df) { (d, fs) =>
+      fs.kind match {
+        case s: FieldKind.Semantic =>
+          semanticField(d, fs.name, s.dim, s.chunked, s.tokenLimit, s.dense)
+        case FieldKind.Dense(dim) if d.schema(fs.name).dataType ==
+            org.apache.spark.sql.types.StringType =>
+          textEmbedding(d, Map(fs.name -> s"${fs.name}_emb"), dim)
+        case FieldKind.Sparse(_) if d.schema(fs.name).dataType ==
+            org.apache.spark.sql.types.StringType =>
+          sparseEncoding(d, Map(fs.name -> s"${fs.name}_tokens"))
+        case _ => d // already-concrete vector columns need no enrichment
+      }
+    }
+    val derived = SemanticSchema.deriveSemanticSchema(df.schema, specs)
+    require(out.schema.catalogString == derived.catalogString,
+      s"enrichment diverged from derived schema:\n  got ${out.schema.catalogString}\n  want ${derived.catalogString}")
+    out
   }
 
   /** skip_existing (TextEmbeddingInferenceFilter): reuse the previous

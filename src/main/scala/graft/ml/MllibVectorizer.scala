@@ -78,6 +78,119 @@ object MllibVectorizer {
       .limit(k)
   }
 
+  // ------------------------------------------------------ exact rescoring
+  //
+  // MLlib's internals (murmur3 feature hashing, minhash families, BRP
+  // projections) are opaque to a cross-engine oracle. Each engine therefore
+  // uses the MLlib stage for CANDIDATE GENERATION only and rescores the
+  // candidates with its own term-space expressions — the classic two-stage
+  // cascade (identical in shape to the reference's rerank pipeline). The
+  // emitted relation is exact as long as the candidate set covers the true
+  // top-k / pair set, which the generous candidate margins guarantee at the
+  // tested scales (and which the invariant specs check).
+
+  /** Exact term-space tf-idf cosine per document (the engine-owned rescoring
+    * formula; MLlib-compatible: tf = raw count, idf = ln((m+1)/(df+1)) —
+    * IDF.scala's formula — and L2 norms on both sides, but computed over
+    * TERMS, not hashed buckets, so it is hash-collision-free and
+    * SQL-expressible). Returns (doc_id, score round-6) for score > 0. */
+  def tfIdfExactScores(corpus: DataFrame, queryText: String,
+      textCol: String = "text", docId: String = "doc_id"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val m = corpus.count()
+    val tf = corpus
+      .select(col(docId).as("doc_id"),
+        explode(split(lower(col(textCol)), "\\s+")).as("t"))
+      .where(col("t") =!= "")
+      .groupBy(col("doc_id"), col("t"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val tfidf = tf.join(dfreq, "t")
+      .withColumn("w", col("tf") * log((lit(m) + 1.0) / (col("df") + 1.0)))
+    val docNorm = tfidf.groupBy(col("doc_id"))
+      .agg(sqrt(sum(col("w") * col("w"))).as("dnorm"))
+    // query terms: counts from the same tokenizer; unseen terms keep
+    // df = 0 (idf = ln(m+1)) — they cannot match any doc but DO contribute
+    // to the query norm, exactly as the fitted MLlib model's query vector
+    val qCounts = HashEmbedder.tokenize(queryText)
+      .groupBy(identity).map { case (t, ts) => (t, ts.length.toDouble) }.toSeq
+    val qDf = broadcast(qCounts.toDF("t", "qtf"))
+    val qW = qDf.join(dfreq, Seq("t"), "left")
+      .withColumn("qw", col("qtf") * log((lit(m) + 1.0) / (coalesce(col("df"), lit(0L)) + 1.0)))
+    val qNorm = qW.agg(sqrt(sum(col("qw") * col("qw"))).as("qnorm"))
+    tfidf
+      .join(broadcast(qW.select(col("t"), col("qw"))), "t")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("w") * col("qw")).as("dot"))
+      .join(docNorm, "doc_id")
+      .crossJoin(broadcast(qNorm))
+      .select(col("doc_id"),
+        round(col("dot") / (col("dnorm") * col("qnorm")), 6).as("score"))
+      .where(col("score") > 0.0)
+  }
+
+  /** Two-stage tf-idf top-k: MLlib candidates (hashed-space pipeline),
+    * engine exact rescore, final top-k. */
+  def tfIdfTopKRescored(corpus: DataFrame, queryText: String, k: Int,
+      candidateFactor: Int = 5, textCol: String = "text",
+      docId: String = "doc_id"): DataFrame = {
+    val model = fitTfIdf(corpus, textCol)
+    val cands = tfIdfTopK(model, corpus, queryText, k * candidateFactor, textCol, docId)
+      .select(col("doc_id"))
+    tfIdfExactScores(corpus, queryText, textCol, docId)
+      .join(cands, Seq("doc_id"), "left_semi")
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** Two-stage near-dup pairs: MLlib MinHashLSH candidates at a LOOSE
+    * distance cut, engine exact shingle-Jaccard verification at the real
+    * threshold (candidateSlack keeps hashed-set≈string-set boundary pairs
+    * from being dropped before verification). */
+  def minhashNearDupRescored(corpus: DataFrame, threshold: Double = 0.5,
+      candidateSlack: Double = 0.1, textCol: String = "text",
+      docId: String = "doc_id", shingleSize: Int = 3): DataFrame = {
+    val cands = minhashNearDup(corpus, textCol, docId, shingleSize,
+      maxJaccardDistance = math.min(1.0, 1.0 - threshold + candidateSlack))
+      .select(col("id_a"), col("id_b"))
+    val shUdf = udf((s: String) => graft.dedup.Dedup.shingles(s, shingleSize).toSeq)
+    val sh = corpus.select(col(docId).as("id"), shUdf(col(textCol)).as("sh"))
+    val jacc = udf((a: Seq[String], b: Seq[String]) => {
+      val sa = a.toSet; val sb = b.toSet
+      val inter = sa.intersect(sb).size.toDouble
+      val uni = sa.union(sb).size.toDouble
+      if (uni == 0) 1.0 else inter / uni
+    })
+    cands
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("__raw", jacc(col("sh_a"), col("sh_b")))
+      .where(col("__raw") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("__raw"), 4).as("jaccard"))
+  }
+
+  /** Two-stage ANN: MLlib BRP-LSH approximate neighbors as candidates,
+    * engine exact Euclidean rescore, final top-k by distance. */
+  def annTopKRescored(corpus: DataFrame, query: Array[Float], k: Int,
+      candidateFactor: Int = 5, vecCol: String = "embedding",
+      idCol: String = "vec_id", bucketLength: Double = 2.0,
+      numHashTables: Int = 3, seed: Long = 42L): DataFrame = {
+    val cands = annTopK(corpus, query, k * candidateFactor, vecCol, idCol,
+      bucketLength, numHashTables, seed).select(col("vec_id"))
+    val q = query
+    val distUdf = udf((v: Seq[Float]) => {
+      var s = 0.0; var i = 0
+      val n = math.min(v.length, q.length)
+      while (i < n) { val d = v(i).toDouble - q(i).toDouble; s += d * d; i += 1 }
+      math.sqrt(s)
+    })
+    corpus.select(col(idCol).as("vec_id"), round(distUdf(col(vecCol)), 6).as("dist"))
+      .join(cands, Seq("vec_id"), "left_semi")
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** MLlib MinHashLSH near-dup pairs on binarized word-shingle sets.
     * Shingles (not unigrams) keep the feature sets discriminative — with a
     * small vocabulary, unigram SETS of any two long documents are nearly

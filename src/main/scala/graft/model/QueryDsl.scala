@@ -26,11 +26,13 @@ object QueryDsl {
 
   private implicit val formats: Formats = DefaultFormats
 
-  def parse(searchBody: String, pipeline: Option[String] = None): graft.exec.QueryCompiler.QueryRequest = {
+  def parse(searchBody: String, pipeline: Option[String] = None,
+      fieldSpecs: Seq[FieldSpec] = Nil): graft.exec.QueryCompiler.QueryRequest = {
     val body = JsonMethods.parse(searchBody)
     val (norm, comb) = pipeline.map(parsePipeline).getOrElse(
       (NormalizationSpec.MinMax(): NormalizationSpec,
         CombinationSpec.ArithmeticMean(): CombinationSpec))
+    val twoPhase = pipeline.flatMap(parseTwoPhase)
 
     val queryObj = body \ "query"
     val (subs, paginationDepth) = queryObj match {
@@ -52,6 +54,19 @@ object QueryDsl {
     val size = (body \ "size").toOption.map(_.extract[Int]).getOrElse(HybridLimits.DefaultK)
     val collapseField = (body \ "collapse" \ "field").toOption.map(_.extract[String])
     val minScore = (body \ "min_score").toOption.map(_.extract[Double])
+    val postFilter = (body \ "post_filter").toOption.map(filterExprOf)
+    // body `sort`: field sorts only matter to the engine as "not _score"
+    // (the two-phase guard + runSorted routing); accept the common forms
+    // ["field"], [{"field": "desc"}], "field"
+    val sortField = (body \ "sort") match {
+      case JArray(arr) => arr.headOption.flatMap {
+        case JString(f)                 => Some(f)
+        case JObject((f, _) :: Nil)     => Some(f)
+        case _                          => None
+      }.filterNot(_ == "_score")
+      case JString(f) if f != "_score" => Some(f)
+      case _ => None
+    }
 
     graft.exec.QueryCompiler.QueryRequest(
       subqueries = subs,
@@ -60,9 +75,60 @@ object QueryDsl {
       paginationDepth = paginationDepth,
       normalization = norm,
       combination = comb,
+      postFilterExpr = postFilter,
       collapseField = collapseField,
       collapseDocsPerGroup = 1,
-      minScore = minScore)
+      minScore = minScore,
+      twoPhase = twoPhase,
+      sortField = sortField,
+      fieldSpecs = fieldSpecs)
+  }
+
+  /** request_processors: [{"neural_sparse_two_phase_processor":
+    *   {"enabled": true, "two_phase_parameter": {"prune_ratio": 0.4,
+    *    "prune_type": "max_ratio", "expansion_rate": 5.0,
+    *    "max_window_size": 10000}}}] — the reference's processor factory
+    * surface (NeuralSparseTwoPhaseProcessor.Factory). */
+  private[graft] def parseTwoPhase(json: String): Option[TwoPhaseSpec] = {
+    val root = JsonMethods.parse(json)
+    val procs = (root \ "request_processors") match {
+      case JArray(arr) => arr
+      case _           => Nil
+    }
+    procs.collectFirst {
+      case JObject(("neural_sparse_two_phase_processor", inner) :: Nil) =>
+        val p = inner \ "two_phase_parameter"
+        TwoPhaseSpec(
+          enabled = (inner \ "enabled").toOption.map(_.extract[Boolean]).getOrElse(true),
+          pruneRatio = (p \ "prune_ratio").toOption.map(_.extract[Double].toFloat).getOrElse(0.4f),
+          pruneType = (p \ "prune_type").toOption.map(_.extract[String]).getOrElse("max_ratio"),
+          expansionRate = (p \ "expansion_rate").toOption.map(_.extract[Double].toFloat).getOrElse(5.0f),
+          maxWindowSize = (p \ "max_window_size").toOption.map(_.extract[Int]).getOrElse(10000))
+    }
+  }
+
+  /** `post_filter` body (term / range), translated to a Spark SQL predicate.
+    * Same surface as the filter contexts the reference accepts on hybrid
+    * (HybridQueryPostFilterIT uses term/range filters). */
+  private[graft] def filterExprOf(j: JValue): String = j match {
+    case JObject(("term", JObject((field, params) :: Nil)) :: Nil) =>
+      val v = params match {
+        case JString(s) => s
+        case o => (o \ "value").toOption.map(jvNum).getOrElse(
+          throw new IllegalArgumentException("term filter needs a value"))
+      }
+      s"$field = '${v.replace("'", "''")}'"
+    case JObject(("range", JObject((field, params) :: Nil)) :: Nil) =>
+      val conds = Seq(
+        (params \ "gte").toOption.map(v => s"$field >= ${jvNum(v)}"),
+        (params \ "gt").toOption.map(v => s"$field > ${jvNum(v)}"),
+        (params \ "lte").toOption.map(v => s"$field <= ${jvNum(v)}"),
+        (params \ "lt").toOption.map(v => s"$field < ${jvNum(v)}")).flatten
+      require(conds.nonEmpty, "range filter needs at least one bound")
+      conds.mkString(" AND ")
+    case other =>
+      throw new IllegalArgumentException(
+        s"unsupported post_filter: ${JsonMethods.compact(other)}")
   }
 
   /** One subquery object, e.g. {"neural": {"emb_field": {"query_text": …}}}. */

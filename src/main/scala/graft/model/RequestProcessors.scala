@@ -18,7 +18,29 @@ case class SubquerySpec(
     queryTokens: Option[Map[String, Float]] = None,
     analyzer: Option[String] = None,
     k: Option[Int] = None, // neural k: candidate depth (maps to pagination depth)
-    minScore: Option[Double] = None) // neural min_score: radial cut on the subquery
+    minScore: Option[Double] = None, // neural min_score: radial cut on the subquery
+    // Ingest-time artifact columns: when the corpus was enriched at ingest
+    // (Enrich.textEmbedding / sparseEncoding — the reference's ingest
+    // pipelines exist precisely so queries never re-run inference,
+    // processor/TextEmbeddingProcessor.java), point the subquery at the
+    // precomputed column and the compiler scores it directly; on-the-fly
+    // inference over `field` is only the fallback for un-enriched corpora.
+    vecCol: Option[String] = None,     // neural: precomputed dense embedding column
+    tokensCol: Option[String] = None)  // neural_sparse/match: precomputed token-map column
+
+/** neural_sparse_two_phase_processor configuration
+  * (processor/NeuralSparseTwoPhaseProcessor.java:62-67 defaults: enabled,
+  * prune_ratio 0.4 with max_ratio prune, expansion_rate 5.0,
+  * max_window_size 10000). As a request processor it is a pure
+  * optimization — phase 1 scores only the high-weight query tokens, phase 2
+  * rescores the candidate window with the full token set
+  * (SparseRetrieval.twoPhaseTopK is the execution). */
+case class TwoPhaseSpec(
+    enabled: Boolean = true,
+    pruneRatio: Float = 0.4f,
+    pruneType: String = "max_ratio",
+    expansionRate: Float = 5.0f,
+    maxWindowSize: Int = 10000)
 
 /** neural_query_enricher (processor/NeuralQueryEnricherProcessor.java:70-108
   * + query/visitor/NeuralSearchQueryVisitor.java): walk the query tree and

@@ -212,10 +212,13 @@ object Seismic {
     // it is tiny (top_n tokens × clusters/token) and consumed by BOTH the
     // seed pass and the pruning pass; without it the summaries
     // dropDuplicates shuffle re-runs per consumer
+    // round-6 before any compare/rank on the summary score: the pruning
+    // threshold comparison and the per-token seed pick must be reproducible
+    // across engines (sum order varies; see the oracle determinism protocol)
     val sumScores = index.summaries
       .join(qDf, "token")
-      .withColumn("sscore",
-        graft.functions.VectorExpressions.sparse_dot(col("summary"), typedLit(cutQuantized)))
+      .withColumn("sscore", round(
+        graft.functions.VectorExpressions.sparse_dot(col("summary"), typedLit(cutQuantized)), 6))
       .persist()
 
     // 2. seed candidates: best-summary cluster per token → exact → θ

@@ -1,0 +1,236 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.exec.{HybridPipeline, NeuralQuery, QueryCompiler}
+import graft.functions.VectorExpressions
+import graft.ingest.Enrich
+import graft.model._
+
+/** Round-3 operator coverage: post_filter, collapse inner hits,
+  * per-subquery collapse, max_distance, enriched-compiler path,
+  * skew-capped ngram, schema derivation, two-phase DSL guards. */
+class Round3Spec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val corpus = Seq(
+    (1L, "spark join table fast", "en", 120),
+    (2L, "slow scan big table join", "en", 300),
+    (3L, "spark spark stream window", "de", 80),
+    (4L, "unrelated words entirely here", "en", 500),
+    // doc 5 (de) is the max-scoring doc of the "spark join" subquery, so a
+    // PRE-scoring lang filter shifts the min_max statistics observably
+    (5L, "spark join spark join fast", "de", 150)
+  ).toDF("doc_id", "text", "lang", "n_chars")
+
+  private def scored = {
+    val docs = corpus.withColumn("tokens", Enrich.encodeUdf(col("text")))
+    def sub(t: String) = {
+      val q = graft.ml.HashEmbedder.encode(t)
+      val sc = round(VectorExpressions.sparse_dot(col("tokens"), typedLit(q)), 6)
+      when(sc > 0.0, sc)
+    }
+    HybridPipeline.score(docs, col("doc_id"), Seq(sub("spark join"), sub("table scan")))
+  }
+
+  test("post_filter restricts hits WITHOUT changing normalization stats") {
+    val unfiltered = HybridPipeline.run(scored, 2,
+      NormalizationSpec.MinMax(), CombinationSpec.ArithmeticMean(),
+      paginationDepth = Some(10)).collect()
+    val post = HybridPipeline.run(scored, 2,
+      NormalizationSpec.MinMax(), CombinationSpec.ArithmeticMean(),
+      paginationDepth = Some(10),
+      postFilter = Some(corpus.where(col("lang") === "en").select(col("doc_id")))).collect()
+    val enIds = Set(1L, 2L, 4L)
+    assert(post.forall(r => enIds.contains(r.getAs[Long]("doc_id"))))
+    // post_filter semantics: surviving docs keep the score they had in the
+    // UNFILTERED run (normalization over the full candidate set)...
+    val unfScores = unfiltered.map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    post.foreach(r => assert(r.getAs[Double]("score") == unfScores(r.getAs[Long]("doc_id"))))
+    // ...whereas a PRE-scoring filter re-normalizes over en docs only and
+    // must diverge (different min/max ⇒ different scores) — the two filter
+    // forms are observably different operators
+    val preScored = {
+      val docs = corpus.where(col("lang") === "en")
+        .withColumn("tokens", Enrich.encodeUdf(col("text")))
+      def sub(t: String) = {
+        val q = graft.ml.HashEmbedder.encode(t)
+        val sc = round(VectorExpressions.sparse_dot(col("tokens"), typedLit(q)), 6)
+        when(sc > 0.0, sc)
+      }
+      HybridPipeline.score(docs, col("doc_id"), Seq(sub("spark join"), sub("table scan")))
+    }
+    val pre = HybridPipeline.run(preScored, 2,
+      NormalizationSpec.MinMax(), CombinationSpec.ArithmeticMean(),
+      paginationDepth = Some(10)).collect()
+    val preScores = pre.map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    assert(preScores.exists { case (id, s) => unfScores.get(id).exists(_ != s) })
+  }
+
+  test("collapse inner hits: reps are group tops, inner rows rank within group") {
+    val keys = corpus.select(col("doc_id"), col("lang").as("collapse_key"))
+    val out = HybridPipeline.runCollapseInnerHits(scored, 2,
+      NormalizationSpec.MinMax(), CombinationSpec.ArithmeticMean(),
+      keys, innerSize = 2, paginationDepth = Some(10)).collect()
+    // one representative per collapse key
+    val reps = out.map(r => (r.getAs[String]("collapse_key"), r.getAs[Long]("doc_id"))).distinct
+    assert(reps.groupBy(_._1).forall(_._2.length == 1))
+    // every inner hit belongs to its representative's group and inner_rank 1
+    // IS the representative
+    out.filter(_.getAs[Int]("inner_rank") == 1).foreach { r =>
+      assert(r.getAs[Long]("inner_doc_id") == r.getAs[Long]("doc_id"))
+      assert(r.getAs[Double]("inner_score") == r.getAs[Double]("score"))
+    }
+    // at most innerSize inner hits per group
+    assert(out.groupBy(r => r.getAs[String]("collapse_key")).forall(_._2.length <= 2))
+  }
+
+  test("per-subquery collapse bounds each subquery's contribution per key") {
+    val keys = corpus.select(col("doc_id"), col("lang").as("collapse_key"))
+    val collapsed = HybridPipeline.perSubqueryCollapse(scored, keys, 1).collect()
+    // per (subq, key): exactly the top-1 row survives
+    val byGroup = collapsed.groupBy { r =>
+      (r.getAs[Int]("subq"), r.getAs[Long]("doc_id") match {
+        case 3L | 5L => "de"
+        case _       => "en"
+      })
+    }
+    assert(byGroup.forall(_._2.length == 1))
+    // and the survivor is the max-score doc of its group in the raw relation
+    val raw = scored.collect().map(r =>
+      (r.getAs[Int]("subq"), r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+    byGroup.foreach { case ((subq, lang), rows) =>
+      val ids = if (lang == "de") Set(3L, 5L) else Set(1L, 2L, 4L)
+      val best = raw.filter(t => t._1 == subq && ids.contains(t._2))
+        .sortBy(t => (-t._3, t._2)).head
+      assert(rows.head.getAs[Long]("doc_id") == best._2)
+    }
+  }
+
+  test("max_distance radial is the distance dual of min_score") {
+    val s = NeuralQuery.scoreByText(corpus, "spark join fast", "text")
+      .select(col("doc_id"), col("score"))
+    val byDist = NeuralQuery.radialMaxDistance(s, 0.5)
+      .select(col("doc_id")).as[Long].collect().toSet
+    val byScore = NeuralQuery.radial(s, 0.5)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(byDist == byScore) // d ≤ 0.5 ⇔ score ≥ 0.5 for d = 1 − score
+    assert(byDist.nonEmpty)
+  }
+
+  test("enriched compiler path: no inference UDF in the plan, same results") {
+    // materialize the enrichment like production does (ingest writes
+    // parquet) — a lazily-enriched frame would still carry the ingest UDFs
+    // in ITS plan, which is not what the query-time assertion is about
+    val tmp = java.nio.file.Files.createTempDirectory("graft_enriched").toString
+    corpus
+      .withColumn("tokens", Enrich.encodeUdf(col("text")))
+      .withColumn("emb", Enrich.embedUdf(graft.ml.HashEmbedder.DefaultDim)(col("text")))
+      .write.mode("overwrite").parquet(tmp)
+    val enriched = spark.read.parquet(tmp)
+    val subsInfer = Seq(
+      SubquerySpec("neural", "text", queryText = Some("spark join fast")),
+      SubquerySpec("neural_sparse", "text", queryText = Some("spark join fast")))
+    val subsEnriched = Seq(
+      SubquerySpec("neural", "text", queryText = Some("spark join fast"), vecCol = Some("emb")),
+      SubquerySpec("neural_sparse", "text", queryText = Some("spark join fast"), tokensCol = Some("tokens")))
+    val a = QueryCompiler.run(corpus, QueryCompiler.QueryRequest(subqueries = subsInfer))
+    val b = QueryCompiler.run(enriched, QueryCompiler.QueryRequest(subqueries = subsEnriched))
+    assert(a.collect().map(_.toString).toSeq == b.collect().map(_.toString).toSeq)
+    // the enriched plan must carry NO ScalaUDF (inference) anywhere —
+    // at 100 TB a query-time embed UDF re-infers the whole corpus
+    def hasUdf(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.exists(p => p.expressions.exists(e =>
+        e.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.ScalaUDF])))
+    assert(hasUdf(a))
+    assert(!hasUdf(b))
+  }
+
+  test("ngram skew cap: stop-shingle corpus keeps recall, drops hot bucket") {
+    // every doc shares the same stop prefix (one hot shingle family);
+    // near-dup pairs additionally share rare discriminative shingles
+    val stop = "the quick brown fox says"
+    val docs = (1L to 8L).map { i =>
+      val tail = if (i % 2 == 0) s"unique pair content $i ${i - 1} shared tail words here"
+      else s"unique pair content ${i + 1} $i shared tail words here"
+      (i, s"$stop $tail")
+    }.toDF("doc_id", "text")
+    // at a near-dup threshold (0.8) only the identical pairs qualify, and
+    // those share RARE shingles — the cap costs no recall; a cap of 4
+    // drops the df=8 stop-prefix shingles from candidate generation
+    val uncapped = Dedup.ngramJaccardPairs(docs, threshold = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val capped = Dedup.ngramJaccardPairs(docs, threshold = 0.8, maxDf = Some(4))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped == uncapped)
+    assert(uncapped == Set((1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L)))
+    // and the emitted jaccard is computed on FULL sets (identical values)
+    val jU = Dedup.ngramJaccardPairs(docs, threshold = 0.8)
+      .orderBy("id_a", "id_b").select("jaccard").as[Double].collect().toSeq
+    val jC = Dedup.ngramJaccardPairs(docs, threshold = 0.8, maxDf = Some(4))
+      .orderBy("id_a", "id_b").select("jaccard").as[Double].collect().toSeq
+    assert(jU == jC)
+  }
+
+  test("deriveSemanticSchema matches enrichBySpec output schema") {
+    val specs = Seq(
+      FieldSpec("text", FieldKind.Semantic(dim = 8, chunked = true, tokenLimit = 4)),
+      FieldSpec("text", FieldKind.Dense(8)),
+      FieldSpec("text", FieldKind.Sparse()))
+    val out = Enrich.enrichBySpec(corpus, specs) // internally asserts schema equality
+    assert(out.schema.fieldNames.contains("text_semantic_info"))
+    assert(out.schema.fieldNames.contains("text_emb"))
+    assert(out.schema.fieldNames.contains("text_tokens"))
+    assert(out.count() == 5)
+    // sparse semantic variant derives a map-typed embedding
+    val sparseSem = SemanticSchema.deriveSemanticSchema(corpus.schema,
+      Seq(FieldSpec("text", FieldKind.Semantic(dense = false))))
+    assert(sparseSem("text_semantic_info").dataType.catalogString.contains("map<string,float>"))
+    intercept[IllegalArgumentException] {
+      SemanticSchema.deriveSemanticSchema(corpus.schema,
+        Seq(FieldSpec("missing", FieldKind.Semantic())))
+    }
+  }
+
+  test("two-phase DSL: parsed, executed, guarded") {
+    val body = """{"query": {"neural_sparse": {"text": {"query_text": "spark join fast"}}}, "size": 3}"""
+    val pipeline =
+      """{"request_processors": [{"neural_sparse_two_phase_processor": {
+        |  "two_phase_parameter": {"prune_ratio": 0.4}}}]}""".stripMargin
+    val req = QueryDsl.parse(body, Some(pipeline))
+    assert(req.twoPhase.exists(_.pruneRatio == 0.4f))
+    // cascade result == exact top-k (window covers all matches here)
+    val out = QueryCompiler.run(corpus, req).collect()
+    val exact = graft.sparse.SparseRetrieval.exactTopK(
+      corpus.withColumn("tokens", Enrich.encodeUdf(col("text"))),
+      graft.ml.HashEmbedder.encode("spark join fast"), 3).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == exact.map(_.getAs[Long]("doc_id")).toSeq)
+    // guard: SEISMIC target field rejected
+    intercept[IllegalArgumentException] {
+      QueryCompiler.run(corpus, req.copy(
+        fieldSpecs = Seq(FieldSpec("text", FieldKind.Sparse(seismic = true)))))
+    }
+    // guard: non-score sort rejected
+    val sortBody = """{"query": {"neural_sparse": {"text": {"query_text": "x"}}}, "sort": ["n_chars"]}"""
+    intercept[IllegalArgumentException] {
+      QueryCompiler.run(corpus, QueryDsl.parse(sortBody, Some(pipeline)))
+    }
+    // disabled processor: normal (non-cascade) path, no guard firing
+    val disabled =
+      """{"request_processors": [{"neural_sparse_two_phase_processor": {
+        |  "enabled": false, "two_phase_parameter": {}}}]}""".stripMargin
+    val reqD = QueryDsl.parse(body, Some(disabled))
+    assert(QueryCompiler.run(corpus, reqD.copy(
+      fieldSpecs = Seq(FieldSpec("text", FieldKind.Sparse(seismic = true))))).count() > 0)
+  }
+
+  test("brute embedding kernel gated by row ceiling") {
+    val emb = Seq((1L, Array(1f, 0f)), (2L, Array(0.9f, 0.1f)), (3L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    assert(Dedup.embeddingNearDupBrute(emb, threshold = 0.9).count() >= 1)
+    intercept[IllegalArgumentException] {
+      Dedup.embeddingNearDupBrute(emb, threshold = 0.9, maxRows = 2).collect()
+    }
+  }
+}
