@@ -41,4 +41,50 @@ class MllibSpec extends SparkSpec {
     assert(ann.size == 10)
     assert((ann intersect exact).nonEmpty)
   }
+
+  // ---- rescored-cascade coverage invariants -------------------------------
+  // The driver-gate q_mllib_* queries are candidates-from-MLlib +
+  // engine-exact-rescore; the oracle computes the exact relation directly,
+  // so equality holds iff the MLlib candidate stage COVERS the exact
+  // answer. These pin that coverage on the testdata the gate runs against.
+
+  test("tfIdfTopKRescored equals the exact term-space top-k (sf0.001 corpus)") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rescored = MllibVectorizer.tfIdfTopKRescored(
+      corpus, "spark join fast table scan", 10).collect()
+    val exact = MllibVectorizer.tfIdfExactScores(corpus, "spark join fast table scan")
+      .orderBy(col("score").desc, col("doc_id").asc).limit(10).collect()
+    assert(rescored.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      exact.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+  }
+
+  test("annTopKRescored equals the exact Euclidean top-k (sf0.001 embeddings)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = SparkEntry.qDense64
+    val rescored = MllibVectorizer.annTopKRescored(emb, q, 10,
+      numHashTables = 6, bucketLength = 5.0).collect()
+    val distUdf = udf((v: Seq[Float]) => {
+      var s = 0.0; var i = 0
+      while (i < math.min(v.length, q.length)) { val d = v(i).toDouble - q(i).toDouble; s += d * d; i += 1 }
+      math.sqrt(s)
+    })
+    val exact = emb.select(col("vec_id"), round(distUdf(col("embedding")), 6).as("dist"))
+      .orderBy(col("dist").asc, col("vec_id").asc).limit(10).collect()
+    assert(rescored.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      exact.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+  }
+
+  test("minhashNearDupRescored equals exact all-pairs Jaccard (small corpus)") {
+    val rescored = MllibVectorizer.minhashNearDupRescored(docs, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force: every pair's exact shingle jaccard
+    val sh = docs.collect().map(r =>
+      r.getLong(0) -> graft.dedup.Dedup.shingles(r.getString(1), 3)).toMap
+    val exact = (for {
+      a <- sh.keys; b <- sh.keys if a < b
+      j = sh(a).intersect(sh(b)).size.toDouble / sh(a).union(sh(b)).size
+      if j >= 0.5
+    } yield (a, b)).toSet
+    assert(rescored == exact)
+  }
 }
