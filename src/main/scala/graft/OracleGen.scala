@@ -158,6 +158,8 @@ private[graft] object OracleGen {
     import graft.seismic.Seismic
     require(nPostings > 0 && nPostings < Seismic.MinClusterSize,
       "oracle form requires single-cluster (λ < min cluster size) builds")
+    require(heapFactor > 0f && heapFactor.isFinite,
+      "oracle form requires a finite positive heap_factor (∞ has no SQL literal; use the exact path)")
     val cut = q.toSeq.sortBy { case (t, w) => (-w, t) }.take(topN).toMap
     val cutQuantized = cut.map { case (t, w) =>
       t -> Seismic.dequantize(Seismic.quantize(w, Seismic.CeilSearch), Seismic.CeilSearch)
@@ -166,9 +168,11 @@ private[graft] object OracleGen {
     val fullValues = valuesOf(q)
     val alpha = f64(Seismic.DefaultSummaryPruneRatio)
     val hf = f64(heapFactor)
-    // float-exact byte quantizer: REAL ops stay float32 in DuckDB
+    // float-exact byte quantizer (clamp [0, ceil] as ByteQuantizer does —
+    // the lower clamp is unreachable for 1+ln(1+tf) weights but kept for
+    // step-for-step fidelity): REAL ops stay float32 in DuckDB
     val quant =
-      """CAST(round(CAST(least(w, CAST(3.0 AS REAL)) AS REAL)
+      """CAST(round(CAST(greatest(CAST(0.0 AS REAL), least(w, CAST(3.0 AS REAL))) AS REAL)
         |     * CAST(255.0 AS REAL) / CAST(3.0 AS REAL)) AS INT)""".stripMargin
     val dequant = // mq INT → float steps of dequantize(mq, CeilIngest)
       """CAST(CAST(mq AS REAL) * CAST(3.0 AS REAL) / CAST(255.0 AS REAL) AS DOUBLE)"""
@@ -266,18 +270,18 @@ private[graft] object OracleGen {
     * `postFilterWhere`: condition over `documents d` applied to the
     * combined result AFTER normalization/combination (post_filter — does
     * not change normalization statistics). */
-  def hybridFromScores(
+  /** The shared prefix of every hybrid oracle: preamble + per-subquery
+    * score/K-cut CTEs + normalization CTEs + the `comb` CTE. Callers append
+    * their own result shaping (ranked top-k, collapse, inner hits) after
+    * `comb` — no string surgery on generated SQL. */
+  def hybridCombChain(
       scoreSqls: Seq[String],
       norm: String,
       comb: String,
       weightsN: Option[Seq[Double]] = None,
       k: Int = 100,
-      from: Int = 0,
-      size: Int = 10,
-      collapse: Option[(String, Int)] = None,
       preamble: String = docVectorsCte,
-      subqueryCollapse: Option[(String, Int)] = None,
-      postFilterWhere: Option[String] = None): String = {
+      subqueryCollapse: Option[(String, Int)] = None): String = {
     val qs = scoreSqls
     def subq(name: String, scoreSql: String): String = {
       val kSrc = subqueryCollapse match {
@@ -349,6 +353,45 @@ private[graft] object OracleGen {
       case "rrf" =>
         "coalesce(sum(CASE WHEN nscore >= 0 THEN w * nscore END), 0.0)"
     }
+    val names = qs.indices.map(i => ('a' + i).toChar.toString)
+    val subqCtes = names.zip(qs).map { case (n, sql) => subq(n, sql) }.mkString(",\n")
+    val normCtes = names.zipWithIndex.map { case (n, i) => s"n$i AS (${normCte(n)})" }.mkString(", ")
+    val unioned = names.indices.map(i => s"SELECT doc_id, nscore, ${ws(i)} AS w FROM n$i")
+      .mkString(" UNION ALL ")
+    s"""WITH $preamble,
+       |$subqCtes,
+       |$normCtes,
+       |comb AS (
+       |  SELECT doc_id, $combine AS score
+       |  FROM ($unioned)
+       |  GROUP BY doc_id
+       |)""".stripMargin
+  }
+
+  /** Fully general hybrid oracle: each element of `scoreSqls` is a SELECT
+    * producing (doc_id, score) for one subquery (already >0-filtered where
+    * the Spark side null-guards), `preamble` carries the shared CTEs the
+    * score SELECTs reference (sparse doc vectors, hash embeddings, ...).
+    *
+    * `subqueryCollapse` = (documents key column, docsPerGroup): collapse
+    * each SUBQUERY's matches per key before the K-cut (the
+    * HybridCollapsingTopDocsCollector per-subquery semantics).
+    * `postFilterWhere`: condition over `documents d` applied to the
+    * combined result AFTER normalization/combination (post_filter — does
+    * not change normalization statistics). */
+  def hybridFromScores(
+      scoreSqls: Seq[String],
+      norm: String,
+      comb: String,
+      weightsN: Option[Seq[Double]] = None,
+      k: Int = 100,
+      from: Int = 0,
+      size: Int = 10,
+      collapse: Option[(String, Int)] = None,
+      preamble: String = docVectorsCte,
+      subqueryCollapse: Option[(String, Int)] = None,
+      postFilterWhere: Option[String] = None): String = {
+    val chain = hybridCombChain(scoreSqls, norm, comb, weightsN, k, preamble, subqueryCollapse)
     val postFilterCte = postFilterWhere match {
       case Some(cond) =>
         s""", pcomb AS (
@@ -370,19 +413,7 @@ private[graft] object OracleGen {
       case None => ""
     }
     val rankedSrc = if (collapse.isDefined) "coll" else combSrc
-    val names = qs.indices.map(i => ('a' + i).toChar.toString)
-    val subqCtes = names.zip(qs).map { case (n, sql) => subq(n, sql) }.mkString(",\n")
-    val normCtes = names.zipWithIndex.map { case (n, i) => s"n$i AS (${normCte(n)})" }.mkString(", ")
-    val unioned = names.indices.map(i => s"SELECT doc_id, nscore, ${ws(i)} AS w FROM n$i")
-      .mkString(" UNION ALL ")
-    s"""WITH $preamble,
-       |$subqCtes,
-       |$normCtes,
-       |comb AS (
-       |  SELECT doc_id, $combine AS score
-       |  FROM ($unioned)
-       |  GROUP BY doc_id
-       |)$postFilterCte$collapseCte, ranked AS (
+    s"""$chain$postFilterCte$collapseCte, ranked AS (
        |  SELECT doc_id, score,
        |         CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank
        |  FROM $rankedSrc

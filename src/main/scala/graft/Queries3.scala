@@ -22,14 +22,8 @@ object Queries3 {
   private def docsWithTokens(s: SparkSession, dir: String): DataFrame =
     SparkEntry.docsWithTokens(s, dir)
 
-  private def hybridScored(s: SparkSession, dir: String): DataFrame = {
-    val docs = docsWithTokens(s, dir)
-    def sub(q: Map[String, Float]): Column = {
-      val sc = round(VectorExpressions.sparse_dot(col("tokens"), typedLit(q)), 6)
-      when(sc > 0.0, sc)
-    }
-    HybridPipeline.score(docs, col("doc_id"), Seq(sub(qTokensA), sub(qTokensB)))
-  }
+  private def hybridScored(s: SparkSession, dir: String): DataFrame =
+    SparkEntry.flagshipScored(s, dir)
 
   private val queryText = "spark join fast table scan"
 

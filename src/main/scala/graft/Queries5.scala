@@ -25,14 +25,8 @@ object Queries5 {
 
   private val queryText = "spark join fast table scan"
 
-  private def hybridScored(s: SparkSession, dir: String): DataFrame = {
-    val docs = docsWithTokens(s, dir)
-    def sub(q: Map[String, Float]): Column = {
-      val sc = round(VectorExpressions.sparse_dot(col("tokens"), typedLit(q)), 6)
-      when(sc > 0.0, sc)
-    }
-    HybridPipeline.score(docs, col("doc_id"), Seq(sub(qTokensA), sub(qTokensB)))
-  }
+  private def hybridScored(s: SparkSession, dir: String): DataFrame =
+    SparkEntry.flagshipScored(s, dir)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // max_distance radial form (NeuralQueryBuilder.java:127-175): the
@@ -153,16 +147,13 @@ object Queries5 {
       "min_max", "arithmetic_mean", k = 100, size = 10,
       subqueryCollapse = Some(("lang", 2))),
 
-    // inner-hits: the hybrid comb CTE, one window pass per group, reps
-    // (gr = 1) ranked + paginated, inner rows (gr <= 2) joined back per key
+    // inner-hits: the hybrid comb CTE chain, one window pass per group,
+    // reps (gr = 1) ranked + paginated, inner rows (gr <= 2) joined per key
     "q_hybrid_collapse_innerhits" -> {
-      val base = OracleGen.hybridFromScores(
+      val combSql = OracleGen.hybridCombChain(
         Seq(OracleGen.sparseScoreSql(OracleGen.valuesOf(qTokensA)),
           OracleGen.sparseScoreSql(OracleGen.valuesOf(qTokensB))),
-        "min_max", "arithmetic_mean", k = 100, size = 10)
-      // reuse the generator's preamble up to `comb` by string surgery-free
-      // regeneration: rebuild the comb CTE chain here (same subquery CTEs)
-      val combSql = base.substring(0, base.lastIndexOf(", ranked AS ("))
+        "min_max", "arithmetic_mean", k = 100)
       s"""$combSql, grouped AS (
          |  SELECT c.doc_id, c.score, d.lang AS collapse_key,
          |         row_number() OVER (PARTITION BY d.lang

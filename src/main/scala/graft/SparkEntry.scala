@@ -71,6 +71,18 @@ object SparkEntry {
   private[graft] val qTokensB = HashEmbedder.encode("stream window agg merge sort batch")
   private[graft] val qDense64 = HashEmbedder.embed("vector search engine query data", 64)
 
+  /** The flagship two-subquery scored relation (A ⊕ B sparse), shared by
+    * every q_hybrid_* variant across the query banks — ONE definition so
+    * the round-6-before-rank determinism protocol cannot drift per bank. */
+  private[graft] def flagshipScored(s: SparkSession, dir: String): DataFrame = {
+    val docs = docsWithTokens(s, dir)
+    def sub(q: Map[String, Float]): Column = {
+      val sc = round(sparse_dot(col("tokens"), typedLit(q)), 6)
+      when(sc > 0.0, sc)
+    }
+    HybridPipeline.score(docs, col("doc_id"), Seq(sub(qTokensA), sub(qTokensB)))
+  }
+
   // -------------------------------------------------- oracle SQL generators
   import OracleGen.{valuesOf, docVectorsCte, sparseScoreSql}
 

@@ -238,23 +238,29 @@ object Dedup {
         // are the least discriminative shingles (P(pair is a near-dup |
         // shares this shingle) is lowest), and any true near-dup pair at
         // threshold τ shares ~τ/(1+τ) of its shingles, so it is still found
-        // unless EVERY shared shingle is corpus-hot. Verification below
-        // recomputes the intersection over the FULL shingle sets, so
-        // emitted jaccard values are exact — the cap costs recall on pairs
-        // whose entire overlap is stop-shingles, never precision.
-        val rare = sh.join(
-          sh.groupBy(col("s")).agg(count(lit(1)).as("__df"))
-            .where(col("__df") <= cap).select(col("s")),
-          "s")
-        val candidates = rare.as("x").join(rare.as("y"), "s")
+        // unless EVERY shared shingle is corpus-hot. Emitted jaccard values
+        // stay exact: the intersection partitions by shingle df into
+        //   i = i_rare (free from the candidate join's groupBy)
+        //     + i_hot  (topped up on CANDIDATE PAIRS only, against the few
+        //               hot shingles — never a hot×hot self-join)
+        // so the cap costs recall on pairs whose entire overlap is
+        // stop-shingles, never precision.
+        val dfS = sh.groupBy(col("s")).agg(count(lit(1)).as("__df"))
+        val rare = sh.join(dfS.where(col("__df") <= cap).select(col("s")), "s")
+        val hot = sh.join(dfS.where(col("__df") > cap).select(col("s")), "s")
+        val iRare = rare.as("x").join(rare.as("y"), "s")
           .where(col("x.id") < col("y.id"))
-          .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-          .dropDuplicates("id_a", "id_b")
-        candidates
-          .join(sh.select(col("id").as("id_a"), col("s")), "id_a")
-          .join(sh.select(col("id").as("id_b"), col("s")), Seq("id_b", "s"))
+          .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+          .agg(count(lit(1)).as("__ir"))
+        val iHot = iRare.select(col("id_a"), col("id_b"))
+          .join(hot.select(col("id").as("id_a"), col("s")), "id_a")
+          .join(hot.select(col("id").as("id_b"), col("s")), Seq("id_b", "s"))
           .groupBy(col("id_a"), col("id_b"))
-          .agg(count(lit(1)).as("i"))
+          .agg(count(lit(1)).as("__ih"))
+        iRare
+          .join(iHot, Seq("id_a", "id_b"), "left")
+          .select(col("id_a"), col("id_b"),
+            (col("__ir") + coalesce(col("__ih"), lit(0L))).as("i"))
     }
     inter
       .join(cnt.select(col("id").as("id_a"), col("n_sh").as("na")), "id_a")

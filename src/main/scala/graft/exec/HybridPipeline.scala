@@ -204,9 +204,17 @@ object HybridPipeline {
         col("doc_id"), col("score"), col("rank"))
     val inner = grouped
       .where(col("__gr") <= innerSize)
-      .select(col("query_id"), col("collapse_key"), col("__gr").as("inner_rank"),
+      .select(col("query_id").as("__iq"), col("collapse_key").as("__ik"),
+        col("__gr").as("inner_rank"),
         col("doc_id").as("inner_doc_id"), col("score").as("inner_score"))
-    reps.join(inner, Seq("query_id", "collapse_key"))
+    // null-safe key equality: docs absent from `keys` share the null
+    // collapse group (matching run()'s collapse path); a plain equi-join
+    // would silently drop that group's representative AND leave a hole in
+    // the rank sequence
+    reps.join(inner,
+        reps("query_id") === inner("__iq") &&
+          reps("collapse_key") <=> inner("__ik"))
+      .drop("__iq", "__ik")
   }
 
   /** Field-sorted hybrid (HybridTopFieldDocSortCollector, SURVEY §2.5):

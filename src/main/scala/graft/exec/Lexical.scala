@@ -14,6 +14,12 @@ import org.apache.spark.sql.functions._
   */
 object Lexical {
 
+  // The NATIVE-column form of HashEmbedder.tokenize (lower → split \s+ →
+  // drop empties): one tokenizer semantics engine-wide, two physical forms
+  // (codegen'd expression here for the hot exploded path, Scala function
+  // where a UDF already owns the row). Equivalence is pinned by a property
+  // test (Round3Spec "native tokenizer ≡ HashEmbedder.tokenize") — if
+  // either side changes, that test fails before the oracles drift.
   private def toks(c: Column): Column = filter(split(lower(c), "\\s+"), x => x =!= "")
 
   /** (doc_id, score) for docs matching ≥1 term. */

@@ -121,16 +121,50 @@ object QueryCompiler {
           "(the reference's IT coverage); drop the processor for hybrid bodies")
     }
     req.twoPhase.filter(_.enabled).foreach { tp =>
+      require(req.collapseField.isEmpty,
+        "two-phase processor + collapse is not supported (drop one)")
       val sq = req.subqueries.head
-      val q = sq.queryTokens.getOrElse(HashEmbedder.encode(sq.queryText.getOrElse("")))
+      // token priority identical to scoreColumn (NeuralSparseQueryBuilder
+      // .getQueryTokens): raw query_tokens > analyzer (weight 1.0) > model
+      // inference — the processor is a pure optimization and must not
+      // change which token map the query scores with
+      val q = sq.queryTokens.getOrElse {
+        if (sq.analyzer.isDefined)
+          HashEmbedder.tokenize(sq.queryText.getOrElse("")).distinct.map(_ -> 1.0f).toMap
+        else HashEmbedder.encode(sq.queryText.getOrElse(""))
+      }
+      // the request's other clauses apply around the cascade exactly as on
+      // the hybrid path: filter below scoring, post_filter/min_score on the
+      // result, from/size pagination last
+      val base = req.filterExpr.fold(corpus)(corpus.filter)
       val scored = sq.tokensCol match {
-        case Some(_) => corpus
-        case None    => corpus.withColumn("__tokens", Enrich.encodeUdf(col(sq.field)))
+        case Some(_) => base
+        case None    => base.withColumn("__tokens", Enrich.encodeUdf(col(sq.field)))
       }
       val tokensCol = sq.tokensCol.getOrElse("__tokens")
-      return graft.sparse.SparseRetrieval.twoPhaseTopK(
-        scored, q, req.k, tp.pruneRatio, tp.expansionRate, tp.maxWindowSize,
-        docId, tokensCol)
+      // window sized to cover the full requested page
+      val cascade = graft.sparse.SparseRetrieval.twoPhaseTopK(
+        scored, q, req.from + req.k, tp.pruneRatio, tp.expansionRate,
+        tp.maxWindowSize, docId, tokensCol,
+        graft.functions.PruneUtils.pruneType(tp.pruneType))
+      val postFiltered = req.postFilterExpr match {
+        case Some(e) => cascade.join(
+          corpus.filter(e).select(col(docId).as("doc_id")), Seq("doc_id"), "left_semi")
+        case None => cascade
+      }
+      val floored = req.minScore match {
+        case Some(ms) => postFiltered.where(col("score") >= ms)
+        case None     => postFiltered
+      }
+      val paged =
+        if (req.from > 0)
+          floored
+            .withColumn("__rn", row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .orderBy(col("score").desc, col("doc_id").asc)))
+            .where(col("__rn") > req.from).drop("__rn")
+        else floored
+      return paged.orderBy(col("score").desc, col("doc_id").asc).limit(req.k)
     }
     // the hybrid filter param is pushed below scoring into every subquery
     // (HybridQueryBuilder.java:117-128) — in Spark, one filter on the scan

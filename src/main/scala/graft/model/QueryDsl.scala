@@ -56,17 +56,19 @@ object QueryDsl {
     val minScore = (body \ "min_score").toOption.map(_.extract[Double])
     val postFilter = (body \ "post_filter").toOption.map(filterExprOf)
     // body `sort`: field sorts only matter to the engine as "not _score"
-    // (the two-phase guard + runSorted routing); accept the common forms
-    // ["field"], [{"field": "desc"}], "field"
-    val sortField = (body \ "sort") match {
-      case JArray(arr) => arr.headOption.flatMap {
-        case JString(f)                 => Some(f)
-        case JObject((f, _) :: Nil)     => Some(f)
-        case _                          => None
-      }.filterNot(_ == "_score")
-      case JString(f) if f != "_score" => Some(f)
-      case _ => None
+    // (the two-phase guard + runSorted routing). Accept every JSON form the
+    // reference does — ["f"], [{"f": "desc"}], [{"f": {...}, "g": "asc"}],
+    // {"f": "desc"}, "f" — and surface the FIRST non-score key; an
+    // unrecognized shape is an error rather than a silently-bypassed guard.
+    def firstSortField(j: JValue): Option[String] = j match {
+      case JNothing | JNull => None
+      case JString(f)       => Some(f)
+      case JObject(fields) if fields.nonEmpty => Some(fields.head._1)
+      case JArray(arr)      => arr.headOption.flatMap(firstSortField)
+      case other => throw new IllegalArgumentException(
+        s"unsupported sort form: ${JsonMethods.compact(other)}")
     }
+    val sortField = firstSortField(body \ "sort").filterNot(_ == "_score")
 
     graft.exec.QueryCompiler.QueryRequest(
       subqueries = subs,
@@ -112,12 +114,20 @@ object QueryDsl {
     * (HybridQueryPostFilterIT uses term/range filters). */
   private[graft] def filterExprOf(j: JValue): String = j match {
     case JObject(("term", JObject((field, params) :: Nil)) :: Nil) =>
-      val v = params match {
-        case JString(s) => s
-        case o => (o \ "value").toOption.map(jvNum).getOrElse(
-          throw new IllegalArgumentException("term filter needs a value"))
+      // accepted forms: bare scalar ("en", 300, true) or {"value": …};
+      // string values quote, numerics/booleans compare natively
+      def lit(v: JValue): String = v match {
+        case JString(s)  => s"'${s.replace("'", "''")}'"
+        case JBool(b)    => b.toString
+        case JNothing | JNull =>
+          throw new IllegalArgumentException("term filter needs a value")
+        case other       => jvNum(other)
       }
-      s"$field = '${v.replace("'", "''")}'"
+      val v = params match {
+        case o: JObject => lit(o \ "value")
+        case scalar     => lit(scalar)
+      }
+      s"$field = $v"
     case JObject(("range", JObject((field, params) :: Nil)) :: Nil) =>
       val conds = Seq(
         (params \ "gte").toOption.map(v => s"$field >= ${jvNum(v)}"),

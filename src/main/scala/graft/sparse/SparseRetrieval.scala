@@ -124,8 +124,9 @@ object SparseRetrieval {
       expansion: Float = 5.0f,
       maxWindowSize: Int = 10000,
       docId: String = "doc_id",
-      tokens: String = "tokens"): DataFrame = {
-    val (hi, lo) = PruneUtils.split(qTokens, PruneUtils.MaxRatio, pruneRatio)
+      tokens: String = "tokens",
+      pruneType: PruneUtils.PruneType = PruneUtils.MaxRatio): DataFrame = {
+    val (hi, lo) = PruneUtils.split(qTokens, pruneType, pruneRatio)
     if (lo.isEmpty) return exactTopK(corpus, qTokens, k, docId, tokens)
     val window = math.min(math.max((k * expansion).toInt, k), maxWindowSize)
     val phase1 = topK(scoreDocs(corpus, hi, docId, tokens), window)

@@ -48,30 +48,47 @@ class MllibSpec extends SparkSpec {
   // so equality holds iff the MLlib candidate stage COVERS the exact
   // answer. These pin that coverage on the testdata the gate runs against.
 
-  test("tfIdfTopKRescored equals the exact term-space top-k (sf0.001 corpus)") {
-    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    val rescored = MllibVectorizer.tfIdfTopKRescored(
-      corpus, "spark join fast table scan", 10).collect()
-    val exact = MllibVectorizer.tfIdfExactScores(corpus, "spark join fast table scan")
-      .orderBy(col("score").desc, col("doc_id").asc).limit(10).collect()
-    assert(rescored.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
-      exact.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+  // both the smoke scale and the GATE scale (sf0.01 is what the driver's
+  // DuckDB compare runs against — coverage must hold there, not just on
+  // the smaller table)
+  for (sf <- Seq("sf0.001", "sf0.01")) {
+    test(s"tfIdfTopKRescored equals the exact term-space top-k ($sf corpus)") {
+      val corpus = spark.read.parquet(s"/root/testdata/$sf/documents.parquet")
+      val rescored = MllibVectorizer.tfIdfTopKRescored(
+        corpus, "spark join fast table scan", 10).collect()
+      val exact = MllibVectorizer.tfIdfExactScores(corpus, "spark join fast table scan")
+        .orderBy(col("score").desc, col("doc_id").asc).limit(10).collect()
+      assert(rescored.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+        exact.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    }
+
+    test(s"annTopKRescored equals the exact Euclidean top-k ($sf embeddings)") {
+      val emb = spark.read.parquet(s"/root/testdata/$sf/embeddings.parquet")
+      val q = SparkEntry.qDense64
+      val rescored = MllibVectorizer.annTopKRescored(emb, q, 10,
+        numHashTables = 6, bucketLength = 5.0).collect()
+      val distUdf = udf((v: Seq[Float]) => {
+        var s = 0.0; var i = 0
+        while (i < math.min(v.length, q.length)) { val d = v(i).toDouble - q(i).toDouble; s += d * d; i += 1 }
+        math.sqrt(s)
+      })
+      val exact = emb.select(col("vec_id"), round(distUdf(col("embedding")), 6).as("dist"))
+        .orderBy(col("dist").asc, col("vec_id").asc).limit(10).collect()
+      assert(rescored.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+        exact.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    }
   }
 
-  test("annTopKRescored equals the exact Euclidean top-k (sf0.001 embeddings)") {
-    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    val q = SparkEntry.qDense64
-    val rescored = MllibVectorizer.annTopKRescored(emb, q, 10,
-      numHashTables = 6, bucketLength = 5.0).collect()
-    val distUdf = udf((v: Seq[Float]) => {
-      var s = 0.0; var i = 0
-      while (i < math.min(v.length, q.length)) { val d = v(i).toDouble - q(i).toDouble; s += d * d; i += 1 }
-      math.sqrt(s)
-    })
-    val exact = emb.select(col("vec_id"), round(distUdf(col("embedding")), 6).as("dist"))
-      .orderBy(col("dist").asc, col("vec_id").asc).limit(10).collect()
-    assert(rescored.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
-      exact.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+  test("minhashNearDupRescored equals exact pair relation at the gate scale (sf0.01)") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val rescored = MllibVectorizer.minhashNearDupRescored(corpus, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ngramJaccardPairs with the same shingle size and threshold IS the
+    // exact all-pairs relation (only pairs with zero overlap are skipped,
+    // and those cannot reach any positive threshold)
+    val exact = graft.dedup.Dedup.ngramJaccardPairs(corpus, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rescored == exact)
   }
 
   test("minhashNearDupRescored equals exact all-pairs Jaccard (small corpus)") {

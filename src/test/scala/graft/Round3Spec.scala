@@ -225,6 +225,28 @@ class Round3Spec extends SparkSpec {
       fieldSpecs = Seq(FieldSpec("text", FieldKind.Sparse(seismic = true))))).count() > 0)
   }
 
+  test("native tokenizer ≡ HashEmbedder.tokenize (one semantics, two forms)") {
+    // Lexical's codegen'd filter(split(lower…)) and the Scala tokenize
+    // must agree on every input or lexical vs sparse scores silently
+    // diverge (latent-trap flagged in VERDICT r02). Seeded fuzz over
+    // whitespace-heavy strings + edge shapes.
+    val rnd = new scala.util.Random(7L)
+    val pieces = Seq("Spark", "JOIN", "  ", "\t", "\n", "a", "über", "x1",
+      ".", "", " multi  space ", "MiXeD")
+    val samples = Seq("", " ", "\t\n", "word") ++
+      (1 to 200).map(_ => (0 to rnd.nextInt(8)).map(_ => pieces(rnd.nextInt(pieces.length))).mkString(rnd.nextInt(3) match {
+        case 0 => " "; case 1 => ""; case _ => "\t"
+      }))
+    val df = samples.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "text")
+    val native = df.select(col("id"),
+        filter(split(lower(col("text")), "\\s+"), x => x =!= "").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    samples.zipWithIndex.foreach { case (s, i) =>
+      assert(native(i.toLong) == graft.ml.HashEmbedder.tokenize(s).toList,
+        s"tokenizer divergence on ${s.getBytes.mkString(",")}")
+    }
+  }
+
   test("brute embedding kernel gated by row ceiling") {
     val emb = Seq((1L, Array(1f, 0f)), (2L, Array(0.9f, 0.1f)), (3L, Array(0f, 1f)))
       .toDF("vec_id", "embedding")
