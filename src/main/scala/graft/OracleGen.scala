@@ -37,31 +37,31 @@ private[graft] object OracleGen {
     * mod ≡ Java floorMod of the signed hash), count per idx, L2-normalized
     * with a per-component float cast. Names are prefixed e_ to compose with
     * the sparse docVectorsCte in one WITH. */
-  def embedCte(dim: Int): String =
-    s"""e_tok AS (
-       |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS t
+  def embedCte(dim: Int, textExpr: String = "text", p: String = "e_"): String =
+    s"""${p}tok AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(lower($textExpr), '\\s+')) AS t
        |  FROM documents
-       |), e_cnt AS (
-       |  SELECT doc_id, t, count(*) AS c FROM e_tok WHERE t <> '' GROUP BY doc_id, t
-       |), e_hash AS (
-       |  SELECT t, ${fnvSql("t")} % $dim AS idx FROM (SELECT DISTINCT t FROM e_cnt)
-       |), e_idx AS (
+       |), ${p}cnt AS (
+       |  SELECT doc_id, t, count(*) AS c FROM ${p}tok WHERE t <> '' GROUP BY doc_id, t
+       |), ${p}hash AS (
+       |  SELECT t, ${fnvSql("t")} % $dim AS idx FROM (SELECT DISTINCT t FROM ${p}cnt)
+       |), ${p}idx AS (
        |  SELECT doc_id, idx, CAST(sum(c) AS DOUBLE) AS c
-       |  FROM e_cnt JOIN e_hash USING (t) GROUP BY doc_id, idx
-       |), e_vec AS (
+       |  FROM ${p}cnt JOIN ${p}hash USING (t) GROUP BY doc_id, idx
+       |), ${p}vec AS (
        |  SELECT d.doc_id, list(coalesce(e.c, 0.0) ORDER BY g.i) AS cnts
        |  FROM (SELECT DISTINCT doc_id FROM documents) d
        |  CROSS JOIN (SELECT unnest(range(0, $dim)) AS i) g
-       |  LEFT JOIN e_idx e ON e.doc_id = d.doc_id AND e.idx = g.i
+       |  LEFT JOIN ${p}idx e ON e.doc_id = d.doc_id AND e.idx = g.i
        |  GROUP BY d.doc_id
-       |), e_emb AS (
+       |), ${p}emb AS (
        |  SELECT doc_id,
        |         CASE WHEN nrm > 0
        |              THEN list_transform(cnts, x -> CAST(CAST(x / nrm AS REAL) AS DOUBLE))
        |              ELSE cnts END AS v
        |  FROM (SELECT doc_id, cnts,
        |               sqrt(list_sum(list_transform(cnts, x -> x * x))) AS nrm
-       |        FROM e_vec)
+       |        FROM ${p}vec)
        |)""".stripMargin
 
   /** dense_cosine over two DOUBLE[] SQL expressions: dot/sqrt(na*nb), 0.0

@@ -33,6 +33,19 @@ object NeuralQuery {
       round(VectorExpressions.dense_cosine(Enrich.embedUdf(dim)(col(textCol)), typedLit(qv)), 6))
   }
 
+  /** Asymmetric-model scoring: the query text embeds with QUERY content type
+    * (NeuralQueryBuilder.java:923,1162 always pass EmbeddingContentType.QUERY)
+    * against a corpus embedding column produced at ingest with PASSAGE
+    * content (Enrich.textEmbedding(model=…)). For a symmetric config this
+    * degenerates to scoreByVector(embed(queryText)). */
+  def scoreByTextAsymmetric(corpus: DataFrame, queryText: String, vecCol: String,
+      model: graft.ml.AsymmetricModel.ModelConfig,
+      dim: Int = HashEmbedder.DefaultDim): DataFrame = {
+    val qv = graft.ml.AsymmetricModel.embed(
+      queryText, graft.ml.AsymmetricModel.ContentType.Query, model, dim)
+    scoreByVector(corpus, qv, vecCol)
+  }
+
   def scoreByVector(corpus: DataFrame, queryVec: Array[Float], vecCol: String): DataFrame =
     corpus.withColumn("score",
       round(VectorExpressions.dense_cosine(col(vecCol), typedLit(queryVec)), 6))

@@ -27,6 +27,14 @@ object Enrich {
   val DefaultDim: Int = HashEmbedder.DefaultDim
 
   def embedUdf(dim: Int) = udf((s: String) => if (s == null) null else HashEmbedder.embed(s, dim))
+
+  /** Ingest-side embedding for an asymmetric model: the reference's
+    * TextEmbeddingProcessor always requests PASSAGE content
+    * (TextEmbeddingProcessor.java:115); for symmetric configs this is
+    * identical to `embedUdf`. */
+  def embedPassageUdf(dim: Int, model: graft.ml.AsymmetricModel.ModelConfig) =
+    udf((s: String) => if (s == null) null
+      else graft.ml.AsymmetricModel.embed(s, graft.ml.AsymmetricModel.ContentType.Passage, model, dim))
   val encodeUdf = udf((s: String) => if (s == null) null else HashEmbedder.encode(s))
 
   /** Batched embedding via mapPartitions — the seam for a REAL inference
@@ -77,9 +85,13 @@ object Enrich {
     *   - Array[Struct{text,…}] with "arr.text" syntax → embed each
     *     element's text into a parallel array (nested_passages case)
     */
-  def textEmbedding(df: DataFrame, fieldMap: Map[String, String], dim: Int = DefaultDim): DataFrame =
+  def textEmbedding(df: DataFrame, fieldMap: Map[String, String], dim: Int = DefaultDim,
+      model: graft.ml.AsymmetricModel.ModelConfig = graft.ml.AsymmetricModel.Symmetric): DataFrame =
     fieldMap.foldLeft(df) { case (d, (src, dst)) =>
       import org.apache.spark.sql.types._
+      // asymmetric models embed ingest text as PASSAGE (TextEmbeddingProcessor.java:115);
+      // for the symmetric default this is exactly embedUdf
+      val emb = if (model.isAsymmetric) embedPassageUdf(dim, model) else embedUdf(dim)
       val parts = src.split("\\.")
       def typeAt(schema: StructType, path: Seq[String]): DataType =
         path.foldLeft(schema: DataType) {
@@ -89,9 +101,9 @@ object Enrich {
         }
       typeAt(d.schema, parts.toIndexedSeq) match {
         case StringType =>
-          d.withColumn(dst, embedUdf(dim)(col(src)))
+          d.withColumn(dst, emb(col(src)))
         case ArrayType(StringType, _) =>
-          d.withColumn(dst, transform(col(src), e => embedUdf(dim)(e)))
+          d.withColumn(dst, transform(col(src), e => emb(e)))
         case other =>
           throw new IllegalArgumentException(s"unsupported field type for embedding: $other at $src")
       }
