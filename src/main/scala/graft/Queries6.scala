@@ -139,6 +139,17 @@ object Queries6 {
         .orderBy(col("event_type"), col("hour_ms"))
     }),
 
+    // neural query `rescore` (NeuralKNNQueryBuilder.java:147-256, k-NN
+    // RescoreContext): first pass over byte-QUANTIZED vectors keeps
+    // ceil(k × oversample) candidates, exact full-precision rescore
+    // returns the top k. The quantized scan is the cheap stage at scale.
+    "q_neural_rescore" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val quant = NeuralQuery.quantizeDense(emb, "embedding", "emb_q")
+      NeuralQuery.topKWithRescore(quant, SparkEntry.qDense64,
+        "embedding", "emb_q", k = 10, oversample = 3.0, docId = "vec_id")
+    }),
+
     // Streaming exact dedup: first-writer-wins per content hash via
     // flatMapGroupsWithState (cross-batch state; StreamingDedup). Append
     // mode + AvailableNow over the corpus file = the batch dedup relation.
@@ -194,6 +205,28 @@ object Queries6 {
          |FROM ranked r, cur c
          |WHERE r.score < c.score OR (r.score = c.score AND r.doc_id > c.doc_id)
          |ORDER BY r.score DESC, r.doc_id ASC LIMIT 10""".stripMargin
+    },
+
+    "q_neural_rescore" -> {
+      val qLit = doubleList(SparkEntry.qDense64)
+      // trunc (not CAST) replicates Spark's double→int cast; the REAL cast
+      // after /127 replicates the engine's float dequantization
+      s"""WITH dq AS (
+         |  SELECT vec_id,
+         |         list_transform(CAST(embedding AS DOUBLE[]),
+         |           x -> CAST(CAST(trunc(x * 127.0) / 127.0 AS REAL) AS DOUBLE)) AS v
+         |  FROM embeddings
+         |), shortlist AS (
+         |  SELECT vec_id FROM (
+         |    SELECT vec_id, round(${denseCosineSql("v", qLit)}, 6) AS ascore
+         |    FROM dq)
+         |  ORDER BY ascore DESC, vec_id ASC LIMIT 30
+         |)
+         |SELECT vec_id, score FROM (
+         |  SELECT e.vec_id,
+         |         round(${denseCosineSql("CAST(e.embedding AS DOUBLE[])", qLit)}, 6) AS score
+         |  FROM embeddings e JOIN shortlist USING (vec_id))
+         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin
     },
 
     "q_stream_windowed" ->

@@ -53,6 +53,47 @@ object NeuralQuery {
   def topK(scored: DataFrame, k: Int, docId: String = "doc_id"): DataFrame =
     scored.orderBy(col("score").desc, col(docId).asc).limit(k)
 
+  /** Scalar byte quantization of an L2-normalized dense embedding column:
+    * code = trunc(v * 127) per component (components ∈ [−1,1] after L2
+    * normalization, so codes fit a signed byte). The ingest-side artifact
+    * for the `rescore` query path — the dense analogue of the SEISMIC byte
+    * quantizer (sparse/quantization/ByteQuantizationUtil.java), and of the
+    * k-NN quantized index the reference's RescoreContext exists to
+    * compensate for. trunc (not round) so the arithmetic is identical in
+    * the DuckDB oracle. */
+  def quantizeDense(corpus: DataFrame, vecCol: String, qCol: String): DataFrame =
+    corpus.withColumn(qCol,
+      transform(col(vecCol), x => (x.cast("double") * lit(127.0)).cast("int").cast("byte")))
+
+  /** `rescore: {oversample_factor}` (NeuralKNNQueryBuilder.java:147-256,
+    * RescoreParser surface): first pass scores the QUANTIZED vectors and
+    * keeps ceil(k × oversample) candidates; the rescore pass recomputes
+    * exact cosine on the full-precision vectors for just those candidates
+    * and returns the top k. At scale the first pass is the cheap scan
+    * (byte codes: 4× smaller than float32, wholly columnar) and the exact
+    * pass touches only k×oversample rows — the reference's
+    * quantized-index + rescore cost shape, re-expressed as a 2-stage plan. */
+  def topKWithRescore(corpus: DataFrame, queryVec: Array[Float],
+      vecCol: String, qCol: String, k: Int, oversample: Double = 2.0,
+      docId: String = "doc_id"): DataFrame = {
+    val shortlistK = math.ceil(k * oversample).toInt
+    // dequantize to FLOAT (the Expression's input type) — the float cast is
+    // part of the cross-engine protocol, mirrored by the oracle's
+    // CAST(c/127.0 AS REAL)
+    val deq = transform(col(qCol), c => (c.cast("double") / lit(127.0)).cast("float"))
+    val approx = corpus
+      .withColumn("approx_score",
+        round(VectorExpressions.dense_cosine(deq, typedLit(queryVec)), 6))
+      .orderBy(col("approx_score").desc, col(docId).asc)
+      .limit(shortlistK)
+    approx
+      .withColumn("score",
+        round(VectorExpressions.dense_cosine(col(vecCol), typedLit(queryVec)), 6))
+      .select(col(docId), col("score"))
+      .orderBy(col("score").desc, col(docId).asc)
+      .limit(k)
+  }
+
   /** Radial search: keep docs with score ≥ minScore (cosine form of the
     * reference's min_score; max_distance is the metric-space dual). */
   def radial(scored: DataFrame, minScore: Double): DataFrame =

@@ -171,6 +171,27 @@ object Enrich {
     * doc id — previous snapshot is typically same-bucketed, so this is a
     * co-partitioned join at scale, and inference cost is paid only for
     * changed rows. */
+  /** Multimodal skip_existing (TextImageEmbeddingInferenceFilter.java:20):
+    * the reuse condition compares BOTH mapped inputs — a changed image with
+    * unchanged text (or vice versa) must re-infer, since the single
+    * embedding is a function of the pair. */
+  def embedMultimodalWithSkipExisting(
+      current: DataFrame, previous: DataFrame,
+      docId: String, textCol: String, imageCol: String, dst: String,
+      dim: Int = DefaultDim): DataFrame = {
+    val prev = previous.select(
+      col(docId).as("__prev_id"), col(textCol).as("__prev_text"),
+      col(imageCol).as("__prev_img"), col(dst).as("__prev_emb"))
+    current
+      .join(prev, current(docId) === col("__prev_id"), "left")
+      .withColumn(dst,
+        when(col("__prev_text").isNotNull && col("__prev_text") === col(textCol)
+          && col("__prev_img") <=> col(imageCol)
+          && col("__prev_emb").isNotNull, col("__prev_emb"))
+          .otherwise(embedMultimodalUdf(dim)(col(textCol), col(imageCol))))
+      .drop("__prev_id", "__prev_text", "__prev_img", "__prev_emb")
+  }
+
   def embedWithSkipExisting(
       current: DataFrame, previous: DataFrame,
       docId: String, src: String, dst: String, dim: Int = DefaultDim): DataFrame = {
