@@ -124,31 +124,7 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
         xxhash64(lit("band"), b, slice(col("sig"), b * lit(rows) + 1, lit(rows))))).as(Seq("band", "bucket")))
 
-    // candidate pairs by bucket aggregation, not a self-join: the banded
-    // relation (whose lineage includes the signature UDF) is computed ONCE
-    // and shuffled ONCE (groupBy) — the self-join form recomputed it for
-    // each side, tripling the UDF cost. Per-bucket memory is O(members),
-    // dwarfed by the O(members²) pair output both forms must emit; at
-    // 100 TB a pathological all-identical bucket bounds via the same AQE
-    // skew handling either shape relies on.
-    val pairUdf = udf((ids: Seq[Long]) => {
-      val a = ids.toArray
-      java.util.Arrays.sort(a)
-      val out = Seq.newBuilder[(Long, Long)]
-      var i = 0
-      while (i < a.length) {
-        var j = i + 1
-        while (j < a.length) { if (a(i) != a(j)) out += ((a(i), a(j))); j += 1 }
-        i += 1
-      }
-      out.result()
-    })
-    val candidates = banded.groupBy(col("band"), col("bucket"))
-      .agg(collect_list(col("id")).as("ids"))
-      .where(size(col("ids")) > 1)
-      .select(explode(pairUdf(col("ids"))).as("p"))
-      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    val candidates = bucketPairs(banded, Seq("band", "bucket"))
 
     val jacc = udf((a: Seq[String], b: Seq[String]) => {
       val sa = a.toSet; val sb = b.toSet
@@ -163,6 +139,34 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /** Candidate pairs by bucket aggregation, not a self-join: the bucketed
+    * relation (whose lineage typically includes a signature/bucketing UDF)
+    * is computed ONCE and shuffled ONCE (groupBy) — a self-join recomputes
+    * that lineage for each side, tripling the UDF cost (measured on the
+    * minhash pipeline). Per-bucket memory is O(members), dwarfed by the
+    * O(members²) pair output both forms must emit; a pathological
+    * all-identical bucket bounds via the same AQE skew handling either
+    * shape relies on. `bucketed` must have an `id` column plus `keyCols`. */
+  private val bucketPairsUdf = udf((ids: Seq[Long]) => {
+    val a = ids.toArray
+    java.util.Arrays.sort(a)
+    val out = Seq.newBuilder[(Long, Long)]
+    var i = 0
+    while (i < a.length) {
+      var j = i + 1
+      while (j < a.length) { if (a(i) != a(j)) out += ((a(i), a(j))); j += 1 }
+      i += 1
+    }
+    out.result()
+  })
+  private def bucketPairs(bucketed: DataFrame, keyCols: Seq[String]): DataFrame =
+    bucketed.groupBy(keyCols.map(col): _*)
+      .agg(collect_list(col("id")).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(bucketPairsUdf(col("ids"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
 
   // ---------------------------------------------------------------- simhash
 
@@ -282,13 +286,22 @@ object Dedup {
         //               hot shingles — never a hot×hot self-join)
         // so the cap costs recall on pairs whose entire overlap is
         // stop-shingles, never precision.
-        val dfS = sh.groupBy(col("s")).agg(count(lit(1)).as("__df"))
-        val rare = sh.join(dfS.where(col("__df") <= cap).select(col("s")), "s")
-        val hot = sh.join(dfS.where(col("__df") > cap).select(col("s")), "s")
+        // hot-key set is TINY by construction (shingles with df > cap — the
+        // stop-shingles), so materialize it once and split sh with
+        // broadcast semi/anti joins: no shuffle of the shingle table, and
+        // the df groupBy runs once instead of once per consumer
+        val hotKeys = sh.groupBy(col("s")).agg(count(lit(1)).as("__df"))
+          .where(col("__df") > cap).select(col("s")).persist()
+        hotKeys.count() // materialize before fan-out
+        val rare = sh.join(broadcast(hotKeys), Seq("s"), "left_anti")
+        val hot = sh.join(broadcast(hotKeys), Seq("s"), "left_semi")
+        // iRare is consumed twice (hot top-up input + final merge) and its
+        // lineage contains the expensive self-join — persist, don't re-run
         val iRare = rare.as("x").join(rare.as("y"), "s")
           .where(col("x.id") < col("y.id"))
           .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
           .agg(count(lit(1)).as("__ir"))
+          .persist()
         val iHot = iRare.select(col("id_a"), col("id_b"))
           .join(hot.select(col("id").as("id_a"), col("s")), "id_a")
           .join(hot.select(col("id").as("id_b"), col("s")), Seq("id_b", "s"))
@@ -409,13 +422,9 @@ object Dedup {
       .select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("buckets", bucketUdf(col("v")))
       .select(col("id"), posexplode(col("buckets")).as(Seq("table", "bucket")))
-    val l = bucketed.select(col("table"), col("bucket"), col("id").as("id_a"))
-    val r = bucketed.select(col("table"), col("bucket"), col("id").as("id_b"))
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       sqrt(VectorExpressions.dense_dot(col(vecCol), col(vecCol))).as("nrm"))
-    l.join(r, Seq("table", "bucket"))
-      .where(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    bucketPairs(bucketed, Seq("table", "bucket"))
       .join(vecs.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a")), "id_a")
       .join(vecs.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b")), "id_b")
       .withColumn("cosine", round(
