@@ -139,6 +139,19 @@ object Queries6 {
         .orderBy(col("event_type"), col("hour_ms"))
     }),
 
+    // neural query with query_text + query_image (NeuralQueryBuilder.java:
+    // 914-919: multimodal inference input map, one embedding per pair).
+    // The query-side inference is coordinator-hoisted in the reference —
+    // here, a plan-time literal from the multimodal model surface.
+    "q_neural_multimodal" -> ((s, dir) => {
+      val qv = HashEmbedder.embedMultimodal(
+        "vector search engine query data", "aW1hZ2UtYnl0ZXM=", Dim)
+      val docs = Enrich.textEmbedding(t(s, dir, "documents"), Map("text" -> "emb"), Dim)
+      NeuralQuery.topK(
+        NeuralQuery.scoreByVector(docs, qv, "emb")
+          .select(col("doc_id"), col("score")), 10)
+    }),
+
     // neural query `rescore` (NeuralKNNQueryBuilder.java:147-256, k-NN
     // RescoreContext): first pass over byte-QUANTIZED vectors keeps
     // ceil(k × oversample) candidates, exact full-precision rescore
@@ -205,6 +218,16 @@ object Queries6 {
          |FROM ranked r, cur c
          |WHERE r.score < c.score OR (r.score = c.score AND r.doc_id > c.doc_id)
          |ORDER BY r.score DESC, r.doc_id ASC LIMIT 10""".stripMargin
+    },
+
+    "q_neural_multimodal" -> {
+      val qv = HashEmbedder.embedMultimodal(
+        "vector search engine query data", "aW1hZ2UtYnl0ZXM=", HashEmbedder.DefaultDim)
+      s"""WITH ${embedCte(Dim)}
+         |SELECT doc_id, score FROM (
+         |  SELECT doc_id, round(${denseCosineSql("v", doubleList(qv))}, 6) AS score
+         |  FROM e_emb)
+         |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin
     },
 
     "q_neural_rescore" -> {
