@@ -57,4 +57,27 @@ object Highlight {
     val u = udf((d: String) => highlightText(queryText, d, threshold))
     results.withColumn("highlights", u(col(textCol)))
   }
+
+  /** QueryTextExtractorRegistry analogue (highlight/single/extractor):
+    * derive the highlight query text from the request's subquery tree so
+    * the highlighter needs no separately-supplied text.
+    *   - neural / neural_sparse → the original query text regardless of
+    *     field (NeuralQueryTextExtractor returns
+    *     NeuralKNNQuery.getOriginalQueryText unconditionally);
+    *   - term / match → the text only when the subquery targets the
+    *     highlighted field (TermQueryTextExtractor field check);
+    *   - range and anything else → nothing;
+    *   - the hybrid root deduplicates sub-texts and joins with spaces
+    *     (HybridQueryTextExtractor; it uses an unordered HashSet — we keep
+    *     first-seen order for determinism, a documented divergence).
+    * MUST_NOT pruning (BooleanQueryTextExtractor) has no analogue here:
+    * the engine's hybrid tree has no prohibited clauses. */
+  def extractQueryText(subs: Seq[graft.model.SubquerySpec], fieldName: String): String =
+    subs.flatMap { sq =>
+      sq.kind match {
+        case "neural" | "neural_sparse"              => sq.queryText
+        case "term" | "match" if sq.field == fieldName => sq.queryText
+        case _                                        => None
+      }
+    }.filter(_.nonEmpty).distinct.mkString(" ").trim
 }

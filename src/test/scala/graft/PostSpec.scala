@@ -24,6 +24,19 @@ class HighlightSpec extends SparkSpec {
         assert(!out.contains(s"<em>$s0</em>"))
     }
   }
+  test("extractQueryText walks the subquery tree like QueryTextExtractorRegistry") {
+    val subs = Seq(
+      SubquerySpec("neural", "emb", queryText = Some("vector question")),
+      SubquerySpec("term", "text", queryText = Some("exact")),
+      SubquerySpec("term", "other_field", queryText = Some("offfield")),
+      SubquerySpec("range", "price"),
+      SubquerySpec("neural_sparse", "tokens", queryText = Some("vector question")) // dup → deduped
+    )
+    assert(Highlight.extractQueryText(subs, "text") == "vector question exact")
+    // term on a non-highlighted field contributes nothing
+    assert(!Highlight.extractQueryText(subs, "text").contains("offfield"))
+  }
+
   test("no sentence punctuation → whole text is one sentence") {
     val out = Highlight.highlightText("spark", "spark fast engine")
     assert(out == "<em>spark fast engine</em>")
