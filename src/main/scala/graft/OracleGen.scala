@@ -220,7 +220,9 @@ private[graft] object OracleGen {
        |  FROM (SELECT score FROM sexact ORDER BY score DESC LIMIT $k)
        |),
        |kept AS (SELECT s.token FROM sscore s, theta WHERE s.sc >= theta.th / $hf),
-       |cand AS (SELECT DISTINCT m.doc_id FROM members m JOIN kept USING (token)),
+       |cand AS (SELECT DISTINCT doc_id FROM (
+       |  SELECT m.doc_id FROM members m JOIN kept USING (token)
+       |  UNION ALL SELECT doc_id FROM seedd)),
        |fexact AS (
        |  SELECT dv.doc_id, round(sum(CAST(dv.w AS DOUBLE) * CAST(fq.qw AS DOUBLE)), 6) AS score
        |  FROM dv JOIN (VALUES $fullValues) AS fq(t, qw) ON fq.t = dv.t

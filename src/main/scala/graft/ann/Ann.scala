@@ -109,6 +109,30 @@ object Ann {
       .drop("__cscores")
   }
 
+  /** Persist an IVF index: the assignments table partitioned BY CELL — at
+    * read time `nprobe` probing becomes Parquet partition pruning (only the
+    * probed centroid_id directories are listed and scanned), the scale
+    * mechanism SCALE.md describes — plus the centroid table (nlist×dim
+    * floats, trivially small). */
+  def writeIndex(assigned: DataFrame, centroids: Array[Array[Float]], path: String,
+      vecCol: String = "embedding", idCol: String = "vec_id"): Unit = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    assigned.select(col(idCol), col(vecCol), col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$path/assignments")
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("i", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  def loadIndex(spark: org.apache.spark.sql.SparkSession, path: String):
+      (DataFrame, Array[Array[Float]]) = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("i"), col("centroid")).orderBy(col("i")).collect()
+      .map(_.getSeq[Float](1).toArray)
+    (spark.read.parquet(s"$path/assignments"), cents)
+  }
+
   /** IVF search: probe the `nprobe` centroids nearest to the query, exact
     * cosine within the probed cells only. */
   def ivfTopK(assigned: DataFrame, centroids: Array[Array[Float]],

@@ -177,6 +177,28 @@ object Seismic {
     SeismicIndex(clusters, summaries)
   }
 
+  /** Persist the index as Parquet — the durable analogue of the reference's
+    * custom codec files (sparse/codec/SparsePostingsConsumer.java writes
+    * clustered postings + summaries at segment flush; here they are plain
+    * columnar tables). Repartitioned by token so cluster membership and
+    * summaries for one token land in one file split — search joins on
+    * token stay co-located at read time. */
+  def write(index: SeismicIndex, path: String): Unit = {
+    index.clusters.repartition(col("token"))
+      .write.mode("overwrite").parquet(s"$path/clusters")
+    index.summaries.repartition(col("token"))
+      .write.mode("overwrite").parquet(s"$path/summaries")
+  }
+
+  /** Load a previously-written index. The loaded tables ARE the index —
+    * search composes the same joins whether the DataFrames come from the
+    * build memo or from storage (the reference similarly reads its codec
+    * files back through SparseTermsLuceneReader at segment open). */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): SeismicIndex =
+    SeismicIndex(
+      clusters = spark.read.parquet(s"$path/clusters"),
+      summaries = spark.read.parquet(s"$path/summaries"))
+
   /** Pruned search. `corpus` supplies exact vectors for final rescoring. */
   def search(
       index: SeismicIndex,
@@ -238,8 +260,15 @@ object Seismic {
     else theta / heapFactor
     val kept = sumScores.where(col("sscore") >= bound)
       .select(col("token"), col("cluster_id"))
+    // candidates = pruned-cluster members ∪ the SEED docs: the reference's
+    // heap scores seed clusters before it is full (pruning only skips
+    // LATER clusters, SeismicBaseScorer.nextQualifiedCluster fires on a
+    // full heap) — already-scored docs are never un-scored. Without the
+    // union, a corpus whose α-pruned summaries all fall below θ/heapFactor
+    // returned EMPTY instead of the seed heap (caught by
+    // IndexPersistenceSpec's synthetic corpus).
     val candDocs = index.clusters.join(kept, Seq("token", "cluster_id"))
-      .select(col("doc_id")).distinct()
+      .select(col("doc_id")).union(seedDocs).distinct()
     exactScores(candDocs)
       .where(col("score") > 0.0)
       .orderBy(col("score").desc, col("doc_id").asc)
