@@ -29,11 +29,26 @@ object Bench {
     // the reference builds these at ingest/merge). The timed pass below
     // then measures steady-state query latency, not first-call JVM costs.
     val names = SparkEntry.queries.keys.toSeq.sorted
-    try SparkEntry.seismicIndex(spark, sfDir).clusters.count()
-    catch { case _: Throwable => }
+    try {
+      SparkEntry.seismicIndex(spark, sfDir).clusters.count()
+      SparkEntry.seismicTruncIndex(spark, sfDir).clusters.count()
+    } catch { case _: Throwable => }
     names.foreach { name =>
       try force(name) catch { case _: Throwable => }
     }
+
+    // Intra-query persists (minhash shingles, ngram index, SEISMIC summary
+    // scores, …) are per-invocation: each pass builds NEW relations, so the
+    // previous pass's cached RDDs are unreachable garbage that only adds
+    // memory/GC pressure across 75 × 4 query runs. Snapshot the RDD ids
+    // that back the long-lived ingest memos (materialized by the warmup
+    // above) and release everything newer after each pass.
+    val memoRdds = spark.sparkContext.getPersistentRDDs.keySet
+    def dropPassGarbage(): Unit =
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!memoRdds.contains(id)) rdd.unpersist(blocking = false)
+      }
+    dropPassGarbage() // warmup's own garbage
 
     // n=3 timed passes, median per query: single-pass timings at sub-second
     // scale drift ±30% run-to-run (GC, JIT recompiles) — the round-2 sparse
@@ -41,12 +56,14 @@ object Bench {
     // to make round-over-round deltas meaningful.
     val passes = 3
     val times = Array.fill(passes) {
-      names.map { name =>
+      val t = names.map { name =>
         val t0 = System.nanoTime()
         try force(name)
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
         name -> (System.nanoTime() - t0) / 1e9
       }.toMap
+      dropPassGarbage()
+      t
     }
     val results = names.map { name =>
       val ts = times.map(_(name)).sorted
