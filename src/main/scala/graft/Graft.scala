@@ -40,3 +40,31 @@ object Graft {
       exprs => VectorExpressions.SparseDot(exprs(0), exprs(1)), "scala_udf")
   }
 }
+
+/** Standard `SparkSessionExtensions` integration: the library's native
+  * expressions become builtin-like functions in EVERY session of a cluster
+  * configured with
+  * {{{ spark.sql.extensions=graft.GraftExtensions }}}
+  * (or `SparkSession.builder().withExtensions(new GraftExtensions)`),
+  * instead of requiring a per-session `Graft.registerFunctions` call —
+  * the same registration route any Spark extension library uses. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+  def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    def fn(name: String, usage: String)(build: Seq[Expression] => Expression) =
+      (new FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.VectorExpressions", null, name, usage, ""),
+        build)
+    ext.injectFunction(fn("dense_dot",
+      "dense_dot(array<float>, array<float>) - dot product")(
+      e => VectorExpressions.DenseDot(e(0), e(1))))
+    ext.injectFunction(fn("dense_cosine",
+      "dense_cosine(array<float>, array<float>) - cosine similarity (0.0 on zero norm)")(
+      e => VectorExpressions.DenseCosine(e(0), e(1))))
+    ext.injectFunction(fn("sparse_dot",
+      "sparse_dot(map<string,float>, map<string,float>) - token-weight dot product")(
+      e => VectorExpressions.SparseDot(e(0), e(1))))
+  }
+}

@@ -51,14 +51,24 @@ object QueryCompiler {
     * avoid (processor/TextEmbeddingProcessor.java). */
   def scoreColumn(sq: SubquerySpec, dim: Int = HashEmbedder.DefaultDim): Column = sq.kind match {
     case "neural" =>
-      val qv = HashEmbedder.embed(sq.queryText.getOrElse(""), dim)
+      // both radial forms set is a parse error in the reference
+      // (NeuralQueryBuilder.java:166-170)
+      require(sq.minScore.isEmpty || sq.maxDistance.isEmpty,
+        "neural query accepts min_score OR max_distance, not both")
+      // query_image present → one multimodal inference for the {text,image}
+      // pair (NeuralQueryBuilder.java:914-919), else plain text inference
+      val qv = sq.queryImage match {
+        case Some(img) => HashEmbedder.embedMultimodal(sq.queryText.getOrElse(""), img, dim)
+        case None      => HashEmbedder.embed(sq.queryText.getOrElse(""), dim)
+      }
       val docVec = sq.vecCol.map(col).getOrElse(Enrich.embedUdf(dim)(col(sq.field)))
       val sc = round(VectorExpressions.dense_cosine(docVec, typedLit(qv)), 6)
-      // min_score = the neural query's radial cut: below-threshold docs are
-      // non-matches for THIS subquery (NeuralQueryBuilder min_score)
-      sq.minScore match {
-        case Some(ms) => when(sc > 0.0 && sc >= ms, sc)
-        case None     => when(sc > 0.0, sc)
+      // radial cuts: below-threshold docs are non-matches for THIS subquery
+      // (min_score; max_distance is the distance dual, d = 1 − cos)
+      (sq.minScore, sq.maxDistance) match {
+        case (Some(ms), _) => when(sc > 0.0 && sc >= ms, sc)
+        case (_, Some(md)) => when(sc > 0.0 && sc >= 1.0 - md, sc)
+        case _             => when(sc > 0.0, sc)
       }
     case "neural_sparse" =>
       // token priority per NeuralSparseQueryBuilder.getQueryTokens: raw

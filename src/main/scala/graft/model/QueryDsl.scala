@@ -156,7 +156,9 @@ object QueryDsl {
             queryText = (params \ "query_text").toOption.map(_.extract[String]),
             modelId = (params \ "model_id").toOption.map(_.extract[String]),
             k = (params \ "k").toOption.map(_.extract[Int]),
-            minScore = (params \ "min_score").toOption.map(_.extract[Double]))
+            minScore = (params \ "min_score").toOption.map(_.extract[Double]),
+            maxDistance = (params \ "max_distance").toOption.map(_.extract[Double]),
+            queryImage = (params \ "query_image").toOption.map(_.extract[String]))
         case "neural_sparse" =>
           val tokens = (params \ "query_tokens").toOption.collect {
             case JObject(tf) => tf.map { case (t, v) => t -> v.extract[Double].toFloat }.toMap

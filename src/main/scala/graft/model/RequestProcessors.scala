@@ -19,6 +19,8 @@ case class SubquerySpec(
     analyzer: Option[String] = None,
     k: Option[Int] = None, // neural k: candidate depth (maps to pagination depth)
     minScore: Option[Double] = None, // neural min_score: radial cut on the subquery
+    maxDistance: Option[Double] = None, // neural max_distance: the distance-space dual (cosine d = 1 − cos)
+    queryImage: Option[String] = None, // neural query_image: multimodal {text, image} inference pair
     // Ingest-time artifact columns: when the corpus was enriched at ingest
     // (Enrich.textEmbedding / sparseEncoding — the reference's ingest
     // pipelines exist precisely so queries never re-run inference,

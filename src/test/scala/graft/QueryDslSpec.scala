@@ -26,6 +26,20 @@ class QueryDslSpec extends AnyFunSuite {
     assert(req.subqueries.head.minScore.contains(0.8))
   }
 
+  test("neural max_distance and query_image parse; both radial forms reject") {
+    val req = QueryDsl.parse(
+      """{"query": {"neural": {"emb": {"query_text": "q", "max_distance": 0.3,
+        |  "query_image": "aW1n"}}}}""".stripMargin)
+    assert(req.subqueries.head.maxDistance.contains(0.3))
+    assert(req.subqueries.head.queryImage.contains("aW1n"))
+    // compile-time guard: min_score AND max_distance together is an error
+    // (NeuralQueryBuilder.java:166-170)
+    val both = req.subqueries.head.copy(minScore = Some(0.5))
+    intercept[IllegalArgumentException] {
+      graft.exec.QueryCompiler.scoreColumn(both)
+    }
+  }
+
   test("neural_sparse token map, analyzer, match/term/range forms") {
     val req = QueryDsl.parse(
       """{"query": {"hybrid": {"queries": [

@@ -34,6 +34,31 @@ class RescoreSpec extends SparkSpec {
     assert(bounds.getByte(0) <= 127 && bounds.getByte(1) >= -127)
   }
 
+  test("GraftExtensions registers the vector functions on a new session") {
+    val orig = TestSpark.spark
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    try {
+      // same SparkContext, fresh session → extensions apply at construction
+      val s2 = org.apache.spark.sql.SparkSession.builder()
+        .withExtensions(new GraftExtensions())
+        .getOrCreate()
+      val c = s2.sql(
+        """SELECT dense_cosine(CAST(array(1.0, 0.0) AS ARRAY<FLOAT>),
+          |                    CAST(array(1.0, 0.0) AS ARRAY<FLOAT>)) AS c""".stripMargin)
+        .head().getDouble(0)
+      assert(math.abs(c - 1.0) < 1e-9)
+      val d = s2.sql(
+        """SELECT sparse_dot(map('a', CAST(2.0 AS FLOAT)),
+          |                  map('a', CAST(3.0 AS FLOAT))) AS d""".stripMargin)
+        .head().getDouble(0)
+      assert(math.abs(d - 6.0) < 1e-9)
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(orig)
+      org.apache.spark.sql.SparkSession.setActiveSession(orig)
+    }
+  }
+
   test("multimodal skip_existing re-infers when EITHER input changed") {
     val prev = Seq(
       (1L, "same text", "imgA", Array(9f, 9f)), // unchanged pair → reuse
