@@ -122,6 +122,34 @@ object Queries6 {
         base.drop("rank"), cur.getDouble(0), cur.getLong(1), size = 10)
     }),
 
+    // neural_query_enricher as a request-pipeline pass: the parsed body
+    // names no model; the enricher fills the default before compilation
+    // (NeuralQueryEnricherProcessor.java:70-108) and the compiled query
+    // must behave exactly like an explicitly-modeled one.
+    "q_enricher_neural" -> ((s, dir) => {
+      import graft.exec.QueryCompiler
+      val req = QueryDsl.parse(
+        """{"query": {"neural": {"text": {"query_text": "spark join fast table scan"}}},
+          | "size": 10}""".stripMargin)
+      require(req.subqueries.head.modelId.isEmpty, "body must omit model_id")
+      val subs = NeuralQueryEnricher.enrich(req.subqueries, Some("hash-embedder"))
+      require(subs.head.modelId.contains("hash-embedder"), "enricher must fill the default")
+      QueryCompiler.run(t(s, dir, "documents"), req.copy(subqueries = subs))
+        .select(col("doc_id"), round(col("score"), 4).as("score"), col("rank"))
+    }),
+
+    // batched inference seam (InferenceProcessor.subBatchExecute): the
+    // mapPartitions batch embedder must produce exactly the per-row
+    // deterministic embeddings (digested against the probe vector).
+    "q_embed_batched" -> ((s, dir) => {
+      val out = Enrich.embedBatched(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "text", "emb", batchSize = 10)
+      out.select(col("doc_id"),
+        round(VectorExpressions.dense_dot(col("emb"), typedLit(probeVec)), 4).as("emb_dot"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Structured-Streaming windowed aggregation (Complete mode, AvailableNow):
     // the streaming execution of the q_events_hourly aggregation must equal
     // the batch answer — batch/stream parity under the hard gate.
@@ -219,6 +247,18 @@ object Queries6 {
          |WHERE r.score < c.score OR (r.score = c.score AND r.doc_id > c.doc_id)
          |ORDER BY r.score DESC, r.doc_id ASC LIMIT 10""".stripMargin
     },
+
+    "q_enricher_neural" -> {
+      val neural = OracleGen.denseScoreSql(
+        HashEmbedder.embed("spark join fast table scan", HashEmbedder.DefaultDim))
+      OracleGen.hybridFromScores(Seq(neural), "min_max", "arithmetic_mean",
+        k = 10, size = 10, preamble = embedCte(Dim))
+    },
+
+    "q_embed_batched" ->
+      s"""WITH ${embedCte(Dim)}
+         |SELECT doc_id, round(${denseDotSql("v", probeLit)}, 4) AS emb_dot
+         |FROM e_emb ORDER BY doc_id""".stripMargin,
 
     "q_neural_multimodal" -> {
       val qv = HashEmbedder.embedMultimodal(
