@@ -9,7 +9,7 @@ import graft.functions.VectorExpressions
 import graft.ingest.Enrich
 import graft.ml.{AsymmetricModel, HashEmbedder}
 import graft.model._
-import graft.streaming.StreamingDedup
+import graft.streaming.{StreamingDedup, StreamingSessionize}
 
 /** Sixth bank (round 3 cont.): asymmetric embedding models (query/passage
   * content types), skip_existing ingest reuse as a hard-gated query, and
@@ -191,6 +191,20 @@ object Queries6 {
         "embedding", "emb_q", k = 10, oversample = 3.0, docId = "vec_id")
     }),
 
+    // Stateful streaming sessionization (flatMapGroupsWithState, Append):
+    // per-user session/event totals after the AvailableNow run must equal
+    // the batch gaps-and-islands computation (30-minute gap).
+    "q_stream_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = streamOf(s, dir, "events")
+        .select(col("user_id"), col("ts").as("ts_ns"))
+        .as[StreamingSessionize.Event]
+      runAvailableNow(StreamingSessionize.sessionizeAppend(ev).toDF(), "append")
+        .select(col("user_id"), col("n_sessions"), col("n_events"))
+        .orderBy(col("user_id"))
+    }),
+
     // Streaming exact dedup: first-writer-wins per content hash via
     // flatMapGroupsWithState (cross-batch state; StreamingDedup). Append
     // mode + AvailableNow over the corpus file = the batch dedup relation.
@@ -297,6 +311,18 @@ object Queries6 {
         |       epoch_ms(date_trunc('hour', ts)) AS hour_ms,
         |       count(*) AS cnt, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY event_type, hour_ms""".stripMargin,
+
+    "q_stream_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM events)
+        |SELECT user_id,
+        |       CAST(sum(CASE WHEN prev IS NULL
+        |                          OR epoch_ns(ts) - epoch_ns(prev) > 1800000000000
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        |       count(*) AS n_events
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_stream_dedup" ->
       """SELECT doc_id, md5(text) AS text_hash,

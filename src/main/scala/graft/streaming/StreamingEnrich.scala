@@ -114,4 +114,20 @@ object StreamingSessionize {
       .groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(update(gapNs))
   }
+
+  /** Append-mode form: emits the post-batch running totals per user seen in
+    * the batch (flatMapGroupsWithState — mapGroupsWithState forces Update
+    * mode, which the memory/file sinks reject). Under Trigger.AvailableNow
+    * on a static source this is one emission per user = the batch
+    * gaps-and-islands totals, which is what the driver gate verifies. */
+  def sessionizeAppend(events: Dataset[Event],
+      gapNs: Long = 30L * 60 * 1000000000L): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Event], state: GroupState[SessionState]) =>
+          Iterator.single(update(gapNs)(uid, evs, state))
+      }
+  }
 }
