@@ -138,6 +138,19 @@ object Queries6 {
         .select(col("doc_id"), round(col("score"), 4).as("score"), col("rank"))
     }),
 
+    // agentic translation with schema-aware filter extraction: quoted
+    // phrase → match, "in german" → term lang, "between 100 and 500
+    // chars" → range, remainder → neural ⊕ neural_sparse (exactly the
+    // ≤5-subquery budget). The reference's agent sees the index mapping in
+    // its prompt; TranslatorSchema is that context for the rule stand-in.
+    "q_agentic_filters" -> ((s, dir) => {
+      import graft.exec.QueryCompiler
+      val subs = agenticFilterSubs
+      QueryCompiler.run(t(s, dir, "documents"),
+        QueryCompiler.QueryRequest(subqueries = subs))
+        .select(col("doc_id"), round(col("score"), 4).as("score"), col("rank"))
+    }),
+
     // batched inference seam (InferenceProcessor.subBatchExecute): the
     // mapPartitions batch embedder must produce exactly the per-row
     // deterministic embeddings (digested against the probe vector).
@@ -219,6 +232,16 @@ object Queries6 {
     })
   )
 
+  /** Translator output shared by the q_agentic_filters query and its
+    * oracle — both sides compile the SAME subquery list. */
+  private[graft] lazy val agenticFilterSubs: Seq[SubquerySpec] =
+    NeuralQueryEnricher.enrich(
+      RuleBasedTranslator.translateWithSchema(
+        "find \"spark join\" documents in german between 100 and 500 chars",
+        TranslatorSchema(Seq("text"), langField = Some("lang"),
+          charCountField = Some("n_chars"))),
+      Some("hash-embedder"))
+
   // ------------------------------------------------------------- oracle SQL
 
   import OracleGen.{denseCosineSql, denseDotSql, doubleList, embedCte, sparseScoreSql, valuesOf}
@@ -267,6 +290,28 @@ object Queries6 {
         HashEmbedder.embed("spark join fast table scan", HashEmbedder.DefaultDim))
       OracleGen.hybridFromScores(Seq(neural), "min_max", "arithmetic_mean",
         k = 10, size = 10, preamble = embedCte(Dim))
+    },
+
+    "q_agentic_filters" -> {
+      val scoreSqls = agenticFilterSubs.map { sq =>
+        sq.kind match {
+          case "neural" =>
+            OracleGen.denseScoreSql(HashEmbedder.embed(sq.queryText.getOrElse(""), Dim))
+          case "neural_sparse" | "match" =>
+            sparseScoreSql(valuesOf(HashEmbedder.encode(sq.queryText.getOrElse(""))))
+          case "term" =>
+            s"SELECT doc_id, 1.0 AS score FROM documents WHERE ${sq.field} = '${sq.queryText.getOrElse("")}'"
+          case "range" =>
+            val Array(gte, lt) = sq.queryText.getOrElse("..").split("\\.\\.", -1)
+            val conds = Seq(
+              if (gte.nonEmpty) Some(s"${sq.field} >= $gte") else None,
+              if (lt.nonEmpty) Some(s"${sq.field} < $lt") else None).flatten
+            s"SELECT doc_id, 1.0 AS score FROM documents WHERE ${conds.mkString(" AND ")}"
+        }
+      }
+      OracleGen.hybridFromScores(scoreSqls, "min_max", "arithmetic_mean",
+        k = 10, size = 10,
+        preamble = OracleGen.docVectorsCte + ",\n" + embedCte(Dim))
     },
 
     "q_embed_batched" ->

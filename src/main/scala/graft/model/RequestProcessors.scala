@@ -74,12 +74,64 @@ trait QueryTranslator {
 /** Deterministic rule-based translator: "quoted phrases" become match
   * subqueries, the remainder becomes one neural + one neural_sparse subquery
   * over the given fields — enough to exercise the agentic path end-to-end. */
+/** The corpus-schema context the reference's agent receives via its system
+  * prompt (index mappings are serialized into the LLM prompt by
+  * AgenticQueryTranslatorProcessor) — here an explicit parameter so the
+  * deterministic rule translator can emit filter subqueries for known
+  * metadata fields. */
+case class TranslatorSchema(
+    textFields: Seq[String],
+    langField: Option[String] = None,
+    charCountField: Option[String] = None)
+
 object RuleBasedTranslator extends QueryTranslator {
   private val Quoted = "\"([^\"]+)\"".r
-  def translate(naturalLanguage: String, queryFields: Seq[String]): Seq[SubquerySpec] = {
-    val field = queryFields.headOption.getOrElse("text")
-    val phrases = Quoted.findAllMatchIn(naturalLanguage).map(_.group(1)).toSeq
-    val rest = Quoted.replaceAllIn(naturalLanguage, " ").trim
+  private val Between = "(?i)between (\\d+) and (\\d+) chars?".r
+  private val Over = "(?i)(?:over|at least|more than) (\\d+) chars?".r
+  private val Under = "(?i)(?:under|at most|less than) (\\d+) chars?".r
+  private val InLang = "(?i)\\bin (english|german|french|spanish|italian|portuguese|dutch)\\b".r
+  private val LangCodes = Map(
+    "english" -> "en", "german" -> "de", "french" -> "fr", "spanish" -> "es",
+    "italian" -> "it", "portuguese" -> "pt", "dutch" -> "nl")
+
+  def translate(naturalLanguage: String, queryFields: Seq[String]): Seq[SubquerySpec] =
+    translateWithSchema(naturalLanguage, TranslatorSchema(queryFields))
+
+  /** Rules (ordered, each consumes its matched span):
+    *   1. "between N and M chars" / "over N chars" / "under N chars" →
+    *      range filter on the char-count field (when the schema names one);
+    *   2. "in <language>" → term filter on the lang field;
+    *   3. "quoted phrases" → match subqueries;
+    *   4. the remaining words → neural + neural_sparse semantic pair.
+    * Capped at the hybrid limit (filters and phrases take priority — they
+    * are the constraints the user stated explicitly). */
+  def translateWithSchema(naturalLanguage: String, schema: TranslatorSchema): Seq[SubquerySpec] = {
+    val field = schema.textFields.headOption.getOrElse("text")
+    var rest = naturalLanguage
+    val filters = Seq.newBuilder[SubquerySpec]
+    schema.charCountField.foreach { cf =>
+      Between.findFirstMatchIn(rest).foreach { m =>
+        filters += SubquerySpec("range", cf, queryText = Some(s"${m.group(1)}..${m.group(2)}"))
+        rest = Between.replaceFirstIn(rest, " ")
+      }
+      Over.findFirstMatchIn(rest).foreach { m =>
+        filters += SubquerySpec("range", cf, queryText = Some(s"${m.group(1)}.."))
+        rest = Over.replaceFirstIn(rest, " ")
+      }
+      Under.findFirstMatchIn(rest).foreach { m =>
+        filters += SubquerySpec("range", cf, queryText = Some(s"..${m.group(1)}"))
+        rest = Under.replaceFirstIn(rest, " ")
+      }
+    }
+    schema.langField.foreach { lf =>
+      InLang.findFirstMatchIn(rest).foreach { m =>
+        filters += SubquerySpec("term", lf,
+          queryText = Some(LangCodes(m.group(1).toLowerCase)))
+        rest = InLang.replaceFirstIn(rest, " ")
+      }
+    }
+    val phrases = Quoted.findAllMatchIn(rest).map(_.group(1)).toSeq
+    rest = Quoted.replaceAllIn(rest, " ").replaceAll("\\s+", " ").trim
     val phraseSubs = phrases.map(p => SubquerySpec("match", field, queryText = Some(p)))
     val neuralSubs =
       if (rest.nonEmpty)
@@ -87,6 +139,6 @@ object RuleBasedTranslator extends QueryTranslator {
           SubquerySpec("neural", field, queryText = Some(rest)),
           SubquerySpec("neural_sparse", field, queryText = Some(rest)))
       else Seq.empty
-    (phraseSubs ++ neuralSubs).take(HybridLimits.MaxSubqueries)
+    (phraseSubs ++ filters.result() ++ neuralSubs).take(HybridLimits.MaxSubqueries)
   }
 }

@@ -95,6 +95,28 @@ class RequestProcessorSpec extends SparkSpec {
     assert(subs.exists(_.kind == "neural_sparse"))
     assert(subs.size <= HybridLimits.MaxSubqueries)
   }
+
+  test("schema-aware translator extracts range/term filters and respects the cap") {
+    val schema = TranslatorSchema(Seq("text"),
+      langField = Some("lang"), charCountField = Some("n_chars"))
+    val subs = RuleBasedTranslator.translateWithSchema(
+      "docs \"fast scan\" in French over 200 chars about joins", schema)
+    assert(subs.exists(s => s.kind == "range" && s.field == "n_chars"
+      && s.queryText.contains("200..")))
+    assert(subs.exists(s => s.kind == "term" && s.field == "lang"
+      && s.queryText.contains("fr")))
+    assert(subs.exists(s => s.kind == "match" && s.queryText.contains("fast scan")))
+    // remainder excludes the consumed spans
+    val neural = subs.find(_.kind == "neural").get.queryText.get
+    assert(!neural.contains("French") && !neural.contains("200") && neural.contains("joins"))
+    assert(subs.size <= HybridLimits.MaxSubqueries)
+
+    // under N chars → open lower bound; without schema hints no filters emit
+    val under = RuleBasedTranslator.translateWithSchema("notes under 50 chars", schema)
+    assert(under.exists(s => s.kind == "range" && s.queryText.contains("..50")))
+    val bare = RuleBasedTranslator.translate("notes under 50 chars in german", Seq("text"))
+    assert(!bare.exists(s => s.kind == "range" || s.kind == "term"))
+  }
 }
 
 class ExplainSpec extends SparkSpec {
