@@ -296,7 +296,7 @@ object Queries3 {
          |         round(sum(CAST(dv.w AS DOUBLE) * CAST(q.qw AS DOUBLE)), 6) AS score
          |  FROM dv JOIN q USING (t) GROUP BY 1, 2
          |)
-         |SELECT query_id, doc_id, score, rank FROM (
+         |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score, rank FROM (
          |  SELECT query_id, doc_id, score,
          |         CAST(row_number() OVER (PARTITION BY query_id
          |              ORDER BY score DESC, doc_id ASC) AS INT) AS rank
