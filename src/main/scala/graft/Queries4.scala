@@ -83,11 +83,13 @@ object Queries4 {
     // opaque to SQL. Candidate margins are checked by MllibSpec.
     "q_mllib_tfidf" -> ((s, dir) =>
       graft.ml.MllibVectorizer.tfIdfTopKRescored(
-        t(s, dir, "documents"), "spark join fast table scan", 10)),
+        t(s, dir, "documents"), "spark join fast table scan", 10,
+        index = Some(SparkEntry.mllibTfIdfIndex(s, dir)))),
 
     "q_mllib_minhash" -> ((s, dir) =>
       graft.ml.MllibVectorizer.minhashNearDupRescored(
-        t(s, dir, "documents"), threshold = 0.5)
+        t(s, dir, "documents"), threshold = 0.5,
+        index = Some(SparkEntry.mllibMinhashIndex(s, dir)))
         .orderBy(col("id_a"), col("id_b"))),
 
     "q_mllib_ann" -> ((s, dir) =>

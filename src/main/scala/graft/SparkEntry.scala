@@ -61,6 +61,26 @@ object SparkEntry {
       graft.seismic.Seismic.build(docsWithTokens(s, d), nPostings = SeismicTruncNPostings)
     })
 
+  /** MLlib MinHashLSH index memo — same ingest-artifact argument as the
+    * SEISMIC index above: LSH signatures + shingle-hash arrays are built
+    * when documents are indexed; queries measure candidate-join + verify
+    * cost against them. */
+  private val mllibMinhashCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), graft.ml.MllibVectorizer.MinhashIndex]()
+  private[graft] def mllibMinhashIndex(spark: SparkSession, dir: String): graft.ml.MllibVectorizer.MinhashIndex =
+    mllibMinhashCache.computeIfAbsent((spark, dir), { case (s, d) =>
+      graft.ml.MllibVectorizer.buildMinhashIndex(t(s, d, "documents"))
+    })
+
+  /** MLlib tf-idf index memo — fitted model + postings + norms built at
+    * ingest (the fitted IDFModel is the bulk-indexing model artifact). */
+  private val mllibTfIdfCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), graft.ml.MllibVectorizer.TfIdfIndex]()
+  private[graft] def mllibTfIdfIndex(spark: SparkSession, dir: String): graft.ml.MllibVectorizer.TfIdfIndex =
+    mllibTfIdfCache.computeIfAbsent((spark, dir), { case (s, d) =>
+      graft.ml.MllibVectorizer.buildTfIdfIndex(t(s, d, "documents"))
+    })
+
   private[graft] val encodeUdf = udf((s: String) => HashEmbedder.encode(s))
   private[graft] def embedUdf(dim: Int) = udf((s: String) => HashEmbedder.embed(s, dim))
 
@@ -117,8 +137,7 @@ object SparkEntry {
   }
 
   private def hybridMinMax(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
-      .withColumn("tokens", encodeUdf(col("text")))
+    val docs = docsWithTokens(spark, dir)
     // Scores are rounded to 6 decimals BEFORE any ranking so that the DuckDB
     // oracle (which sums the identical float products in a different order)
     // ranks identically — last-ulp double divergence cannot flip a rank.
@@ -239,7 +258,7 @@ object SparkEntry {
 
     // -- sparse exact top-k (neural_sparse query, exact path) ----------------
     "q_sparse_exact" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").withColumn("tokens", encodeUdf(col("text")))
+      val docs = docsWithTokens(s, dir)
       val scored = docs
         .select(col("doc_id"), round(sparse_dot(col("tokens"), typedLit(qTokensA)), 6).as("score"))
         .where(col("score") > 0.0)
@@ -252,7 +271,7 @@ object SparkEntry {
     "q_hybrid_minmax_arith" -> ((s, dir) => hybridMinMax(s, dir)),
 
     "q_hybrid_rrf" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").withColumn("tokens", encodeUdf(col("text")))
+      val docs = docsWithTokens(s, dir)
       def sub(q: Map[String, Float]): Column = {
         val sc = round(sparse_dot(col("tokens"), typedLit(q)), 6)
         when(sc > 0.0, sc)

@@ -91,6 +91,35 @@ class MllibSpec extends SparkSpec {
     assert(rescored == exact)
   }
 
+  test("indexed tf-idf rescored cascade equals the inline-build form (sf0.01)") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val idx = MllibVectorizer.buildTfIdfIndex(corpus)
+    val q = "spark join fast table scan"
+    val indexed = MllibVectorizer.tfIdfTopKRescored(corpus, q, 10, index = Some(idx)).collect()
+    val inline = MllibVectorizer.tfIdfTopKRescored(corpus, q, 10).collect()
+    assert(indexed.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      inline.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+  }
+
+  test("driver-side queryVector equals the transform-path query vector") {
+    val model = MllibVectorizer.fitTfIdf(docs, numFeatures = 1 << 12)
+    import spark.implicits._
+    val viaTransform = model.transform(Seq("Spark  JOIN fast table join").toDF("text"))
+      .select(col("features")).head().getAs[org.apache.spark.ml.linalg.Vector](0)
+    val viaDriver = model.queryVector("Spark  JOIN fast table join")
+    assert(viaTransform.toArray.zip(viaDriver.toArray).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+  }
+
+  test("indexed minhash rescored pairs equal the inline-build form (sf0.01)") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val idx = MllibVectorizer.buildMinhashIndex(corpus)
+    val indexed = MllibVectorizer.minhashNearDupRescored(corpus, threshold = 0.5, index = Some(idx))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val inline = MllibVectorizer.minhashNearDupRescored(corpus, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(indexed == inline)
+  }
+
   test("minhashNearDupRescored equals exact all-pairs Jaccard (small corpus)") {
     val rescored = MllibVectorizer.minhashNearDupRescored(docs, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
