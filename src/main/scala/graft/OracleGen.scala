@@ -423,4 +423,117 @@ private[graft] object OracleGen {
        |SELECT doc_id, round(score, 4) AS score, rank
        |FROM ranked WHERE rank > $from AND rank <= ${from + size} ORDER BY rank""".stripMargin
   }
+
+  // ------------------------------------------------- sentence highlighting
+
+  /** Sentence segmentation WITH OFFSETS + per-sentence similarity CTEs,
+    * replicating Highlight.segmentSentences/scoreSentences: boundaries are
+    * marked by chr(1) on BOTH sides of the `[.!?]\s+` separator (RE2 has no
+    * lookbehind), so the split alternates sentence/separator pieces whose
+    * cumulative lengths ARE the original character offsets; sentences are
+    * the odd-position non-empty pieces. Expects an `hl_top(doc_id, …)` CTE
+    * selecting the docs to highlight; emits hs_offs (all pieces + offsets),
+    * hs_sent (sentences with ord/start/end), hs_sim (float-cast similarity
+    * per sentence — zero-token sentences coalesce to 0), hs_best. */
+  def sentenceSpanCtes(qEmb: Array[Float], dim: Int = graft.ml.HashEmbedder.DefaultDim): String = {
+    val qLit = doubleList(qEmb)
+    val fnvP = fnvSql("p")
+    s"""hs_marked AS (
+       |  SELECT d.doc_id,
+       |         string_split(regexp_replace(d.text, '([.!?])(\\s+)',
+       |                      '\\1' || chr(1) || '\\2' || chr(1), 'g'), chr(1)) AS parts
+       |  FROM documents d JOIN hl_top USING (doc_id)
+       |), hs_parts AS (
+       |  SELECT doc_id, unnest(parts) AS p, generate_subscripts(parts, 1) AS pord
+       |  FROM hs_marked
+       |), hs_offs AS (
+       |  SELECT doc_id, p, pord,
+       |         CAST(coalesce(sum(length(p)) OVER (PARTITION BY doc_id ORDER BY pord
+       |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT) AS sent_start
+       |  FROM hs_parts
+       |), hs_sent AS (
+       |  SELECT doc_id, p AS sent, pord, sent_start,
+       |         CAST(sent_start + length(p) AS INT) AS sent_end,
+       |         CAST((pord + 1) // 2 AS INT) AS ord
+       |  FROM hs_offs WHERE pord % 2 = 1 AND p <> ''
+       |), hs_cnt AS (
+       |  SELECT doc_id, ord, p, count(*) AS c FROM (
+       |    SELECT doc_id, ord, unnest(regexp_split_to_array(lower(sent), '\\s+')) AS p
+       |    FROM hs_sent) WHERE p <> '' GROUP BY 1, 2, 3
+       |), hs_hash AS (
+       |  SELECT p, $fnvP % $dim AS idx FROM (SELECT DISTINCT p FROM hs_cnt)
+       |), hs_idx AS (
+       |  SELECT doc_id, ord, idx, CAST(sum(c) AS DOUBLE) AS c
+       |  FROM hs_cnt JOIN hs_hash USING (p) GROUP BY 1, 2, 3
+       |), hs_vec AS (
+       |  SELECT dk.doc_id, dk.ord, list(coalesce(e.c, 0.0) ORDER BY g.i) AS cnts
+       |  FROM (SELECT DISTINCT doc_id, ord FROM hs_cnt) dk
+       |  CROSS JOIN (SELECT unnest(range(0, $dim)) AS i) g
+       |  LEFT JOIN hs_idx e ON e.doc_id = dk.doc_id AND e.ord = dk.ord AND e.idx = g.i
+       |  GROUP BY dk.doc_id, dk.ord
+       |), hs_emb AS (
+       |  SELECT doc_id, ord,
+       |         CASE WHEN nrm > 0
+       |              THEN list_transform(cnts, x -> CAST(CAST(x / nrm AS REAL) AS DOUBLE))
+       |              ELSE cnts END AS v
+       |  FROM (SELECT doc_id, ord, cnts,
+       |               sqrt(list_sum(list_transform(cnts, x -> x * x))) AS nrm
+       |        FROM hs_vec)
+       |), hs_sim AS (
+       |  SELECT s.doc_id, s.ord, s.pord, s.sent_start, s.sent_end,
+       |         coalesce(CAST(CAST(${denseDotSql("e.v", qLit)} AS REAL) AS DOUBLE), 0.0) AS sim
+       |  FROM hs_sent s LEFT JOIN hs_emb e ON e.doc_id = s.doc_id AND e.ord = s.ord
+       |), hs_best AS (
+       |  SELECT doc_id, max(sim) AS best FROM hs_sim GROUP BY doc_id
+       |)""".stripMargin
+  }
+
+  /** Top-5 sparse hits CTE for the highlight oracles (matches the q_highlight
+    * query shape: exact sparse top-k on qTokens, score > 0). */
+  private def highlightTopCte(qTokens: Map[String, Float], k: Int): String =
+    s"""hl_top AS (
+       |  SELECT doc_id, score FROM (
+       |    SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+       |    FROM (${sparseScoreSql(valuesOf(qTokens))})
+       |    WHERE score > 0.0) WHERE rn <= $k
+       |)""".stripMargin
+
+  /** Tagged-text highlight oracle (single and batch paths emit the same
+    * relation): reconstruct the ORIGINAL text from the alternating pieces,
+    * wrapping selected sentences in the tags — original whitespace passes
+    * through verbatim, exactly like HighlightTagApplier. */
+  def highlightTaggedSql(qTokens: Map[String, Float], qEmb: Array[Float],
+      k: Int = 5, threshold: Double = 0.999): String =
+    s"""WITH $docVectorsCte,
+       |${highlightTopCte(qTokens, k)},
+       |${sentenceSpanCtes(qEmb)},
+       |hs_mark AS (
+       |  SELECT s.doc_id, s.pord, (b.best > 0.0 AND s.sim >= b.best * $threshold) AS hi
+       |  FROM hs_sim s JOIN hs_best b USING (doc_id)
+       |), hs_tag AS (
+       |  SELECT o.doc_id,
+       |         string_agg(CASE WHEN coalesce(m.hi, FALSE)
+       |                         THEN '<em>' || o.p || '</em>' ELSE o.p END,
+       |                    '' ORDER BY o.pord) AS highlights
+       |  FROM hs_offs o
+       |  LEFT JOIN hs_mark m ON m.doc_id = o.doc_id AND m.pord = o.pord
+       |  GROUP BY o.doc_id
+       |)
+       |SELECT t.doc_id, t.score, g.highlights
+       |FROM hl_top t JOIN hs_tag g USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin
+
+  /** Per-sentence span relation oracle: one row per (doc, sentence) with
+    * character offsets, similarity, and the highlight decision — the
+    * observable form of the QA span model output. */
+  def highlightSentencesSql(qTokens: Map[String, Float], qEmb: Array[Float],
+      k: Int = 5, threshold: Double = 0.999): String =
+    s"""WITH $docVectorsCte,
+       |${highlightTopCte(qTokens, k)},
+       |${sentenceSpanCtes(qEmb)}
+       |SELECT s.doc_id, s.ord, s.sent_start, s.sent_end,
+       |       round(s.sim, 6) AS sim,
+       |       (b.best > 0.0 AND s.sim >= b.best * $threshold) AS highlighted
+       |FROM hs_sim s JOIN hs_best b USING (doc_id)
+       |ORDER BY s.doc_id, s.ord""".stripMargin
 }

@@ -212,66 +212,11 @@ object Queries3 {
          |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin
     },
 
-    // highlight: sentence split emulated without lookbehind (RE2) by
-    // marking boundaries with chr(1); per-sentence hash-embed similarity,
-    // tag sentences within 0.999 of the best
-    "q_highlight" -> {
-      val fnvP = OracleGen.fnvSql("p")
-      s"""WITH ${OracleGen.docVectorsCte},
-         |hl_top AS (
-         |  SELECT doc_id, score FROM (
-         |    SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
-         |    FROM (${OracleGen.sparseScoreSql(OracleGen.valuesOf(qTokensA))})
-         |    WHERE score > 0.0) WHERE rn <= 5
-         |), hl_sent AS (
-         |  SELECT s.doc_id, s.sent, s.ord FROM (
-         |    SELECT doc_id,
-         |           unnest(string_split(regexp_replace(text, '([.!?])(\\s+)', '\\1' || chr(1), 'g'), chr(1))) AS sent,
-         |           generate_subscripts(string_split(regexp_replace(text, '([.!?])(\\s+)', '\\1' || chr(1), 'g'), chr(1)), 1) AS ord
-         |    FROM documents JOIN hl_top USING (doc_id)) s
-         |  WHERE s.sent <> ''
-         |), hl_cnt AS (
-         |  SELECT doc_id, ord, p, count(*) AS c FROM (
-         |    SELECT doc_id, ord, unnest(regexp_split_to_array(lower(sent), '\\s+')) AS p
-         |    FROM hl_sent) WHERE p <> '' GROUP BY 1, 2, 3
-         |), hl_hash AS (
-         |  SELECT p, $fnvP % 8 AS idx FROM (SELECT DISTINCT p FROM hl_cnt)
-         |), hl_idx AS (
-         |  SELECT doc_id, ord, idx, CAST(sum(c) AS DOUBLE) AS c
-         |  FROM hl_cnt JOIN hl_hash USING (p) GROUP BY 1, 2, 3
-         |), hl_vec AS (
-         |  SELECT dk.doc_id, dk.ord, list(coalesce(e.c, 0.0) ORDER BY g.i) AS cnts
-         |  FROM (SELECT DISTINCT doc_id, ord FROM hl_cnt) dk
-         |  CROSS JOIN (SELECT unnest(range(0, 8)) AS i) g
-         |  LEFT JOIN hl_idx e ON e.doc_id = dk.doc_id AND e.ord = dk.ord AND e.idx = g.i
-         |  GROUP BY dk.doc_id, dk.ord
-         |), hl_emb AS (
-         |  SELECT doc_id, ord,
-         |         CASE WHEN nrm > 0
-         |              THEN list_transform(cnts, x -> CAST(CAST(x / nrm AS REAL) AS DOUBLE))
-         |              ELSE cnts END AS v
-         |  FROM (SELECT doc_id, ord, cnts,
-         |               sqrt(list_sum(list_transform(cnts, x -> x * x))) AS nrm
-         |        FROM hl_vec)
-         |), hl_sim AS (
-         |  SELECT s.doc_id, s.ord, s.sent,
-         |         CAST(CAST(${OracleGen.denseDotSql("e.v", qEmbLit)} AS REAL) AS DOUBLE) AS sim
-         |  FROM hl_sent s JOIN hl_emb e ON e.doc_id = s.doc_id AND e.ord = s.ord
-         |), hl_best AS (
-         |  SELECT doc_id, max(sim) AS best FROM hl_sim GROUP BY doc_id
-         |), hl_mark AS (
-         |  SELECT s.doc_id,
-         |         string_agg(CASE WHEN s.sim >= b.best * 0.999
-         |                         THEN '<em>' || s.sent || '</em>' ELSE s.sent END,
-         |                    ' ' ORDER BY s.ord) AS tagged
-         |  FROM hl_sim s JOIN hl_best b USING (doc_id) GROUP BY s.doc_id
-         |)
-         |SELECT t.doc_id, t.score,
-         |       CASE WHEN b.best <= 0.0 THEN d.text ELSE m.tagged END AS highlights
-         |FROM hl_top t JOIN hl_mark m USING (doc_id) JOIN hl_best b USING (doc_id)
-         |JOIN documents d USING (doc_id)
-         |ORDER BY t.doc_id""".stripMargin
-    },
+    // highlight: sentence spans with character offsets over the ORIGINAL
+    // text (HighlightTagApplier semantics — whitespace passes through
+    // verbatim); shared generator with q_highlight_batch / _sentences
+    "q_highlight" -> OracleGen.highlightTaggedSql(
+      qTokensA, HashEmbedder.embed(queryText, HashEmbedder.DefaultDim)),
     "q_neural_dense" ->
       s"""WITH ${OracleGen.embedCte(HashEmbedder.DefaultDim)}
          |SELECT doc_id, score FROM (

@@ -1,61 +1,182 @@
 package graft.post
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 import graft.ml.HashEmbedder
 
 /** Semantic highlighting — the reference marks query-relevant sentences in
-  * each top hit via a QA model (highlight/SemanticHighlighter.java, engine
-  * single/SemanticHighlighterEngine.java:87-158; batch variant
-  * highlight/batch/processor/SemanticHighlightingProcessor.java).
+  * each top hit via a QA span model (highlight/SemanticHighlighter.java,
+  * engine single/SemanticHighlighterEngine.java:87-158; batch variant
+  * highlight/batch/processor/SemanticHighlightingProcessor.java). The model
+  * returns CHARACTER SPANS over the original context and
+  * highlight/utils/HighlightTagApplier.java:36-115 inserts the pre/post tags
+  * at span boundaries, preserving every original character (whitespace runs,
+  * newlines) outside and inside the spans.
   *
-  * Deterministic stand-in for the QA model: sentences are scored by
-  * embedding cosine against the query; sentences scoring ≥ `threshold` ×
-  * best-sentence score are wrapped in the highlight tags. Sentence
-  * segmentation: split after [.!?] runs; if the text has no sentence
-  * punctuation the whole field is one sentence (reference behaves the same
-  * on single-sentence fields).
+  * This engine reproduces that pipeline with a deterministic stand-in for
+  * the QA model:
+  *   1. [[segmentSentences]] — rule-based sentence segmentation WITH
+  *      offsets: a boundary falls after a `[.!?]` run followed by
+  *      whitespace (the whitespace run separates, the punctuation stays
+  *      with its sentence); a field without sentence punctuation is one
+  *      sentence, as in the reference.
+  *   2. per-sentence relevance — embedding similarity of query vs sentence
+  *      on the existing model surface (HashEmbedder.similarity), replacing
+  *      the QA span model's sentence logits.
+  *   3. span selection — sentences scoring ≥ `threshold` × best-sentence
+  *      score become highlight spans (start/end in the ORIGINAL text).
+  *   4. [[applyTags]] — the HighlightTagApplier contract verbatim: spans
+  *      must be sorted, non-overlapping, in-bounds, unique starts (invalid
+  *      spans throw); tags are spliced in and all other characters pass
+  *      through untouched.
   *
-  * Applied post-top-k (a projection over ≤ k rows), batch mode = the same
-  * UDF evaluated once per partition batch — mirroring the reference's
-  * single vs batch inference split.
-  *
-  * Known divergence: sentences are rejoined with a single space, so
-  * original inter-sentence whitespace (newlines, runs of spaces) is
-  * normalized in the highlighted output; the DuckDB oracle replicates the
-  * same normalization. Preserve-original-spans would require carrying
-  * sentence offsets through the split.
+  * Batch mode ([[highlightBatch]]) mirrors
+  * SemanticHighlightingProcessor/BatchExecutor: hits are paginated into
+  * sub-batches of `maxInferenceBatchSize` and the model runs once per
+  * sub-batch (mapPartitions), with results applied back per hit — the same
+  * seam as the ingest-side subBatchExecute analogue (q_embed_batched).
   */
 object Highlight {
 
   val DefaultPreTag = "<em>"
   val DefaultPostTag = "</em>"
 
-  def splitSentences(text: String): Seq[String] = {
+  /** max_inference_batch_size default
+    * (highlight/SemanticHighlightingConstants.java). */
+  val DefaultMaxInferenceBatchSize = 100
+
+  /** A sentence's [start, end) character span in the original text. */
+  case class SentenceSpan(ord: Int, start: Int, end: Int)
+
+  private val BoundaryRe = java.util.regex.Pattern.compile("([.!?])(\\s+)")
+
+  /** Sentence segmentation with offsets: pieces between `[.!?]\s+`
+    * boundaries. The whitespace run after the punctuation is a separator
+    * (belongs to no sentence); empty pieces (text ending in a boundary) are
+    * dropped. Offsets are over the original string, so
+    * `text.substring(s.start, s.end)` IS the sentence. */
+  def segmentSentences(text: String): Seq[SentenceSpan] = {
     if (text == null || text.isEmpty) return Seq.empty
-    val out = text.split("(?<=[.!?])\\s+").toSeq.filter(_.nonEmpty)
-    if (out.isEmpty) Seq(text) else out
+    val m = BoundaryRe.matcher(text)
+    val out = Seq.newBuilder[SentenceSpan]
+    var pos = 0
+    var ord = 1
+    while (m.find()) {
+      val sentEnd = m.end(1) // include the punctuation run's matched char
+      if (sentEnd > pos) { out += SentenceSpan(ord, pos, sentEnd); ord += 1 }
+      pos = m.end(2) // skip the whitespace separator
+    }
+    if (pos < text.length) out += SentenceSpan(ord, pos, text.length)
+    out.result()
   }
 
+  /** Relevance of each sentence to the query on the model surface —
+    * the deterministic stand-in for the QA span model's logits. */
+  def scoreSentences(queryText: String, text: String,
+      spans: Seq[SentenceSpan]): Seq[Double] =
+    spans.map(sp => HashEmbedder.similarity(queryText, text.substring(sp.start, sp.end)).toDouble)
+
+  /** HighlightTagApplier.applyTags (reference
+    * highlight/utils/HighlightTagApplier.java:36-115): validates that spans
+    * are numeric-bounded, sorted by start, without duplicate starts and
+    * without overlap, then splices the tags in, preserving every other
+    * character of the original text. Invalid spans throw (the reference
+    * throws OpenSearchException). Empty span list returns the text
+    * unchanged (engine contract: empty highlights → original context). */
+  def applyTags(text: String, spans: Seq[(Int, Int)],
+      preTag: String = DefaultPreTag, postTag: String = DefaultPostTag): String = {
+    if (spans.isEmpty) return text
+    spans.foreach { case (s, e) =>
+      require(s >= 0 && e <= text.length && s < e,
+        s"Invalid highlight positions: start=$s, end=$e, textLength=${text.length}")
+    }
+    spans.sliding(2).foreach {
+      case Seq((ps, pe), (cs, _)) =>
+        require(cs >= ps, "Invalid highlight positions: highlights are not sorted by start position")
+        require(cs != ps, s"Invalid highlight positions: duplicate start position $cs")
+        require(cs >= pe, s"Invalid highlight positions: overlapping spans")
+      case _ =>
+    }
+    val sb = new java.lang.StringBuilder(text.length + (preTag.length + postTag.length) * spans.size)
+    var pos = 0
+    spans.foreach { case (s, e) =>
+      if (s > pos) sb.append(text, pos, s)
+      sb.append(preTag).append(text, s, e).append(postTag)
+      pos = e
+    }
+    if (pos < text.length) sb.append(text, pos, text.length)
+    sb.toString
+  }
+
+  /** Single-document highlighting: segment → score → select ≥ threshold ×
+    * best → tag. Best score ≤ 0 means no sentence matched — the original
+    * context comes back untouched (reference: empty highlights list). */
   def highlightText(queryText: String, docText: String,
       threshold: Double = 0.999, preTag: String = DefaultPreTag,
       postTag: String = DefaultPostTag): String = {
-    val sents = splitSentences(docText)
-    if (sents.isEmpty) return docText
-    val scores = sents.map(s => HashEmbedder.similarity(queryText, s).toDouble)
+    val spans = segmentSentences(docText)
+    if (spans.isEmpty) return docText
+    val scores = scoreSentences(queryText, docText, spans)
     val best = scores.max
     if (best <= 0.0) return docText
-    sents.zip(scores).map { case (s, sc) =>
-      if (sc >= best * threshold) s"$preTag$s$postTag" else s
-    }.mkString(" ")
+    val selected = spans.zip(scores).collect {
+      case (sp, sc) if sc >= best * threshold => (sp.start, sp.end)
+    }
+    applyTags(docText, selected, preTag, postTag)
   }
 
-  /** DataFrame form: adds a `highlights` column for the given text column. */
+  /** DataFrame form: adds a `highlights` column for the given text column
+    * (the single-inference path — one model call per hit). */
   def highlight(results: DataFrame, queryText: String, textCol: String,
       threshold: Double = 0.999): DataFrame = {
     val u = udf((d: String) => highlightText(queryText, d, threshold))
     results.withColumn("highlights", u(col(textCol)))
+  }
+
+  /** Per-sentence relation: one row per (doc, sentence) with offsets,
+    * similarity, and the highlight decision — the observable form of the
+    * span model's output (SentenceHighlightingRequest → highlights list
+    * with start/end per sentence). */
+  def sentenceRelation(results: DataFrame, queryText: String, textCol: String,
+      threshold: Double = 0.999): DataFrame = {
+    val u = udf((d: String) => {
+      val spans = segmentSentences(d)
+      val scores = scoreSentences(queryText, d, spans)
+      val best = if (scores.isEmpty) 0.0 else scores.max
+      spans.zip(scores).map { case (sp, sc) =>
+        (sp.ord, sp.start, sp.end, sc, best > 0.0 && sc >= best * threshold)
+      }
+    })
+    results
+      .withColumn("s", explode(u(col(textCol))))
+      .select(col("doc_id"),
+        col("s._1").as("ord"), col("s._2").as("sent_start"),
+        col("s._3").as("sent_end"), col("s._4").as("sim"),
+        col("s._5").as("highlighted"))
+  }
+
+  /** Batch-mode highlighting (SemanticHighlightingProcessor analogue): the
+    * hits stream through mapPartitions in sub-batches of
+    * `maxInferenceBatchSize`; each sub-batch is one "inference call" whose
+    * results are applied back to its hits in order (BatchExecutor +
+    * HighlightResultApplier). Output is row-identical to the single path —
+    * batching is an execution seam, not a semantic change. */
+  def highlightBatch(results: DataFrame, queryText: String, textCol: String,
+      threshold: Double = 0.999,
+      maxInferenceBatchSize: Int = DefaultMaxInferenceBatchSize): DataFrame = {
+    val schema = StructType(results.schema.fields :+ StructField("highlights", StringType, nullable = true))
+    val textIdx = results.schema.fieldIndex(textCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    results.mapPartitions { rows =>
+      rows.grouped(maxInferenceBatchSize).flatMap { batch =>
+        // one "model call" per sub-batch: contexts in, tagged strings out
+        val contexts = batch.map(_.getString(textIdx))
+        val tagged = contexts.map(c => highlightText(queryText, c, threshold))
+        batch.zip(tagged).map { case (r, h) => Row.fromSeq(r.toSeq :+ h) }
+      }
+    }(enc)
   }
 
   /** QueryTextExtractorRegistry analogue (highlight/single/extractor):

@@ -13,7 +13,7 @@ class HighlightSpec extends SparkSpec {
   test("highlights exactly the argmax-similarity sentence") {
     val doc = "spark joins tables fast. bananas are yellow fruit. nothing else here."
     val q = "spark join table"
-    val sents = Highlight.splitSentences(doc)
+    val sents = Highlight.segmentSentences(doc).map(sp => doc.substring(sp.start, sp.end))
     val best = sents.maxBy(s => graft.ml.HashEmbedder.similarity(q, s))
     val out = Highlight.highlightText(q, doc)
     assert(out.contains(s"<em>$best</em>"))
@@ -22,6 +22,70 @@ class HighlightSpec extends SparkSpec {
       if (graft.ml.HashEmbedder.similarity(q, s0) <
           graft.ml.HashEmbedder.similarity(q, best) * 0.999)
         assert(!out.contains(s"<em>$s0</em>"))
+    }
+  }
+
+  test("segmentation offsets index the original text exactly") {
+    val doc = "First one.  Second?\n\nThird thing!   tail with no punct"
+    val spans = Highlight.segmentSentences(doc)
+    assert(spans.map(sp => doc.substring(sp.start, sp.end)) ==
+      Seq("First one.", "Second?", "Third thing!", "tail with no punct"))
+    assert(spans.map(_.ord) == Seq(1, 2, 3, 4))
+    // sentences never start/end inside the separator whitespace
+    spans.foreach { sp =>
+      assert(!doc.charAt(sp.start).isWhitespace)
+      assert(!doc.charAt(sp.end - 1).isWhitespace)
+    }
+  }
+
+  test("tagging preserves original whitespace outside and between spans") {
+    // reference HighlightTagApplier splices tags into the ORIGINAL context;
+    // the double space and newlines must survive untouched
+    val doc = "spark joins tables fast.  \n\nbananas are yellow fruit."
+    val q = "spark join table"
+    val spans = Highlight.segmentSentences(doc)
+    val scores = Highlight.scoreSentences(q, doc, spans)
+    val best = scores.max
+    val expected = Highlight.applyTags(doc,
+      spans.zip(scores).collect { case (sp, sc) if sc >= best * 0.999 => (sp.start, sp.end) })
+    val out = Highlight.highlightText(q, doc)
+    assert(out == expected)
+    // whichever sentence won, the separator whitespace survives verbatim
+    assert(out.replace("<em>", "").replace("</em>", "") == doc)
+    assert(out.contains("<em>"))
+  }
+
+  test("applyTags validation matches HighlightTagApplier error contract") {
+    val text = "0123456789"
+    // out of bounds / inverted
+    intercept[IllegalArgumentException](Highlight.applyTags(text, Seq((-1, 3))))
+    intercept[IllegalArgumentException](Highlight.applyTags(text, Seq((2, 11))))
+    intercept[IllegalArgumentException](Highlight.applyTags(text, Seq((5, 5))))
+    // unsorted, duplicate start, overlapping
+    intercept[IllegalArgumentException](Highlight.applyTags(text, Seq((5, 7), (1, 3))))
+    intercept[IllegalArgumentException](Highlight.applyTags(text, Seq((2, 4), (2, 6))))
+    intercept[IllegalArgumentException](Highlight.applyTags(text, Seq((2, 6), (4, 8))))
+    // empty list → text unchanged; adjacent spans OK
+    assert(Highlight.applyTags(text, Nil) == text)
+    assert(Highlight.applyTags(text, Seq((0, 2), (2, 4))) == "<em>01</em><em>23</em>456789")
+  }
+
+  test("batch highlighting equals the single-inference path at any sub-batch size") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spark joins tables fast. bananas are yellow."),
+      (2L, "nothing relevant here at all. still nothing."),
+      (3L, "fast table scan with spark join engine"),
+      (4L, "one. two. three. four. five."),
+      (5L, "spark")
+    ).toDF("doc_id", "text")
+    val q = "spark join table"
+    val single = Highlight.highlight(df, q, "text")
+      .select("doc_id", "highlights").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for (bs <- Seq(1, 2, 100)) {
+      val batch = Highlight.highlightBatch(df, q, "text", maxInferenceBatchSize = bs)
+        .select("doc_id", "highlights").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(batch == single, s"batch size $bs diverged")
     }
   }
   test("extractQueryText walks the subquery tree like QueryTextExtractorRegistry") {
