@@ -424,6 +424,41 @@ private[graft] object OracleGen {
        |FROM ranked WHERE rank > $from AND rank <= ${from + size} ORDER BY rank""".stripMargin
   }
 
+  /** documents → (doc_id, ck, v DOUBLE[dim]) per-chunk hash embeddings for
+    * overlap-0 fixed-token chunking: chunks are contiguous `tokensPerChunk`-
+    * token blocks, so membership is (ord-1)//tokensPerChunk; per-(doc,chunk)
+    * embed mirrors embedCte (FNV idx, count, L2 with float casts). */
+  def chunkEmbedCte(dim: Int, tokensPerChunk: Int, p: String = "nc_"): String = {
+    val fnvP = fnvSql("p")
+    s"""${p}parts AS (
+       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS p,
+       |         generate_subscripts(string_split(lower(text), ' '), 1) AS ord
+       |  FROM documents
+       |), ${p}cnt AS (
+       |  SELECT doc_id, CAST((ord - 1) // $tokensPerChunk AS INT) AS ck, p, count(*) AS c
+       |  FROM ${p}parts WHERE p <> '' GROUP BY 1, 2, 3
+       |), ${p}hash AS (
+       |  SELECT p, $fnvP % $dim AS idx FROM (SELECT DISTINCT p FROM ${p}cnt)
+       |), ${p}idx AS (
+       |  SELECT doc_id, ck, idx, CAST(sum(c) AS DOUBLE) AS c
+       |  FROM ${p}cnt JOIN ${p}hash USING (p) GROUP BY 1, 2, 3
+       |), ${p}vec AS (
+       |  SELECT dk.doc_id, dk.ck, list(coalesce(e.c, 0.0) ORDER BY g.i) AS cnts
+       |  FROM (SELECT DISTINCT doc_id, ck FROM ${p}cnt) dk
+       |  CROSS JOIN (SELECT unnest(range(0, $dim)) AS i) g
+       |  LEFT JOIN ${p}idx e ON e.doc_id = dk.doc_id AND e.ck = dk.ck AND e.idx = g.i
+       |  GROUP BY dk.doc_id, dk.ck
+       |), ${p}emb AS (
+       |  SELECT doc_id, ck,
+       |         CASE WHEN nrm > 0
+       |              THEN list_transform(cnts, x -> CAST(CAST(x / nrm AS REAL) AS DOUBLE))
+       |              ELSE cnts END AS v
+       |  FROM (SELECT doc_id, ck, cnts,
+       |               sqrt(list_sum(list_transform(cnts, x -> x * x))) AS nrm
+       |        FROM ${p}vec)
+       |)""".stripMargin
+  }
+
   // ------------------------------------------------- sentence highlighting
 
   /** Sentence segmentation WITH OFFSETS + per-sentence similarity CTEs,

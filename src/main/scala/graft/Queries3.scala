@@ -175,42 +175,13 @@ object Queries3 {
     },
 
     // chunked ScoreMode.Max: overlap-0 fixed-token chunks are contiguous
-    // 16-token blocks, so chunk membership is (ord-1)//16 — embed per
-    // (doc, chunk), max cosine per doc
-    "q_neural_chunked" -> {
-      val fnvP = OracleGen.fnvSql("p")
-      s"""WITH nc_parts AS (
-         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS p,
-         |         generate_subscripts(string_split(lower(text), ' '), 1) AS ord
-         |  FROM documents
-         |), nc_cnt AS (
-         |  SELECT doc_id, CAST((ord - 1) // 16 AS INT) AS ck, p, count(*) AS c
-         |  FROM nc_parts WHERE p <> '' GROUP BY 1, 2, 3
-         |), nc_hash AS (
-         |  SELECT p, $fnvP % 8 AS idx FROM (SELECT DISTINCT p FROM nc_cnt)
-         |), nc_idx AS (
-         |  SELECT doc_id, ck, idx, CAST(sum(c) AS DOUBLE) AS c
-         |  FROM nc_cnt JOIN nc_hash USING (p) GROUP BY 1, 2, 3
-         |), nc_vec AS (
-         |  SELECT dk.doc_id, dk.ck, list(coalesce(e.c, 0.0) ORDER BY g.i) AS cnts
-         |  FROM (SELECT DISTINCT doc_id, ck FROM nc_cnt) dk
-         |  CROSS JOIN (SELECT unnest(range(0, 8)) AS i) g
-         |  LEFT JOIN nc_idx e ON e.doc_id = dk.doc_id AND e.ck = dk.ck AND e.idx = g.i
-         |  GROUP BY dk.doc_id, dk.ck
-         |), nc_emb AS (
-         |  SELECT doc_id, ck,
-         |         CASE WHEN nrm > 0
-         |              THEN list_transform(cnts, x -> CAST(CAST(x / nrm AS REAL) AS DOUBLE))
-         |              ELSE cnts END AS v
-         |  FROM (SELECT doc_id, ck, cnts,
-         |               sqrt(list_sum(list_transform(cnts, x -> x * x))) AS nrm
-         |        FROM nc_vec)
-         |)
+    // 16-token blocks — embed per (doc, chunk), max cosine per doc
+    "q_neural_chunked" ->
+      s"""WITH ${OracleGen.chunkEmbedCte(8, 16)}
          |SELECT doc_id, score FROM (
          |  SELECT doc_id, round(max(${OracleGen.denseCosineSql("v", qEmbLit)}), 6) AS score
          |  FROM nc_emb GROUP BY doc_id)
-         |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin
-    },
+         |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
 
     // highlight: sentence spans with character offsets over the ORIGINAL
     // text (HighlightTagApplier semantics — whitespace passes through

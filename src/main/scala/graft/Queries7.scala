@@ -10,7 +10,7 @@ import graft.post.Highlight
   * span relation), widened DSL parameter surface, SEISMIC batch search. */
 object Queries7 {
 
-  import SparkEntry.{docsWithTokens, qTokensA}
+  import SparkEntry.{docsWithTokens, qTokensA, qTokensB}
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
@@ -39,12 +39,100 @@ object Queries7 {
       Highlight.highlightBatch(topHits(s, dir), queryText, "text",
         maxInferenceBatchSize = 2)
         .select(col("doc_id"), col("score"), col("highlights"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // DSL `rescore` (k-NN RescoreContext via the neural body): quantized
+    // shortlist of ceil(k × oversample), exact full-precision re-rank —
+    // parsed from the verbatim JSON surface and routed to topKWithRescore.
+    // The embeddings table's vector column is registered as knn_vector(64)
+    // so dim and the vector column resolve from the field registry.
+    "q_dsl_rescore" -> ((s, dir) => {
+      import graft.exec.QueryCompiler
+      val body =
+        """{"query": {"neural": {"embedding": {
+          |  "query_text": "vector search engine query data",
+          |  "rescore": {"oversample_factor": 3.0}}}},
+          | "size": 10}""".stripMargin
+      val req = graft.model.QueryDsl.parse(body,
+        fieldSpecs = Seq(graft.model.FieldSpec("embedding", graft.model.FieldKind.Dense(64))))
+      QueryCompiler.run(t(s, dir, "embeddings"), req, docId = "vec_id")
+    }),
+
+    // SEISMIC query-set-at-a-time search: the whole query batch walks the
+    // clustered index in ONE plan — per-query θ seeds come from a single
+    // window job instead of a driver collect per query
+    "q_seismic_batch" -> ((s, dir) => {
+      val docs = docsWithTokens(s, dir)
+      val idx = SparkEntry.seismicTruncIndex(s, dir)
+      graft.seismic.Seismic.searchBatch(idx, docs,
+        Map(0L -> qTokensA, 1L -> qTokensB), k = 10, topN = 3, heapFactor = 2.0f)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // DSL `expand_nested` on a chunked semantic field: per-chunk cosine,
+    // ScoreMode.Max per doc, through the single-subquery hybrid pipeline
+    "q_dsl_expand_nested" -> ((s, dir) => {
+      import graft.exec.QueryCompiler
+      val body =
+        s"""{"query": {"hybrid": {"pagination_depth": 100, "queries": [
+           |  {"neural": {"text": {"query_text": "$queryText", "expand_nested": true}}}]}},
+           | "size": 10}""".stripMargin
+      val enriched = graft.ingest.Enrich.semanticField(
+        t(s, dir, "documents"), "text", chunked = true, tokenLimit = 16)
+      QueryCompiler.run(enriched, graft.model.QueryDsl.parse(body))
+        .select(col("doc_id"), round(col("score"), 4).as("score"), col("rank"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
     "q_highlight_sentences" -> OracleGen.highlightSentencesSql(qTokensA, qEmb),
     // batch ≡ single: same oracle as q_highlight
-    "q_highlight_batch" -> OracleGen.highlightTaggedSql(qTokensA, qEmb)
+    "q_highlight_batch" -> OracleGen.highlightTaggedSql(qTokensA, qEmb),
+
+    // identical two-stage plan as q_neural_rescore, driven from the DSL
+    "q_dsl_rescore" -> {
+      val qLit = OracleGen.doubleList(HashEmbedder.embed("vector search engine query data", 64))
+      s"""WITH dq AS (
+         |  SELECT vec_id,
+         |         list_transform(CAST(embedding AS DOUBLE[]),
+         |           x -> CAST(CAST(trunc(x * 127.0) / 127.0 AS REAL) AS DOUBLE)) AS v
+         |  FROM embeddings
+         |), shortlist AS (
+         |  SELECT vec_id FROM (
+         |    SELECT vec_id, round(${OracleGen.denseCosineSql("v", qLit)}, 6) AS ascore
+         |    FROM dq)
+         |  ORDER BY ascore DESC, vec_id ASC LIMIT 30
+         |)
+         |SELECT vec_id, score FROM (
+         |  SELECT e.vec_id,
+         |         round(${OracleGen.denseCosineSql("CAST(e.embedding AS DOUBLE[])", qLit)}, 6) AS score
+         |  FROM embeddings e JOIN shortlist USING (vec_id))
+         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin
+    },
+
+    // per-query seismic pipelines unioned with query_id + per-query rank —
+    // batch search must equal the per-query relation
+    "q_seismic_batch" -> {
+      def one(qid: Int, q: Map[String, Float]): String =
+        s"""SELECT CAST($qid AS BIGINT) AS query_id, doc_id, score,
+           |       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+           |FROM (${OracleGen.seismicSql(q, nPostings = SparkEntry.SeismicTruncNPostings,
+                k = 10, topN = 3, heapFactor = 2.0f)})""".stripMargin
+      s"""SELECT * FROM ((${one(0, qTokensA)}) UNION ALL (${one(1, qTokensB)}))
+         |ORDER BY query_id, rank""".stripMargin
+    },
+
+    // chunk-max scores through the single-subquery hybrid chain
+    "q_dsl_expand_nested" -> {
+      val qLit = OracleGen.doubleList(HashEmbedder.embed(queryText, HashEmbedder.DefaultDim))
+      val chunkScore =
+        s"""SELECT doc_id, score FROM (
+           |  SELECT doc_id, round(max(${OracleGen.denseCosineSql("v", qLit)}), 6) AS score
+           |  FROM nc_emb GROUP BY doc_id)
+           |WHERE score > 0.0""".stripMargin
+      OracleGen.hybridFromScores(Seq(chunkScore), "min_max", "arithmetic_mean",
+        k = 100, size = 10,
+        preamble = OracleGen.chunkEmbedCte(HashEmbedder.DefaultDim, 16))
+    }
   )
 }

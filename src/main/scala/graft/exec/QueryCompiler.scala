@@ -39,7 +39,10 @@ object QueryCompiler {
       // request-pipeline state (see guards in run):
       twoPhase: Option[TwoPhaseSpec] = None,   // neural_sparse_two_phase_processor
       sortField: Option[String] = None,        // body `sort` (non-score sort)
-      fieldSpecs: Seq[FieldSpec] = Nil)        // index mapping registry (SEISMIC marks)
+      fieldSpecs: Seq[FieldSpec] = Nil,        // index mapping registry (SEISMIC marks)
+      // prebuilt SEISMIC index (ingest artifact) for method_parameters
+      // dispatch; omitted → one-shot build
+      seismicIndex: Option[graft.seismic.Seismic.SeismicIndex] = None)
 
   /** Compile one subquery spec into its score column over the corpus.
     * Null = no match for that subquery (reference scorer no-hit).
@@ -61,8 +64,21 @@ object QueryCompiler {
         case Some(img) => HashEmbedder.embedMultimodal(sq.queryText.getOrElse(""), img, dim)
         case None      => HashEmbedder.embed(sq.queryText.getOrElse(""), dim)
       }
-      val docVec = sq.vecCol.map(col).getOrElse(Enrich.embedUdf(dim)(col(sq.field)))
-      val sc = round(VectorExpressions.dense_cosine(docVec, typedLit(qv)), 6)
+      // expand_nested: score every chunk of the semantic target, keep the
+      // per-document max (reference wraps the knn query in nested/
+      // ScoreMode.Max, NeuralQueryBuilder.java:786-787,828-829). A row-local
+      // HOF (transform + array_max) — no explode/groupBy, stays inside
+      // whole-stage codegen.
+      val sc =
+        if (sq.expandNested.contains(true)) {
+          val chunks = sq.vecCol.map(col)
+            .getOrElse(col(s"${sq.field}_semantic_info.chunks"))
+          round(array_max(transform(chunks,
+            c => VectorExpressions.dense_cosine(c.getField("embedding"), typedLit(qv)))), 6)
+        } else {
+          val docVec = sq.vecCol.map(col).getOrElse(Enrich.embedUdf(dim)(col(sq.field)))
+          round(VectorExpressions.dense_cosine(docVec, typedLit(qv)), 6)
+        }
       // radial cuts: below-threshold docs are non-matches for THIS subquery
       // (min_score; max_distance is the distance dual, d = 1 − cos)
       (sq.minScore, sq.maxDistance) match {
@@ -108,9 +124,90 @@ object QueryCompiler {
   }
 
   /** Compile and run a request against a corpus table. */
-  def run(corpus: DataFrame, req: QueryRequest, docId: String = "doc_id"): DataFrame = {
+  def run(corpus: DataFrame, req0: QueryRequest, docId: String = "doc_id"): DataFrame = {
+    // ---- semantic_field_search_analyzer rewrite --------------------------
+    // The reference resolves the analyzer against the target field config at
+    // rewrite time (NeuralQueryBuilder.rewriteQueryForSemanticField): on a
+    // sparse-model semantic target the neural query becomes a token query
+    // from the analyzer; on a dense/knn target the parameter is an error
+    // (NeuralQueryValidationUtil.validateNeuralQueryForKnn).
+    val req = req0.copy(subqueries = req0.subqueries.map { sq =>
+      if (sq.kind == "neural" && sq.searchAnalyzer.isDefined) {
+        val sparseTarget = req0.fieldSpecs.exists {
+          case FieldSpec(n, s: FieldKind.Semantic) => n == sq.field && !s.dense
+          case FieldSpec(n, _: FieldKind.Sparse)   => n == sq.field
+          case _                                   => false
+        }
+        require(sparseTarget,
+          "Target field is a KNN field using a dense model. " +
+            "semantic_field_search_analyzer is not supported since it is for the sparse model.")
+        sq.copy(kind = "neural_sparse", analyzer = sq.searchAnalyzer, searchAnalyzer = None)
+      } else sq
+    })
     HybridValidation.validate(
       req.subqueries.size, req.normalization, req.combination, req.paginationDepth)
+    // ---- neural rescore dispatch (single-query body) ---------------------
+    // rescore {oversample_factor}: quantized shortlist + exact re-rank
+    // (NeuralQuery.topKWithRescore). The quantized codes are an ingest
+    // artifact in a real deployment; derived here when the corpus lacks
+    // them. Dense dim resolves from the field registry (knn_vector dim).
+    req.subqueries match {
+      case Seq(sq) if sq.kind == "neural" && sq.rescoreOversample.isDefined =>
+        require(!sq.expandNested.contains(true),
+          "rescore + expand_nested is not supported on the same neural query")
+        val dim = req.fieldSpecs.collectFirst {
+          case FieldSpec(n, FieldKind.Dense(d)) if n == sq.field => d
+        }.getOrElse(HashEmbedder.DefaultDim)
+        val qv = sq.queryImage match {
+          case Some(img) => HashEmbedder.embedMultimodal(sq.queryText.getOrElse(""), img, dim)
+          case None      => HashEmbedder.embed(sq.queryText.getOrElse(""), dim)
+        }
+        val base = req.filterExpr.fold(corpus)(corpus.filter)
+        // vector column: explicit vecCol > the field itself when registered
+        // as a concrete knn_vector column > on-the-fly inference fallback
+        val isVectorField = req.fieldSpecs.exists {
+          case FieldSpec(n, _: FieldKind.Dense) => n == sq.field
+          case _                                => false
+        }
+        val (withVec, vecCol) = sq.vecCol match {
+          case Some(v)              => (base, v)
+          case None if isVectorField => (base, sq.field)
+          case None => (base.withColumn("__vec", Enrich.embedUdf(dim)(col(sq.field))), "__vec")
+        }
+        val quant = NeuralQuery.quantizeDense(withVec, vecCol, "__vec_q8")
+        return NeuralQuery.topKWithRescore(quant, qv, vecCol, "__vec_q8",
+          req.k, sq.rescoreOversample.get, docId)
+      case _ => ()
+    }
+    // ---- neural_sparse method_parameters dispatch ------------------------
+    // {top_n, k, heap_factor} engage the SEISMIC ANN search when the target
+    // field is SEISMIC-indexed; otherwise the reference falls back to the
+    // plain sparse query and the parameters are dropped
+    // (SparseAnnQueryBuilder wraps a NeuralSparseQueryBuilder fallback).
+    req.subqueries match {
+      case Seq(sq) if sq.kind == "neural_sparse" &&
+          (sq.methodTopN.isDefined || sq.methodK.isDefined || sq.methodHeapFactor.isDefined) &&
+          graft.model.SemanticSchema.seismicFields(req.fieldSpecs).contains(sq.field) =>
+        val q = sq.queryTokens.getOrElse {
+          if (sq.analyzer.isDefined)
+            HashEmbedder.tokenize(sq.queryText.getOrElse("")).distinct.map(_ -> 1.0f).toMap
+          else HashEmbedder.encode(sq.queryText.getOrElse(""))
+        }
+        val base = req.filterExpr.fold(corpus)(corpus.filter)
+        val scored = sq.tokensCol match {
+          case Some(_) => base
+          case None    => base.withColumn("__tokens", Enrich.encodeUdf(col(sq.field)))
+        }
+        val tokensCol = sq.tokensCol.getOrElse("__tokens")
+        val idx = req.seismicIndex.getOrElse(
+          graft.seismic.Seismic.build(scored, docId = docId, tokens = tokensCol))
+        return graft.seismic.Seismic.search(idx, scored, q,
+          k = sq.methodK.getOrElse(req.k),
+          topN = sq.methodTopN.getOrElse(10),
+          heapFactor = sq.methodHeapFactor.getOrElse(1.0f),
+          docId = docId, tokens = tokensCol)
+      case _ => ()
+    }
     // ---- two-phase processor guards + cascade dispatch -------------------
     // NeuralSparseTwoPhaseProcessor.java:110-116 rejects non-score sorts
     // (the rescore window is meaningless when collection order is not by

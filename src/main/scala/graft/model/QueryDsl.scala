@@ -152,22 +152,76 @@ object QueryDsl {
     case JObject((kind, JObject((field, params) :: Nil)) :: Nil) =>
       kind match {
         case "neural" =>
+          val k = (params \ "k").toOption.map(_.extract[Int])
+          val minScore = (params \ "min_score").toOption.map(_.extract[Double])
+          val maxDistance = (params \ "max_distance").toOption.map(_.extract[Double])
+          // NeuralQueryValidationUtil.countKnnQueryTypes: at most one of
+          // k / max_distance / min_score
+          require(Seq(k, minScore, maxDistance).count(_.isDefined) <= 1,
+            "Only one of k, max_distance, or min_score can be provided")
+          // rescore: true → default RescoreContext (oversample 1.0),
+          // false/absent → none, object → oversample_factor (RescoreParser)
+          val rescore = (params \ "rescore") match {
+            case JBool(true)                     => Some(1.0)
+            case JBool(false) | JNothing | JNull => None
+            case o: JObject =>
+              Some((o \ "oversample_factor").toOption.map(_.extract[Double]).getOrElse(1.0))
+            case other => throw new IllegalArgumentException(
+              s"rescore must be a boolean or an object: ${JsonMethods.compact(other)}")
+          }
+          rescore.foreach(f => require(f > 0.0, "oversample_factor must be a positive float"))
+          val modelId = (params \ "model_id").toOption.map(_.extract[String])
+          val searchAnalyzer =
+            (params \ "semantic_field_search_analyzer").toOption.map(_.extract[String])
+          searchAnalyzer.foreach(a => require(a.nonEmpty,
+            "semantic_field_search_analyzer field can not be empty"))
+          // NeuralQueryValidationUtil.validateNeuralQueryForSemanticSparse:
+          // model_id and semantic_field_search_analyzer can not coexist
+          require(!(modelId.isDefined && searchAnalyzer.isDefined),
+            "query_tokens, model_id and semantic_field_search_analyzer can not coexist")
           SubquerySpec("neural", field,
             queryText = (params \ "query_text").toOption.map(_.extract[String]),
-            modelId = (params \ "model_id").toOption.map(_.extract[String]),
-            k = (params \ "k").toOption.map(_.extract[Int]),
-            minScore = (params \ "min_score").toOption.map(_.extract[Double]),
-            maxDistance = (params \ "max_distance").toOption.map(_.extract[Double]),
-            queryImage = (params \ "query_image").toOption.map(_.extract[String]))
+            modelId = modelId,
+            k = k,
+            minScore = minScore,
+            maxDistance = maxDistance,
+            queryImage = (params \ "query_image").toOption.map(_.extract[String]),
+            expandNested = (params \ "expand_nested").toOption.map(_.extract[Boolean]),
+            rescoreOversample = rescore,
+            searchAnalyzer = searchAnalyzer)
         case "neural_sparse" =>
           val tokens = (params \ "query_tokens").toOption.collect {
             case JObject(tf) => tf.map { case (t, v) => t -> v.extract[Double].toFloat }.toMap
+          }
+          // method_parameters {top_n, k, heap_factor} — SparseAnnQueryBuilder
+          // .fromXContent: unknown keys and non-positive values are parse
+          // errors (sparse/query/SparseAnnQueryBuilder.java:126-180)
+          val (topN, mk, heapFactor) = (params \ "method_parameters") match {
+            case JNothing | JNull => (None, None, None)
+            case JObject(fields) =>
+              fields.foreach { case (key, _) =>
+                require(Set("top_n", "k", "heap_factor")(key),
+                  s"[neural_sparse] unknown field [$key]")
+              }
+              val m = fields.toMap
+              val tn = m.get("top_n").map(_.extract[Int])
+              tn.foreach(v => require(v > 0, "[neural_sparse] top_n must be a positive integer"))
+              val kk = m.get("k").map(_.extract[Int])
+              kk.foreach(v => require(v > 0, "[neural_sparse] k must be a positive integer"))
+              val hf = m.get("heap_factor").map(_.extract[Double].toFloat)
+              hf.foreach(v => require(v > 0, "[neural_sparse] heap_factor must be a positive float"))
+              (tn, kk, hf)
+            case _ => throw new IllegalArgumentException(
+              "[neural_sparse] method_parameters must be an object")
           }
           SubquerySpec("neural_sparse", field,
             queryText = (params \ "query_text").toOption.map(_.extract[String]),
             modelId = (params \ "model_id").toOption.map(_.extract[String]),
             queryTokens = tokens,
-            analyzer = (params \ "analyzer").toOption.map(_.extract[String]))
+            analyzer = (params \ "analyzer").toOption.map(_.extract[String]),
+            methodTopN = topN,
+            methodK = mk,
+            methodHeapFactor = heapFactor)
         case "match" =>
           // {"match": {"field": "text value"}} or {"match": {"field": {"query": …}}}
           val qt = params match {

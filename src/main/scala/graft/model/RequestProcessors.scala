@@ -28,7 +28,27 @@ case class SubquerySpec(
     // precomputed column and the compiler scores it directly; on-the-fly
     // inference over `field` is only the fallback for un-enriched corpora.
     vecCol: Option[String] = None,     // neural: precomputed dense embedding column
-    tokensCol: Option[String] = None)  // neural_sparse/match: precomputed token-map column
+    tokensCol: Option[String] = None,  // neural_sparse/match: precomputed token-map column
+    // neural expand_nested (KNNQueryBuilder.EXPAND_NESTED_FIELD): score every
+    // chunk of the semantic field, ScoreMode.Max per document
+    expandNested: Option[Boolean] = None,
+    // neural rescore {oversample_factor} (k-NN RescoreContext via
+    // RESCORE_FIELD, NeuralQueryBuilder.java:649-650): quantized shortlist of
+    // ceil(k × oversample), exact full-precision re-rank
+    rescoreOversample: Option[Double] = None,
+    // neural_sparse method_parameters {top_n, k, heap_factor}
+    // (sparse/query/SparseAnnQueryBuilder.java:65-87,126-180): SEISMIC search
+    // knobs; on a non-SEISMIC field the reference falls back to the plain
+    // sparse query, dropping them
+    methodTopN: Option[Int] = None,
+    methodK: Option[Int] = None,
+    methodHeapFactor: Option[Float] = None,
+    // neural semantic_field_search_analyzer (NeuralQueryBuilder.java:639-640):
+    // tokenize the query text instead of model inference — valid only when
+    // the target semantic field uses a SPARSE model
+    // (NeuralQueryValidationUtil.validateNeuralQueryForKnn rejects it on
+    // dense targets)
+    searchAnalyzer: Option[String] = None)
 
 /** neural_sparse_two_phase_processor configuration
   * (processor/NeuralSparseTwoPhaseProcessor.java:62-67 defaults: enabled,

@@ -15,9 +15,12 @@ import graft.ml.HashEmbedder
   * The reference's multimodal surface is the 2-key {inputText, inputImage}
   * inference map (processor/TextImageEmbeddingProcessor.java,
   * query/NeuralQueryBuilder.java:914-919) — extended here to the standard
-  * training-data shapes. Actual media codecs are NOT in this container, so
-  * the decode kernel is a clearly-marked deterministic stub; everything
-  * Spark-side (schema, batching, partitioning, UDF signature) is real.
+  * training-data shapes. Image decode is REAL (in-JDK javax.imageio:
+  * PNG/JPEG/GIF/BMP); non-image payloads fall back to a deterministic
+  * byte-hash kernel so synthetic corpora stay oracle-checkable. Audio/video
+  * codecs are not in this container — frame sampling remains a byte-slice
+  * stand-in; the Spark-side plumbing (schema, batching, partitioning, UDF
+  * signature) is real throughout.
   */
 object Multimodal {
 
@@ -30,21 +33,68 @@ object Multimodal {
     StructField("height", IntegerType),
     StructField("duration_ms", LongType)))
 
-  /** STUB decode kernel: a real implementation would call an image/audio
-    * codec here. The deterministic fake derives a feature vector from the
-    * payload bytes so the full pipeline is testable end-to-end. */
-  private[multimodal] def decodeToFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
-    // ??? <- real codec goes here (libjpeg/ffmpeg not present in container)
+  /** Real image decode via the in-JDK `javax.imageio` codecs (PNG, JPEG,
+    * GIF, BMP — no external dependency). Returns None for payloads that are
+    * not a decodable image (ImageIO probes the magic bytes). */
+  def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    if (payload == null || payload.isEmpty) None
+    else
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+      catch { case _: java.io.IOException => None }
+
+  /** Deterministic pixel features for a decoded image: luminance histogram
+    * over `dim` buckets (ITU-R 601 integer luma), L2-normalized — the same
+    * feature-vector contract as the hash kernel, derived from real pixels. */
+  def imageFeatures(img: java.awt.image.BufferedImage, dim: Int): Array[Float] = {
     val v = new Array[Float](dim)
-    if (payload != null) {
-      var i = 0
-      while (i < payload.length) {
-        v(math.floorMod(payload(i) + i * 31, dim)) += 1f
-        i += 1
+    val w = img.getWidth; val h = img.getHeight
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
+        v(lum * dim / 256) += 1f
+        x += 1
       }
+      y += 1
     }
     HashEmbedder.l2normalize(v)
   }
+
+  /** Image resize through the in-JDK raster pipeline (Graphics2D bilinear) —
+    * the decode-side `resize` transform of a real multimodal pipeline. */
+  def resizeImage(img: java.awt.image.BufferedImage, width: Int, height: Int): java.awt.image.BufferedImage = {
+    val out = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, width, height, null)
+    } finally g.dispose()
+    out
+  }
+
+  /** Decode kernel: REAL image decode (javax.imageio) with pixel-luminance
+    * features when the payload is a decodable image; otherwise the
+    * deterministic byte-hash fallback (synthetic corpora carry opaque
+    * non-image payloads — the oracle replicates the fallback arithmetic).
+    * Audio/video codecs remain out of scope for this container. */
+  private[multimodal] def decodeToFeatures(payload: Array[Byte], dim: Int): Array[Float] =
+    decodeImage(payload) match {
+      case Some(img) => imageFeatures(img, dim)
+      case None =>
+        val v = new Array[Float](dim)
+        if (payload != null) {
+          var i = 0
+          while (i < payload.length) {
+            v(math.floorMod(payload(i) + i * 31, dim)) += 1f
+            i += 1
+          }
+        }
+        HashEmbedder.l2normalize(v)
+    }
 
   /** Batched feature extraction over the binary payload column —
     * mapPartitions so a real codec would amortize per-batch model/codec

@@ -274,4 +274,112 @@ object Seismic {
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
   }
+
+  /** Query-set-at-a-time pruned search — the batch form of [[search]]
+    * (same shape as SparseRetrieval.batchTopK): the whole query batch walks
+    * the index in ONE plan. Each per-query driver action of the loop form
+    * becomes a relational step keyed by query_id:
+    *
+    *   - query cut + search-side quantization: driver-side per query (the
+    *     batch is small — it is the same plan-time inference hoisting as a
+    *     single query);
+    *   - summary scores: summaries ⨝ broadcast (query_id, token) cut, dot
+    *     against the per-query quantized cut;
+    *   - θ: the per-query `collect k rows` becomes one window/aggregation —
+    *     θ_q = k-th best exact seed score (0.0 when a query has fewer than
+    *     k seed candidates), for ALL queries in one job;
+    *   - pruning, candidate union, exact rescore, top-k: identical steps
+    *     partitioned by query_id.
+    *
+    * Per query, the relational steps compute exactly what [[search]]
+    * computes, so batch ≡ per-query loop (SeismicSpec invariant).
+    * Returns (query_id, doc_id, score, rank), rank ≤ k per query. */
+  def searchBatch(
+      index: SeismicIndex,
+      corpus: DataFrame,
+      queries: Map[Long, Map[String, Float]],
+      k: Int = 10,
+      topN: Int = 10,
+      heapFactor: Float = 1.0f,
+      docId: String = "doc_id",
+      tokens: String = "tokens"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    // 1. per-query cut + search-side quantization (driver-side; the query
+    // batch is plan metadata, like a single query's literal)
+    val cuts = queries.map { case (qid, q) =>
+      qid -> q.toSeq.sortBy { case (t, w) => (-w, t) }.take(topN).toMap
+    }
+    val cutsQuantized = cuts.map { case (qid, c) =>
+      qid -> c.map { case (t, w) => t -> dequantize(quantize(w, CeilSearch), CeilSearch) }
+    }
+    val qDf = broadcast(
+      cuts.toSeq.flatMap { case (qid, c) => c.keys.map(t => (qid, t)) }
+        .toDF("query_id", "token"))
+
+    // per-query dot kernels (broadcast maps): same iteration shape as the
+    // SparseDot expression — walk the doc-side map, probe the query side;
+    // round-6 downstream absorbs accumulation-order differences, exactly as
+    // it does between this engine and the DuckDB oracle
+    val bCuts = spark.sparkContext.broadcast(cutsQuantized)
+    val sumDot = udf((qid: Long, summary: Map[String, Float]) => {
+      val q = bCuts.value(qid)
+      var s = 0.0
+      summary.foreach { case (t, w) =>
+        q.get(t).foreach(qw => s += w.toDouble * qw.toDouble) }
+      s
+    })
+    val bFull = spark.sparkContext.broadcast(queries)
+    val exactDot = udf((qid: Long, m: Map[String, Float]) => {
+      val q = bFull.value(qid)
+      var s = 0.0
+      m.foreach { case (t, w) =>
+        q.get(t).foreach(qw => s += w.toDouble * qw.toDouble) }
+      s
+    })
+    def exactScores(cands: DataFrame): DataFrame =
+      corpus
+        .join(cands, corpus(docId) === cands("doc_id"))
+        .select(cands("query_id"), cands("doc_id"),
+          round(exactDot(cands("query_id"), corpus(tokens)), 6).as("score"))
+
+    val sumScores = index.summaries
+      .join(qDf, "token")
+      .withColumn("sscore", round(sumDot(col("query_id"), col("summary")), 6))
+      .persist()
+
+    // 2. seed candidates per (query, token); θ per query in ONE window job
+    val wTok = Window.partitionBy(col("query_id"), col("token"))
+      .orderBy(col("sscore").desc, col("cluster_id").asc)
+    val seedClusters = sumScores.withColumn("__r", row_number().over(wTok))
+      .where(col("__r") <= 1).select(col("query_id"), col("token"), col("cluster_id"))
+    val seedDocs = index.clusters.join(seedClusters, Seq("token", "cluster_id"))
+      .select(col("query_id"), col("doc_id")).distinct()
+    val seedScored = exactScores(seedDocs)
+    val wQ = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val thetas = seedScored.withColumn("__rn", row_number().over(wQ))
+      .groupBy(col("query_id"))
+      .agg(max(when(col("__rn") === k, col("score"))).as("kth"),
+        count(lit(1)).as("n"))
+      .select(col("query_id"),
+        when(col("n") >= k, col("kth")).otherwise(lit(0.0)).as("theta"))
+
+    // 3. prune per query at θ_q/heapFactor, union each query's seeds, rescore
+    val noBound = heapFactor.isInfinite || heapFactor <= 0f
+    val kept = sumScores.join(broadcast(thetas), "query_id")
+      .where(if (noBound) lit(true)
+        else col("sscore") >= col("theta") / heapFactor.toDouble)
+      .select(col("query_id"), col("token"), col("cluster_id"))
+    val candDocs = index.clusters.join(kept, Seq("token", "cluster_id"))
+      .select(col("query_id"), col("doc_id"))
+      .union(seedDocs).distinct()
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    exactScores(candDocs)
+      .where(col("score") > 0.0)
+      .withColumn("rank", row_number().over(wRank))
+      .where(col("rank") <= k)
+  }
 }

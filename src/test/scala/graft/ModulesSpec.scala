@@ -91,6 +91,28 @@ class SeismicSpec extends SparkSpec {
     assert(Seismic.quantize(5f, 3f) == 255) // clamped at ceiling
     assert(math.abs(Seismic.dequantize(Seismic.quantize(1.5f, 3f), 3f) - 1.5f) < 0.01f)
   }
+
+  test("batch search equals the per-query loop (multi-cluster index)") {
+    val idx = Seismic.build(corpus, clusterRatio = 0.3f)
+    val queries = Map(
+      0L -> q,
+      1L -> HashEmbedder.encode("stream window agg merge"),
+      2L -> HashEmbedder.encode("zzz nothing matches this")) // no-hit query
+    for ((k, topN, hf) <- Seq((5, 3, 1.5f), (10, 2, 2.0f), (10, 10, Float.PositiveInfinity))) {
+      val batch = Seismic.searchBatch(idx, corpus, queries, k = k, topN = topN, heapFactor = hf)
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (qid, rows) =>
+          qid -> rows.sortBy(_.getInt(3)).map(r => (r.getLong(1), r.getDouble(2))).toSeq
+        }
+      queries.foreach { case (qid, qt) =>
+        val loop = Seismic.search(idx, corpus, qt, k = k, topN = topN, heapFactor = hf)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(batch.getOrElse(qid, Nil) == loop,
+          s"query $qid diverged at k=$k topN=$topN hf=$hf")
+      }
+    }
+  }
 }
 
 class DedupSpec extends SparkSpec {
@@ -309,6 +331,52 @@ class TextMultimodalSpec extends SparkSpec {
     val out = Multimodal.sampleFrames(df, "payload", n = 4).collect()
     assert(out.length == 4)
     assert(out.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 1, 2, 3))
+  }
+
+  // synthetic image bytes via the same in-JDK encoder ImageIO decodes with
+  private def pngBytes(w: Int, h: Int, format: String = "png"): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 37 + y * 91) % 256) << 16 | ((x * 13) % 256) << 8 | (y * 7) % 256)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, bos)
+    bos.toByteArray
+  }
+
+  test("real PNG/JPEG payloads decode via javax.imageio; garbage falls back") {
+    val png = pngBytes(12, 7)
+    val jpg = pngBytes(5, 5, "jpg")
+    assert(Multimodal.decodeImage(png).exists(i => i.getWidth == 12 && i.getHeight == 7))
+    assert(Multimodal.decodeImage(jpg).exists(i => i.getWidth == 5 && i.getHeight == 5))
+    assert(Multimodal.decodeImage(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.decodeImage(null).isEmpty)
+    // pixel features: deterministic, L2-normalized, and DIFFERENT from the
+    // byte-hash fallback on the same payload (proves the real path ran)
+    val feat = Multimodal.imageFeatures(Multimodal.decodeImage(png).get, 8)
+    assert(math.abs(feat.map(x => x.toDouble * x).sum - 1.0) < 1e-5)
+    assert(feat.toSeq == Multimodal.imageFeatures(Multimodal.decodeImage(png).get, 8).toSeq)
+  }
+
+  test("resize via the JDK raster pipeline changes dimensions") {
+    val img = Multimodal.decodeImage(pngBytes(16, 16)).get
+    val small = Multimodal.resizeImage(img, 4, 8)
+    assert(small.getWidth == 4 && small.getHeight == 8)
+  }
+
+  test("extractFeatures routes image payloads through the real decoder") {
+    val df = Seq(
+      (1L, pngBytes(6, 6)),                  // real image → pixel features
+      (2L, Array[Byte](1, 2, 3, 4, 5, 6))    // opaque bytes → hash fallback
+    ).toDF("id", "payload")
+    val out = Multimodal.extractFeatures(df, "payload", dim = 8).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    val imgExpected = Multimodal.imageFeatures(Multimodal.decodeImage(pngBytes(6, 6)).get, 8)
+    assert(out(1L) == imgExpected.toSeq)
+    // fallback unchanged for non-image payloads (oracle arithmetic)
+    val v = new Array[Float](8)
+    Array[Byte](1, 2, 3, 4, 5, 6).zipWithIndex.foreach { case (b, i) =>
+      v(math.floorMod(b + i * 31, 8)) += 1f }
+    assert(out(2L) == graft.ml.HashEmbedder.l2normalize(v).toSeq)
   }
 }
 

@@ -19,11 +19,93 @@ class QueryDslSpec extends AnyFunSuite {
     assert(req.collapseField.contains("lang"))
   }
 
-  test("neural per-subquery k and min_score are carried, not dropped") {
+  test("neural per-subquery k / min_score carried; combining them rejects") {
+    val withK = QueryDsl.parse(
+      """{"query": {"neural": {"emb": {"query_text": "q", "k": 50}}}}""")
+    assert(withK.subqueries.head.k.contains(50))
+    val withMs = QueryDsl.parse(
+      """{"query": {"neural": {"emb": {"query_text": "q", "min_score": 0.8}}}}""")
+    assert(withMs.subqueries.head.minScore.contains(0.8))
+    // NeuralQueryValidationUtil.countKnnQueryTypes: only one of
+    // k / max_distance / min_score
+    intercept[IllegalArgumentException](QueryDsl.parse(
+      """{"query": {"neural": {"emb": {"query_text": "q", "k": 50, "min_score": 0.8}}}}"""))
+  }
+
+  test("neural rescore forms: object, true, false, invalid") {
+    val obj = QueryDsl.parse(
+      """{"query": {"neural": {"emb": {"query_text": "q",
+        |  "rescore": {"oversample_factor": 3.0}}}}}""".stripMargin)
+    assert(obj.subqueries.head.rescoreOversample.contains(3.0))
+    val on = QueryDsl.parse(
+      """{"query": {"neural": {"emb": {"query_text": "q", "rescore": true}}}}""")
+    assert(on.subqueries.head.rescoreOversample.contains(1.0))
+    val off = QueryDsl.parse(
+      """{"query": {"neural": {"emb": {"query_text": "q", "rescore": false}}}}""")
+    assert(off.subqueries.head.rescoreOversample.isEmpty)
+    intercept[IllegalArgumentException](QueryDsl.parse(
+      """{"query": {"neural": {"emb": {"query_text": "q", "rescore": "yes"}}}}"""))
+    intercept[IllegalArgumentException](QueryDsl.parse(
+      """{"query": {"neural": {"emb": {"query_text": "q",
+        |  "rescore": {"oversample_factor": -1.0}}}}}""".stripMargin))
+  }
+
+  test("neural expand_nested and semantic_field_search_analyzer parse") {
     val req = QueryDsl.parse(
-      """{"query": {"neural": {"emb": {"query_text": "q", "k": 50, "min_score": 0.8}}}}""")
-    assert(req.subqueries.head.k.contains(50))
-    assert(req.subqueries.head.minScore.contains(0.8))
+      """{"query": {"neural": {"body": {"query_text": "q", "expand_nested": true,
+        |  "semantic_field_search_analyzer": "standard"}}}}""".stripMargin)
+    assert(req.subqueries.head.expandNested.contains(true))
+    assert(req.subqueries.head.searchAnalyzer.contains("standard"))
+    // empty analyzer rejects (validateNeuralQueryForSemanticSparse)
+    intercept[IllegalArgumentException](QueryDsl.parse(
+      """{"query": {"neural": {"body": {"query_text": "q",
+        |  "semantic_field_search_analyzer": ""}}}}""".stripMargin))
+    // model_id + analyzer can not coexist
+    intercept[IllegalArgumentException](QueryDsl.parse(
+      """{"query": {"neural": {"body": {"query_text": "q", "model_id": "m",
+        |  "semantic_field_search_analyzer": "standard"}}}}""".stripMargin))
+  }
+
+  test("semantic_field_search_analyzer on a dense target rejects at compile") {
+    import org.apache.spark.sql.SparkSession
+    val spark = SparkSession.builder().master("local[2]").getOrCreate()
+    import spark.implicits._
+    val corpus = Seq((1L, "spark join")).toDF("doc_id", "body")
+    val req = QueryDsl.parse(
+      """{"query": {"neural": {"body": {"query_text": "q",
+        |  "semantic_field_search_analyzer": "standard"}}}}""".stripMargin,
+      fieldSpecs = Seq(FieldSpec("body", FieldKind.Semantic(dense = true))))
+    val err = intercept[IllegalArgumentException](
+      graft.exec.QueryCompiler.run(corpus, req))
+    assert(err.getMessage.contains("sparse model"))
+    // on a sparse semantic target the same body compiles (rewritten to the
+    // analyzer token path: query tokens at weight 1.0) and matches
+    val sparseReq = QueryDsl.parse(
+      """{"query": {"neural": {"body": {"query_text": "spark",
+        |  "semantic_field_search_analyzer": "standard"}}}}""".stripMargin,
+      fieldSpecs = Seq(FieldSpec("body", FieldKind.Semantic(dense = false))))
+    val out = graft.exec.QueryCompiler.run(corpus, sparseReq).collect()
+    assert(out.nonEmpty)
+  }
+
+  test("neural_sparse method_parameters parse and reject invalid forms") {
+    val req = QueryDsl.parse(
+      """{"query": {"neural_sparse": {"tokens": {"query_text": "q",
+        |  "method_parameters": {"top_n": 8, "k": 20, "heap_factor": 1.5}}}}}""".stripMargin)
+    val sq = req.subqueries.head
+    assert(sq.methodTopN.contains(8) && sq.methodK.contains(20)
+      && sq.methodHeapFactor.contains(1.5f))
+    // unknown key and non-positive values are parse errors
+    // (SparseAnnQueryBuilder.fromXContent)
+    intercept[IllegalArgumentException](QueryDsl.parse(
+      """{"query": {"neural_sparse": {"tokens": {"query_text": "q",
+        |  "method_parameters": {"ef_search": 10}}}}}""".stripMargin))
+    intercept[IllegalArgumentException](QueryDsl.parse(
+      """{"query": {"neural_sparse": {"tokens": {"query_text": "q",
+        |  "method_parameters": {"top_n": 0}}}}}""".stripMargin))
+    intercept[IllegalArgumentException](QueryDsl.parse(
+      """{"query": {"neural_sparse": {"tokens": {"query_text": "q",
+        |  "method_parameters": {"heap_factor": -2.0}}}}}""".stripMargin))
   }
 
   test("neural max_distance and query_image parse; both radial forms reject") {
