@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-curve harness: replicate the sf0.1 corpus ×N deterministically,
+  * run the dedup/ANN/SEISMIC/hybrid headliners at each scale point, and
+  * report per-query times + scaling factors.
+  *
+  * Replication modes:
+  *   - `disjoint` (default curve): replica i suffixes every token with
+  *     "_ri" (i > 0; replica 0 is the original corpus verbatim), so the
+  *     vocabulary of each replica is disjoint — corpus density (docs per
+  *     near-dup group, postings per token, matches per query) is PRESERVED
+  *     and the workload grows linearly in rows, the shape a 10×-bigger
+  *     production corpus has. Embedding rows replicate with shifted ids
+  *     (ANN cost is row-count-bound).
+  *   - `shared` (duplication regime): replicas keep the original text
+  *     verbatim, so shingle document frequencies grow ×N and every doc
+  *     gains N−1 exact replicas — TRUE near-dup pairs grow quadratically.
+  *     (Measured: the maxDf cap does NOT pay here — no candidate cap can
+  *     reduce true pairs; exact-dedup-first is the correct pipeline.)
+  *   - `boilerplate` (capped-ngram crossover demo): disjoint replicas PLUS
+  *     a fixed boilerplate phrase appended to every document — the
+  *     stop-shingle regime (shared headers/footers in web corpora) where
+  *     corpus-hot shingles feed the uncapped inverted-index join a
+  *     corpus-quadratic number of FALSE candidates that the maxDf cap
+  *     removes from candidate generation.
+  *
+  * Usage: runMain graft.ScaleBench [factors=1,3,10] [passes=3] [mode=disjoint]
+  * Writes /tmp/graftscale/scale_results_<mode>.json.
+  */
+object ScaleBench {
+
+  private val DisjointQueries = Seq(
+    "q_dedup_exact", "q_dedup_minhash", "q_dedup_ngram", "q_dedup_ngram_capped",
+    "q_dedup_simhash", "q_dedup_clusters",
+    "q_ann_cosine", "q_ann_ivf", "q_mllib_minhash",
+    "q_seismic", "q_seismic_batch", "q_sparse_exact", "q_sparse_batch",
+    "q_hybrid_minmax_arith", "q_hybrid_rrf", "q_text_quality")
+
+  private val SharedQueries = Seq("q_dedup_ngram", "q_dedup_ngram_capped")
+
+  /** ~6 corpus-hot shingles once appended to every doc (8 tokens). */
+  private val Boilerplate =
+    "standard corpus footer terms apply all rights reserved"
+
+  def replicate(spark: SparkSession, srcDir: String, outDir: String,
+      factor: Int, mode: String): Unit = {
+    val fs = new java.io.File(outDir)
+    if (new java.io.File(fs, "_DONE").exists()) return
+    fs.mkdirs()
+    val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+    val nDocs = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+    val suffixUdf = udf((text: String, r: Int) => {
+      val base =
+        if (r == 0 || mode == "shared") text
+        else text.split(" ").map(t => if (t.isEmpty) t else s"${t}_r$r").mkString(" ")
+      if (mode == "boilerplate") s"$base $Boilerplate" else base
+    })
+    val reps = spark.range(factor).select(col("id").cast("int").as("rep"))
+    docs.crossJoin(reps)
+      .select(
+        (col("doc_id") + col("rep").cast("long") * nDocs).as("doc_id"),
+        suffixUdf(col("text"), col("rep")).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    val nVecs = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
+    emb.crossJoin(reps)
+      .select((col("vec_id") + col("rep").cast("long") * nVecs).as("vec_id"),
+        col("embedding"), col("label"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    new java.io.File(fs, "_DONE").createNewFile()
+  }
+
+  def main(args: Array[String]): Unit = {
+    def argOf(key: String, dflt: String): String =
+      args.find(_.startsWith(key + "=")).map(_.stripPrefix(key + "=")).getOrElse(dflt)
+    val factors = argOf("factors", "1,3,10").split(",").map(_.trim.toInt).toSeq
+    val passes = argOf("passes", "3").toInt
+    val mode = argOf("mode", "disjoint")
+    val queries = if (mode == "disjoint") DisjointQueries else SharedQueries
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def force(name: String, dir: String): Unit =
+      SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+
+    val results = scala.collection.mutable.LinkedHashMap.empty[Int, Map[String, Double]]
+    factors.foreach { f =>
+      val dir = s"/tmp/graftscale/$mode/x$f"
+      replicate(spark, srcDir, dir, f, mode)
+      // warmup pass builds the per-dir ingest memos (token cache, SEISMIC
+      // index, minhash index) exactly like Bench
+      try SparkEntry.seismicTruncIndex(spark, dir).clusters.count()
+      catch { case e: Throwable => System.err.println(s"[scale] seismic memo x$f: ${e.getMessage}") }
+      queries.foreach { q =>
+        try force(q, dir)
+        catch { case e: Throwable => System.err.println(s"[scale] warmup $q x$f: ${e.getMessage}") }
+      }
+      val t = queries.map { q =>
+        val ts = (1 to passes).map { _ =>
+          val t0 = System.nanoTime()
+          try force(q, dir)
+          catch { case e: Throwable => System.err.println(s"[scale] $q x$f: ${e.getMessage}") }
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        q -> ts(passes / 2)
+      }.toMap
+      results(f) = t
+      queries.foreach { q =>
+        println(f"[scale] x$f%-3d $q%-24s ${t(q)}%7.2fs")
+      }
+    }
+    // per-query scaling factor table vs the smallest factor
+    val base = results(factors.head)
+    val lines = queries.map { q =>
+      val factorsStr = factors.map(f => f""""x$f":${results(f)(q)}""").mkString(",")
+      val ratio =
+        if (base(q) > 0) results(factors.last)(q) / base(q) else Double.NaN
+      s""""$q":{$factorsStr,"ratio_${factors.last}x":$ratio}"""
+    }
+    val json = s"""{"mode":"$mode","src":"$srcDir","factors":[${factors.mkString(",")}],"queries":{${lines.mkString(",")}}}"""
+    println(json)
+    val out = s"/tmp/graftscale/scale_results_$mode.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"[scale] wrote $out")
+    spark.stop()
+  }
+}

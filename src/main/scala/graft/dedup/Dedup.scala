@@ -302,15 +302,32 @@ object Dedup {
           .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
           .agg(count(lit(1)).as("__ir"))
           .persist()
-        val iHot = iRare.select(col("id_a"), col("id_b"))
-          .join(hot.select(col("id").as("id_a"), col("s")), "id_a")
-          .join(hot.select(col("id").as("id_b"), col("s")), Seq("id_b", "s"))
-          .groupBy(col("id_a"), col("id_b"))
-          .agg(count(lit(1)).as("__ih"))
+        // hot top-up as a per-pair merge-intersect over each doc's SORTED
+        // hot-shingle hash array: the row-explode form (pair ⨝ hot(id_a) ⨝
+        // hot(id_b)) materializes Σ_pairs |hot(id_a)| rows, which OOMs in
+        // duplicate-heavy corpora where the candidate-pair count itself is
+        // quadratic (measured at ×10 shared-vocabulary replication). The
+        // array form joins the pair relation against one narrow row per doc
+        // and counts the intersection in O(|hot_a|+|hot_b|) with no
+        // intermediate rows — identical counts.
+        val hotArr = hot.groupBy(col("id"))
+          .agg(sort_array(collect_list(col("s"))).as("hs")).persist()
+        val hotInter = udf((a: Seq[Long], b: Seq[Long]) => {
+          var i = 0; var j = 0; var n = 0L
+          while (i < a.length && j < b.length) {
+            val x = a(i); val y = b(j)
+            if (x == y) { n += 1; i += 1; j += 1 }
+            else if (x < y) i += 1
+            else j += 1
+          }
+          n
+        })
         iRare
-          .join(iHot, Seq("id_a", "id_b"), "left")
+          .join(hotArr.select(col("id").as("id_a"), col("hs").as("ha")), Seq("id_a"), "left")
+          .join(hotArr.select(col("id").as("id_b"), col("hs").as("hb")), Seq("id_b"), "left")
           .select(col("id_a"), col("id_b"),
-            (col("__ir") + coalesce(col("__ih"), lit(0L))).as("i"))
+            (col("__ir") + when(col("ha").isNotNull && col("hb").isNotNull,
+              hotInter(col("ha"), col("hb"))).otherwise(lit(0L))).as("i"))
     }
     inter
       .join(cnt.select(col("id").as("id_a"), col("n_sh").as("na")), "id_a")
