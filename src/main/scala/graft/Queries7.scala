@@ -17,6 +17,7 @@ object Queries7 {
 
   private val queryText = "spark join fast table scan"
   private def qEmb = HashEmbedder.embed(queryText, HashEmbedder.DefaultDim)
+  private def qDense64b = HashEmbedder.embed("stream window agg merge sort batch", 64)
 
   private def topHits(s: SparkSession, dir: String): DataFrame =
     graft.sparse.SparseRetrieval.exactTopK(docsWithTokens(s, dir), qTokensA, 5)
@@ -56,6 +57,17 @@ object Queries7 {
       val req = graft.model.QueryDsl.parse(body,
         fieldSpecs = Seq(graft.model.FieldSpec("embedding", graft.model.FieldKind.Dense(64))))
       QueryCompiler.run(t(s, dir, "embeddings"), req, docId = "vec_id")
+    }),
+
+    // query-set-at-a-time IVF: one scan of the probed-cell union serves the
+    // whole query batch; per-query probes restrict inside the broadcast join
+    "q_ann_ivf_batch" -> ((s, dir) => {
+      import graft.ann.Ann
+      val emb = t(s, dir, "embeddings")
+      val centroids = Ann.seededCentroids(nlist = 8, dim = 64)
+      Ann.ivfTopKBatch(Ann.assign(emb, centroids, roundDp = 6), centroids,
+        Map(0L -> SparkEntry.qDense64, 1L -> qDense64b), k = 10, nprobe = 4)
+        .orderBy(col("query_id"), col("rank"))
     }),
 
     // SEISMIC query-set-at-a-time search: the whole query batch walks the
@@ -108,6 +120,40 @@ object Queries7 {
          |         round(${OracleGen.denseCosineSql("CAST(e.embedding AS DOUBLE[])", qLit)}, 6) AS score
          |  FROM embeddings e JOIN shortlist USING (vec_id))
          |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin
+    },
+
+    // per-query IVF pipelines over the SHARED assignment CTE, unioned with
+    // query_id + per-query rank — batch must equal the per-query relation
+    "q_ann_ivf_batch" -> {
+      import graft.ann.Ann
+      val centroids = Ann.seededCentroids(nlist = 8, dim = 64)
+      val centRows = centroids.zipWithIndex
+        .map { case (c, i) => s"($i, ${OracleGen.doubleList(c)})" }
+        .mkString(",\n")
+      val cosAssign = OracleGen.denseCosineSql("CAST(e.embedding AS DOUBLE[])", "c.c")
+      def one(qid: Int, qv: Array[Float]): String = {
+        val probed = Ann.probedCells(centroids, qv, nprobe = 4)
+        val cosScore = OracleGen.denseCosineSql("CAST(e.embedding AS DOUBLE[])",
+          OracleGen.doubleList(qv))
+        s"""SELECT CAST($qid AS BIGINT) AS query_id, vec_id, score,
+           |       CAST(row_number() OVER (ORDER BY score DESC, vec_id ASC) AS INT) AS rank
+           |FROM (
+           |  SELECT e.vec_id, round($cosScore, 6) AS score
+           |  FROM embeddings e JOIN assigned a USING (vec_id)
+           |  WHERE a.ci IN (${probed.mkString(", ")}))
+           |QUALIFY rank <= 10""".stripMargin
+      }
+      s"""WITH cents(i, c) AS (VALUES
+         |$centRows
+         |), assigned AS (
+         |  SELECT vec_id, ci FROM (
+         |    SELECT e.vec_id, c.i AS ci,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |                ORDER BY round($cosAssign, 6) DESC, c.i ASC) AS rn
+         |    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1
+         |)
+         |SELECT * FROM ((${one(0, SparkEntry.qDense64)}) UNION ALL (${one(1, qDense64b)}))
+         |ORDER BY query_id, rank""".stripMargin
     },
 
     // per-query seismic pipelines unioned with query_id + per-query rank —

@@ -143,6 +143,32 @@ object Ann {
         probedCells(centroids, query, nprobe).toIndexedSeq: _*)),
       query, k, idCol, vecCol)
 
+  /** Query-set-at-a-time IVF: ONE scan of the union of all probed cells
+    * serves the whole query batch. Per-query probe sets are computed
+    * driver-side (nlist × |batch| cosines — plan metadata); the cell union
+    * lands as a static partition filter (Parquet partition pruning on a
+    * written index), and the broadcast (query_id, centroid_id, qvec)
+    * relation restricts each query to ITS probed cells inside the join.
+    * Returns (query_id, vec_id, score, rank ≤ k) — the batchTopK shape. */
+  def ivfTopKBatch(assigned: DataFrame, centroids: Array[Array[Float]],
+      queries: Map[Long, Array[Float]], k: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val probes = queries.toSeq.flatMap { case (qid, qv) =>
+      probedCells(centroids, qv, nprobe).map(ci => (qid, ci, qv.toSeq))
+    }
+    val pDf = broadcast(probes.toDF("query_id", "centroid_id", "qvec"))
+    val allCells = probes.map(_._2).distinct
+    val scored = assigned
+      .where(col("centroid_id").isin(allCells: _*)) // static partition pruning
+      .join(pDf, "centroid_id")
+      .select(col("query_id"), col(idCol).as("vec_id"),
+        round(VectorExpressions.dense_cosine(col(vecCol), col("qvec")), 6).as("score"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** The `nprobe` centroid ids nearest to the query (driver-side — nlist
     * floats). Shared with the oracle generator so both engines probe the
     * identical cell set. */

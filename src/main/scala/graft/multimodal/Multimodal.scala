@@ -33,11 +33,21 @@ object Multimodal {
     StructField("height", IntegerType),
     StructField("duration_ms", LongType)))
 
+  /** Cheap magic-byte probe for the formats the in-JDK codecs decode —
+    * gates ImageIO so non-image payloads (the common case in a mixed
+    * corpus) never pay reader iteration or ImageIO's temp-file cache. */
+  private def looksLikeImage(p: Array[Byte]): Boolean =
+    p.length >= 4 && (
+      (p(0) == 0x89.toByte && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') || // PNG
+      (p(0) == 0xff.toByte && p(1) == 0xd8.toByte && p(2) == 0xff.toByte) || // JPEG
+      (p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8') ||          // GIF
+      (p(0) == 'B' && p(1) == 'M'))                                          // BMP
+
   /** Real image decode via the in-JDK `javax.imageio` codecs (PNG, JPEG,
-    * GIF, BMP — no external dependency). Returns None for payloads that are
-    * not a decodable image (ImageIO probes the magic bytes). */
+    * GIF, BMP — no external dependency). Returns None for payloads that
+    * are not a decodable image. */
   def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
-    if (payload == null || payload.isEmpty) None
+    if (payload == null || payload.length < 4 || !looksLikeImage(payload)) None
     else
       try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
       catch { case _: java.io.IOException => None }

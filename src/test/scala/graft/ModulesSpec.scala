@@ -197,6 +197,22 @@ class AnnSpec extends SparkSpec {
     val single = Ann.bruteForceTopK(emb, q, 5).collect().map(_.getLong(0)).toSeq
     assert(batch == single)
   }
+
+  test("batch IVF equals the per-query IVF loop") {
+    val centroids = Ann.seededCentroids(nlist = 8, dim = 64)
+    val assigned = Ann.assign(emb, centroids, roundDp = 6)
+    val queries = Map(0L -> HashEmbedder.embed("alpha beta gamma", 64), 1L -> q)
+    val batch = Ann.ivfTopKBatch(assigned, centroids, queries, k = 5, nprobe = 3)
+      .collect().groupBy(_.getLong(0))
+      .map { case (qid, rows) =>
+        qid -> rows.sortBy(_.getInt(3)).map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      }
+    queries.foreach { case (qid, qv) =>
+      val single = Ann.ivfTopK(assigned, centroids, qv, 5, nprobe = 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch.getOrElse(qid, Nil) == single, s"query $qid diverged")
+    }
+  }
 }
 
 class EnrichRerankSpec extends SparkSpec {
