@@ -292,7 +292,16 @@ object Dedup {
         // the df groupBy runs once instead of once per consumer
         val hotKeys = sh.groupBy(col("s")).agg(count(lit(1)).as("__df"))
           .where(col("__df") > cap).select(col("s")).persist()
-        hotKeys.count() // materialize before fan-out
+        val nHot = hotKeys.count() // materialize before fan-out
+        // no shingle above the cap → rare == sh and the split/top-up
+        // machinery is pure overhead; run the plain join (identical result)
+        if (nHot == 0)
+          return interToJaccard(
+            sh.as("x").join(sh.as("y"), "s")
+              .where(col("x.id") < col("y.id"))
+              .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+              .agg(count(lit(1)).as("i")),
+            cnt, threshold)
         val rare = sh.join(broadcast(hotKeys), Seq("s"), "left_anti")
         val hot = sh.join(broadcast(hotKeys), Seq("s"), "left_semi")
         // iRare is consumed twice (hot top-up input + final merge) and its
@@ -329,13 +338,20 @@ object Dedup {
             (col("__ir") + when(col("ha").isNotNull && col("hb").isNotNull,
               hotInter(col("ha"), col("hb"))).otherwise(lit(0L))).as("i"))
     }
+    interToJaccard(inter, cnt, threshold)
+  }
+
+  /** (id_a, id_b, i) intersection counts + per-doc shingle counts →
+    * thresholded jaccard relation (threshold on the RAW ratio — matches
+    * the oracle). */
+  private def interToJaccard(inter: DataFrame, cnt: DataFrame,
+      threshold: Double): DataFrame =
     inter
       .join(cnt.select(col("id").as("id_a"), col("n_sh").as("na")), "id_a")
       .join(cnt.select(col("id").as("id_b"), col("n_sh").as("nb")), "id_b")
       .withColumn("__raw", col("i").cast("double") / (col("na") + col("nb") - col("i")))
-      .where(col("__raw") >= threshold) // threshold on the RAW ratio (matches oracle)
+      .where(col("__raw") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("__raw"), 4).as("jaccard"))
-  }
 
   // ----------------------------------------------------- embedding near-dup
 
