@@ -45,7 +45,7 @@ object Queries6 {
     * The FileStreamSource wants a DIRECTORY to monitor; the testdata tables
     * are single files, so stage a symlink inside a scratch dir (what a real
     * ingest landing zone is: a directory files arrive into). */
-  private def streamOf(s: SparkSession, dir: String, name: String): DataFrame = {
+  private[graft] def streamOf(s: SparkSession, dir: String, name: String): DataFrame = {
     import java.nio.file.{Files, Paths}
     val path = s"$dir/$name.parquet"
     val streamDir =
@@ -68,7 +68,7 @@ object Queries6 {
     * memory sink and hand back the materialized result — the batch-parity
     * protocol: the SAME logical pipeline, executed as a stream, must produce
     * the batch answer (verified by the DuckDB oracle over the same table). */
-  private def runAvailableNow(df: DataFrame, mode: String): DataFrame = {
+  private[graft] def runAvailableNow(df: DataFrame, mode: String): DataFrame = {
     val name = s"graft_stream_${memSinkId.incrementAndGet()}"
     val q = df.writeStream.format("memory").queryName(name)
       .outputMode(mode).trigger(Trigger.AvailableNow()).start()

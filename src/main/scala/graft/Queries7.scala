@@ -70,6 +70,31 @@ object Queries7 {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // streaming query serving: a stream of sparse query batches answered
+    // against the STATIC postings index (stream-static join + stateful
+    // per-query top-k) — the AvailableNow run must hash-equal the batch
+    // query-set-at-a-time relation (same protocol as the other q_stream_*)
+    "q_stream_search" -> ((s, dir) => {
+      import s.implicits._
+      // stage the query batch as ONE file in a landing dir (a file = a batch)
+      val qdir = s"/tmp/graft_stream_queries/${dir.replace('/', '_')}"
+      val qFile = new java.io.File(qdir)
+      if (!new java.io.File(qFile, "_DONE").exists()) {
+        Seq(0L -> qTokensA, 1L -> qTokensB)
+          .flatMap { case (qid, m) => m.toSeq.map { case (tk, w) => (qid, tk, w) } }
+          .toDF("query_id", "token", "qw")
+          .coalesce(1).write.mode("overwrite").parquet(qdir)
+        new java.io.File(qFile, "_DONE").createNewFile()
+      }
+      val qStream = s.readStream
+        .schema(s.read.parquet(qdir).schema).parquet(qdir)
+      val postings = graft.sparse.SparseRetrieval.buildPostings(docsWithTokens(s, dir))
+      Queries6.runAvailableNow(
+        graft.streaming.StreamingSearch.serveSparse(qStream, postings, k = 10).toDF(),
+        "append")
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // SEISMIC query-set-at-a-time search: the whole query batch walks the
     // clustered index in ONE plan — per-query θ seeds come from a single
     // window job instead of a driver collect per query
@@ -120,6 +145,28 @@ object Queries7 {
          |         round(${OracleGen.denseCosineSql("CAST(e.embedding AS DOUBLE[])", qLit)}, 6) AS score
          |  FROM embeddings e JOIN shortlist USING (vec_id))
          |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin
+    },
+
+    // streaming serving ≡ batch query-set-at-a-time: identical relation to
+    // the q_sparse_batch oracle (one postings pass for the query batch)
+    "q_stream_search" -> {
+      val batchValues = Seq(0L -> qTokensA, 1L -> qTokensB)
+        .flatMap { case (qid, m) =>
+          m.toSeq.sortBy(_._1).map { case (tk, w) => s"($qid, '$tk', ${OracleGen.f32(w)})" }
+        }.mkString(", ")
+      s"""WITH ${OracleGen.docVectorsCte},
+         |q(query_id, t, qw) AS (VALUES $batchValues),
+         |s AS (
+         |  SELECT q.query_id, dv.doc_id,
+         |         round(sum(CAST(dv.w AS DOUBLE) * CAST(q.qw AS DOUBLE)), 6) AS score
+         |  FROM dv JOIN q USING (t) GROUP BY 1, 2
+         |)
+         |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score, rank FROM (
+         |  SELECT query_id, doc_id, score,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |              ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+         |  FROM s WHERE score > 0.0)
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
     },
 
     // per-query IVF pipelines over the SHARED assignment CTE, unioned with

@@ -275,6 +275,41 @@ class StatefulSessionSpec extends SparkSpec {
   }
 }
 
+class StreamingSearchSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.streaming.StreamingSearch
+
+  test("streamed query batches are served against the static postings index") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (1L, "spark join table"), (2L, "fast scan engine"), (3L, "spark spark fast"))
+      .toDF("doc_id", "text")
+      .withColumn("tokens", graft.ingest.Enrich.encodeUdf(col("text")))
+    val postings = graft.sparse.SparseRetrieval.buildPostings(corpus)
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Double)]
+    val qStream = mem.toDF().toDF("query_id", "token", "qw")
+    val q = StreamingSearch.serveSparse(qStream, postings, k = 2).toDF()
+      .writeStream.format("memory").queryName("served").outputMode("append").start()
+    // batch 1: query 0 = {spark}; batch 2: query 1 = {fast}
+    mem.addData((0L, "spark", 1.0))
+    q.processAllAvailable()
+    mem.addData((1L, "fast", 1.0))
+    q.processAllAvailable()
+    val out = spark.table("served").collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    q.stop()
+    // query 0: doc 3 has spark×2 (higher tf weight), doc 1 spark×1
+    assert(out((0L, 1)) == 3L && out((0L, 2)) == 1L)
+    // query 1: docs 2 and 3 both contain fast once → tie broken by doc_id
+    assert(out((1L, 1)) == 2L && out((1L, 2)) == 3L)
+    // batch parity: streamed results equal batchTopK on the same queries
+    val batch = graft.sparse.SparseRetrieval.batchTopK(postings,
+      Map(0L -> Map("spark" -> 1.0f), 1L -> Map("fast" -> 1.0f)), k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    assert(out == batch)
+  }
+}
+
 class StreamingDedupSpec extends SparkSpec {
   import spark.implicits._
   import graft.streaming.StreamingDedup
