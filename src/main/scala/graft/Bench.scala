@@ -71,7 +71,21 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Scaling-curve evidence (graft.ScaleBench, measured offline at ×1/×3/×10
+    // replication of sf0.1 — see SCALE.md): embed the committed artifacts so
+    // the per-round bench JSON carries both scale points with provenance.
+    val scaling = {
+      val parts = Seq("disjoint", "shared", "boilerplate").flatMap { mode =>
+        val f = java.nio.file.Paths.get(s"bench/scale_r04_$mode.json")
+        if (java.nio.file.Files.exists(f))
+          Some("\"" + mode + "\":" + new String(java.nio.file.Files.readAllBytes(f),
+            java.nio.charset.StandardCharsets.UTF_8).trim)
+        else None
+      }
+      if (parts.isEmpty) ""
+      else s""","scaling_measured_by":"graft.ScaleBench","scaling":${parts.mkString("{", ",", "}")}"""
+    }
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$scaling}"""
     println(json)
     // stdout tail-capture can truncate the one-line JSON (BENCH_r03 lost its
     // head) — also persist the full metrics to a file the driver can read.
