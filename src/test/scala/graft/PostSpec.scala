@@ -70,6 +70,27 @@ class HighlightSpec extends SparkSpec {
     assert(Highlight.applyTags(text, Seq((0, 2), (2, 4))) == "<em>01</em><em>23</em>456789")
   }
 
+  test("segmentation invariants hold on fuzzed texts (spans ordered, in-bounds, reconstruction exact)") {
+    val rnd = new scala.util.Random(7L)
+    val alphabet = "ab .!?\n\t  e".toCharArray
+    (1 to 300).foreach { _ =>
+      val text = Seq.fill(rnd.nextInt(60))(alphabet(rnd.nextInt(alphabet.length))).mkString
+      val spans = Highlight.segmentSentences(text)
+      // ordered, non-overlapping, in-bounds, non-empty
+      spans.sliding(2).foreach {
+        case Seq(a, b) => assert(a.end <= b.start, s"overlap in '$text'")
+        case _ =>
+      }
+      spans.foreach { sp =>
+        assert(sp.start >= 0 && sp.end <= text.length && sp.start < sp.end, s"bounds in '$text'")
+      }
+      // tagging any subset of spans then stripping tags reproduces the text
+      val selected = spans.filter(_ => rnd.nextBoolean()).map(sp => (sp.start, sp.end))
+      val tagged = Highlight.applyTags(text, selected)
+      assert(tagged.replace("<em>", "").replace("</em>", "") == text, s"reconstruction of '$text'")
+    }
+  }
+
   test("batch highlighting equals the single-inference path at any sub-batch size") {
     import spark.implicits._
     val df = Seq(
