@@ -28,17 +28,20 @@ object Queries3 {
   private val queryText = "spark join fast table scan"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // neural dense query: text→vector inference on both sides, top-k cosine
+    // neural dense query: query-side inference is a plan-time literal, the
+    // doc side scores the ingest-time `emb` column from the corpus memo
     "q_neural_dense" -> ((s, dir) =>
       NeuralQuery.topK(
-        NeuralQuery.scoreByText(t(s, dir, "documents"), queryText, "text")
+        NeuralQuery.scoreByVector(docsWithTokens(s, dir),
+          HashEmbedder.embed(queryText, HashEmbedder.DefaultDim), "emb")
           .select(col("doc_id"), col("score")), 10)),
 
     // radial variant: min_score cut instead of top-k (NeuralQueryBuilder
     // radius search: min_score/max_distance)
     "q_neural_radial" -> ((s, dir) =>
       NeuralQuery.radial(
-        NeuralQuery.scoreByText(t(s, dir, "documents"), queryText, "text")
+        NeuralQuery.scoreByVector(docsWithTokens(s, dir),
+          HashEmbedder.embed(queryText, HashEmbedder.DefaultDim), "emb")
           .select(col("doc_id"), col("score")), minScore = 0.5)
         .orderBy(col("doc_id"))),
 
@@ -70,8 +73,9 @@ object Queries3 {
         sq.kind match {
           case "neural" =>
             val qv = HashEmbedder.embed(qt, HashEmbedder.DefaultDim)
-            val sc = round(VectorExpressions.dense_cosine(
-              Enrich.embedUdf(HashEmbedder.DefaultDim)(col("text")), typedLit(qv)), 6)
+            // docsWithTokens carries the ingest-time `emb` column — score it
+            // directly (no per-query re-embedding of the corpus)
+            val sc = round(VectorExpressions.dense_cosine(col("emb"), typedLit(qv)), 6)
             when(sc > 0.0, sc)
           case _ => // match + neural_sparse both score via token overlap here
             val sc = round(VectorExpressions.sparse_dot(

@@ -33,7 +33,8 @@ object Queries5 {
     // distance-space dual of q_neural_radial's min_score cut
     "q_neural_maxdist" -> ((s, dir) =>
       NeuralQuery.radialMaxDistance(
-        NeuralQuery.scoreByText(t(s, dir, "documents"), queryText, "text")
+        NeuralQuery.scoreByVector(SparkEntry.docsWithTokens(s, dir),
+          graft.ml.HashEmbedder.embed(queryText, graft.ml.HashEmbedder.DefaultDim), "emb")
           .select(col("doc_id"), col("score")), maxDistance = 0.4)
         .orderBy(col("doc_id"))),
 

@@ -187,9 +187,10 @@ object Queries6 {
     "q_neural_multimodal" -> ((s, dir) => {
       val qv = HashEmbedder.embedMultimodal(
         "vector search engine query data", "aW1hZ2UtYnl0ZXM=", Dim)
-      val docs = Enrich.textEmbedding(t(s, dir, "documents"), Map("text" -> "emb"), Dim)
+      // ingest-time `emb` from the shared corpus memo (identical embedUdf
+      // column — no per-query re-embedding)
       NeuralQuery.topK(
-        NeuralQuery.scoreByVector(docs, qv, "emb")
+        NeuralQuery.scoreByVector(SparkEntry.docsWithTokens(s, dir), qv, "emb")
           .select(col("doc_id"), col("score")), 10)
     }),
 
