@@ -69,31 +69,55 @@ object Bench {
       val ts = times.map(_(name)).sorted
       name -> ts(passes / 2)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // 4-decimal times keep the stdout line compact (see tail-capture note
+    // below) without losing bench signal (run-to-run drift is ±30%)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // Scaling-curve evidence (graft.ScaleBench, measured offline at ×1/×3/×10
-    // replication of sf0.1 — see SCALE.md): embed the committed artifacts so
-    // the per-round bench JSON carries both scale points with provenance.
-    val scaling = {
-      val parts = Seq("disjoint", "shared", "boilerplate").flatMap { mode =>
-        val f = java.nio.file.Paths.get(s"bench/scale_r04_$mode.json")
-        if (java.nio.file.Files.exists(f))
-          Some("\"" + mode + "\":" + new String(java.nio.file.Files.readAllBytes(f),
-            java.nio.charset.StandardCharsets.UTF_8).trim)
-        else None
+    // replication of sf0.1 — see SCALE.md): embed the LATEST committed round's
+    // artifacts, stamped with their source round so a reader can tell fresh
+    // measurements from carried-over ones (BENCH_r05 presented round-4 curves
+    // with nothing but the filename to say so).
+    val (scaling, scalingSrc) = {
+      val dir = java.nio.file.Paths.get("bench")
+      val rx = "scale_r(\\d+)_(disjoint|shared|boilerplate)\\.json".r
+      val byRound: Map[Int, Map[String, java.nio.file.Path]] =
+        if (!java.nio.file.Files.isDirectory(dir)) Map.empty
+        else {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.list(dir).iterator().asScala.toSeq.flatMap { p =>
+            p.getFileName.toString match {
+              case rx(r, mode) => Some((r.toInt, mode, p))
+              case _ => None
+            }
+          }.groupBy(_._1).map { case (r, xs) => r -> xs.map(t => t._2 -> t._3).toMap }
+        }
+      if (byRound.isEmpty) ("", "")
+      else {
+        val round = byRound.keys.max
+        val parts = Seq("disjoint", "shared", "boilerplate").flatMap { mode =>
+          byRound(round).get(mode).map { p =>
+            "\"" + mode + "\":" + new String(java.nio.file.Files.readAllBytes(p),
+              java.nio.charset.StandardCharsets.UTF_8).trim
+          }
+        }
+        (s""","scaling_measured_by":"graft.ScaleBench","scaling_src_round":$round,"scaling":${parts.mkString("{", ",", "}")}""",
+          s""","scaling_src_round":$round,"scaling_detail":"bench/scale_r${round}_*.json"""")
       }
-      if (parts.isEmpty) ""
-      else s""","scaling_measured_by":"graft.ScaleBench","scaling":${parts.mkString("{", ",", "}")}"""
     }
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$scaling}"""
-    println(json)
-    // stdout tail-capture can truncate the one-line JSON (BENCH_r03 lost its
-    // head) — also persist the full metrics to a file the driver can read.
+    // stdout is tail-captured by the driver (~4 KB): the line it parses must
+    // be COMPACT and near the end of the stream. BENCH_r04/r05 embedded the
+    // full scaling blob inline and the line's HEAD fell out of the capture
+    // window ("parsed": null). Print the compact core (scaling by reference)
+    // and write the full JSON — scaling inline — to the side file.
+    val core = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$scalingSrc}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$scaling}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(outFile),
-      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] write $outFile failed: ${e.getMessage}") }
+    println(core)
     spark.stop()
   }
 }

@@ -76,13 +76,18 @@ object Queries7 {
     // query-set-at-a-time relation (same protocol as the other q_stream_*)
     "q_stream_search" -> ((s, dir) => {
       import s.implicits._
-      // stage the query batch as ONE file in a landing dir (a file = a batch)
-      val qdir = s"/tmp/graft_stream_queries/${dir.replace('/', '_')}"
+      // stage the query batch as ONE file in a landing dir (a file = a batch).
+      // The dir name carries a fingerprint of the batch CONTENT: the _DONE
+      // marker alone could serve stale parquet if the query constants change
+      // between rounds — a content change lands in a fresh dir instead.
+      val batch = Seq(0L -> qTokensA, 1L -> qTokensB)
+        .flatMap { case (qid, m) => m.toSeq.sorted.map { case (tk, w) => (qid, tk, w) } }
+      val fp = java.lang.Long.toHexString(
+        batch.map(_.toString).mkString("|").hashCode.toLong & 0xffffffffL)
+      val qdir = s"/tmp/graft_stream_queries/${dir.replace('/', '_')}_$fp"
       val qFile = new java.io.File(qdir)
       if (!new java.io.File(qFile, "_DONE").exists()) {
-        Seq(0L -> qTokensA, 1L -> qTokensB)
-          .flatMap { case (qid, m) => m.toSeq.map { case (tk, w) => (qid, tk, w) } }
-          .toDF("query_id", "token", "qw")
+        batch.toDF("query_id", "token", "qw")
           .coalesce(1).write.mode("overwrite").parquet(qdir)
         new java.io.File(qFile, "_DONE").createNewFile()
       }

@@ -103,6 +103,14 @@ object QueriesExtra {
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // prefix-filtered ngram dedup: EXACT recall at the threshold (so the
+    // oracle is the q_dedup_ngram oracle verbatim), but candidate
+    // generation joins only each doc's rarest-shingle prefix — the hot
+    // buckets never enter the self-join. The 100 TB path.
+    "q_dedup_ngram_prefix" -> ((s, dir) =>
+      Dedup.ngramJaccardPairsPrefix(t(s, dir, "documents"), threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))),
+
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashLsh(t(s, dir, "documents"), threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))),
@@ -314,6 +322,22 @@ object QueriesExtra {
         |            ELSE array_to_string(tk[s+1:s+8], ' ') || ' ' END AS chunk
         |FROM starts WHERE s = 0 OR s - 6 + 8 < n
         |ORDER BY doc_id, idx""".stripMargin,
+
+    // prefix filtering is recall-EXACT at the threshold, so its oracle is
+    // the plain exact-join oracle — identical output is the whole claim
+    "q_dedup_ngram_prefix" ->
+      s"""WITH ${OracleGen.shingleCte(3, "sh")},
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+        |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT a AS id_a, b AS id_b,
+        |       round(i * 1.0 / (ca.n + cb.n - i), 4) AS jaccard
+        |FROM inter JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b
+        |WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_dedup_ngram" ->
       s"""WITH ${OracleGen.shingleCte(3, "sh")},

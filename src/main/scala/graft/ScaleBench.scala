@@ -34,12 +34,13 @@ object ScaleBench {
 
   private val DisjointQueries = Seq(
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_ngram", "q_dedup_ngram_capped",
-    "q_dedup_simhash", "q_dedup_clusters",
+    "q_dedup_ngram_prefix", "q_dedup_simhash", "q_dedup_clusters",
     "q_ann_cosine", "q_ann_ivf", "q_mllib_minhash",
     "q_seismic", "q_seismic_batch", "q_sparse_exact", "q_sparse_batch",
     "q_hybrid_minmax_arith", "q_hybrid_rrf", "q_text_quality")
 
-  private val SharedQueries = Seq("q_dedup_ngram", "q_dedup_ngram_capped")
+  private val SharedQueries =
+    Seq("q_dedup_ngram", "q_dedup_ngram_capped", "q_dedup_ngram_prefix")
 
   /** ~6 corpus-hot shingles once appended to every doc (8 tokens). */
   private val Boilerplate =

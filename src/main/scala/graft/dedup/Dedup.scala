@@ -189,51 +189,66 @@ object Dedup {
 
   private val simhashUdf = udf((s: String) => simhash(s))
 
-  /** SimHash near-dup pairs with hamming ≤ maxHamming, blocked on PAIRS of
-    * fingerprint chunks: with nChunks = maxHamming+2 chunks, flipping ≤
-    * maxHamming bits leaves ≥ 2 chunks untouched (pigeonhole), so every
-    * qualifying pair agrees on at least one (chunk_i, chunk_j) combination
-    * — exhaustive, not probabilistic. Pair-keys double the key width
-    * (2·64/nChunks bits vs 64/(d+1) for single-chunk blocking), which on a
-    * near-dup-heavy corpus cuts candidate pairs ~6× for C(nChunks,2)≈4×
-    * the exploded rows — the join output, not the join input, is the scale
-    * bottleneck. (The earlier fixed-4×16-bit single-chunk scheme was only
-    * valid for d ≤ 3 and silently dropped pairs at the default d=6.) */
+  /** SimHash near-dup pairs with hamming ≤ maxHamming (= d), blocked by
+    * fingerprint chunks with ADAPTIVE scheme selection:
+    *
+    *   - d < 5: block on PAIRS of chunks — nChunks = d+2 chunks; flipping
+    *     ≤ d bits leaves ≥ 2 chunks untouched (pigeonhole), so every
+    *     qualifying pair agrees on some (chunk_i, chunk_j) combination.
+    *     Pair-keys double the key width, cutting per-bucket collisions on
+    *     near-dup-heavy corpora.
+    *   - d ≥ 5: block on SINGLE chunks — nChunks = d+1 (≥ 1 chunk
+    *     untouched). The pair scheme's C(d+2,2) combos explode the keyed
+    *     relation quadratically in d (d=6 → 28 combos vs 7 chunks; measured
+    *     ratio_10x 6.4 at ×10 corpus replication); single-chunk keeps the
+    *     explode linear in d and the ×10 curve near-linear.
+    *
+    * Both schemes are exhaustive, not probabilistic. Chunk boundaries are
+    * BALANCED (lo_i = ⌊i·64/n⌋): ceil-width chunks exhaust the 64 bits
+    * early and leave trailing chunks EMPTY — an always-equal key that
+    * degrades its combo to a full cross-join (the single-chunk scheme would
+    * emit all n² pairs through it). Balanced widths differ by ≤ 1 bit and
+    * are never zero for n ≤ 64.
+    *
+    * Candidates come from [[bucketPairs]] (groupBy-agg, one pass over the
+    * keyed relation) and the hamming check joins back a persisted
+    * fingerprint relation — the previous self-join form recomputed the
+    * simhash UDF lineage once per side. */
   def simhashPairs(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming < 63,
       s"maxHamming must be < 63 (got $maxHamming): 64 one-bit chunks cannot leave 2 untouched")
-    val nChunks = math.min(maxHamming + 2, 64)
-    val w = (64 + nChunks - 1) / nChunks // ceil(64 / nChunks) bits per chunk
-    val fps = df.select(col(idCol).as("id"), simhashUdf(col(textCol)).as("fp"))
+    val pairScheme = maxHamming < 5
+    val nChunks = math.min(if (pairScheme) maxHamming + 2 else maxHamming + 1, 64)
+    val fps = df.select(col(idCol).as("id"), simhashUdf(col(textCol)).as("fp")).persist()
     def chunk(i: Int): Column = {
-      val lo = i * w
-      // When ceil rounding exhausts the 64 bits early, trailing chunks are
-      // EMPTY: emit a constant (always-equal) chunk — shiftright(fp, >=64)
-      // would wrap (shift masked to 6 bits) and alias LOW bits, silently
-      // breaking the pigeonhole guarantee for e.g. maxHamming=7 (9 chunks
-      // of 8 bits: chunk 8 would read bit 0 again).
-      if (lo >= 64) lit(0L)
-      else {
-        // mask to the chunk's true width: shiftright is arithmetic, so a
-        // negative fp sign-extends and an over-wide mask would admit
-        // phantom high bits in the last chunk
-        val bits = math.min(w, 64 - lo)
-        shiftright(col("fp"), lo).bitwiseAND(lit((1L << bits) - 1))
-      }
+      val lo = i * 64 / nChunks
+      val bits = (i + 1) * 64 / nChunks - lo
+      // mask to the chunk's true width: shiftright is arithmetic, so a
+      // negative fp sign-extends and an over-wide mask would admit
+      // phantom high bits in the top chunk
+      shiftright(col("fp"), lo).bitwiseAND(lit(if (bits >= 64) -1L else (1L << bits) - 1))
     }
-    val combos = for {
-      i <- 0 until nChunks; j <- i + 1 until nChunks
-    } yield struct(lit(i * nChunks + j).as("combo"), chunk(i).as("v1"), chunk(j).as("v2"))
-    val keyed = fps.select(col("id"), col("fp"),
-      explode(array(combos: _*)).as("k"))
-      .select(col("id"), col("fp"), col("k.combo").as("combo"),
-        col("k.v1").as("v1"), col("k.v2").as("v2"))
-    val l = keyed.select(col("combo"), col("v1"), col("v2"), col("id").as("id_a"), col("fp").as("fp_a"))
-    val r = keyed.select(col("combo"), col("v1"), col("v2"), col("id").as("id_b"), col("fp").as("fp_b"))
-    l.join(r, Seq("combo", "v1", "v2"))
-      .where(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    val candidates =
+      if (pairScheme) {
+        val combos = for {
+          i <- 0 until nChunks; j <- i + 1 until nChunks
+        } yield struct(lit(i * nChunks + j).as("combo"), chunk(i).as("v1"), chunk(j).as("v2"))
+        val keyed = fps.select(col("id"),
+          explode(array(combos: _*)).as("k"))
+          .select(col("id"), col("k.combo").as("combo"),
+            col("k.v1").as("v1"), col("k.v2").as("v2"))
+        bucketPairs(keyed, Seq("combo", "v1", "v2"))
+      } else {
+        val chunks = (0 until nChunks).map(i =>
+          struct(lit(i).as("ci"), chunk(i).as("v")))
+        val keyed = fps.select(col("id"), explode(array(chunks: _*)).as("k"))
+          .select(col("id"), col("k.ci").as("ci"), col("k.v").as("v"))
+        bucketPairs(keyed, Seq("ci", "v"))
+      }
+    candidates
+      .join(fps.select(col("id").as("id_a"), col("fp").as("fp_a")), "id_a")
+      .join(fps.select(col("id").as("id_b"), col("fp").as("fp_b")), "id_b")
       .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
       .where(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
@@ -280,21 +295,25 @@ object Dedup {
         // shares this shingle) is lowest), and any true near-dup pair at
         // threshold τ shares ~τ/(1+τ) of its shingles, so it is still found
         // unless EVERY shared shingle is corpus-hot. Emitted jaccard values
-        // stay exact: the intersection partitions by shingle df into
-        //   i = i_rare (free from the candidate join's groupBy)
-        //     + i_hot  (topped up on CANDIDATE PAIRS only, against the few
-        //               hot shingles — never a hot×hot self-join)
-        // so the cap costs recall on pairs whose entire overlap is
+        // stay exact: verification recomputes the FULL intersection per
+        // candidate pair as a merge over each doc's sorted shingle-hash
+        // array — so the cap costs recall on pairs whose entire overlap is
         // stop-shingles, never precision.
+        // (The earlier rare-join + hot-shingle TOP-UP formulation kept a
+        // second per-doc hot array and merged it per pair; in the shared-
+        // vocabulary regime — most shingles hot — those arrays approach
+        // full documents and the top-up dominated: ×10 replication measured
+        // capped 121 s vs uncapped 23 s. One full-array merge per candidate
+        // does the same work ONCE, with no hot/rare bookkeeping.)
         // hot-key set is TINY by construction (shingles with df > cap — the
-        // stop-shingles), so materialize it once and split sh with
-        // broadcast semi/anti joins: no shuffle of the shingle table, and
-        // the df groupBy runs once instead of once per consumer
+        // stop-shingles), so materialize it once and drop them from
+        // candidate generation with a broadcast anti join: no shuffle of
+        // the shingle table.
         val hotKeys = sh.groupBy(col("s")).agg(count(lit(1)).as("__df"))
           .where(col("__df") > cap).select(col("s")).persist()
         val nHot = hotKeys.count() // materialize before fan-out
-        // no shingle above the cap → rare == sh and the split/top-up
-        // machinery is pure overhead; run the plain join (identical result)
+        // no shingle above the cap → rare == sh and the split machinery is
+        // pure overhead; run the plain join (identical result)
         if (nHot == 0)
           return interToJaccard(
             sh.as("x").join(sh.as("y"), "s")
@@ -303,43 +322,87 @@ object Dedup {
               .agg(count(lit(1)).as("i")),
             cnt, threshold)
         val rare = sh.join(broadcast(hotKeys), Seq("s"), "left_anti")
-        val hot = sh.join(broadcast(hotKeys), Seq("s"), "left_semi")
-        // iRare is consumed twice (hot top-up input + final merge) and its
-        // lineage contains the expensive self-join — persist, don't re-run
-        val iRare = rare.as("x").join(rare.as("y"), "s")
-          .where(col("x.id") < col("y.id"))
-          .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
-          .agg(count(lit(1)).as("__ir"))
-          .persist()
-        // hot top-up as a per-pair merge-intersect over each doc's SORTED
-        // hot-shingle hash array: the row-explode form (pair ⨝ hot(id_a) ⨝
-        // hot(id_b)) materializes Σ_pairs |hot(id_a)| rows, which OOMs in
-        // duplicate-heavy corpora where the candidate-pair count itself is
-        // quadratic (measured at ×10 shared-vocabulary replication). The
-        // array form joins the pair relation against one narrow row per doc
-        // and counts the intersection in O(|hot_a|+|hot_b|) with no
-        // intermediate rows — identical counts.
-        val hotArr = hot.groupBy(col("id"))
-          .agg(sort_array(collect_list(col("s"))).as("hs")).persist()
-        val hotInter = udf((a: Seq[Long], b: Seq[Long]) => {
-          var i = 0; var j = 0; var n = 0L
-          while (i < a.length && j < b.length) {
-            val x = a(i); val y = b(j)
-            if (x == y) { n += 1; i += 1; j += 1 }
-            else if (x < y) i += 1
-            else j += 1
-          }
-          n
-        })
-        iRare
-          .join(hotArr.select(col("id").as("id_a"), col("hs").as("ha")), Seq("id_a"), "left")
-          .join(hotArr.select(col("id").as("id_b"), col("hs").as("hb")), Seq("id_b"), "left")
-          .select(col("id_a"), col("id_b"),
-            (col("__ir") + when(col("ha").isNotNull && col("hb").isNotNull,
-              hotInter(col("ha"), col("hb"))).otherwise(lit(0L))).as("i"))
+        return verifyPairs(bucketPairs(rare.select(col("id"), col("s")), Seq("s")),
+          fullArrays(sh), threshold)
     }
     interToJaccard(inter, cnt, threshold)
   }
+
+  /** Prefix-filtered exact n-gram Jaccard pairs — the 100 TB shape of
+    * [[ngramJaccardPairs]], with EXACT recall at the threshold (unlike the
+    * `maxDf` cap, which trades recall on stop-shingle-only overlaps).
+    *
+    * Order all shingles by global document frequency ascending (ties by
+    * hash); each doc contributes only its ⌈(1−τ)·|sh|⌉+1 RAREST shingles to
+    * candidate generation (its "prefix"). Completeness: J(A,B) ≥ τ implies
+    * |A∩B| ≥ τ·max(|A|,|B|); if the smallest common shingle (in the global
+    * order) were outside A's prefix, all of A∩B would fit in A's suffix of
+    * ⌈τ|A|⌉−1 < τ|A| elements — contradiction. So every qualifying pair
+    * collides on a prefix shingle (Chaudhuri/Bayardo prefix filtering).
+    *
+    * Scale shape: candidate generation joins only on LOW-df shingles — the
+    * hot buckets that make the plain inverted-index join corpus-quadratic
+    * (shared vocabulary, boilerplate headers/footers) never enter the
+    * self-join, with no recall cap to tune. Survivors are verified with one
+    * merge-intersect over full sorted shingle-hash arrays; a length filter
+    * (|B| ≥ τ|A|, necessary for J ≥ τ) prunes before the merge. */
+  def ngramJaccardPairsPrefix(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0.0, "threshold must be positive (zero-overlap pairs are not materialized)")
+    val sh = df.select(col(idCol).as("id"),
+        explode(shingleCol(col(textCol), n)).as("__s"))
+      .select(col("id"), xxhash64(col("__s")).as("s"))
+      .persist()
+    val shdf = sh.groupBy(col("s")).agg(count(lit(1)).as("__df"))
+    val wDoc = Window.partitionBy(col("id"))
+    val wOrd = wDoc.orderBy(col("__df").asc, col("s").asc)
+    val prefix = sh.join(shdf, "s")
+      .select(col("id"), col("s"),
+        row_number().over(wOrd).as("__rn"),
+        count(lit(1)).over(wDoc).as("__n"))
+      .where(col("__rn") <= ceil((lit(1.0) - threshold) * col("__n")) + 1)
+      .select(col("id"), col("s"))
+    verifyPairs(bucketPairs(prefix, Seq("s")), fullArrays(sh), threshold)
+  }
+
+  /** Per-doc FULL sorted shingle-hash arrays — the verification side of the
+    * capped/prefix candidate generators. Array size IS the doc's distinct
+    * shingle count, so verification needs no separate count relation. */
+  private def fullArrays(sh: DataFrame): DataFrame =
+    sh.groupBy(col("id")).agg(sort_array(collect_list(col("s"))).as("hs"))
+
+  /** Merge-intersect over two sorted hash arrays: O(|a|+|b|), no
+    * intermediate rows (the row-explode verification form materializes
+    * Σ_pairs |sh| rows, which OOMs when the candidate-pair count is itself
+    * quadratic — measured at ×10 shared-vocabulary replication). */
+  private val sortedInter = udf((a: Seq[Long], b: Seq[Long]) => {
+    var i = 0; var j = 0; var n = 0L
+    while (i < a.length && j < b.length) {
+      val x = a(i); val y = b(j)
+      if (x == y) { n += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    n
+  })
+
+  /** Exact-verify candidate pairs against full shingle arrays: length
+    * filter first (J ≥ τ forces τ|A| ≤ |B| ≤ |A|/τ — necessary, cheap),
+    * then one merge-intersect per surviving pair; threshold on the RAW
+    * ratio, round(…, 4) emitted — identical math to [[interToJaccard]]. */
+  private def verifyPairs(pairs: DataFrame, arrs: DataFrame,
+      threshold: Double): DataFrame =
+    pairs
+      .join(arrs.select(col("id").as("id_a"), col("hs").as("ha")), "id_a")
+      .join(arrs.select(col("id").as("id_b"), col("hs").as("hb")), "id_b")
+      .withColumn("__na", size(col("ha")).cast("long"))
+      .withColumn("__nb", size(col("hb")).cast("long"))
+      .where(col("__nb") >= col("__na") * threshold &&
+        col("__na") >= col("__nb") * threshold)
+      .withColumn("__i", sortedInter(col("ha"), col("hb")))
+      .withColumn("__raw", col("__i").cast("double") / (col("__na") + col("__nb") - col("__i")))
+      .where(col("__raw") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("__raw"), 4).as("jaccard"))
 
   /** (id_a, id_b, i) intersection counts + per-doc shingle counts →
     * thresholded jaccard relation (threshold on the RAW ratio — matches

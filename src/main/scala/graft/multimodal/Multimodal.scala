@@ -49,8 +49,13 @@ object Multimodal {
   def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
     if (payload == null || payload.length < 4 || !looksLikeImage(payload)) None
     else
+      // NonFatal, not just IOException: a payload that passes the 4-byte
+      // magic probe but is structurally malformed makes ImageIO plugins
+      // throw IllegalArgumentException / IndexOutOfBounds / NegativeArraySize
+      // — in a 100 TB mixed corpus those rows must fall back to None, not
+      // fail the task
       try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
-      catch { case _: java.io.IOException => None }
+      catch { case scala.util.control.NonFatal(_) => None }
 
   /** Deterministic pixel features for a decoded image: luminance histogram
     * over `dim` buckets (ITU-R 601 integer luma), L2-normalized — the same

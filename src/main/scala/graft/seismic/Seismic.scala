@@ -377,9 +377,18 @@ object Seismic {
       .union(seedDocs).distinct()
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id").asc)
-    exactScores(candDocs)
+    val out = exactScores(candDocs)
       .where(col("score") > 0.0)
       .withColumn("rank", row_number().over(wRank))
       .where(col("rank") <= k)
+      // eager cut: the result is ≤ k rows per query — materialize it now so
+      // the per-invocation persist + broadcasts below can be RELEASED here
+      // instead of leaking one sumScores cache + two broadcasts per call
+      // (a serving loop calls this per batch; the leak was unbounded)
+      .localCheckpoint(true)
+    sumScores.unpersist(blocking = false)
+    bCuts.unpersist(blocking = false)
+    bFull.unpersist(blocking = false)
+    out
   }
 }

@@ -35,7 +35,17 @@ object StreamingSearch {
     joined
       .groupByKey(_._1)
       .flatMapGroupsWithState[Int, Hit](OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (qid: Long, rows: Iterator[(Long, Long, Double)], _: GroupState[Int]) =>
+        (qid: Long, rows: Iterator[(Long, Long, Double)], state: GroupState[Int]) =>
+          // One-file-one-batch contract, ENFORCED (was only documented): a
+          // query's token rows must all arrive in the same micro-batch —
+          // if qid shows up again in a later batch this operator would emit
+          // a SECOND top-k for it computed from the fragment alone. Fail
+          // loud instead of silently serving partial results.
+          if (state.exists)
+            throw new IllegalStateException(
+              s"query_id $qid spans micro-batches — stage each query batch as one file " +
+                "(one file = one trigger; see q_stream_search staging)")
+          state.update(1)
           val acc = scala.collection.mutable.HashMap.empty[Long, Double]
           rows.foreach { case (_, doc, p) =>
             acc.update(doc, acc.getOrElse(doc, 0.0) + p)

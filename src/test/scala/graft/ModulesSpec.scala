@@ -454,14 +454,18 @@ class ClusterResolveSpec extends SparkSpec {
         else base((j + rnd.nextInt(2)) % base.length))
       (i, words.mkString(" "))
     }.toDF("doc_id", "text")
-    val got = Dedup.simhashPairs(docs, maxHamming = 7).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
     val fps = docs.collect().map(r => r.getLong(0) -> Dedup.simhash(r.getString(1)))
-    val expected = (for {
-      (ia, fa) <- fps; (ib, fb) <- fps if ia < ib
-      if java.lang.Long.bitCount(fa ^ fb) <= 7
-    } yield (ia, ib)).toSet
-    assert(got == expected)
+    // exercise BOTH blocking schemes (pair-chunk d<5, single-chunk d≥5) and
+    // the adaptive boundary, against brute force
+    for (d <- Seq(2, 3, 4, 5, 6, 7, 8)) {
+      val got = Dedup.simhashPairs(docs, maxHamming = d).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expected = (for {
+        (ia, fa) <- fps; (ib, fb) <- fps if ia < ib
+        if java.lang.Long.bitCount(fa ^ fb) <= d
+      } yield (ia, ib)).toSet
+      assert(got == expected, s"maxHamming=$d")
+    }
     intercept[IllegalArgumentException](Dedup.simhashPairs(docs, maxHamming = 63))
   }
 

@@ -173,6 +173,57 @@ class Round3Spec extends SparkSpec {
     assert(jU == jC)
   }
 
+  test("prefix-filtered ngram ≡ exact join, including stop-shingle-only overlaps") {
+    // mixed corpus: boilerplate-heavy docs (hot shingles), near-dup pairs,
+    // AND a pair whose entire overlap is the corpus-hot boilerplate — the
+    // case the maxDf cap drops but prefix filtering must keep (exact recall)
+    val boiler = "all rights reserved standard footer terms apply here"
+    val docs = ((1L to 8L).map { i =>
+      val tail = if (i % 2 == 0) s"unique pair content $i ${i - 1} shared tail words"
+      else s"unique pair content ${i + 1} $i shared tail words"
+      (i, s"$tail $boiler")
+    } ++ Seq(
+      (20L, boiler),            // overlap with 21 is ONLY hot shingles
+      (21L, boiler),
+      (22L, "completely different text with no shingle overlap at all whatsoever")
+    )).toDF("doc_id", "text")
+    for (tau <- Seq(0.3, 0.5, 0.8)) {
+      val exact = Dedup.ngramJaccardPairs(docs, threshold = tau)
+        .orderBy("id_a", "id_b")
+        .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSeq
+      val prefix = Dedup.ngramJaccardPairsPrefix(docs, threshold = tau)
+        .orderBy("id_a", "id_b")
+        .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSeq
+      assert(prefix == exact, s"tau=$tau")
+    }
+    // the hot-only pair exists and prefix finds it (maxDf=4 would not)
+    val p5 = Dedup.ngramJaccardPairsPrefix(docs, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(p5.contains((20L, 21L)))
+  }
+
+  test("prefix ngram ≡ exact join on random near-dup corpora (fuzz)") {
+    val rnd = new scala.util.Random(6)
+    val vocab = (0 until 40).map(i => s"w$i")
+    val base = (0 until 30).map { _ =>
+      (0 until (8 + rnd.nextInt(20))).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    // each base doc plus a mutated twin (drop/replace a few tokens)
+    val docs = base.zipWithIndex.flatMap { case (tx, i) =>
+      val toks = tx.split(" ")
+      val mut = toks.map(t => if (rnd.nextInt(10) == 0) vocab(rnd.nextInt(vocab.size)) else t)
+      Seq((i.toLong * 2, tx), (i.toLong * 2 + 1, mut.mkString(" ")))
+    }.toDF("doc_id", "text")
+    val exact = Dedup.ngramJaccardPairs(docs, threshold = 0.4)
+      .orderBy("id_a", "id_b")
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSeq
+    val prefix = Dedup.ngramJaccardPairsPrefix(docs, threshold = 0.4)
+      .orderBy("id_a", "id_b")
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSeq
+    assert(prefix == exact)
+    assert(exact.nonEmpty) // the corpus genuinely has near-dups
+  }
+
   test("deriveSemanticSchema matches enrichBySpec output schema") {
     val specs = Seq(
       FieldSpec("text", FieldKind.Semantic(dim = 8, chunked = true, tokenLimit = 4)),
