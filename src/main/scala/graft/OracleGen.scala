@@ -154,7 +154,8 @@ private[graft] object OracleGen {
     * cluster pruning at θ/heap_factor, exact rescore of survivors.
     * Mirrors graft.seismic.Seismic.{build,search} step for step. */
   def seismicSql(q: Map[String, Float], nPostings: Int, k: Int, topN: Int,
-      heapFactor: Float): String = {
+      heapFactor: Float, basePredicate: String = "TRUE",
+      deltaPredicate: Option[String] = None): String = {
     import graft.seismic.Seismic
     require(nPostings > 0 && nPostings < Seismic.MinClusterSize,
       "oracle form requires single-cluster (λ < min cluster size) builds")
@@ -184,7 +185,7 @@ private[graft] object OracleGen {
        |  SELECT token, doc_id FROM (
        |    SELECT t AS token, doc_id,
        |           row_number() OVER (PARTITION BY t ORDER BY q DESC, doc_id ASC) AS rn
-       |    FROM qp) WHERE rn <= $nPostings
+       |    FROM qp WHERE $basePredicate) WHERE rn <= $nPostings
        |),
        |summ AS (
        |  SELECT m.token, p.t, max(p.q) AS mq
@@ -228,7 +229,17 @@ private[graft] object OracleGen {
        |  FROM dv JOIN (VALUES $fullValues) AS fq(t, qw) ON fq.t = dv.t
        |  JOIN cand USING (doc_id) GROUP BY dv.doc_id
        |)
-       |SELECT doc_id, score FROM fexact WHERE score > 0.0
+       |${deltaPredicate.fold("") { dp =>
+            s""",dexact AS (
+               |  SELECT dv.doc_id, round(sum(CAST(dv.w AS DOUBLE) * CAST(fq.qw AS DOUBLE)), 6) AS score
+               |  FROM dv JOIN (VALUES $fullValues) AS fq(t, qw) ON fq.t = dv.t
+               |  WHERE $dp GROUP BY dv.doc_id
+               |)""".stripMargin
+          }}
+       |SELECT doc_id, score FROM (
+       |  SELECT doc_id, score FROM fexact WHERE score > 0.0
+       |${deltaPredicate.fold("")(_ => "  UNION ALL SELECT doc_id, score FROM dexact WHERE score > 0.0")}
+       |)
        |ORDER BY score DESC, doc_id ASC LIMIT $k""".stripMargin
   }
 

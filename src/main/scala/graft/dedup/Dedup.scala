@@ -160,6 +160,12 @@ object Dedup {
     }
     out.result()
   })
+  private[graft] def bucketPairsPublic(bucketed: DataFrame, keyCols: Seq[String]): DataFrame =
+    bucketPairs(bucketed, keyCols)
+  private[graft] def shingleColPublic(textCol: Column, n: Int): Column = shingleCol(textCol, n)
+  private[graft] def verifyPairsPublic(pairs: DataFrame, arrs: DataFrame, threshold: Double): DataFrame =
+    verifyPairs(pairs, arrs, threshold)
+
   private def bucketPairs(bucketed: DataFrame, keyCols: Seq[String]): DataFrame =
     bucketed.groupBy(keyCols.map(col): _*)
       .agg(collect_list(col("id")).as("ids"))

@@ -217,6 +217,18 @@ object HybridPipeline {
       .drop("__iq", "__ik")
   }
 
+  /** One sort dimension of a field-sorted hybrid request: `field` names a
+    * column of the caller's sort-key relation (SortField array in the
+    * reference's HybridTopFieldDocSortCollector). */
+  case class SortField(field: String, ascending: Boolean)
+
+  /** Sort order for a field spec: per-field direction, nulls LAST in both
+    * directions (reference missing-value policy), doc_id asc tie-break. */
+  private def fieldOrder(fields: Seq[SortField]): Seq[Column] =
+    fields.map(f =>
+      if (f.ascending) col(f.field).asc_nulls_last
+      else col(f.field).desc_nulls_last) :+ col("doc_id").asc
+
   /** Field-sorted hybrid (HybridTopFieldDocSortCollector, SURVEY §2.5):
     * when the request carries a `sort`, BOTH the per-subquery K-cut and the
     * final ordering use the sort key instead of the score (the reference's
@@ -235,18 +247,39 @@ object HybridPipeline {
       ascending: Boolean = false,
       paginationDepth: Option[Int] = None,
       from: Int = 0,
+      size: Int = HybridLimits.DefaultK): DataFrame =
+    runSortedFields(scored, numSubqueries, norm, comb, sortKeys,
+      Seq(SortField("sort_key", ascending)), paginationDepth, from, size)
+
+  /** Multi-field-sorted hybrid — the general SortField[] form of the
+    * reference collector (HybridTopFieldDocSortCollector.java takes the
+    * request's full sort array; the single-key [[runSorted]] is the
+    * one-element case). K-cut and final rank order lexicographically by
+    * `fields` (each with its own direction), ties by doc_id asc.
+    *
+    * @param sortKeys DataFrame[doc_id, f1, f2, …] carrying every column
+    *                 named in `fields`
+    */
+  def runSortedFields(
+      scored: DataFrame,
+      numSubqueries: Int,
+      norm: NormalizationSpec,
+      comb: CombinationSpec,
+      sortKeys: DataFrame,
+      fields: Seq[SortField],
+      paginationDepth: Option[Int] = None,
+      from: Int = 0,
       size: Int = HybridLimits.DefaultK): DataFrame = {
+    require(fields.nonEmpty, "at least one sort field required")
     HybridValidation.validate(numSubqueries, norm, comb, paginationDepth)
     val k = paginationDepth.getOrElse(from + size)
+    val ord = fieldOrder(fields)
     // LEFT join + nulls-last: a matching doc with no sort key still appears
     // (sorted after all keyed docs), mirroring the reference field
     // collector's missing-value policy — an inner join would silently drop
     // top-scoring docs whenever the sort-key table has gaps
-    val keyOrder =
-      if (ascending) col("sort_key").asc_nulls_last else col("sort_key").desc_nulls_last
     val keyed = scored.join(broadcastIfSmall(sortKeys), Seq("doc_id"), "left")
-    val wCut = Window.partitionBy(col("query_id"), col("subq"))
-      .orderBy(keyOrder, col("doc_id").asc)
+    val wCut = Window.partitionBy(col("query_id"), col("subq")).orderBy(ord: _*)
     val candidates = keyed
       .withColumn("__rank", row_number().over(wCut))
       .where(col("__rank") <= k)
@@ -254,13 +287,12 @@ object HybridPipeline {
     val normalized = Normalization.normalize(
       candidates.select(col("query_id"), col("subq"), col("doc_id"), col("score")), norm)
     val combined = Combination.combine(normalized, comb)
-    val wFinal = Window.partitionBy(col("query_id"))
-      .orderBy(keyOrder, col("doc_id").asc)
+    val wFinal = Window.partitionBy(col("query_id")).orderBy(ord: _*)
     combined
       .join(broadcastIfSmall(sortKeys), Seq("doc_id"), "left")
       .withColumn("rank", row_number().over(wFinal))
       .where(col("rank") > from && col("rank") <= from + size)
-      .drop("sort_key")
+      .drop(fields.map(_.field): _*)
   }
 
   /** search_after keyset pagination (HybridTopFieldDocSortCollector /
@@ -274,6 +306,42 @@ object HybridPipeline {
         (col("score") === afterScore && col("doc_id") > afterDocId))
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(size)
+
+  /** search_after over a FIELD sort (PagingFieldCollector.java:1-101 — the
+    * FieldDoc cursor form): `after(i)` is the cursor value for `fields(i)`
+    * (null = the cursor row's key was null), `afterDocId` the cursor row's
+    * doc_id tie-break. Emits the next `size` rows strictly after the cursor
+    * in the lexicographic (fields…, doc_id) order — O(k) per page at any
+    * depth. `results` must carry the sort-field columns and doc_id.
+    *
+    * Null handling mirrors the nulls-LAST ordering: a non-null cursor
+    * admits nulls (they sort after everything); a null cursor admits only
+    * the null tail, where deeper keys break the tie. */
+  def searchAfterFields(results: DataFrame, fields: Seq[SortField],
+      after: Seq[Any], afterDocId: Long,
+      size: Int = HybridLimits.DefaultK): DataFrame = {
+    require(fields.nonEmpty, "at least one sort field required")
+    require(after.length == fields.length,
+      s"cursor arity ${after.length} != sort arity ${fields.length}")
+    def strictlyAfter(f: SortField, a: Any): Column =
+      if (a == null) lit(false) // within the null tail only ties advance
+      else {
+        val c = col(f.field)
+        (if (f.ascending) c > lit(a) else c < lit(a)) || c.isNull
+      }
+    def equalTo(f: SortField, a: Any): Column =
+      if (a == null) col(f.field).isNull else col(f.field) === lit(a)
+    val levels = fields.indices.map { i =>
+      (0 until i).map(j => equalTo(fields(j), after(j)))
+        .foldLeft(strictlyAfter(fields(i), after(i)))(_ && _)
+    }
+    val allEqual = fields.indices.map(j => equalTo(fields(j), after(j)))
+      .foldLeft(col("doc_id") > afterDocId)(_ && _)
+    results
+      .where((levels :+ allEqual).reduce(_ || _))
+      .orderBy(fieldOrder(fields): _*)
+      .limit(size)
+  }
 
   /** Convenience: single-query hybrid end-to-end over a corpus. */
   def hybrid(

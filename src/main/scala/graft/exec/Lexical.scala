@@ -41,6 +41,56 @@ object Lexical {
       .where(col("score") > 0.0)
   }
 
+  /** Lucene `standard`-analyzer approximation as a native column: lowercase
+    * then split on maximal non-letter/non-digit runs (Unicode classes) —
+    * matches UAX#29 word-break for the letter/digit text of this corpus
+    * (divergence from full Lucene StandardTokenizer: no special handling of
+    * mid-token apostrophes/acronym dots; documented, SURVEY §7.3). */
+  private[graft] def standardToks(c: Column): Column =
+    filter(split(lower(c), "[^\\p{L}\\p{N}]+"), x => x =!= "")
+
+  /** Lucene-parity BM25 `match` scoring (BM25Similarity):
+    *
+    *     idf(t)  = ln(1 + (N − df + 0.5)/(df + 0.5))
+    *     norm(d) = k1 · (1 − b + b · dl/avgdl)
+    *     score   = Σ_t idf(t) · tf/(tf + norm(d))
+    *
+    * over standard-analyzer tokens — the reference defers `match` scoring
+    * to OpenSearch/Lucene core (e.g. query/HybridQueryBuilder.java:56-461
+    * wraps arbitrary Lucene queries); this is that scorer's published form.
+    * One divergence: Lucene encodes dl through a lossy SmallFloat norm byte
+    * (25 distinct lengths); we use the EXACT token count — same formula,
+    * strictly finer-grained, and cross-engine reproducible.
+    *
+    * Scale shape: tf explodes only tokens matching the |terms|-literal
+    * filter (pushed into the explode); df and the (N, avgdl) scalars are
+    * broadcast; dl is a per-row array size — no corpus-keyed shuffle except
+    * the (doc, token) tf groupBy, which is bounded by matching tokens. */
+  def bm25Score(docs: DataFrame, terms: Seq[String], textCol: String = "text",
+      docId: String = "doc_id", k1: Double = 1.2, b: Double = 0.75,
+      roundTo: Int = 6): DataFrame = {
+    val termLit = typedLit(terms.distinct)
+    val withDl = docs.select(col(docId).as("doc_id"),
+      standardToks(col(textCol)).as("__toks"))
+      .select(col("doc_id"), col("__toks"), size(col("__toks")).cast("double").as("dl"))
+    val stats = withDl.select(count(lit(1)).as("N"), avg(col("dl")).as("avgdl"))
+    val tf = withDl
+      .select(col("doc_id"), col("dl"), explode(col("__toks")).as("token"))
+      .where(array_contains(termLit, col("token")))
+      .groupBy(col("doc_id"), col("dl"), col("token"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    tf
+      .join(broadcast(dfreq), "token")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(lit(1.0) + (col("N") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("tfn", col("tf") /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("idf") * col("tfn")), roundTo).as("score"))
+      .where(col("score") > 0.0)
+  }
+
   /** `term` query: exact keyword equality — constant score 1.0 filter. */
   def termScore(docs: DataFrame, field: String, value: String,
       docId: String = "doc_id"): DataFrame =

@@ -91,15 +91,118 @@ object Multimodal {
     out
   }
 
-  /** Decode kernel: REAL image decode (javax.imageio) with pixel-luminance
-    * features when the payload is a decodable image; otherwise the
-    * deterministic byte-hash fallback (synthetic corpora carry opaque
-    * non-image payloads — the oracle replicates the fallback arithmetic).
-    * Audio/video codecs remain out of scope for this container. */
+  // ----------------------------------------------------------------- audio
+
+  /** RIFF/WAVE magic probe — same role as [[looksLikeImage]]: gate the
+    * JDK decoder so opaque payloads never pay stream-parser setup. */
+  private def looksLikeWav(p: Array[Byte]): Boolean =
+    p.length >= 12 &&
+      p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+      p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
+
+  /** Real audio decode via the in-JDK `javax.sound.sampled` codecs (PCM
+    * WAV — no external dependency), mirroring the imageio seam: probe →
+    * decode → None on anything malformed. Returns mono samples in [-1, 1]
+    * (channels averaged). */
+  def decodeAudio(payload: Array[Byte]): Option[Array[Float]] =
+    if (payload == null || !looksLikeWav(payload)) None
+    else
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val fmt = in.getFormat
+          val enc = fmt.getEncoding
+          val ok = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+          val bits = fmt.getSampleSizeInBits
+          if (!ok || (bits != 8 && bits != 16)) None
+          else {
+            val bytes = in.readAllBytes()
+            val ch = fmt.getChannels
+            val bytesPerSample = bits / 8
+            val frameBytes = bytesPerSample * ch
+            val nFrames = bytes.length / frameBytes
+            val out = new Array[Float](nFrames)
+            var f = 0
+            while (f < nFrames) {
+              var acc = 0f
+              var c = 0
+              while (c < ch) {
+                val o = f * frameBytes + c * bytesPerSample
+                val s =
+                  if (bits == 8) {
+                    if (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED)
+                      ((bytes(o) & 0xff) - 128) / 128f
+                    else bytes(o) / 128f
+                  } else {
+                    val lo = bytes(o) & 0xff; val hi = bytes(o + 1)
+                    val raw = if (fmt.isBigEndian) (bytes(o) << 8) | (bytes(o + 1) & 0xff)
+                      else (hi << 8) | lo
+                    raw / 32768f
+                  }
+                acc += s
+                c += 1
+              }
+              out(f) = acc / ch
+              f += 1
+            }
+            Some(out)
+          }
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Deterministic features for decoded audio: RMS energy over `dim` equal
+    * time windows, L2-normalized — the audio analogue of the luminance
+    * histogram (same feature-vector contract, derived from real samples). */
+  def audioFeatures(samples: Array[Float], dim: Int): Array[Float] = {
+    val v = new Array[Float](dim)
+    if (samples.nonEmpty) {
+      var b = 0
+      while (b < dim) {
+        val start = (samples.length.toLong * b / dim).toInt
+        val end = math.max((samples.length.toLong * (b + 1) / dim).toInt, start + 1)
+        var acc = 0.0
+        var i = start
+        while (i < end && i < samples.length) { acc += samples(i).toDouble * samples(i); i += 1 }
+        v(b) = math.sqrt(acc / math.max(1, math.min(end, samples.length) - start)).toFloat
+        b += 1
+      }
+    }
+    HashEmbedder.l2normalize(v)
+  }
+
+  // ----------------------------------------------------------------- video
+
+  /** Container magic probe for the common video wrappers (MP4 `ftyp` box,
+    * RIFF AVI, Matroska EBML) — the gate in front of [[videoDecoder]]. */
+  private[multimodal] def looksLikeVideo(p: Array[Byte]): Boolean =
+    p != null && p.length >= 12 && (
+      (p(4) == 'f' && p(5) == 't' && p(6) == 'y' && p(7) == 'p') ||          // MP4/MOV
+      (p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+        p(8) == 'A' && p(9) == 'V' && p(10) == 'I') ||                        // AVI
+      (p(0) == 0x1a.toByte && p(1) == 0x45.toByte && p(2) == 0xdf.toByte &&
+        p(3) == 0xa3.toByte))                                                 // MKV/WebM
+
+  /** Pluggable video decode hook — the drop-in seam (no video codec ships
+    * in the JDK): given (payload, frameCount), return decoded frame images
+    * or None to fall through to the byte-slice stand-in. A real deployment
+    * assigns e.g. a JavaCV/ffmpeg-backed function ONCE per executor; every
+    * consumer ([[sampleFrames]]) picks it up through the same probe →
+    * decode → fallback chain the image and audio paths use. */
+  @volatile var videoDecoder: (Array[Byte], Int) => Option[Seq[Array[Byte]]] =
+    (_, _) => None
+
+  /** Decode kernel: real decode per modality when a codec exists — image
+    * (javax.imageio → luminance histogram), audio (javax.sound.sampled WAV
+    * → windowed RMS) — otherwise the deterministic byte-hash fallback
+    * (synthetic corpora carry opaque payloads — the oracle replicates the
+    * fallback arithmetic). Every modality goes probe → decode → fallback;
+    * a new codec plugs into its decode slot without touching the plan. */
   private[multimodal] def decodeToFeatures(payload: Array[Byte], dim: Int): Array[Float] =
-    decodeImage(payload) match {
-      case Some(img) => imageFeatures(img, dim)
-      case None =>
+    decodeImage(payload).map(imageFeatures(_, dim))
+      .orElse(decodeAudio(payload).map(audioFeatures(_, dim)))
+      .getOrElse {
         val v = new Array[Float](dim)
         if (payload != null) {
           var i = 0
@@ -109,7 +212,7 @@ object Multimodal {
           }
         }
         HashEmbedder.l2normalize(v)
-    }
+      }
 
   /** Batched feature extraction over the binary payload column —
     * mapPartitions so a real codec would amortize per-batch model/codec
@@ -132,16 +235,22 @@ object Multimodal {
     }(encoder)
   }
 
-  /** Frame sampling stub for video payloads: returns `n` deterministic
-    * "frames" (byte slices) per payload — the partitioning/explode plumbing
-    * of a real frame sampler. */
+  /** Frame sampling for video payloads: container-probed payloads go
+    * through the pluggable [[videoDecoder]] (real frames when a codec is
+    * registered); everything else — and codec-less deployments — gets `n`
+    * deterministic byte slices, preserving the partitioning/explode
+    * plumbing of a real frame sampler. */
   def sampleFrames(df: DataFrame, payloadCol: String, n: Int = 4): DataFrame = {
     val sampleUdf = udf((payload: Array[Byte]) => {
-      if (payload == null || payload.isEmpty) Seq.empty[Array[Byte]]
-      else (0 until n).map { i =>
-        val start = (payload.length.toLong * i / n).toInt
-        val end = (payload.length.toLong * (i + 1) / n).toInt
-        java.util.Arrays.copyOfRange(payload, start, math.max(end, start + 1))
+      val decoded =
+        if (looksLikeVideo(payload)) videoDecoder(payload, n) else None
+      decoded.getOrElse {
+        if (payload == null || payload.isEmpty) Seq.empty[Array[Byte]]
+        else (0 until n).map { i =>
+          val start = (payload.length.toLong * i / n).toInt
+          val end = (payload.length.toLong * (i + 1) / n).toInt
+          java.util.Arrays.copyOfRange(payload, start, math.max(end, start + 1))
+        }
       }
     })
     df.withColumn("frames", sampleUdf(col(payloadCol)))

@@ -1,0 +1,151 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.seismic.Seismic
+import graft.seismic.Seismic.SeismicIndex
+import graft.sparse.SparseRetrieval
+
+/** Incremental SEISMIC index maintenance — the streaming analogue of the
+  * reference's segment lifecycle (sparse/codec/SparsePostingsConsumer.java
+  * builds the clustered index at segment FLUSH; codec/MergeHelper.java:1-198
+  * re-clusters merged segments). The Lucene shape maps onto Spark as:
+  *
+  *   - segment flush  → each micro-batch APPENDS its rows to a delta
+  *     directory (one parquet append per trigger);
+  *   - fresh-segment search → queries run pruned SEISMIC over the immutable
+  *     BASE plus an EXACT scan over the (small) delta, merged top-k — the
+  *     same physical policy as the reference's approximate_threshold gate,
+  *     which searches sub-threshold segments exactly
+  *     (SparseRetrieval.strategicTopK);
+  *   - segment merge  → when the delta outgrows `maxDeltaRatio` × base, a
+  *     COMPACTION rebuilds the clustered index over base ∪ delta and
+  *     publishes it as a new immutable version (old versions stay readable
+  *     until the pointer moves — crash-safe, like Lucene's segments_N).
+  *
+  * Layout under `rootDir`:
+  *   base_v{N}/   corpus parquet of version N
+  *   index_v{N}/  SEISMIC tables of version N (Seismic.write)
+  *   delta/       appended micro-batches since version N
+  *   VERSION      current version number (atomic pointer, written last)
+  */
+object IndexMaintenance {
+
+  /** Pointer to the live version — written LAST during publish so a reader
+    * never sees a half-written version (rename-based single-file commit). */
+  def currentVersion(rootDir: String): Long = {
+    val f = new java.io.File(rootDir, "VERSION")
+    if (!f.exists()) 0L
+    else new String(java.nio.file.Files.readAllBytes(f.toPath)).trim.toLong
+  }
+
+  private def writeVersion(rootDir: String, v: Long): Unit = {
+    val tmp = new java.io.File(rootDir, s".VERSION.tmp$v")
+    java.nio.file.Files.write(tmp.toPath, v.toString.getBytes)
+    java.nio.file.Files.move(tmp.toPath, new java.io.File(rootDir, "VERSION").toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  def baseDir(rootDir: String, v: Long): String = s"$rootDir/base_v$v"
+  def indexDir(rootDir: String, v: Long): String = s"$rootDir/index_v$v"
+  def deltaDir(rootDir: String): String = s"$rootDir/delta"
+
+  /** Initialize version 0 from a bootstrap corpus (the first full build —
+    * the reference's initial index creation). */
+  def initialize(corpus: DataFrame, rootDir: String,
+      nPostings: Int = Seismic.DefaultNPostings): Unit = {
+    new java.io.File(rootDir).mkdirs()
+    corpus.write.mode("overwrite").parquet(baseDir(rootDir, 0))
+    val base = corpus.sparkSession.read.parquet(baseDir(rootDir, 0))
+    Seismic.write(Seismic.build(base, nPostings = nPostings), indexDir(rootDir, 0))
+    writeVersion(rootDir, 0)
+  }
+
+  /** Append one micro-batch of docs to the delta (the flush analogue). */
+  def appendBatch(batch: DataFrame, rootDir: String): Unit =
+    batch.write.mode("append").parquet(deltaDir(rootDir))
+
+  /** The delta corpus — empty-schema-safe when no batch has arrived yet. */
+  def readDelta(spark: SparkSession, rootDir: String, like: DataFrame): DataFrame = {
+    val d = new java.io.File(deltaDir(rootDir))
+    if (d.isDirectory && d.listFiles().exists(_.getName.endsWith(".parquet")))
+      spark.read.schema(like.schema).parquet(deltaDir(rootDir))
+    else like.limit(0)
+  }
+
+  /** Merge policy: compact when the delta reaches `maxDeltaRatio` of the
+    * base (the exact-scanned fraction of every query stays bounded). */
+  def shouldCompact(baseRows: Long, deltaRows: Long, maxDeltaRatio: Double): Boolean =
+    deltaRows > 0 && deltaRows >= math.max(1.0, baseRows * maxDeltaRatio)
+
+  /** Re-cluster base ∪ delta into version N+1 and move the pointer; the
+    * delta is cleared (its rows now live in base_v{N+1}). Readers holding
+    * version N keep working — nothing under v{N} is touched. */
+  def compact(spark: SparkSession, rootDir: String,
+      nPostings: Int = Seismic.DefaultNPostings): Long = {
+    val v = currentVersion(rootDir)
+    val base = spark.read.parquet(baseDir(rootDir, v))
+    val union = base.unionByName(readDelta(spark, rootDir, base))
+    union.write.mode("overwrite").parquet(baseDir(rootDir, v + 1))
+    val merged = spark.read.parquet(baseDir(rootDir, v + 1))
+    Seismic.write(Seismic.build(merged, nPostings = nPostings), indexDir(rootDir, v + 1))
+    writeVersion(rootDir, v + 1) // publish AFTER both tables are durable
+    // delta rows are in the new base; clear the landing dir
+    val d = new java.io.File(deltaDir(rootDir))
+    if (d.isDirectory) d.listFiles().foreach(_.delete())
+    v + 1
+  }
+
+  /** Segmented search: pruned SEISMIC over the base index + exact scan over
+    * the delta, merged top-k. With no pruning (heapFactor ≤ 0/∞, topN ≥ |q|)
+    * this is EXACTLY the top-k over base ∪ delta (spec invariant); with
+    * pruning the delta side is still exact — fresh docs are never less
+    * visible than indexed ones, matching the reference's sub-threshold
+    * exact-search policy for young segments. */
+  def searchSegmented(
+      index: SeismicIndex,
+      baseCorpus: DataFrame,
+      deltaCorpus: DataFrame,
+      qTokens: Map[String, Float],
+      k: Int = 10,
+      topN: Int = 10,
+      heapFactor: Float = 1.0f,
+      docId: String = "doc_id",
+      tokens: String = "tokens"): DataFrame = {
+    val baseHits = Seismic.search(index, baseCorpus, qTokens, k, topN, heapFactor, docId, tokens)
+    val deltaHits = SparseRetrieval.exactTopK(deltaCorpus, qTokens, k, docId, tokens)
+    baseHits.unionByName(deltaHits)
+      .orderBy(col("score").desc, col(docId).asc)
+      .limit(k)
+  }
+
+  /** Streaming maintenance loop: every trigger appends the batch and runs
+    * the merge policy — the closed loop from StreamingEnrich's output to a
+    * serving-ready index. Enrichment (tokens column) must already be on the
+    * stream (chain StreamingEnrich upstream). */
+  def maintain(
+      enrichedStream: DataFrame,
+      rootDir: String,
+      maxDeltaRatio: Double = 0.25,
+      nPostings: Int = Seismic.DefaultNPostings,
+      trigger: Trigger = Trigger.AvailableNow(),
+      checkpoint: Option[String] = None): StreamingQuery = {
+    val writer = enrichedStream.writeStream
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        appendBatch(batch, rootDir)
+        val v = currentVersion(rootDir)
+        val base = spark.read.parquet(baseDir(rootDir, v))
+        val deltaRows = readDelta(spark, rootDir, base).count()
+        if (shouldCompact(base.count(), deltaRows, maxDeltaRatio)) {
+          compact(spark, rootDir, nPostings)
+          ()
+        }
+      }
+    checkpoint.fold(writer)(cp => writer.option("checkpointLocation", cp)).start()
+  }
+}

@@ -225,4 +225,59 @@ class HybridPipelineSpec extends SparkSpec {
     }
     HybridValidation.validate(1, NormalizationSpec.MinMax(oneBound), CombinationSpec.ArithmeticMean(), None)
   }
+
+  test("searchAfterFields pages the multi-key order exactly, nulls in the tail") {
+    import HybridPipeline.SortField
+    // (doc_id, lang, n_chars, score): lang asc, n_chars desc, doc_id asc;
+    // doc 6 has a NULL lang (sorts last), docs 2/3 tie on both keys
+    val rows = Seq(
+      (1L, "de", 50L, 0.9), (2L, "en", 70L, 0.8), (3L, "en", 70L, 0.7),
+      (4L, "en", 40L, 0.6), (5L, "fr", 90L, 0.5), (6L, null.asInstanceOf[String], 99L, 0.4))
+    val df = rows.toDF("doc_id", "lang", "n_chars", "score")
+    val fields = Seq(SortField("lang", ascending = true), SortField("n_chars", ascending = false))
+    val fullOrder = df
+      .orderBy(col("lang").asc_nulls_last, col("n_chars").desc_nulls_last, col("doc_id").asc)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(fullOrder == Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    // walk the whole relation page-by-page with size=2; concatenation must
+    // reproduce the full order regardless of where cursors land
+    var cursor: Option[(Any, Any, Long)] = None
+    var walked = Seq.empty[Long]
+    for (_ <- 0 until 3) {
+      val page = cursor match {
+        case None => df.orderBy(col("lang").asc_nulls_last,
+          col("n_chars").desc_nulls_last, col("doc_id").asc).limit(2)
+        case Some((l, n, d)) =>
+          HybridPipeline.searchAfterFields(df, fields, Seq(l, n), d, size = 2)
+      }
+      val got = page.select("doc_id", "lang", "n_chars").collect()
+      walked ++= got.map(_.getLong(0))
+      val last = got.last
+      cursor = Some((last.get(1), last.get(2), last.getLong(0)))
+    }
+    assert(walked == fullOrder)
+    // null-lang cursor: only deeper ties advance — nothing after doc 6
+    assert(HybridPipeline.searchAfterFields(df, fields, Seq(null, 99L), 6L).count() == 0)
+    // cursor arity must match sort arity
+    intercept[IllegalArgumentException] {
+      HybridPipeline.searchAfterFields(df, fields, Seq("en"), 1L)
+    }
+  }
+
+  test("runSortedFields multi-key equals single-key when keys collapse") {
+    import HybridPipeline.SortField
+    val docs = Seq(
+      (1L, 0.9, 10L), (2L, 0.5, 30L), (3L, 0.7, 20L), (4L, 0.1, 40L)
+    ).toDF("doc_id", "s0", "k")
+    val scored = HybridPipeline.score(docs, col("doc_id"), Seq(col("s0")))
+    val keys1 = docs.select(col("doc_id"), col("k").as("sort_key"))
+    val keysM = docs.select(col("doc_id"), col("k"))
+    val a = HybridPipeline.runSorted(scored, 1, NormalizationSpec.MinMax(),
+      CombinationSpec.ArithmeticMean(), keys1, ascending = true, size = 3)
+      .select("doc_id", "rank").as[(Long, Int)].collect().toSeq.sorted
+    val b = HybridPipeline.runSortedFields(scored, 1, NormalizationSpec.MinMax(),
+      CombinationSpec.ArithmeticMean(), keysM, Seq(SortField("k", ascending = true)), size = 3)
+      .select("doc_id", "rank").as[(Long, Int)].collect().toSeq.sorted
+    assert(a == b && a.map(_._1) == Seq(1L, 2L, 3L))
+  }
 }

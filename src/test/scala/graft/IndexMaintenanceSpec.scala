@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.seismic.Seismic
+import graft.sparse.SparseRetrieval
+import graft.streaming.IndexMaintenance
+
+class IndexMaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus(ids: Range): DataFrame =
+    ids.map { i =>
+      val toks = Map(
+        s"t${i % 7}" -> (1.0f + (i % 5) * 0.3f),
+        s"t${(i + 3) % 7}" -> (0.5f + (i % 3) * 0.2f),
+        "common" -> 0.8f)
+      (i.toLong, toks)
+    }.toDF("doc_id", "tokens")
+
+  private val q = Map("t1" -> 1.0f, "t4" -> 0.7f, "common" -> 0.3f)
+
+  private def freshRoot(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_im_$tag").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  test("segmented search with no pruning equals exact top-k over base ∪ delta") {
+    val root = freshRoot("nopr")
+    val base = corpus(0 until 40)
+    val delta = corpus(40 until 50)
+    IndexMaintenance.initialize(base, root)
+    IndexMaintenance.appendBatch(delta, root)
+    val v = IndexMaintenance.currentVersion(root)
+    val idx = Seismic.load(spark, IndexMaintenance.indexDir(root, v))
+    val baseC = spark.read.parquet(IndexMaintenance.baseDir(root, v))
+    val deltaC = IndexMaintenance.readDelta(spark, root, baseC)
+    val got = IndexMaintenance.searchSegmented(idx, baseC, deltaC, q,
+        k = 8, topN = q.size, heapFactor = Float.PositiveInfinity)
+      .select("doc_id", "score").as[(Long, Double)].collect().toSeq
+    val want = SparseRetrieval.exactTopK(base.unionByName(delta), q, 8)
+      .select("doc_id", "score").as[(Long, Double)].collect().toSeq
+    assert(got == want)
+    // fresh delta docs are never less visible: a delta doc in the exact
+    // top-k appears even under aggressive base pruning
+    val pruned = IndexMaintenance.searchSegmented(idx, baseC, deltaC, q,
+        k = 8, topN = 2, heapFactor = 1.0f)
+      .select("doc_id").as[Long].collect().toSet
+    val deltaTop = want.filter(_._1 >= 40).map(_._1).toSet
+    assert(deltaTop.nonEmpty, "fixture must place delta docs in the top-k")
+    assert(deltaTop.subsetOf(pruned))
+  }
+
+  test("compaction republishes: post-compact search equals a from-scratch build") {
+    val root = freshRoot("compact")
+    val base = corpus(0 until 40)
+    val delta = corpus(40 until 50)
+    IndexMaintenance.initialize(base, root)
+    IndexMaintenance.appendBatch(delta, root)
+    val v1 = IndexMaintenance.compact(spark, root)
+    assert(v1 == 1L && IndexMaintenance.currentVersion(root) == 1L)
+    // delta cleared after compaction
+    val newBase = spark.read.parquet(IndexMaintenance.baseDir(root, v1))
+    assert(IndexMaintenance.readDelta(spark, root, newBase).count() == 0)
+    assert(newBase.count() == 50)
+    // the compacted index answers EXACTLY like an index built from scratch
+    // over the same rows (deterministic seeded build)
+    val compacted = Seismic.load(spark, IndexMaintenance.indexDir(root, v1))
+    val scratch = Seismic.build(newBase)
+    val a = Seismic.search(compacted, newBase, q, k = 8, topN = 2, heapFactor = 1.5f)
+      .select("doc_id", "score").as[(Long, Double)].collect().toSeq
+    val b = Seismic.search(scratch, newBase, q, k = 8, topN = 2, heapFactor = 1.5f)
+      .select("doc_id", "score").as[(Long, Double)].collect().toSeq
+    assert(a == b)
+    // old version untouched (readers at v0 keep working)
+    assert(spark.read.parquet(IndexMaintenance.baseDir(root, 0)).count() == 40)
+  }
+
+  test("maintain() appends per micro-batch and compacts when the policy fires") {
+    val root = freshRoot("stream")
+    IndexMaintenance.initialize(corpus(0 until 40), root)
+    // stage two single-file batches in a landing dir; maxFilesPerTrigger=1
+    // makes each file one micro-batch (the flush-per-segment analogue)
+    val land = freshRoot("land")
+    corpus(40 until 45).coalesce(1).write.mode("append").parquet(land)
+    corpus(45 until 50).coalesce(1).write.mode("append").parquet(land)
+    val stream = spark.readStream
+      .schema(corpus(0 until 1).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(land)
+    // ratio 0.2: 40 base docs → compaction fires once delta ≥ 8 (the second
+    // batch pushes it from 5 to 10)
+    val sq = IndexMaintenance.maintain(stream, root, maxDeltaRatio = 0.2)
+    sq.awaitTermination()
+    assert(IndexMaintenance.currentVersion(root) >= 1L)
+    val v = IndexMaintenance.currentVersion(root)
+    val baseC = spark.read.parquet(IndexMaintenance.baseDir(root, v))
+    val deltaC = IndexMaintenance.readDelta(spark, root, baseC)
+    // every ingested row is in exactly one place
+    assert(baseC.count() + deltaC.count() == 50)
+    // and the segmented view serves ALL rows: no-pruning search ≡ exact
+    val idx = Seismic.load(spark, IndexMaintenance.indexDir(root, v))
+    val got = IndexMaintenance.searchSegmented(idx, baseC, deltaC, q,
+        k = 8, topN = q.size, heapFactor = Float.PositiveInfinity)
+      .select("doc_id", "score").as[(Long, Double)].collect().toSeq
+    val want = SparseRetrieval.exactTopK(corpus(0 until 50), q, 8)
+      .select("doc_id", "score").as[(Long, Double)].collect().toSeq
+    assert(got == want)
+  }
+}

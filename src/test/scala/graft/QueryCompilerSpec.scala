@@ -110,6 +110,46 @@ class QueryCompilerSpec extends SparkSpec {
     assert(byRank2.toSeq == Seq(1L, 3L, 5L))
   }
 
+  test("bm25Score matches the hand-computed BM25Similarity formula") {
+    import graft.exec.Lexical
+    import spark.implicits._
+    // punctuation exercises the standard-analyzer split; doc 3 never matches
+    val docs = Seq(
+      (1L, "Spark joins fast, spark SCANS tables—spark!"),
+      (2L, "a fast table scan beats a slow join"),
+      (3L, "unrelated words entirely here"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val got = Lexical.bm25Score(docs, Seq("spark", "scan", "join"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // reference math in plain scala
+    def toks(s: String) = s.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty).toSeq
+    val all = Map(1L -> toks("Spark joins fast, spark SCANS tables—spark!"),
+      2L -> toks("a fast table scan beats a slow join"),
+      3L -> toks("unrelated words entirely here"), 4L -> Seq.empty[String])
+    val n = all.size.toDouble
+    val avgdl = all.values.map(_.size).sum / n
+    val terms = Seq("spark", "scan", "join")
+    val tf = all.map { case (id, ts) => id -> terms.map(t => t -> ts.count(_ == t).toDouble).toMap }
+    val dfm = terms.map(t => t -> tf.values.count(_(t) > 0).toDouble).toMap
+    def score(id: Long): Double = {
+      val dl = all(id).size.toDouble
+      val s = terms.map { t =>
+        val f = tf(id)(t)
+        if (f == 0) 0.0
+        else math.log(1 + (n - dfm(t) + 0.5) / (dfm(t) + 0.5)) *
+          f / (f + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+      }.sum
+      BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got.keySet == Set(1L, 2L))
+    assert(math.abs(got(1L) - score(1L)) < 1e-9)
+    assert(math.abs(got(2L) - score(2L)) < 1e-9)
+    // doc 1 has tf(spark)=3 but doc 2 matches more distinct rare terms —
+    // both directions of the formula live in the fixture
+    assert(got(1L) != got(2L))
+  }
+
   test("SQL function registration exposes the native expressions") {
     Graft.registerFunctions(spark)
     corpus.createOrReplaceTempView("qc_corpus")
