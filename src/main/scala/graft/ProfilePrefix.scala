@@ -46,6 +46,19 @@ object ProfilePrefix {
     time("full arrays")(println("  arrs: " + arrs.count()))
     val verified = Dedup.verifyPairsPublic(pairs, arrs, threshold)
     time("verify")(println("  survivors: " + verified.count()))
+
+    // the REAL query, one action, no intermediate persists — what ScaleBench
+    // and Bench actually time
+    sh.unpersist(); prefix.unpersist(); pairs.unpersist(); arrs.unpersist()
+    time("end-to-end (cold)") {
+      Dedup.ngramJaccardPairsPrefix(docs, threshold = threshold)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("end-to-end (2nd)") {
+      Dedup.ngramJaccardPairsPrefix(docs, threshold = threshold)
+        .write.format("noop").mode("overwrite").save()
+    }
+    Dedup.ngramJaccardPairsPrefix(docs, threshold = threshold).explain("formatted")
     spark.stop()
   }
 }

@@ -359,6 +359,11 @@ object Dedup {
         explode(shingleCol(col(textCol), n)).as("__s"))
       .select(col("id"), xxhash64(col("__s")).as("s"))
       .persist()
+    // materialize the cache BEFORE the fan-out: four consumers (df groupBy,
+    // the ordered join, both verification arrays) otherwise launch parallel
+    // stages that each re-run the shingle UDF scan while the blocks are
+    // still being populated — measured ~2× the whole pipeline at sf0.1
+    sh.count()
     val shdf = sh.groupBy(col("s")).agg(count(lit(1)).as("__df"))
     val wDoc = Window.partitionBy(col("id"))
     val wOrd = wDoc.orderBy(col("__df").asc, col("s").asc)
@@ -373,9 +378,12 @@ object Dedup {
 
   /** Per-doc FULL sorted shingle-hash arrays — the verification side of the
     * capped/prefix candidate generators. Array size IS the doc's distinct
-    * shingle count, so verification needs no separate count relation. */
+    * shingle count, so verification needs no separate count relation.
+    * Persisted: verifyPairs joins it on BOTH pair sides, and the two join
+    * stages otherwise RACE to compute it before the cache is warm (same
+    * for the sh scan underneath) — measured 2× the whole pipeline. */
   private def fullArrays(sh: DataFrame): DataFrame =
-    sh.groupBy(col("id")).agg(sort_array(collect_list(col("s"))).as("hs"))
+    sh.groupBy(col("id")).agg(sort_array(collect_list(col("s"))).as("hs")).persist()
 
   /** Merge-intersect over two sorted hash arrays: O(|a|+|b|), no
     * intermediate rows (the row-explode verification form materializes
