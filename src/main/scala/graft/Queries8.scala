@@ -70,6 +70,51 @@ object Queries8 {
       graft.exec.Lexical.bm25Score(t(s, dir, "documents"), bm25Terms)
         .orderBy(col("doc_id"))),
 
+    // verbatim reference JSON with `sort`: the body's sort array routes the
+    // whole request through the field collector (runSortedFields) — same
+    // semantics as q_hybrid_sorted_multi but entered via the DSL
+    "q_dsl_sorted" -> ((s, dir) => {
+      import graft.exec.QueryCompiler
+      import graft.model.QueryDsl
+      val body =
+        """{"query": {"hybrid": {"pagination_depth": 100, "queries": [
+          |  {"neural_sparse": {"text": {"query_text": "spark join fast table scan"}}},
+          |  {"neural_sparse": {"text": {"query_text": "stream window agg merge sort batch"}}}]}},
+          | "size": 10,
+          | "sort": [{"lang": "asc"}, {"n_chars": {"order": "desc"}}]}""".stripMargin
+      val pipeline =
+        """{"phase_results_processors": [{"normalization-processor": {
+          |  "normalization": {"technique": "min_max"},
+          |  "combination": {"technique": "arithmetic_mean"}}}]}""".stripMargin
+      val req0 = QueryDsl.parse(body, Some(pipeline))
+      val req = req0.copy(subqueries = req0.subqueries.map(_.copy(tokensCol = Some("tokens"))))
+      QueryCompiler.run(docsWithTokens(s, dir), req)
+        .select(col("doc_id"), round(col("score"), 4).as("score"), col("rank"))
+    }),
+
+    // verbatim reference JSON with `search_after` under a field sort: the
+    // body carries the (lang, n_chars, doc_id) cursor a client would resend
+    // (PagingFieldCollector); constants chosen corpus-independent
+    "q_dsl_search_after" -> ((s, dir) => {
+      import graft.exec.QueryCompiler
+      import graft.model.QueryDsl
+      val body =
+        """{"query": {"hybrid": {"pagination_depth": 100, "queries": [
+          |  {"neural_sparse": {"text": {"query_text": "spark join fast table scan"}}},
+          |  {"neural_sparse": {"text": {"query_text": "stream window agg merge sort batch"}}}]}},
+          | "size": 10,
+          | "sort": [{"lang": "asc"}, {"n_chars": {"order": "desc"}}],
+          | "search_after": ["en", 300, 50]}""".stripMargin
+      val pipeline =
+        """{"phase_results_processors": [{"normalization-processor": {
+          |  "normalization": {"technique": "min_max"},
+          |  "combination": {"technique": "arithmetic_mean"}}}]}""".stripMargin
+      val req0 = QueryDsl.parse(body, Some(pipeline))
+      val req = req0.copy(subqueries = req0.subqueries.map(_.copy(tokensCol = Some("tokens"))))
+      QueryCompiler.run(docsWithTokens(s, dir), req)
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
+
     // incremental index maintenance end-to-end (segment flush/merge
     // analogue): 90% of the corpus is the clustered BASE (initialize), the
     // other 10% arrives as an appended DELTA batch; search = pruned SEISMIC
@@ -176,6 +221,22 @@ object Queries8 {
          |  GROUP BY t.doc_id
          |) WHERE score > 0.0 ORDER BY doc_id""".stripMargin
     },
+
+    // DSL-entered field sort ≡ the programmatic multi-sort pipeline
+    "q_dsl_sorted" ->
+      s"""$sortedMultiChain
+         |SELECT doc_id, round(score, 4) AS score, rank
+         |FROM ranked WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    // DSL search_after cursor ('en', 300, 50) over the k-cut 100 window
+    "q_dsl_search_after" ->
+      s"""$sortedMultiChain
+         |SELECT r.doc_id, round(r.score, 4) AS score
+         |FROM ranked r
+         |WHERE r.lang > 'en'
+         |   OR (r.lang = 'en' AND (r.n_chars < 300
+         |       OR (r.n_chars = 300 AND r.doc_id > 50)))
+         |ORDER BY r.lang ASC, r.n_chars DESC, r.doc_id ASC LIMIT 10""".stripMargin,
 
     "q_search_after_fields" ->
       s"""$sortedMultiChain,

@@ -38,7 +38,12 @@ object QueryCompiler {
       explain: Boolean = false,
       // request-pipeline state (see guards in run):
       twoPhase: Option[TwoPhaseSpec] = None,   // neural_sparse_two_phase_processor
-      sortField: Option[String] = None,        // body `sort` (non-score sort)
+      // body `sort` (non-score sorts, in order, with direction) — routes the
+      // request through the field collector (HybridPipeline.runSortedFields)
+      sortFields: Seq[HybridPipeline.SortField] = Nil,
+      // body `search_after`: one cursor value per sort field plus a trailing
+      // doc_id tie-break (score-sorted bodies: [score, doc_id])
+      searchAfter: Option[Seq[Any]] = None,
       fieldSpecs: Seq[FieldSpec] = Nil,        // index mapping registry (SEISMIC marks)
       // prebuilt SEISMIC index (ingest artifact) for method_parameters
       // dispatch; omitted → one-shot build
@@ -215,7 +220,7 @@ object QueryCompiler {
     // its own pruned traversal — splitting its tokens would search a
     // different index than the one built).
     req.twoPhase.filter(_.enabled).foreach { tp =>
-      require(req.sortField.isEmpty,
+      require(req.sortFields.isEmpty,
         "neural_sparse_two_phase_processor does not support non-score sort")
       val seismic = graft.model.SemanticSchema.seismicFields(req.fieldSpecs)
       val targets = req.subqueries.filter(_.kind == "neural_sparse")
@@ -293,12 +298,74 @@ object QueryCompiler {
     // the hybrid `filter` param) and restricts hits only after combination
     val postFilter = req.postFilterExpr.map(e =>
       corpus.filter(e).select(col(docId).as("doc_id")))
+    // ---- field-sorted routing (HybridTopFieldDocSortCollector) -----------
+    // A body `sort` collects by the sort key instead of the score; a body
+    // `search_after` resumes below the cursor (PagingFieldCollector). The
+    // reference rejects from+search_after together; collapse/min_score/
+    // post_filter on the sorted path are out of this compiler's scope —
+    // fail loud, never silently rank by score.
+    if (req.sortFields.nonEmpty) {
+      require(req.collapseField.isEmpty && req.minScore.isEmpty &&
+        req.postFilterExpr.isEmpty && !req.explain,
+        "sort composes with from/size/search_after only (collapse/min_score/post_filter/explain unsupported on the sorted path)")
+      val sortKeys = filtered.select(
+        (col(docId).as("doc_id") +: req.sortFields.map(f => col(f.field))): _*)
+      req.searchAfter match {
+        case None =>
+          return HybridPipeline.runSortedFields(scored, req.subqueries.size,
+            req.normalization, req.combination, sortKeys, req.sortFields,
+            pd, req.from, req.k)
+        case Some(cursor) =>
+          require(req.from == 0, "search_after cannot be combined with from")
+          require(cursor.length == req.sortFields.length + 1,
+            s"search_after arity ${cursor.length} != sort fields ${req.sortFields.length} + doc_id")
+          val window = pd.getOrElse(HybridLimits.MaxResultWindow)
+          // the page draws from EVERY combined candidate (the k-cut is the
+          // only depth limit) — size covers the union of per-subquery cuts,
+          // else a deep cursor would silently lose its tail
+          val base = HybridPipeline.runSortedFields(scored, req.subqueries.size,
+            req.normalization, req.combination, sortKeys, req.sortFields,
+            Some(window), 0, window * req.subqueries.size)
+            .drop("rank")
+            .join(sortKeys, Seq("doc_id"))
+          return HybridPipeline.searchAfterFields(base, req.sortFields,
+            cursor.init, toDocId(cursor.last), req.k)
+            .select(col("query_id"), col("doc_id"), col("score"))
+      }
+    }
+    req.searchAfter.foreach { cursor => // score-sorted cursor: [score, doc_id]
+      require(req.from == 0, "search_after cannot be combined with from")
+      require(cursor.length == 2,
+        s"score-sorted search_after must be [score, doc_id], got arity ${cursor.length}")
+      require(req.collapseField.isEmpty && req.minScore.isEmpty &&
+        req.postFilterExpr.isEmpty && !req.explain,
+        "search_after composes with size only on this compiler")
+      val window = pd.getOrElse(HybridLimits.MaxResultWindow)
+      val base = HybridPipeline.run(scored, req.subqueries.size,
+        req.normalization, req.combination, Some(window), 0,
+        window * req.subqueries.size)
+      val after = cursor.head match {
+        case d: Double => d
+        case l: Long   => l.toDouble
+        case i: Int    => i.toDouble
+        case other => throw new IllegalArgumentException(s"cursor score must be numeric, got $other")
+      }
+      return HybridPipeline.searchAfter(base.drop("rank"), after, toDocId(cursor.last), req.k)
+    }
     if (req.explain)
       Explain.runWithExplain(scored, req.subqueries.size, req.normalization,
         req.combination, pd, req.from, req.k, req.minScore, collapse, postFilter)
     else
       HybridPipeline.run(scored, req.subqueries.size, req.normalization,
         req.combination, pd, req.from, req.k, req.minScore, collapse, postFilter)
+  }
+
+  private def toDocId(v: Any): Long = v match {
+    case l: Long   => l
+    case i: Int    => i.toLong
+    case s: String => s.toLong
+    case other => throw new IllegalArgumentException(
+      s"search_after doc_id tie-break must be integral, got $other")
   }
 
   /** Natural-language entry: translate (agentic path) → enrich → compile. */

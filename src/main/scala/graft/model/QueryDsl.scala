@@ -55,20 +55,51 @@ object QueryDsl {
     val collapseField = (body \ "collapse" \ "field").toOption.map(_.extract[String])
     val minScore = (body \ "min_score").toOption.map(_.extract[Double])
     val postFilter = (body \ "post_filter").toOption.map(filterExprOf)
-    // body `sort`: field sorts only matter to the engine as "not _score"
-    // (the two-phase guard + runSorted routing). Accept every JSON form the
-    // reference does — ["f"], [{"f": "desc"}], [{"f": {...}, "g": "asc"}],
-    // {"f": "desc"}, "f" — and surface the FIRST non-score key; an
-    // unrecognized shape is an error rather than a silently-bypassed guard.
-    def firstSortField(j: JValue): Option[String] = j match {
-      case JNothing | JNull => None
-      case JString(f)       => Some(f)
-      case JObject(fields) if fields.nonEmpty => Some(fields.head._1)
-      case JArray(arr)      => arr.headOption.flatMap(firstSortField)
+    // body `sort`: the FULL ordered sort-field list with directions, every
+    // JSON form the reference accepts — "f", ["f"], [{"f": "desc"}],
+    // [{"f": {"order": "desc"}}, "g"], {"f": "asc"}. Default direction asc
+    // (reference SortBuilder default); "_score" alone = plain score sort
+    // (empty list); mixing _score with field sorts is out of this engine's
+    // scope — fail loud, never silently rank by the wrong key.
+    def dirOf(j: JValue): Boolean = j match { // true = ascending
+      case JString("asc")  => true
+      case JString("desc") => false
+      case JObject(fields) => fields.collectFirst {
+        case ("order", JString("asc"))  => true
+        case ("order", JString("desc")) => false
+      }.getOrElse(true)
+      case JNothing | JNull => true
+      case other => throw new IllegalArgumentException(
+        s"unsupported sort direction: ${JsonMethods.compact(other)}")
+    }
+    def sortEntries(j: JValue): Seq[(String, Boolean)] = j match {
+      case JNothing | JNull => Nil
+      case JString(f)       => Seq(f -> true)
+      case JObject(fields)  => fields.map { case (f, d) => f -> dirOf(d) }
+      case JArray(arr)      => arr.flatMap(sortEntries)
       case other => throw new IllegalArgumentException(
         s"unsupported sort form: ${JsonMethods.compact(other)}")
     }
-    val sortField = firstSortField(body \ "sort").filterNot(_ == "_score")
+    val allSorts = sortEntries(body \ "sort")
+    val sortFields = allSorts.filterNot(_._1 == "_score")
+      .map { case (f, asc) => graft.exec.HybridPipeline.SortField(f, asc) }
+    require(sortFields.isEmpty || allSorts.forall(_._1 != "_score"),
+      "mixing _score with field sorts is not supported")
+    // body `search_after`: cursor values in sort order (+ trailing doc_id)
+    val searchAfter = (body \ "search_after").toOption.collect {
+      case JArray(arr) => arr.map {
+        case JString(s)  => s: Any
+        case JInt(i)     => i.toLong: Any
+        case JLong(l)    => l: Any
+        case JDouble(d)  => d: Any
+        case JDecimal(d) => d.toDouble: Any
+        case JNull       => null: Any
+        case other => throw new IllegalArgumentException(
+          s"unsupported search_after value: ${JsonMethods.compact(other)}")
+      }
+      case other => throw new IllegalArgumentException(
+        s"search_after must be an array, got ${JsonMethods.compact(other)}")
+    }
 
     graft.exec.QueryCompiler.QueryRequest(
       subqueries = subs,
@@ -82,7 +113,8 @@ object QueryDsl {
       collapseDocsPerGroup = 1,
       minScore = minScore,
       twoPhase = twoPhase,
-      sortField = sortField,
+      sortFields = sortFields,
+      searchAfter = searchAfter,
       fieldSpecs = fieldSpecs)
   }
 

@@ -174,6 +174,59 @@ class QueryDslSpec extends AnyFunSuite {
     }
   }
 
+  test("sort forms parse to ordered SortFields; search_after parses typed") {
+    import graft.exec.HybridPipeline.SortField
+    def parseSort(sort: String, after: String = "") = QueryDsl.parse(
+      s"""{"query": {"term": {"lang": "en"}}, "sort": $sort
+         |${if (after.nonEmpty) s""", "search_after": $after""" else ""}}""".stripMargin)
+    assert(parseSort("\"lang\"").sortFields == Seq(SortField("lang", true)))
+    assert(parseSort("""[{"lang": "desc"}]""").sortFields == Seq(SortField("lang", false)))
+    assert(parseSort("""[{"lang": {"order": "desc"}}, "n_chars"]""").sortFields ==
+      Seq(SortField("lang", false), SortField("n_chars", true)))
+    assert(parseSort("""{"lang": "asc"}""").sortFields == Seq(SortField("lang", true)))
+    // _score alone = plain score sort; mixed with fields rejects
+    assert(parseSort("\"_score\"").sortFields.isEmpty)
+    intercept[IllegalArgumentException](parseSort("""["lang", "_score"]"""))
+    // typed cursor values, null allowed (null-key cursor row)
+    val req = parseSort("""[{"lang": "asc"}, {"n_chars": "desc"}]""",
+      """["en", 300, 42]""")
+    assert(req.searchAfter.contains(Seq("en", 300L, 42L)))
+    val reqN = parseSort("\"lang\"", """[null, 7]""")
+    assert(reqN.searchAfter.contains(Seq(null, 7L)))
+  }
+
+  test("sorted DSL body routes through the field collector") {
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Map("a" -> 2f), "de", 50L), (2L, Map("a" -> 5f), "en", 70L),
+      (3L, Map("a" -> 4f), "en", 30L), (4L, Map("a" -> 1f), "fr", 90L),
+      (5L, Map("a" -> 3f), "en", 70L)
+    ).toDF("doc_id", "tokens", "lang", "n_chars")
+    val body =
+      """{"query": {"neural_sparse": {"text": {"query_tokens": {"a": 1.0}}}},
+        | "size": 3, "sort": [{"lang": "asc"}, {"n_chars": "desc"}]}""".stripMargin
+    val req0 = QueryDsl.parse(body)
+    val req = req0.copy(subqueries = req0.subqueries.map(_.copy(tokensCol = Some("tokens"))))
+    val out = graft.exec.QueryCompiler.run(docs, req)
+      .orderBy(col("rank")).select("doc_id").as[Long].collect().toSeq
+    // lang asc, n_chars desc, doc_id asc: de(1), en 70 (2), en 70 (5)
+    assert(out == Seq(1L, 2L, 5L))
+    // search_after cursor at the ("en", 70, 2) row resumes at doc 5
+    val after = QueryDsl.parse(
+      """{"query": {"neural_sparse": {"text": {"query_tokens": {"a": 1.0}}}},
+        | "size": 2, "sort": [{"lang": "asc"}, {"n_chars": "desc"}],
+        | "search_after": ["en", 70, 2]}""".stripMargin)
+    val afterReq = after.copy(subqueries = after.subqueries.map(_.copy(tokensCol = Some("tokens"))))
+    val page = graft.exec.QueryCompiler.run(docs, afterReq)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(page == Seq(5L, 3L))
+    // from + search_after rejects (reference guard)
+    val bad = afterReq.copy(from = 3)
+    intercept[IllegalArgumentException](graft.exec.QueryCompiler.run(docs, bad))
+  }
+
   test("nested hybrid and unknown kinds are rejected") {
     val e = intercept[IllegalArgumentException] {
       QueryDsl.parse(

@@ -202,6 +202,30 @@ class Round3Spec extends SparkSpec {
     assert(p5.contains((20L, 21L)))
   }
 
+  test("prefix ngram ≡ exact join under verbatim replication (group collapse)") {
+    // the duplication regime: every doc has 3 verbatim replicas — the
+    // pre-collapse must expand within-group (jaccard 1.0) and cross-group
+    // pairs to EXACTLY the uncapped relation
+    val base = Seq(
+      "alpha beta gamma delta epsilon zeta",
+      "alpha beta gamma delta epsilon eta",   // near-dup of the first
+      "totally different words over here now",
+      "")                                      // empty docs replicate too
+    val docs = base.zipWithIndex.flatMap { case (tx, i) =>
+      (0 until 3).map(r => ((i * 3 + r).toLong, tx))
+    }.toDF("doc_id", "text")
+    for (tau <- Seq(0.4, 0.8, 1.0)) {
+      val exact = Dedup.ngramJaccardPairs(docs, threshold = tau)
+        .orderBy("id_a", "id_b")
+        .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSeq
+      val prefix = Dedup.ngramJaccardPairsPrefix(docs, threshold = tau)
+        .orderBy("id_a", "id_b")
+        .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSeq
+      assert(prefix == exact, s"tau=$tau")
+      assert(exact.count(_._3 == 1.0) >= 4 * 3, s"tau=$tau must see within-group pairs")
+    }
+  }
+
   test("prefix ngram ≡ exact join on random near-dup corpora (fuzz)") {
     val rnd = new scala.util.Random(6)
     val vocab = (0 until 40).map(i => s"w$i")
