@@ -327,11 +327,58 @@ object Dedup {
               .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
               .agg(count(lit(1)).as("i")),
             cnt, threshold)
-        val rare = sh.join(broadcast(hotKeys), Seq("s"), "left_anti")
-        return verifyPairs(bucketPairs(rare.select(col("id"), col("s")), Seq("s")),
-          fullArrays(sh), threshold)
+        // same exact-dup pre-collapse as the prefix path (identical shingle
+        // sets ⇒ identical candidacy AND identical jaccard against every
+        // third doc): candidates + verification run once per GROUP, pairs
+        // expand afterwards. The cap itself stays defined on FULL-corpus
+        // document frequency (the oracle's semantics) — only the join work
+        // collapses. Without this, ×10 verbatim replication made the
+        // full-array verification quadratic in replicas.
+        val arrs = fullArrays(sh)
+        val reps = collapseGroups(arrs)
+        val repSh = sh.join(reps.select(col("rid").as("id")), "id")
+        val rare = repSh.join(broadcast(hotKeys), Seq("s"), "left_anti").persist()
+        val repPairs = verifyPairs(bucketPairs(rare.select(col("id"), col("s")), Seq("s")),
+          arrs, threshold)
+        // within-group (identical-doc) pairs are candidates iff the group
+        // shares ≥1 RARE shingle with itself — i.e. holds any rare shingle;
+        // an all-hot group's exact duplicates are NOT candidates under the
+        // cap (they never enter the rare join), matching the oracle
+        val withinEligible = rare.select(col("id").as("rid")).distinct()
+        return expandRepPairs(repPairs, reps, withinEligible, threshold)
     }
     interToJaccard(inter, cnt, threshold)
+  }
+
+  /** Group docs by identical shingle SETS (hash of the sorted array):
+    * (group hash, rid = min id, members sorted). Hash collisions conflate
+    * distinct sets with probability ~|docs|²/2^65 — the same accepted odds
+    * as the shingle-hash join keys. */
+  private def collapseGroups(arrs: DataFrame): DataFrame =
+    arrs.select(col("id"), xxhash64(col("hs")).as("__g"))
+      .groupBy(col("__g"))
+      .agg(min(col("id")).as("rid"), sort_array(collect_list(col("id"))).as("members"))
+      .persist()
+
+  /** Expand representative pairs back to doc pairs: within-group pairs are
+    * exact duplicates (jaccard 1.0, emitted for `withinReps` groups when
+    * τ ≤ 1); cross-group pairs inherit the representative jaccard verbatim.
+    * The result is persisted: a downstream global sort samples its child
+    * for range boundaries and would otherwise execute the whole candidate
+    * pipeline twice (measured 35 s vs 19 s on the driver query). */
+  private def expandRepPairs(repPairs: DataFrame, reps: DataFrame,
+      withinReps: DataFrame, threshold: Double): DataFrame = {
+    val within =
+      if (threshold > 1.0) repPairs.limit(0).select(col("id_a"), col("id_b"), col("jaccard"))
+      else reps.join(withinReps, "rid").where(size(col("members")) > 1)
+        .select(explode(withinPairsUdf(col("members"))).as("p"))
+        .select(col("p._1").as("id_a"), col("p._2").as("id_b"), lit(1.0).as("jaccard"))
+    val cross = repPairs
+      .join(reps.select(col("rid").as("id_a"), col("members").as("__ma")), "id_a")
+      .join(reps.select(col("rid").as("id_b"), col("members").as("__mb")), "id_b")
+      .select(explode(crossPairsUdf(col("__ma"), col("__mb"))).as("p"), col("jaccard"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"), col("jaccard"))
+    within.unionByName(cross).persist()
   }
 
   /** Prefix-filtered exact n-gram Jaccard pairs — the 100 TB shape of
@@ -375,10 +422,7 @@ object Dedup {
     // quadratic) output rows. Group-hash collisions conflate distinct
     // shingle sets with probability ~|docs|²/2^65 — the same accepted odds
     // as the shingle-hash join keys.
-    val groups = arrs.select(col("id"), xxhash64(col("hs")).as("__g"))
-    val reps = groups.groupBy(col("__g"))
-      .agg(min(col("id")).as("rid"), sort_array(collect_list(col("id"))).as("members"))
-      .persist()
+    val reps = collapseGroups(arrs)
     val repSh = sh.join(reps.select(col("rid").as("id")), "id")
     // global order = df ascending over REPRESENTATIVES (dedup'd df is the
     // better discriminativeness signal; any global total order preserves
@@ -393,23 +437,9 @@ object Dedup {
       .where(col("__rn") <= ceil((lit(1.0) - threshold) * col("__n")) + 1)
       .select(col("id"), col("s"))
     val repPairs = verifyPairs(bucketPairs(prefix, Seq("s")), arrs, threshold)
-    // expansion back to doc pairs: within-group pairs are exact duplicates
-    // (jaccard 1.0, qualifying whenever τ ≤ 1); cross-group pairs inherit
-    // the representative pair's jaccard verbatim
-    val within =
-      if (threshold > 1.0) repPairs.limit(0).select(col("id_a"), col("id_b"), col("jaccard"))
-      else reps.where(size(col("members")) > 1)
-        .select(explode(withinPairsUdf(col("members"))).as("p"))
-        .select(col("p._1").as("id_a"), col("p._2").as("id_b"), lit(1.0).as("jaccard"))
-    val cross = repPairs
-      .join(reps.select(col("rid").as("id_a"), col("members").as("__ma")), "id_a")
-      .join(reps.select(col("rid").as("id_b"), col("members").as("__mb")), "id_b")
-      .select(explode(crossPairsUdf(col("__ma"), col("__mb"))).as("p"), col("jaccard"))
-      .select(col("p._1").as("id_a"), col("p._2").as("id_b"), col("jaccard"))
-    // persist the (small) verified relation: a downstream global sort
-    // samples its child for range boundaries and would otherwise EXECUTE
-    // THE WHOLE PIPELINE TWICE (measured 19 s → 35 s on the driver query)
-    within.unionByName(cross).persist()
+    // every group is within-eligible under prefix-exact semantics: identical
+    // docs share their whole (nonempty) prefix, so they are always candidates
+    expandRepPairs(repPairs, reps, reps.select(col("rid")), threshold)
   }
 
   /** All C(m,2) ordered pairs within one sorted member array. */

@@ -202,6 +202,38 @@ class Round3Spec extends SparkSpec {
     assert(p5.contains((20L, 21L)))
   }
 
+  test("capped ngram under replication: all-hot duplicate groups stay dropped") {
+    // stop phrase is corpus-hot (every doc); docs 20/21 are IDENTICAL and
+    // all-hot (no rare shingle) — under the cap their pair is NOT a
+    // candidate; docs 30/31 are identical WITH rare content — their pair
+    // qualifies at jaccard 1.0. Brute reference computed per the capped
+    // semantics (rare-shingle candidacy, full-set jaccard).
+    val stop = "the quick brown fox jumps over it"
+    val docs = Seq(
+      (20L, stop), (21L, stop),
+      (30L, s"$stop unique alpha beta gamma delta"),
+      (31L, s"$stop unique alpha beta gamma delta"),
+      (40L, s"$stop other content entirely different words")
+    ).toDF("doc_id", "text")
+    val cap = 4
+    val got = Dedup.ngramJaccardPairs(docs, threshold = 0.3, maxDf = Some(cap))
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    // brute reference
+    val rows = docs.select("doc_id", "text").as[(Long, String)].collect()
+    val shs = rows.map { case (id, tx) => id -> Dedup.shingles(tx, 3) }.toMap
+    val dfm = shs.values.flatten.groupBy(identity).map { case (s, xs) => s -> xs.size }
+    val rare = (s: String) => dfm(s) <= cap
+    val expected = (for {
+      (a, sa) <- shs.toSeq; (b, sb) <- shs.toSeq if a < b
+      if sa.intersect(sb).exists(rare)
+      j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      if j >= 0.3
+    } yield (a, b, BigDecimal(j).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+    assert(got == expected)
+    assert(!got.exists(p => p._1 == 20L && p._2 == 21L)) // all-hot pair dropped
+    assert(got.contains((30L, 31L, 1.0)))                 // rare-bearing dup kept
+  }
+
   test("prefix ngram ≡ exact join under verbatim replication (group collapse)") {
     // the duplication regime: every doc has 3 verbatim replicas — the
     // pre-collapse must expand within-group (jaccard 1.0) and cross-group
