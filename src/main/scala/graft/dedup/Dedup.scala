@@ -142,37 +142,42 @@ object Dedup {
 
   /** Candidate pairs by bucket aggregation, not a self-join: the bucketed
     * relation (whose lineage typically includes a signature/bucketing UDF)
-    * is computed ONCE and shuffled ONCE (groupBy) — a self-join recomputes
-    * that lineage for each side, tripling the UDF cost (measured on the
-    * minhash pipeline). Per-bucket memory is O(members), dwarfed by the
-    * O(members²) pair output both forms must emit; a pathological
-    * all-identical bucket bounds via the same AQE skew handling either
-    * shape relies on. `bucketed` must have an `id` column plus `keyCols`. */
-  private val bucketPairsUdf = udf((ids: Seq[Long]) => {
-    val a = ids.toArray
-    java.util.Arrays.sort(a)
-    val out = Seq.newBuilder[(Long, Long)]
-    var i = 0
-    while (i < a.length) {
-      var j = i + 1
-      while (j < a.length) { if (a(i) != a(j)) out += ((a(i), a(j))); j += 1 }
-      i += 1
-    }
-    out.result()
-  })
+    * is computed ONCE and shuffled ONCE (groupByKey) — a self-join
+    * recomputes that lineage for each side, tripling the UDF cost
+    * (measured on the minhash pipeline). Pairs are emitted through a LAZY
+    * iterator (flatMapGroups): the earlier array-returning UDF materialized
+    * a bucket's entire C(m,2) pair list in one allocation, and one hot
+    * bucket (20k skewed simhash fingerprints at ×10 replication → 2·10⁸
+    * tuples) took the executor down with it. Per-bucket memory is now
+    * O(members); the pair stream spills through the dropDuplicates
+    * shuffle like any other relation. Buckets are keyed by xxhash64 of the
+    * key columns — a cross-bucket collision merges two buckets and only
+    * adds candidates (downstream verification filters them), never drops.
+    * `bucketed` must have an `id` column plus `keyCols`. */
+  private def bucketPairs(bucketed: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val spark = bucketed.sparkSession
+    import spark.implicits._
+    bucketed.select(xxhash64(keyCols.map(col): _*).as("__k"), col("id"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val a = it.map(_._2).toArray
+        java.util.Arrays.sort(a)
+        if (a.length < 2) Iterator.empty
+        else (0 until a.length - 1).iterator.flatMap { i =>
+          ((i + 1) until a.length).iterator
+            .filter(j => a(i) != a(j))
+            .map(j => (a(i), a(j)))
+        }
+      }
+      .toDF("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+  }
   private[graft] def bucketPairsPublic(bucketed: DataFrame, keyCols: Seq[String]): DataFrame =
     bucketPairs(bucketed, keyCols)
   private[graft] def shingleColPublic(textCol: Column, n: Int): Column = shingleCol(textCol, n)
   private[graft] def verifyPairsPublic(pairs: DataFrame, arrs: DataFrame, threshold: Double): DataFrame =
     verifyPairs(pairs, arrs, threshold)
-
-  private def bucketPairs(bucketed: DataFrame, keyCols: Seq[String]): DataFrame =
-    bucketed.groupBy(keyCols.map(col): _*)
-      .agg(collect_list(col("id")).as("ids"))
-      .where(size(col("ids")) > 1)
-      .select(explode(bucketPairsUdf(col("ids"))).as("p"))
-      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
 
   // ---------------------------------------------------------------- simhash
 
@@ -195,37 +200,34 @@ object Dedup {
 
   private val simhashUdf = udf((s: String) => simhash(s))
 
-  /** SimHash near-dup pairs with hamming ≤ maxHamming (= d), blocked by
-    * fingerprint chunks with ADAPTIVE scheme selection:
+  /** SimHash near-dup pairs with hamming ≤ maxHamming (= d), blocked on
+    * PAIRS of fingerprint chunks: with nChunks = d+2 chunks, flipping ≤ d
+    * bits leaves ≥ 2 chunks untouched (pigeonhole), so every qualifying
+    * pair agrees on some (chunk_i, chunk_j) combination — exhaustive, not
+    * probabilistic.
     *
-    *   - d < 5: block on PAIRS of chunks — nChunks = d+2 chunks; flipping
-    *     ≤ d bits leaves ≥ 2 chunks untouched (pigeonhole), so every
-    *     qualifying pair agrees on some (chunk_i, chunk_j) combination.
-    *     Pair-keys double the key width, cutting per-bucket collisions on
-    *     near-dup-heavy corpora.
-    *   - d ≥ 5: block on SINGLE chunks — nChunks = d+1 (≥ 1 chunk
-    *     untouched). The pair scheme's C(d+2,2) combos explode the keyed
-    *     relation quadratically in d (d=6 → 28 combos vs 7 chunks; measured
-    *     ratio_10x 6.4 at ×10 corpus replication); single-chunk keeps the
-    *     explode linear in d and the ×10 curve near-linear.
+    * Scheme choice is MEASURED, not assumed: a single-chunk variant
+    * (nChunks = d+1, linear explode) was tried for d ≥ 5 and rejected —
+    * real-text fingerprints are heavily skewed, and one ~10-bit hot chunk
+    * value collected 10⁴ docs at ×10 replication (2·10⁸ candidate pairs
+    * through one bucket, executor OOM). Pair-keys square the bucket-
+    * collision probability, bounding the hot bucket at the cost of
+    * C(d+2,2) exploded rows — join OUTPUT, not input, is the bottleneck.
     *
-    * Both schemes are exhaustive, not probabilistic. Chunk boundaries are
-    * BALANCED (lo_i = ⌊i·64/n⌋): ceil-width chunks exhaust the 64 bits
-    * early and leave trailing chunks EMPTY — an always-equal key that
-    * degrades its combo to a full cross-join (the single-chunk scheme would
-    * emit all n² pairs through it). Balanced widths differ by ≤ 1 bit and
-    * are never zero for n ≤ 64.
+    * Chunk boundaries are BALANCED (lo_i = ⌊i·64/n⌋): ceil-width chunks
+    * exhaust the 64 bits early and leave trailing chunks EMPTY — an
+    * always-equal key that degrades its combos to single-chunk blocking
+    * (or, with two empty chunks, a full cross join). Balanced widths
+    * differ by ≤ 1 bit and are never zero for n ≤ 64.
     *
-    * Candidates come from [[bucketPairs]] (groupBy-agg, one pass over the
-    * keyed relation) and the hamming check joins back a persisted
-    * fingerprint relation — the previous self-join form recomputed the
-    * simhash UDF lineage once per side. */
+    * Candidates come from [[bucketPairs]] (one streamed groupBy pass) and
+    * the hamming check joins back the PERSISTED fingerprint relation — the
+    * earlier self-join form recomputed the simhash UDF once per side. */
   def simhashPairs(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming < 63,
       s"maxHamming must be < 63 (got $maxHamming): 64 one-bit chunks cannot leave 2 untouched")
-    val pairScheme = maxHamming < 5
-    val nChunks = math.min(if (pairScheme) maxHamming + 2 else maxHamming + 1, 64)
+    val nChunks = math.min(maxHamming + 2, 64)
     val fps = df.select(col(idCol).as("id"), simhashUdf(col(textCol)).as("fp")).persist()
     def chunk(i: Int): Column = {
       val lo = i * 64 / nChunks
@@ -235,24 +237,14 @@ object Dedup {
       // phantom high bits in the top chunk
       shiftright(col("fp"), lo).bitwiseAND(lit(if (bits >= 64) -1L else (1L << bits) - 1))
     }
-    val candidates =
-      if (pairScheme) {
-        val combos = for {
-          i <- 0 until nChunks; j <- i + 1 until nChunks
-        } yield struct(lit(i * nChunks + j).as("combo"), chunk(i).as("v1"), chunk(j).as("v2"))
-        val keyed = fps.select(col("id"),
-          explode(array(combos: _*)).as("k"))
-          .select(col("id"), col("k.combo").as("combo"),
-            col("k.v1").as("v1"), col("k.v2").as("v2"))
-        bucketPairs(keyed, Seq("combo", "v1", "v2"))
-      } else {
-        val chunks = (0 until nChunks).map(i =>
-          struct(lit(i).as("ci"), chunk(i).as("v")))
-        val keyed = fps.select(col("id"), explode(array(chunks: _*)).as("k"))
-          .select(col("id"), col("k.ci").as("ci"), col("k.v").as("v"))
-        bucketPairs(keyed, Seq("ci", "v"))
-      }
-    candidates
+    val combos = for {
+      i <- 0 until nChunks; j <- i + 1 until nChunks
+    } yield struct(lit(i * nChunks + j).as("combo"), chunk(i).as("v1"), chunk(j).as("v2"))
+    val keyed = fps.select(col("id"),
+      explode(array(combos: _*)).as("k"))
+      .select(col("id"), col("k.combo").as("combo"),
+        col("k.v1").as("v1"), col("k.v2").as("v2"))
+    bucketPairs(keyed, Seq("combo", "v1", "v2"))
       .join(fps.select(col("id").as("id_a"), col("fp").as("fp_a")), "id_a")
       .join(fps.select(col("id").as("id_b"), col("fp").as("fp_b")), "id_b")
       .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
@@ -327,23 +319,42 @@ object Dedup {
               .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
               .agg(count(lit(1)).as("i")),
             cnt, threshold)
-        // same exact-dup pre-collapse as the prefix path (identical shingle
-        // sets ⇒ identical candidacy AND identical jaccard against every
-        // third doc): candidates + verification run once per GROUP, pairs
-        // expand afterwards. The cap itself stays defined on FULL-corpus
-        // document frequency (the oracle's semantics) — only the join work
-        // collapses. Without this, ×10 verbatim replication made the
-        // full-array verification quadratic in replicas.
+        // Exact-dup pre-collapse (identical shingle sets ⇒ identical
+        // candidacy AND identical jaccard against every third doc):
+        // candidates + verification run once per GROUP, pairs expand
+        // afterwards. The cap stays defined on FULL-corpus document
+        // frequency (the oracle's semantics) — only the join work
+        // collapses. This bounds the duplication regime, which is what
+        // made the round-4 top-up inversion possible (quadratic pairs ×
+        // near-full hot arrays).
         val arrs = fullArrays(sh)
         val reps = collapseGroups(arrs)
         val repSh = sh.join(reps.select(col("rid").as("id")), "id")
         val rare = repSh.join(broadcast(hotKeys), Seq("s"), "left_anti").persist()
-        val repPairs = verifyPairs(bucketPairs(rare.select(col("id"), col("s")), Seq("s")),
-          arrs, threshold)
+        // i = i_rare (free from the candidate join's groupBy count)
+        //   + i_hot (merge of per-rep HOT-shingle arrays — the hot set is
+        //     tiny in the boilerplate regime, so this is O(|hot|) per pair,
+        //     ~7× less than a full-array merge there; in the shared regime
+        //     hot arrays approach full docs but the collapse has already
+        //     bounded the PAIR count, so both regimes stay cheap)
+        val iRare = rare.as("x").join(rare.as("y"), "s")
+          .where(col("x.id") < col("y.id"))
+          .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+          .agg(count(lit(1)).as("__ir"))
+          .persist()
+        val hotArr = repSh.join(broadcast(hotKeys), Seq("s"), "left_semi")
+          .groupBy(col("id")).agg(sort_array(collect_list(col("s"))).as("hs"))
+          .persist()
+        val interRep = iRare
+          .join(hotArr.select(col("id").as("id_a"), col("hs").as("ha")), Seq("id_a"), "left")
+          .join(hotArr.select(col("id").as("id_b"), col("hs").as("hb")), Seq("id_b"), "left")
+          .select(col("id_a"), col("id_b"),
+            (col("__ir") + when(col("ha").isNotNull && col("hb").isNotNull,
+              sortedInter(col("ha"), col("hb"))).otherwise(lit(0L))).as("i"))
+        val repPairs = interToJaccard(interRep, cnt, threshold)
         // within-group (identical-doc) pairs are candidates iff the group
-        // shares ≥1 RARE shingle with itself — i.e. holds any rare shingle;
-        // an all-hot group's exact duplicates are NOT candidates under the
-        // cap (they never enter the rare join), matching the oracle
+        // holds ≥1 rare shingle; an all-hot group's exact duplicates never
+        // enter the rare join and stay dropped, matching the oracle
         val withinEligible = rare.select(col("id").as("rid")).distinct()
         return expandRepPairs(repPairs, reps, withinEligible, threshold)
     }
