@@ -104,20 +104,40 @@ object ScaleBench {
     factors.foreach { f =>
       val dir = s"/tmp/graftscale/$mode/x$f"
       replicate(spark, srcDir, dir, f, mode)
-      // warmup pass builds the per-dir ingest memos (token cache, SEISMIC
-      // index, minhash index) exactly like Bench
-      try SparkEntry.seismicTruncIndex(spark, dir).clusters.count()
-      catch { case e: Throwable => System.err.println(s"[scale] seismic memo x$f: ${e.getMessage}") }
+      // Build EVERY per-dir ingest memo up front (token cache, SEISMIC
+      // indexes, minhash index) so the memo snapshot below is complete —
+      // exactly Bench's protocol, which ScaleBench lacked.
+      try {
+        SparkEntry.docsWithTokens(spark, dir).count()
+        SparkEntry.seismicTruncIndex(spark, dir).clusters.count()
+        if (queries.contains("q_mllib_minhash"))
+          SparkEntry.mllibMinhashIndex(spark, dir)
+        ()
+      } catch { case e: Throwable => System.err.println(s"[scale] memo x$f: ${e.getMessage}") }
+      // Intra-query persists (shingle tables, rep groups, rare splits, …)
+      // are per-invocation garbage: without cleanup, warmup + N timed
+      // passes × Q queries accumulate dozens of caches and the ×10 heavy
+      // cells OOM the executor (measured: boilerplate ×10 died in the
+      // uncapped timed pass). Snapshot the memo RDD ids and release
+      // everything newer after every force — warmup included.
+      val memoRdds = spark.sparkContext.getPersistentRDDs.keySet.toSet
+      def dropPassGarbage(): Unit =
+        spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+          if (!memoRdds.contains(id)) rdd.unpersist(blocking = false)
+        }
       queries.foreach { q =>
         try force(q, dir)
         catch { case e: Throwable => System.err.println(s"[scale] warmup $q x$f: ${e.getMessage}") }
+        dropPassGarbage()
       }
       val t = queries.map { q =>
         val ts = (1 to passes).map { _ =>
           val t0 = System.nanoTime()
           try force(q, dir)
           catch { case e: Throwable => System.err.println(s"[scale] $q x$f: ${e.getMessage}") }
-          (System.nanoTime() - t0) / 1e9
+          val dt = (System.nanoTime() - t0) / 1e9
+          dropPassGarbage()
+          dt
         }.sorted
         q -> ts(passes / 2)
       }.toMap
