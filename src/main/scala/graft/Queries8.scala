@@ -115,6 +115,29 @@ object Queries8 {
         .select(col("doc_id"), round(col("score"), 4).as("score"))
     }),
 
+    // incremental IVF: 90% of the vectors are the cell-partitioned BASE,
+    // 10% arrive as an appended delta batch; search = probed cells over
+    // base + exact over delta, merged — the dense twin of
+    // q_seismic_incremental (same versioned layout, same oracle shape)
+    "q_ann_ivf_incremental" -> ((s, dir) => {
+      import graft.ann.Ann
+      import graft.streaming.IndexMaintenance
+      val centroids = Ann.seededCentroids(nlist = 8, dim = 64)
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val root = s"/tmp/graft_incr_ivf/${dir.replace('/', '_')}_n8_mod10"
+      if (!new java.io.File(root, "_DONE").exists()) {
+        IndexMaintenance.initializeIvf(emb.where(col("vec_id") % 10 =!= 0), root, centroids)
+        IndexMaintenance.appendBatch(emb.where(col("vec_id") % 10 === 0), root)
+        new java.io.File(root, "_DONE").createNewFile()
+      }
+      val v = IndexMaintenance.currentVersion(root)
+      val (assigned, cents) = Ann.loadIndex(s, IndexMaintenance.ivfDir(root, v))
+      val baseC = s.read.parquet(IndexMaintenance.baseDir(root, v))
+      val deltaC = IndexMaintenance.readDelta(s, root, baseC)
+      IndexMaintenance.searchSegmentedIvf(assigned, cents, deltaC,
+        SparkEntry.qDense64, k = 10, nprobe = 4)
+    }),
+
     // incremental index maintenance end-to-end (segment flush/merge
     // analogue): 90% of the corpus is the clustered BASE (initialize), the
     // other 10% arrives as an appended DELTA batch; search = pruned SEISMIC
@@ -186,6 +209,38 @@ object Queries8 {
       s"""$sortedMultiChain
          |SELECT doc_id, round(score, 4) AS score, rank
          |FROM ranked WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    // base: seeded-centroid assignment + probed cells restricted to the
+    // 90%; delta: exact cosine over the 10%; merged top-k
+    "q_ann_ivf_incremental" -> {
+      import graft.ann.Ann
+      val centroids = Ann.seededCentroids(nlist = 8, dim = 64)
+      val probed = Ann.probedCells(centroids, SparkEntry.qDense64, nprobe = 4)
+      val centRows = centroids.zipWithIndex
+        .map { case (c, i) => s"($i, ${OracleGen.doubleList(c)})" }
+        .mkString(",\n")
+      val cosAssign = OracleGen.denseCosineSql("CAST(e.embedding AS DOUBLE[])", "c.c")
+      val cosScore = OracleGen.denseCosineSql("CAST(e.embedding AS DOUBLE[])",
+        OracleGen.doubleList(SparkEntry.qDense64))
+      s"""WITH cents(i, c) AS (VALUES
+         |$centRows
+         |), assigned AS (
+         |  SELECT vec_id, ci FROM (
+         |    SELECT e.vec_id, c.i AS ci,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |                ORDER BY round($cosAssign, 6) DESC, c.i ASC) AS rn
+         |    FROM embeddings e CROSS JOIN cents c
+         |    WHERE e.vec_id % 10 <> 0) WHERE rn = 1
+         |)
+         |SELECT vec_id, score FROM (
+         |  SELECT e.vec_id, round($cosScore, 6) AS score
+         |  FROM embeddings e JOIN assigned a USING (vec_id)
+         |  WHERE a.ci IN (${probed.mkString(", ")})
+         |  UNION ALL
+         |  SELECT e.vec_id, round($cosScore, 6) AS score
+         |  FROM embeddings e WHERE e.vec_id % 10 = 0)
+         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin
+    },
 
     // base side: the full λ-truncated SEISMIC pipeline restricted to the
     // 90% base corpus; delta side: exact scores over the 10% newcomers;

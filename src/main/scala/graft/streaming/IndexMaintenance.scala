@@ -122,6 +122,61 @@ object IndexMaintenance {
       .limit(k)
   }
 
+  // ---------------------------------------------------- IVF (dense) form
+
+  def ivfDir(rootDir: String, v: Long): String = s"$rootDir/ivf_v$v"
+
+  /** Initialize version 0 of a segmented IVF index: base vectors + the
+    * cell-partitioned assignments table (nprobe = partition pruning, as in
+    * Ann.writeIndex). Centroids are the caller's quantizer — fixed across
+    * versions (seeded/data-independent in the oracle-checked form). */
+  def initializeIvf(vectors: DataFrame, rootDir: String,
+      centroids: Array[Array[Float]], roundDp: Int = 6): Unit = {
+    new java.io.File(rootDir).mkdirs()
+    vectors.write.mode("overwrite").parquet(baseDir(rootDir, 0))
+    val base = vectors.sparkSession.read.parquet(baseDir(rootDir, 0))
+    graft.ann.Ann.writeIndex(
+      graft.ann.Ann.assign(base, centroids, roundDp = roundDp),
+      centroids, ivfDir(rootDir, 0))
+    writeVersion(rootDir, 0)
+  }
+
+  /** Segmented IVF search: probed-cell scan over the immutable base index
+    * + exact brute scan over the (small) delta, merged top-k — same
+    * young-segment policy as the SEISMIC form. nprobe = nlist makes the
+    * base side exact too (spec invariant: ≡ brute over base ∪ delta). */
+  def searchSegmentedIvf(
+      assigned: DataFrame,
+      centroids: Array[Array[Float]],
+      deltaVecs: DataFrame,
+      query: Array[Float],
+      k: Int = 10,
+      nprobe: Int = 4): DataFrame = {
+    val baseHits = graft.ann.Ann.ivfTopK(assigned, centroids, query, k, nprobe)
+    val deltaHits = graft.ann.Ann.bruteForceTopK(deltaVecs, query, k)
+    baseHits.unionByName(deltaHits)
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Re-assign base ∪ delta into version N+1 (fixed quantizer, fresh
+    * cell-partitioned layout) and move the pointer; delta cleared. */
+  def compactIvf(spark: SparkSession, rootDir: String,
+      centroids: Array[Array[Float]], roundDp: Int = 6): Long = {
+    val v = currentVersion(rootDir)
+    val base = spark.read.parquet(baseDir(rootDir, v))
+    val union = base.unionByName(readDelta(spark, rootDir, base))
+    union.write.mode("overwrite").parquet(baseDir(rootDir, v + 1))
+    val merged = spark.read.parquet(baseDir(rootDir, v + 1))
+    graft.ann.Ann.writeIndex(
+      graft.ann.Ann.assign(merged, centroids, roundDp = roundDp),
+      centroids, ivfDir(rootDir, v + 1))
+    writeVersion(rootDir, v + 1)
+    val d = new java.io.File(deltaDir(rootDir))
+    if (d.isDirectory) d.listFiles().foreach(_.delete())
+    v + 1
+  }
+
   /** Streaming maintenance loop: every trigger appends the batch and runs
     * the merge policy — the closed loop from StreamingEnrich's output to a
     * serving-ready index. Enrichment (tokens column) must already be on the

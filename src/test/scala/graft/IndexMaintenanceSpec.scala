@@ -78,6 +78,47 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(spark.read.parquet(IndexMaintenance.baseDir(root, 0)).count() == 40)
   }
 
+  test("segmented IVF: full-probe search equals brute over base ∪ delta; compaction republishes") {
+    import graft.ann.Ann
+    val root = freshRoot("ivf")
+    val rnd = new scala.util.Random(9)
+    def vecs(ids: Range) = ids.map { i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val all = vecs(0 until 60).persist()
+    val base = all.where($"vec_id" < 48)
+    val delta = all.where($"vec_id" >= 48)
+    val centroids = Ann.seededCentroids(nlist = 4, dim = 8)
+    IndexMaintenance.initializeIvf(base, root, centroids)
+    IndexMaintenance.appendBatch(delta, root)
+    val v = IndexMaintenance.currentVersion(root)
+    val (assigned, cents) = Ann.loadIndex(spark, IndexMaintenance.ivfDir(root, v))
+    val baseC = spark.read.parquet(IndexMaintenance.baseDir(root, v))
+    val deltaC = IndexMaintenance.readDelta(spark, root, baseC)
+    val q = Array.fill(8)(rnd.nextGaussian().toFloat)
+    // nprobe = nlist → base side exact → segmented ≡ brute over the union
+    val got = IndexMaintenance.searchSegmentedIvf(assigned, cents, deltaC, q,
+        k = 7, nprobe = 4)
+      .select("vec_id", "score").as[(Long, Double)].collect().toSeq
+    val want = Ann.bruteForceTopK(all, q, 7)
+      .select("vec_id", "score").as[(Long, Double)].collect().toSeq
+    assert(got == want)
+    // compaction: all rows move to the new base, delta clears, and the
+    // republished index answers like a fresh assignment over the union
+    val v1 = IndexMaintenance.compactIvf(spark, root, centroids)
+    assert(v1 == 1L)
+    val (a1, c1) = Ann.loadIndex(spark, IndexMaintenance.ivfDir(root, v1))
+    val newBase = spark.read.parquet(IndexMaintenance.baseDir(root, v1))
+    assert(newBase.count() == 60)
+    assert(IndexMaintenance.readDelta(spark, root, newBase).count() == 0)
+    val compacted = Ann.ivfTopK(a1, c1, q, 7, nprobe = 4)
+      .select("vec_id", "score").as[(Long, Double)].collect().toSeq
+    val fresh = Ann.ivfTopK(Ann.assign(newBase, centroids, roundDp = 6), centroids,
+        q, 7, nprobe = 4)
+      .select("vec_id", "score").as[(Long, Double)].collect().toSeq
+    assert(compacted == fresh)
+  }
+
   test("maintain() appends per micro-batch and compacts when the policy fires") {
     val root = freshRoot("stream")
     IndexMaintenance.initialize(corpus(0 until 40), root)
