@@ -69,10 +69,14 @@ object Bench {
       val ts = times.map(_(name)).sorted
       name -> ts(passes / 2)
     }
-    // 4-decimal times keep the stdout line compact (see tail-capture note
-    // below) without losing bench signal (run-to-run drift is ±30%)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
+    // Locale.ROOT: f"" interpolation uses the JVM default locale, and a
+    // comma-decimal locale (de_DE) would emit invalid JSON ("q":1,2345).
+    def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    // 4-decimal times keep the side-file JSON compact without losing bench
+    // signal (run-to-run drift is ±30%)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val (maxName, maxT) = results.maxBy(_._2)
     // Scaling-curve evidence (graft.ScaleBench, measured offline at ×1/×3/×10
     // replication of sf0.1 — see SCALE.md): embed the LATEST committed round's
     // artifacts, stamped with their source round so a reader can tell fresh
@@ -95,6 +99,11 @@ object Bench {
       if (byRound.isEmpty) ("", "")
       else {
         val round = byRound.keys.max
+        // Pointer must quote the ACTUAL filename prefix: the regex round 6
+        // parses from "scale_r06_*" but the files are zero-padded, and the
+        // r06 pointer said "scale_r6_*.json" — a dead reference.
+        val prefix = byRound(round).values.head.getFileName.toString
+          .replaceAll("_(disjoint|shared|boilerplate)\\.json$", "")
         val parts = Seq("disjoint", "shared", "boilerplate").flatMap { mode =>
           byRound(round).get(mode).map { p =>
             "\"" + mode + "\":" + new String(java.nio.file.Files.readAllBytes(p),
@@ -102,22 +111,23 @@ object Bench {
           }
         }
         (s""","scaling_measured_by":"graft.ScaleBench","scaling_src_round":$round,"scaling":${parts.mkString("{", ",", "}")}""",
-          s""","scaling_src_round":$round,"scaling_detail":"bench/scale_r${round}_*.json"""")
+          s""","scaling_src_round":$round,"scaling_detail":"bench/${prefix}_*.json"""")
       }
     }
-    // stdout is tail-captured by the driver (~4 KB): the line it parses must
-    // be COMPACT and near the end of the stream. BENCH_r04/r05 embedded the
-    // full scaling blob inline and the line's HEAD fell out of the capture
-    // window ("parsed": null). Print the compact core (scaling by reference)
-    // and write the full JSON — scaling inline — to the side file.
-    val core = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$scalingSrc}"""
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$scaling}"""
+    // stdout is tail-captured by the driver (~4 KB) and parsed from the LAST
+    // JSON line it finds. BENCH_r04..r06 all came back "parsed": null because
+    // the line inlined per-query data (94 queries ≈ 3.5 KB) and, with the sbt
+    // epilogue, its HEAD fell out of the capture window. So: the full JSON —
+    // per-query map + scaling inline — goes ONLY to the side file, and stdout
+    // ends with a ≤1 KB summary whose "detail" points at it.
+    val full = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$scaling}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(outFile),
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] write $outFile failed: ${e.getMessage}") }
-    println(core)
+    val summary = s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir","max_query":"$maxName","max_query_s":${num(maxT)},"detail":"$outFile"$scalingSrc}"""
+    println(summary)
     spark.stop()
   }
 }

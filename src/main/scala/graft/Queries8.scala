@@ -252,16 +252,20 @@ object Queries8 {
 
     "q_lexical_bm25" -> {
       val inList = bm25Terms.map(t => s"'$t'").mkString(", ")
+      // the SAME UAX#29 extraction pattern as Lexical.StandardTokenPattern
+      // (RE2-safe by design); SQL doubles the apostrophes inside the literal
+      val sqlPat = graft.exec.Lexical.StandardTokenPattern.replace("'", "''")
+      val sqlToks =
+        s"""list_filter(regexp_extract_all(lower(text), '$sqlPat'),
+           |                              x -> regexp_matches(x, '[\\p{L}\\p{N}]'))""".stripMargin
       s"""WITH dl AS (
          |  SELECT doc_id,
-         |         CAST(len(list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'),
-         |                              x -> x <> '')) AS DOUBLE) AS dl
+         |         CAST(len($sqlToks) AS DOUBLE) AS dl
          |  FROM documents
          |), stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
          |toks AS (
          |  SELECT doc_id,
-         |         unnest(list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'),
-         |                            x -> x <> '')) AS token
+         |         unnest($sqlToks) AS token
          |  FROM documents
          |), tf AS (
          |  SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf

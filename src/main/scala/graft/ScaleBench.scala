@@ -39,8 +39,12 @@ object ScaleBench {
     "q_seismic", "q_seismic_batch", "q_sparse_exact", "q_sparse_batch",
     "q_hybrid_minmax_arith", "q_hybrid_rrf", "q_text_quality")
 
+  // minhash + embedding_lsh ride along in the skewed regimes too: band/
+  // hyperplane buckets are exactly where shared-vocab and boilerplate skew
+  // concentrate, and measuring them only disjoint hides that (r6 advice).
   private val SharedQueries =
-    Seq("q_dedup_ngram", "q_dedup_ngram_capped", "q_dedup_ngram_prefix")
+    Seq("q_dedup_ngram", "q_dedup_ngram_capped", "q_dedup_ngram_prefix",
+      "q_dedup_minhash", "q_dedup_embedding_lsh")
 
   /** ~6 corpus-hot shingles once appended to every doc (8 tokens). */
   private val Boilerplate =
@@ -84,7 +88,12 @@ object ScaleBench {
     val factors = argOf("factors", "1,3,10").split(",").map(_.trim.toInt).toSeq
     val passes = argOf("passes", "3").toInt
     val mode = argOf("mode", "disjoint")
-    val queries = if (mode == "disjoint") DisjointQueries else SharedQueries
+    // queries= comma-list narrows a run to specific curves (iteration aid);
+    // default = the full per-mode suite
+    val queries = argOf("queries", "") match {
+      case "" => if (mode == "disjoint") DisjointQueries else SharedQueries
+      case qs => qs.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    }
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -154,7 +163,19 @@ object ScaleBench {
         if (base(q) > 0) results(factors.last)(q) / base(q) else Double.NaN
       s""""$q":{$factorsStr,"ratio_${factors.last}x":$ratio}"""
     }
-    val json = s"""{"mode":"$mode","src":"$srcDir","factors":[${factors.mkString(",")}],"queries":{${lines.mkString(",")}}}"""
+    // Provenance stamp: the r04/r06 artifacts were distinguishable only by
+    // filename — bake the producing commit + round into the payload.
+    val gitHash =
+      try {
+        val p = new ProcessBuilder("git", "rev-parse", "--short", "HEAD")
+          .directory(new java.io.File(".")).start()
+        val h = new String(p.getInputStream.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        p.waitFor(); if (h.nonEmpty) h else "unknown"
+      } catch { case _: Throwable => "unknown" }
+    val round = sys.env.getOrElse("SPARK_GRAFT_ROUND", "")
+    val roundStamp = if (round.nonEmpty) s""","round":$round""" else ""
+    val json = s"""{"mode":"$mode","src":"$srcDir","git":"$gitHash"$roundStamp,"factors":[${factors.mkString(",")}],"queries":{${lines.mkString(",")}}}"""
     println(json)
     val out = s"/tmp/graftscale/scale_results_$mode.json"
     java.nio.file.Files.write(java.nio.file.Paths.get(out),

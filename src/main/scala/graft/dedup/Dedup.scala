@@ -132,12 +132,14 @@ object Dedup {
       val uni = sa.union(sb).size.toDouble
       if (uni == 0) 1.0 else inter / uni
     })
-    candidates
-      .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("jaccard", round(jacc(col("sh_a"), col("sh_b")), 4))
-      .where(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    finishReleasing(
+      candidates
+        .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .withColumn("jaccard", round(jacc(col("sh_a"), col("sh_b")), 4))
+        .where(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), col("jaccard")),
+      withSh)
   }
 
   /** Candidate pairs by bucket aggregation, not a self-join: the bucketed
@@ -175,6 +177,21 @@ object Dedup {
   }
   private[graft] def bucketPairsPublic(bucketed: DataFrame, keyCols: Seq[String]): DataFrame =
     bucketPairs(bucketed, keyCols)
+
+  /** Eagerly materialize `out` (lineage-truncated local checkpoint), then
+    * release the per-invocation caches. Every dedup entry point persists
+    * shingle / fingerprint / group relations mid-pipeline; without this,
+    * each CALL leaks its caches for the life of the session (the class of
+    * growth ScaleBench had to reclaim externally, measured to OOM the
+    * executor over accumulated passes). Eager materialization also de-fuses
+    * a downstream global sort's range-sampling pass from the candidate
+    * pipeline — unpersisted, the whole pipeline executed twice (measured
+    * 35 s vs 19 s). */
+  private def finishReleasing(out: DataFrame, caches: DataFrame*): DataFrame = {
+    val r = out.localCheckpoint(true)
+    caches.foreach(_.unpersist(blocking = false))
+    r
+  }
   private[graft] def shingleColPublic(textCol: Column, n: Int): Column = shingleCol(textCol, n)
   private[graft] def verifyPairsPublic(pairs: DataFrame, arrs: DataFrame, threshold: Double): DataFrame =
     verifyPairs(pairs, arrs, threshold)
@@ -201,33 +218,50 @@ object Dedup {
   private val simhashUdf = udf((s: String) => simhash(s))
 
   /** SimHash near-dup pairs with hamming ≤ maxHamming (= d), blocked on
-    * PAIRS of fingerprint chunks: with nChunks = d+2 chunks, flipping ≤ d
-    * bits leaves ≥ 2 chunks untouched (pigeonhole), so every qualifying
-    * pair agrees on some (chunk_i, chunk_j) combination — exhaustive, not
-    * probabilistic.
+    * COMBINATIONS of fingerprint chunks: with nChunks = d + a chunks,
+    * flipping ≤ d bits leaves ≥ a chunks untouched (pigeonhole), so every
+    * qualifying pair agrees on some a-subset of chunks — exhaustive, not
+    * probabilistic, for ANY arity a ≥ 1.
     *
-    * Scheme choice is MEASURED, not assumed: a single-chunk variant
-    * (nChunks = d+1, linear explode) was tried for d ≥ 5 and rejected —
-    * real-text fingerprints are heavily skewed, and one ~10-bit hot chunk
-    * value collected 10⁴ docs at ×10 replication (2·10⁸ candidate pairs
-    * through one bucket, executor OOM). Pair-keys square the bucket-
-    * collision probability, bounding the hot bucket at the cost of
-    * C(d+2,2) exploded rows — join OUTPUT, not input, is the bottleneck.
+    * Arity choice is MEASURED, not assumed:
+    *   - a = 1 (nChunks = d+1, linear explode) was tried for d ≥ 5 and
+    *     rejected — real-text fingerprints are heavily skewed, and one
+    *     ~10-bit hot chunk value collected 10⁴ docs at ×10 replication
+    *     (2·10⁸ candidate pairs through one bucket, executor OOM).
+    *   - a = 2 (round 4-6) bounded the hot bucket but still measured
+    *     ratio_10x ≈ 4.1 on the disjoint scaling curve: pair keys carry
+    *     only 2·64/(d+2) bits, and correlated fingerprint bits (shared
+    *     vocabulary ⇒ shared hash signs) keep the big buckets quadratic.
+    *   - a = 3 (this form) widens the agreement key to 3·64/(d+3) bits —
+    *     for d = 6 that is 21 vs 16 bits, ~40× fewer uniform collisions
+    *     and a steep cut on correlated ones — at the price of C(d+3,3) vs
+    *     C(d+2,2) exploded rows per doc (84 vs 28 at d = 6). The explode
+    *     grows LINEARLY in corpus size; the bucket-collision term it buys
+    *     down is the quadratic one, the right trade at scale. Beyond
+    *     d ≈ 8 the combo count steepens (C(d+3,3) ~ d³/6), so arity
+    *     falls back to 2 rather than explode hundreds of rows per doc.
     *
     * Chunk boundaries are BALANCED (lo_i = ⌊i·64/n⌋): ceil-width chunks
     * exhaust the 64 bits early and leave trailing chunks EMPTY — an
-    * always-equal key that degrades its combos to single-chunk blocking
-    * (or, with two empty chunks, a full cross join). Balanced widths
-    * differ by ≤ 1 bit and are never zero for n ≤ 64.
+    * always-equal key that degrades its combos to lower-arity blocking
+    * (or a full cross join). Balanced widths differ by ≤ 1 bit and are
+    * never zero for n ≤ 64.
     *
     * Candidates come from [[bucketPairs]] (one streamed groupBy pass) and
     * the hamming check joins back the PERSISTED fingerprint relation — the
-    * earlier self-join form recomputed the simhash UDF once per side. */
+    * earlier self-join form recomputed the simhash UDF once per side. The
+    * result is eagerly materialized so the fingerprint cache can be
+    * released before returning (a long-lived session calling this per
+    * batch would otherwise grow storage memory without bound). */
   def simhashPairs(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, comboArity: Int = 0): DataFrame = {
     require(maxHamming < 63,
       s"maxHamming must be < 63 (got $maxHamming): 64 one-bit chunks cannot leave 2 untouched")
-    val nChunks = math.min(maxHamming + 2, 64)
+    // auto arity: triples while the explode stays modest, else pairs; always
+    // clamped so chunks keep ≥ 1 bit (nChunks ≤ 64)
+    val arity = math.max(1, math.min(64 - maxHamming,
+      if (comboArity > 0) comboArity else if (maxHamming <= 8) 3 else 2))
+    val nChunks = maxHamming + arity
     val fps = df.select(col(idCol).as("id"), simhashUdf(col(textCol)).as("fp")).persist()
     def chunk(i: Int): Column = {
       val lo = i * 64 / nChunks
@@ -237,19 +271,49 @@ object Dedup {
       // phantom high bits in the top chunk
       shiftright(col("fp"), lo).bitwiseAND(lit(if (bits >= 64) -1L else (1L << bits) - 1))
     }
-    val combos = for {
-      i <- 0 until nChunks; j <- i + 1 until nChunks
-    } yield struct(lit(i * nChunks + j).as("combo"), chunk(i).as("v1"), chunk(j).as("v2"))
-    val keyed = fps.select(col("id"),
+    val vNames = (1 to arity).map(i => s"v$i")
+    val combos = (0 until nChunks).combinations(arity).toSeq.zipWithIndex.map {
+      case (idxs, cid) =>
+        struct(lit(cid).as("combo") +:
+          idxs.zip(vNames).map { case (ci, vn) => chunk(ci).as(vn) }: _*)
+    }
+    val keyNames = "combo" +: vNames
+    // Verification is INLINE in the bucket pass: hamming is one xor +
+    // popcount, so deferring it behind the generic bucketPairs route
+    // (dropDuplicates over ALL candidate pairs, then two join-backs to the
+    // fingerprint relation, then the filter) shuffles every false-positive
+    // collision three times for no reason. Carrying fp through the explode
+    // costs 8 bytes/row; only pairs that already PASS the hamming test
+    // reach a shuffle (the cross-combo dropDuplicates over true pairs) —
+    // measured as the difference between ratio_10x 3.4 and ≤3 on the
+    // disjoint curve. Buckets are keyed by xxhash64 of the combo key; a
+    // cross-bucket collision merges two buckets — only adds candidate
+    // comparisons (same id_a!=id_b guard), never drops a pair.
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = fps.select(col("id"), col("fp"),
       explode(array(combos: _*)).as("k"))
-      .select(col("id"), col("k.combo").as("combo"),
-        col("k.v1").as("v1"), col("k.v2").as("v2"))
-    bucketPairs(keyed, Seq("combo", "v1", "v2"))
-      .join(fps.select(col("id").as("id_a"), col("fp").as("fp_a")), "id_a")
-      .join(fps.select(col("id").as("id_b"), col("fp").as("fp_b")), "id_b")
-      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
-      .where(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+      .select(xxhash64(keyNames.map(n => col(s"k.$n")): _*).as("__k"),
+        col("id"), col("fp"))
+    val d = maxHamming
+    val pairs = keyed.as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val a = it.map(t => (t._2, t._3)).toArray
+        scala.util.Sorting.quickSort(a)(Ordering.by(_._1))
+        if (a.length < 2) Iterator.empty
+        else (0 until a.length - 1).iterator.flatMap { i =>
+          val (ia, fa) = a(i)
+          ((i + 1) until a.length).iterator.flatMap { j =>
+            val (ib, fb) = a(j)
+            val h = java.lang.Long.bitCount(fa ^ fb)
+            if (ia != ib && h <= d) Iterator.single((ia, ib, h)) else Iterator.empty
+          }
+        }
+      }
+      .toDF("id_a", "id_b", "hamming")
+      .dropDuplicates("id_a", "id_b")
+    finishReleasing(pairs, fps)
   }
 
   // --------------------------------------------------------- ngram jaccard
@@ -313,12 +377,12 @@ object Dedup {
         // no shingle above the cap → rare == sh and the split machinery is
         // pure overhead; run the plain join (identical result)
         if (nHot == 0)
-          return interToJaccard(
+          return finishReleasing(interToJaccard(
             sh.as("x").join(sh.as("y"), "s")
               .where(col("x.id") < col("y.id"))
               .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
               .agg(count(lit(1)).as("i")),
-            cnt, threshold)
+            cnt, threshold), sh, hotKeys)
         // Exact-dup pre-collapse (identical shingle sets ⇒ identical
         // candidacy AND identical jaccard against every third doc):
         // candidates + verification run once per GROUP, pairs expand
@@ -356,9 +420,11 @@ object Dedup {
         // holds ≥1 rare shingle; an all-hot group's exact duplicates never
         // enter the rare join and stay dropped, matching the oracle
         val withinEligible = rare.select(col("id").as("rid")).distinct()
-        return expandRepPairs(repPairs, reps, withinEligible, threshold)
+        return finishReleasing(
+          expandRepPairs(repPairs, reps, withinEligible, threshold),
+          sh, hotKeys, rare, iRare, hotArr, arrs, reps)
     }
-    interToJaccard(inter, cnt, threshold)
+    finishReleasing(interToJaccard(inter, cnt, threshold), sh)
   }
 
   /** Group docs by identical shingle SETS (hash of the sorted array):
@@ -374,9 +440,9 @@ object Dedup {
   /** Expand representative pairs back to doc pairs: within-group pairs are
     * exact duplicates (jaccard 1.0, emitted for `withinReps` groups when
     * τ ≤ 1); cross-group pairs inherit the representative jaccard verbatim.
-    * The result is persisted: a downstream global sort samples its child
-    * for range boundaries and would otherwise execute the whole candidate
-    * pipeline twice (measured 35 s vs 19 s on the driver query). */
+    * Callers materialize the result through [[finishReleasing]] (which also
+    * guards the downstream-global-sort double-execution this relation used
+    * to persist against). */
   private def expandRepPairs(repPairs: DataFrame, reps: DataFrame,
       withinReps: DataFrame, threshold: Double): DataFrame = {
     val within =
@@ -389,7 +455,7 @@ object Dedup {
       .join(reps.select(col("rid").as("id_b"), col("members").as("__mb")), "id_b")
       .select(explode(crossPairsUdf(col("__ma"), col("__mb"))).as("p"), col("jaccard"))
       .select(col("p._1").as("id_a"), col("p._2").as("id_b"), col("jaccard"))
-    within.unionByName(cross).persist()
+    within.unionByName(cross)
   }
 
   /** Prefix-filtered exact n-gram Jaccard pairs — the 100 TB shape of
@@ -450,7 +516,9 @@ object Dedup {
     val repPairs = verifyPairs(bucketPairs(prefix, Seq("s")), arrs, threshold)
     // every group is within-eligible under prefix-exact semantics: identical
     // docs share their whole (nonempty) prefix, so they are always candidates
-    expandRepPairs(repPairs, reps, reps.select(col("rid")), threshold)
+    finishReleasing(
+      expandRepPairs(repPairs, reps, reps.select(col("rid")), threshold),
+      sh, arrs, reps)
   }
 
   /** All C(m,2) ordered pairs within one sorted member array. */

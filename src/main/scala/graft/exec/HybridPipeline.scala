@@ -132,7 +132,17 @@ object HybridPipeline {
       .where(col("rank") > from && col("rank") <= from + size)
   }
 
-  private def broadcastIfSmall(df: DataFrame): DataFrame = df
+  /** Collapse-key / sort-key relations join against the (small, ≤ pagination
+    * depth × queries) combined result — broadcasting the key side avoids
+    * shuffling it when it is itself small, but a corpus-sized key relation
+    * (every doc has a collapse key) must NOT be pinned to the driver. Gate
+    * on Catalyst's plan-stats estimate (plan-time only — no job) at the
+    * default autoBroadcastJoinThreshold scale; oversized relations fall back
+    * to the planner's choice (AQE can still decide from runtime stats). */
+  private val BroadcastKeyBytes = 32L << 20
+  private def broadcastIfSmall(df: DataFrame): DataFrame =
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= BroadcastKeyBytes) broadcast(df)
+    else df
 
   /** Per-subquery collapse during collection — the semantics of the
     * reference's HybridCollapsingTopDocsCollector.java:54-423: each

@@ -41,13 +41,29 @@ object Lexical {
       .where(col("score") > 0.0)
   }
 
-  /** Lucene `standard`-analyzer approximation as a native column: lowercase
-    * then split on maximal non-letter/non-digit runs (Unicode classes) —
-    * matches UAX#29 word-break for the letter/digit text of this corpus
-    * (divergence from full Lucene StandardTokenizer: no special handling of
-    * mid-token apostrophes/acronym dots; documented, SURVEY §7.3). */
+  /** Lucene `standard`-analyzer tokens as a native column: lowercase, then
+    * EXTRACT maximal UAX#29-style words instead of splitting on non-
+    * alphanumerics. The pattern realizes the word-break joins Lucene's
+    * StandardTokenizer applies (same rules, by clause):
+    *   - WB6/WB7: letters joined across ONE apostrophe (' or ’, the
+    *     MidNumLetQ set) or full stop (MidNumLet) — "don't" → don't,
+    *     "u.s.a." → u.s.a (trailing dot never joins: no letter follows);
+    *   - WB11/WB12: digits joined across one [.,'’] (MidNum ∪ MidNumLetQ)
+    *     — "3.14" / "1,000" stay whole;
+    *   - WB9/WB10: letter and digit runs concatenate directly (abc123);
+    *   - WB13a/WB13b: underscore (ExtendNumLet) glues runs and may lead or
+    *     trail — "foo_bar", "baz_";
+    * an all-separator match ("___") carries no letter/digit and is dropped
+    * by the filter, as Lucene emits nothing for it. Flank classes are
+    * enforced by construction: each join lives inside the alternate whose
+    * run class UAX#29 requires on both sides, so "1.a" and "a,1" split.
+    * The regex is RE2-safe (no lookaround) — the DuckDB oracle runs the
+    * SAME pattern via regexp_extract_all (q_lexical_bm25). */
+  private[graft] val StandardTokenPattern =
+    """(?:_+|\p{L}+(?:['’.]\p{L}+)*|\p{N}+(?:[.,'’]\p{N}+)*)+"""
   private[graft] def standardToks(c: Column): Column =
-    filter(split(lower(c), "[^\\p{L}\\p{N}]+"), x => x =!= "")
+    filter(regexp_extract_all(lower(c), lit(StandardTokenPattern), lit(0)),
+      x => x.rlike("[\\p{L}\\p{N}]"))
 
   /** Lucene-parity BM25 `match` scoring (BM25Similarity):
     *

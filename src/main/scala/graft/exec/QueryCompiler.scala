@@ -341,16 +341,24 @@ object QueryCompiler {
         req.postFilterExpr.isEmpty && !req.explain,
         "search_after composes with size only on this compiler")
       val window = pd.getOrElse(HybridLimits.MaxResultWindow)
+      // The cursor a client resends is the EMITTED score — round(score, 4),
+      // the precision every query surface displays. Comparing it to the raw
+      // internal double with exact equality never matches, so tie rows at
+      // the cursor score are skipped or re-served. Quantize the internal
+      // score to the emitted precision first: predicate, tie-break order,
+      // and the displayed value then agree by construction.
       val base = HybridPipeline.run(scored, req.subqueries.size,
         req.normalization, req.combination, Some(window), 0,
         window * req.subqueries.size)
+        .withColumn("score", round(col("score"), 4))
       val after = cursor.head match {
         case d: Double => d
         case l: Long   => l.toDouble
         case i: Int    => i.toDouble
         case other => throw new IllegalArgumentException(s"cursor score must be numeric, got $other")
       }
-      return HybridPipeline.searchAfter(base.drop("rank"), after, toDocId(cursor.last), req.k)
+      val afterQ = BigDecimal(after).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      return HybridPipeline.searchAfter(base.drop("rank"), afterQ, toDocId(cursor.last), req.k)
     }
     if (req.explain)
       Explain.runWithExplain(scored, req.subqueries.size, req.normalization,

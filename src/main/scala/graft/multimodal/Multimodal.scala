@@ -136,9 +136,13 @@ object Multimodal {
                       ((bytes(o) & 0xff) - 128) / 128f
                     else bytes(o) / 128f
                   } else {
-                    val lo = bytes(o) & 0xff; val hi = bytes(o + 1)
-                    val raw = if (fmt.isBigEndian) (bytes(o) << 8) | (bytes(o + 1) & 0xff)
-                      else (hi << 8) | lo
+                    val b0 = bytes(o) & 0xff; val b1 = bytes(o + 1) & 0xff
+                    val u = if (fmt.isBigEndian) (b0 << 8) | b1 else (b1 << 8) | b0
+                    // unsigned 16-bit is offset-binary: rebase around 0x8000;
+                    // signed is two's-complement (sign-extend via toShort)
+                    val raw =
+                      if (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED) u - 32768
+                      else u.toShort.toInt
                     raw / 32768f
                   }
                 acc += s
