@@ -582,4 +582,98 @@ private[graft] object OracleGen {
        |       (b.best > 0.0 AND s.sim >= b.best * $threshold) AS highlighted
        |FROM hs_sim s JOIN hs_best b USING (doc_id)
        |ORDER BY s.doc_id, s.ord""".stripMargin
+
+  /** Word-level answer-span oracle (Highlight.answerSpan): per top hit,
+    * pick the top sentence by (round(sim,6) desc, ord asc), enumerate token
+    * windows of width 1..maxWindow inside it, hash-embed each window with
+    * the same float-cast recipe as the sentence CTEs, and keep the best
+    * window by (round(sim,6) desc, span_start asc, width asc). Token
+    * offsets come from the chr(1)-marked whitespace split (cumulative piece
+    * lengths — no lookbehind), so spans index the ORIGINAL text. */
+  def highlightSpansSql(qTokens: Map[String, Float], qEmb: Array[Float],
+      k: Int = 5, maxWindow: Int = 8,
+      dim: Int = graft.ml.HashEmbedder.DefaultDim): String = {
+    val qLit = doubleList(qEmb)
+    val fnvP = fnvSql("p")
+    s"""WITH $docVectorsCte,
+       |${highlightTopCte(qTokens, k)},
+       |${sentenceSpanCtes(qEmb)},
+       |hw_top AS (
+       |  SELECT doc_id, ord, sent_start, sent FROM (
+       |    SELECT s.doc_id, s.ord, s.sent_start, t.sent,
+       |           row_number() OVER (PARTITION BY s.doc_id
+       |                ORDER BY round(s.sim, 6) DESC, s.ord ASC) AS rn,
+       |           round(s.sim, 6) AS rsim
+       |    FROM hs_sim s JOIN hs_sent t ON t.doc_id = s.doc_id AND t.ord = s.ord)
+       |  WHERE rn = 1 AND rsim > 0.0
+       |), hw_marked AS (
+       |  SELECT doc_id, sent_start,
+       |         string_split(regexp_replace(sent, '(\\s+)',
+       |                      chr(1) || '\\1' || chr(1), 'g'), chr(1)) AS parts
+       |  FROM hw_top
+       |), hw_parts AS (
+       |  SELECT doc_id, sent_start, unnest(parts) AS p,
+       |         generate_subscripts(parts, 1) AS pord
+       |  FROM hw_marked
+       |), hw_poffs AS (
+       |  SELECT doc_id, sent_start, p, pord,
+       |         coalesce(sum(length(p)) OVER (PARTITION BY doc_id ORDER BY pord
+       |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS rel
+       |  FROM hw_parts
+       |), hw_tok AS (
+       |  SELECT doc_id, p AS tok,
+       |         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pord) AS INT) AS tord,
+       |         CAST(sent_start + rel AS INT) AS tok_start,
+       |         CAST(sent_start + rel + length(p) AS INT) AS tok_end
+       |  FROM hw_poffs WHERE p <> '' AND NOT regexp_matches(p, '^\\s+$$')
+       |), hw_n AS (SELECT doc_id, CAST(count(*) AS INT) AS n FROM hw_tok GROUP BY doc_id),
+       |hw_win AS (
+       |  SELECT t.doc_id, w.w, t.tord AS i
+       |  FROM hw_tok t JOIN hw_n USING (doc_id)
+       |  CROSS JOIN (SELECT CAST(unnest(range(1, ${maxWindow + 1})) AS INT) AS w) w
+       |  WHERE w.w <= n AND t.tord <= n - w.w + 1
+       |), hw_cnt AS (
+       |  SELECT wd.doc_id, wd.w, wd.i, lower(t.tok) AS p, count(*) AS c
+       |  FROM hw_win wd
+       |  JOIN hw_tok t ON t.doc_id = wd.doc_id
+       |       AND t.tord BETWEEN wd.i AND wd.i + wd.w - 1
+       |  GROUP BY 1, 2, 3, 4
+       |), hw_hash AS (
+       |  SELECT p, $fnvP % $dim AS idx FROM (SELECT DISTINCT p FROM hw_cnt)
+       |), hw_idx AS (
+       |  SELECT doc_id, w, i, idx, CAST(sum(c) AS DOUBLE) AS c
+       |  FROM hw_cnt JOIN hw_hash USING (p) GROUP BY 1, 2, 3, 4
+       |), hw_vec AS (
+       |  SELECT dk.doc_id, dk.w, dk.i, list(coalesce(e.c, 0.0) ORDER BY g.gi) AS cnts
+       |  FROM (SELECT DISTINCT doc_id, w, i FROM hw_cnt) dk
+       |  CROSS JOIN (SELECT unnest(range(0, $dim)) AS gi) g
+       |  LEFT JOIN hw_idx e ON e.doc_id = dk.doc_id AND e.w = dk.w
+       |       AND e.i = dk.i AND e.idx = g.gi
+       |  GROUP BY 1, 2, 3
+       |), hw_emb AS (
+       |  SELECT doc_id, w, i,
+       |         CASE WHEN nrm > 0
+       |              THEN list_transform(cnts, x -> CAST(CAST(x / nrm AS REAL) AS DOUBLE))
+       |              ELSE cnts END AS v
+       |  FROM (SELECT doc_id, w, i, cnts,
+       |               sqrt(list_sum(list_transform(cnts, x -> x * x))) AS nrm
+       |        FROM hw_vec)
+       |), hw_sim AS (
+       |  SELECT e.doc_id, e.w, e.i,
+       |         round(CAST(CAST(${denseDotSql("e.v", qLit)} AS REAL) AS DOUBLE), 6) AS sim
+       |  FROM hw_emb e
+       |), hw_best AS (
+       |  SELECT doc_id, span_start, span_end, sim FROM (
+       |    SELECT s.doc_id, s.sim, a.tok_start AS span_start, b.tok_end AS span_end,
+       |           row_number() OVER (PARTITION BY s.doc_id
+       |                ORDER BY s.sim DESC, a.tok_start ASC, s.w ASC) AS rn
+       |    FROM hw_sim s
+       |    JOIN hw_tok a ON a.doc_id = s.doc_id AND a.tord = s.i
+       |    JOIN hw_tok b ON b.doc_id = s.doc_id AND b.tord = s.i + s.w - 1)
+       |  WHERE rn = 1 AND sim > 0.0
+       |)
+       |SELECT t.doc_id, CAST(p.ord AS INT) AS ord, b.span_start, b.span_end, b.sim
+       |FROM hl_top t JOIN hw_top p USING (doc_id) JOIN hw_best b USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin
+  }
 }

@@ -124,7 +124,9 @@ object Queries8 {
       import graft.streaming.IndexMaintenance
       val centroids = Ann.seededCentroids(nlist = 8, dim = 64)
       val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-      val root = s"/tmp/graft_incr_ivf/${dir.replace('/', '_')}_n8_mod10"
+      // fingerprint covers the DELTA LAYOUT version too (per-batch dirs +
+      // watermark since round 7): an old-layout root must not be reused
+      val root = s"/tmp/graft_incr_ivf/${dir.replace('/', '_')}_n8_mod10_d1"
       if (!new java.io.File(root, "_DONE").exists()) {
         IndexMaintenance.initializeIvf(emb.where(col("vec_id") % 10 =!= 0), root, centroids)
         IndexMaintenance.appendBatch(emb.where(col("vec_id") % 10 === 0), root)
@@ -148,7 +150,8 @@ object Queries8 {
       val docs = SparkEntry.docsWithTokens(s, dir).select(col("doc_id"), col("tokens"))
       // staging fingerprint covers the build constants — changed constants
       // land in a fresh root instead of serving a stale index
-      val fp = s"np${SparkEntry.SeismicTruncNPostings}_mod10"
+      // _d1 = delta-layout version (per-batch dirs + watermark, round 7)
+      val fp = s"np${SparkEntry.SeismicTruncNPostings}_mod10_d1"
       val root = s"/tmp/graft_incr_index/${dir.replace('/', '_')}_$fp"
       if (!new java.io.File(root, "_DONE").exists()) {
         IndexMaintenance.initialize(docs.where(col("doc_id") % 10 =!= 0), root,

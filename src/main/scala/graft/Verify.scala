@@ -5,7 +5,10 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val sfDir = args(0); val outDir = args(1)
+    // optional trailing names narrow the dump to specific queries (dev aid;
+    // the driver always runs the full set)
+    val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -25,6 +28,8 @@ object Verify {
     } catch { case _: Throwable => }
     val memoRdds = spark.sparkContext.getPersistentRDDs.keySet
     SparkEntry.queries.foreach { case (name, fn) =>
+      if (only.nonEmpty && !only.contains(name)) ()
+      else {
       System.err.println(s"[verify] running $name")
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -33,6 +38,7 @@ object Verify {
       }
       spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
         if (!memoRdds.contains(id)) rdd.unpersist(blocking = false)
+      }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

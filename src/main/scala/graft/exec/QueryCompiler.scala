@@ -385,4 +385,28 @@ object QueryCompiler {
       translator.translate(question, queryFields), defaultModelId)
     run(corpus, QueryRequest(subqueries = subs, k = k))
   }
+
+  /** `agentic_context` response extension (processor/
+    * AgenticContextResponseProcessor.java:52-101): attach the agent's steps
+    * summary and translated DSL query to the response. The reference adds
+    * one AgentStepsSearchExtBuilder ext section per response; the
+    * relational (cross-engine-hashable) encoding is a constant column per
+    * hit row, null when the corresponding include flag is off — with both
+    * flags off the processor's no-attribute branch returns the response
+    * unchanged, so this returns `hits` as-is. memory_id is always null
+    * here (stateless rule translator) and, matching the processor's
+    * null-skip, is omitted entirely. */
+  def attachAgentContext(hits: DataFrame, subs: Seq[SubquerySpec],
+      k: Int = HybridLimits.DefaultK,
+      includeAgentSteps: Boolean = true,
+      includeDslQuery: Boolean = true): DataFrame = {
+    if (!includeAgentSteps && !includeDslQuery) return hits
+    val steps =
+      if (includeAgentSteps) lit(AgentContext.stepsSummary(subs))
+      else lit(null).cast("string")
+    val dsl =
+      if (includeDslQuery) lit(AgentContext.dslQuery(subs, k))
+      else lit(null).cast("string")
+    hits.withColumn("agent_steps", steps).withColumn("dsl_query", dsl)
+  }
 }

@@ -162,3 +162,40 @@ object RuleBasedTranslator extends QueryTranslator {
     (phraseSubs ++ filters.result() ++ neuralSubs).take(HybridLimits.MaxSubqueries)
   }
 }
+
+/** The agent-context payload the reference threads from the translator to
+  * the response ext section (query/ext/AgentStepsSearchExtBuilder fields
+  * agent_steps_summary / dsl_query, set by AgenticQueryTranslatorProcessor
+  * .executeAgentAsync and attached by AgenticContextResponseProcessor
+  * .processResponse). memory_id has no analogue — the rule translator is
+  * stateless, matching the processor's null-skip branch. Both strings are
+  * pure functions of the translated subqueries, so the oracle can inline
+  * them as literals. */
+object AgentContext {
+
+  /** Deterministic steps summary: one clause per translated subquery, in
+    * translation order — the rule stand-in for the LLM agent's free-text
+    * summary. */
+  def stepsSummary(subs: Seq[SubquerySpec]): String =
+    subs.map { sq =>
+      val qt = sq.queryText.getOrElse("")
+      sq.kind match {
+        case "term"  => s"filter term ${sq.field}=$qt"
+        case "range" => s"filter range ${sq.field}=$qt"
+        case "match" => s"match ${sq.field}:\"$qt\""
+        case k       => s"$k ${sq.field}:\"$qt\""
+      }
+    }.mkString(s"rule-based agent translated the question into ${subs.size} subqueries: ", "; ", "")
+
+  /** The translated request re-encoded as the engine's JSON DSL body — the
+    * dsl_query string the reference stores in the request context. */
+  def dslQuery(subs: Seq[SubquerySpec], k: Int): String = {
+    def esc(s: String): String =
+      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
+    val qs = subs.map { sq =>
+      val qt = esc(sq.queryText.getOrElse(""))
+      s"""{"${sq.kind}": {"${sq.field}": {"query_text": "$qt"}}}"""
+    }.mkString(", ")
+    s"""{"query": {"hybrid": {"queries": [$qs]}}, "size": $k}"""
+  }
+}

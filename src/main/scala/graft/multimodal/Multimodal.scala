@@ -190,12 +190,125 @@ object Multimodal {
 
   /** Pluggable video decode hook — the drop-in seam (no video codec ships
     * in the JDK): given (payload, frameCount), return decoded frame images
-    * or None to fall through to the byte-slice stand-in. A real deployment
-    * assigns e.g. a JavaCV/ffmpeg-backed function ONCE per executor; every
-    * consumer ([[sampleFrames]]) picks it up through the same probe →
-    * decode → fallback chain the image and audio paths use. */
+    * or None to fall through to the container parse / byte-slice chain. A
+    * real deployment assigns e.g. a JavaCV/ffmpeg-backed function ONCE per
+    * executor; every consumer ([[sampleFrames]]) picks it up through the
+    * same probe → decode → fallback chain the image and audio paths use. */
   @volatile var videoDecoder: (Array[Byte], Int) => Option[Seq[Array[Byte]]] =
     (_, _) => None
+
+  // ---- container-header frame index (no codec: offsets only) ----
+
+  private def be32(p: Array[Byte], o: Int): Long =
+    ((p(o) & 0xffL) << 24) | ((p(o + 1) & 0xffL) << 16) |
+      ((p(o + 2) & 0xffL) << 8) | (p(o + 3) & 0xffL)
+  private def le32(p: Array[Byte], o: Int): Long =
+    ((p(o + 3) & 0xffL) << 24) | ((p(o + 2) & 0xffL) << 16) |
+      ((p(o + 1) & 0xffL) << 8) | (p(o) & 0xffL)
+  private def fourcc(p: Array[Byte], o: Int): String =
+    new String(p, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** MP4/ISO-BMFF: walk the box tree (size:BE32, type:4cc; size 1 =
+    * 64-bit largesize, size 0 = to-EOF) for the `mdat` bounds and the
+    * `moov/trak/mdia/minf/stbl` sample tables — `stco` chunk offsets are
+    * absolute file offsets and `stsz` carries per-sample sizes. With one
+    * sample per chunk (the stsz/stco cardinality match) each frame range
+    * is exact; otherwise ranges fall back to chunk granularity ending at
+    * the next chunk or mdat end. Pure header arithmetic — the same
+    * information a real demuxer seeks with, no codec required. */
+  private def mp4FrameRanges(p: Array[Byte]): Seq[(Int, Int)] = {
+    val containers = Set("moov", "trak", "mdia", "minf", "stbl")
+    var mdat: Option[(Int, Int)] = None
+    var stco: Seq[Long] = Nil
+    var stsz: Seq[Long] = Nil
+    def walk(from: Int, to: Int, depth: Int): Unit = {
+      var o = from
+      while (o + 8 <= to && depth < 8) {
+        val rawSize = be32(p, o)
+        val typ = fourcc(p, o + 4)
+        val (size, hdr) =
+          if (rawSize == 1L && o + 16 <= to) {
+            val hi = be32(p, o + 8); val lo = be32(p, o + 12)
+            ((hi << 32) | lo, 16)
+          } else if (rawSize == 0L) ((to - o).toLong, 8)
+          else (rawSize, 8)
+        if (size < hdr || o + size > to) return // malformed: stop this level
+        val bodyStart = o + hdr
+        val bodyEnd = (o + size).toInt
+        typ match {
+          case "mdat" => mdat = mdat.orElse(Some((bodyStart, bodyEnd)))
+          case t if containers.contains(t) => walk(bodyStart, bodyEnd, depth + 1)
+          case "stco" if bodyStart + 8 <= bodyEnd =>
+            val n = be32(p, bodyStart + 4).toInt
+            stco = (0 until n).takeWhile(i => bodyStart + 8 + i * 4 + 4 <= bodyEnd)
+              .map(i => be32(p, bodyStart + 8 + i * 4))
+          case "stsz" if bodyStart + 12 <= bodyEnd =>
+            val fixed = be32(p, bodyStart + 4)
+            val n = be32(p, bodyStart + 8).toInt
+            stsz =
+              if (fixed != 0L) Seq.fill(n)(fixed)
+              else (0 until n).takeWhile(i => bodyStart + 12 + i * 4 + 4 <= bodyEnd)
+                .map(i => be32(p, bodyStart + 12 + i * 4))
+          case _ =>
+        }
+        o = bodyEnd
+      }
+    }
+    walk(0, p.length, 0)
+    val dataEnd = mdat.map(_._2).getOrElse(p.length)
+    val offs = stco.filter(c => c >= 0 && c < p.length)
+    if (offs.isEmpty) mdat.toSeq.filter { case (s, e) => e > s }
+    else if (stsz.length == offs.length)
+      offs.zip(stsz).flatMap { case (s, len) =>
+        val e = math.min(s + len, dataEnd)
+        if (e > s) Some((s.toInt, e.toInt)) else None
+      }
+    else
+      offs.zip(offs.drop(1) :+ dataEnd.toLong).flatMap { case (s, e) =>
+        if (e > s) Some((s.toInt, math.min(e, p.length).toInt)) else None
+      }
+  }
+
+  /** AVI/RIFF: walk chunks ([fourcc][size:LE32][data], even-padded),
+    * descending into LIST containers, and index the `movi` payload chunks
+    * whose fourcc matches the `##db`/`##dc` (video frame) convention —
+    * each chunk's data range IS one frame's bytes. */
+  private def aviFrameRanges(p: Array[Byte]): Seq[(Int, Int)] = {
+    val out = Seq.newBuilder[(Int, Int)]
+    def frames(cc: String): Boolean =
+      cc.length == 4 && cc(0).isDigit && cc(1).isDigit &&
+        cc(2) == 'd' && (cc(3) == 'b' || cc(3) == 'c')
+    def walk(from: Int, to: Int, depth: Int): Unit = {
+      var o = from
+      while (o + 8 <= to && depth < 8) {
+        val cc = fourcc(p, o)
+        val size = le32(p, o + 4).toInt
+        val dataStart = o + 8
+        val dataEnd = dataStart + size
+        if (size < 0 || dataEnd > to) return
+        if (cc == "LIST" && size >= 4) walk(dataStart + 4, dataEnd, depth + 1)
+        else if (frames(cc) && dataEnd > dataStart) out += ((dataStart, dataEnd))
+        o = dataEnd + (size & 1) // even padding
+      }
+    }
+    walk(12, p.length, 0) // skip RIFF header (RIFF, size, 'AVI ')
+    out.result()
+  }
+
+  /** Container-header frame index for a probed video payload: MP4 sample
+    * tables or AVI movi chunks → [start, end) byte ranges of the declared
+    * frames. None when the container is corrupt or declares nothing —
+    * callers fall through to the byte-slice stand-in, mirroring the
+    * image/audio decode seams. */
+  private[multimodal] def parseFrameRanges(p: Array[Byte]): Option[Seq[(Int, Int)]] =
+    try {
+      val ranges =
+        if (p(4) == 'f' && p(5) == 't' && p(6) == 'y' && p(7) == 'p') mp4FrameRanges(p)
+        else if (p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+          p(8) == 'A' && p(9) == 'V' && p(10) == 'I') aviFrameRanges(p)
+        else Seq.empty // MKV/EBML: varint-coded tree, no fixed-offset tables
+      if (ranges.isEmpty) None else Some(ranges)
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Decode kernel: real decode per modality when a codec exists — image
     * (javax.imageio → luminance histogram), audio (javax.sound.sampled WAV
@@ -239,15 +352,26 @@ object Multimodal {
     }(encoder)
   }
 
-  /** Frame sampling for video payloads: container-probed payloads go
-    * through the pluggable [[videoDecoder]] (real frames when a codec is
-    * registered); everything else — and codec-less deployments — gets `n`
+  /** Frame sampling for video payloads — probe → decode → parse → slice:
+    * container-probed payloads try the pluggable [[videoDecoder]] (real
+    * decoded frames when a codec is registered), then the codec-less
+    * [[parseFrameRanges]] header walk (REAL frame byte ranges from the
+    * MP4 sample tables / AVI movi chunks, evenly sampled down to `n`);
+    * everything else — opaque payloads, corrupt containers — gets `n`
     * deterministic byte slices, preserving the partitioning/explode
     * plumbing of a real frame sampler. */
   def sampleFrames(df: DataFrame, payloadCol: String, n: Int = 4): DataFrame = {
     val sampleUdf = udf((payload: Array[Byte]) => {
       val decoded =
-        if (looksLikeVideo(payload)) videoDecoder(payload, n) else None
+        if (looksLikeVideo(payload))
+          videoDecoder(payload, n).orElse(
+            parseFrameRanges(payload).map { ranges =>
+              val take =
+                if (ranges.length <= n) ranges
+                else (0 until n).map(i => ranges((ranges.length.toLong * i / n).toInt))
+              take.map { case (s, e) => java.util.Arrays.copyOfRange(payload, s, e) }
+            })
+        else None
       decoded.getOrElse {
         if (payload == null || payload.isEmpty) Seq.empty[Array[Byte]]
         else (0 until n).map { i =>

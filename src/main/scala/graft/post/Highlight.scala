@@ -157,6 +157,79 @@ object Highlight {
         col("s._5").as("highlighted"))
   }
 
+  /** Token offsets: [start, end) of each `\S+` run over `s` (same
+    * whitespace class as HashEmbedder.tokenize's `\s+` split, so a window
+    * substring tokenizes to exactly the window's tokens). */
+  private[graft] def tokenSpans(s: String): Array[(Int, Int)] = {
+    val m = java.util.regex.Pattern.compile("\\S+").matcher(s)
+    val out = Array.newBuilder[(Int, Int)]
+    while (m.find()) out += ((m.start, m.end))
+    out.result()
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Word-level answer span — the sub-sentence output of the reference's
+    * QA span model (the sentence_highlighting model type consumed by
+    * SemanticHighlighterEngine.getHighlightedSentences, highlight/single/
+    * SemanticHighlighterEngine.java:87-95, which returns word-range char
+    * spans over the context, not whole sentences). Deterministic stand-in:
+    *   1. pick the top sentence by (round(sim, 6) desc, ord asc) — the
+    *      6-dp rounding happens BEFORE the argmax on both engines (the
+    *      float-determinism protocol);
+    *   2. inside it, score every token window of width 1..maxWindow
+    *      against the query on the model surface (similarity of the
+    *      window SUBSTRING — includes intra-window whitespace, tokenizes
+    *      back to exactly the window tokens);
+    *   3. emit the best window's character span over the ORIGINAL text,
+    *      ties by (span_start asc, width asc).
+    * Returns None when no sentence or no window scores > 0 (the
+    * reference's empty-highlights contract). */
+  def answerSpan(queryText: String, docText: String, maxWindow: Int = 8,
+      dim: Int = HashEmbedder.DefaultDim): Option[(Int, Int, Int, Double)] = {
+    val sents = segmentSentences(docText)
+    if (sents.isEmpty) return None
+    val scored = sents.zip(scoreSentences(queryText, docText, sents).map(round6))
+    val (top, topSim) = scored.minBy { case (sp, sc) => (-sc, sp.ord) }
+    if (topSim <= 0.0) return None
+    val sent = docText.substring(top.start, top.end)
+    val toks = tokenSpans(sent)
+    if (toks.isEmpty) return None
+    val n = toks.length
+    var bestSim = 0.0; var bestStart = -1; var bestEnd = -1; var bestW = Int.MaxValue
+    var w = 1
+    while (w <= math.min(maxWindow, n)) {
+      var i = 0
+      while (i + w <= n) {
+        val s0 = toks(i)._1; val e0 = toks(i + w - 1)._2
+        val sim = round6(HashEmbedder.similarity(queryText, sent.substring(s0, e0), dim).toDouble)
+        val better = sim > bestSim ||
+          (sim == bestSim && bestStart >= 0 &&
+            (s0 < bestStart || (s0 == bestStart && w < bestW)))
+        if (better) { bestSim = sim; bestStart = s0; bestEnd = e0; bestW = w }
+        i += 1
+      }
+      w += 1
+    }
+    if (bestStart < 0) None
+    else Some((top.ord, top.start + bestStart, top.start + bestEnd, bestSim))
+  }
+
+  /** DataFrame form of [[answerSpan]]: one row per doc with a span —
+    * [doc_id, ord, span_start, span_end, sim]; docs with no positive
+    * window are dropped (empty highlights). */
+  def answerSpans(results: DataFrame, queryText: String, textCol: String,
+      maxWindow: Int = 8): DataFrame = {
+    val u = udf((d: String) => answerSpan(queryText, d, maxWindow))
+    results
+      .withColumn("a", u(col(textCol)))
+      .where(col("a").isNotNull)
+      .select(col("doc_id"), col("a._1").as("ord"),
+        col("a._2").as("span_start"), col("a._3").as("span_end"),
+        col("a._4").as("sim"))
+  }
+
   /** Batch-mode highlighting (SemanticHighlightingProcessor analogue): the
     * hits stream through mapPartitions in sub-batches of
     * `maxInferenceBatchSize`; each sub-batch is one "inference call" whose

@@ -26,24 +26,40 @@ import graft.sparse.SparseRetrieval
   *     until the pointer moves — crash-safe, like Lucene's segments_N).
   *
   * Layout under `rootDir`:
-  *   base_v{N}/   corpus parquet of version N
-  *   index_v{N}/  SEISMIC tables of version N (Seismic.write)
-  *   delta/       appended micro-batches since version N
-  *   VERSION      current version number (atomic pointer, written last)
-  */
+  *   base_v{N}/        corpus parquet of version N
+  *   index_v{N}/       SEISMIC tables of version N (Seismic.write)
+  *   delta/batch_{B}/  one dir per appended micro-batch (id B)
+  *   VERSION           "version watermark" (atomic pointer, written last)
+  *
+  * Crash-safety contract: publish is ONE atomic rename of VERSION, which
+  * carries BOTH the new version and the delta WATERMARK (the highest batch
+  * id folded into that version). `readDelta` serves only batches above the
+  * watermark, so a crash between publish and the physical delta cleanup
+  * can never double-serve rows (the stale dirs are invisible and the next
+  * compaction deletes them). Batch appends write whole per-batch dirs with
+  * overwrite semantics, so a replayed micro-batch (foreachBatch is
+  * at-least-once) lands on the same dir instead of duplicating rows. */
 object IndexMaintenance {
 
   /** Pointer to the live version — written LAST during publish so a reader
     * never sees a half-written version (rename-based single-file commit). */
-  def currentVersion(rootDir: String): Long = {
+  def currentVersion(rootDir: String): Long = versionAndWatermark(rootDir)._1
+
+  /** (version, delta watermark): batches with id ≤ watermark are already
+    * folded into base_v{version}. A bare-number VERSION (pre-watermark
+    * layout) reads as watermark −1. */
+  private[streaming] def versionAndWatermark(rootDir: String): (Long, Long) = {
     val f = new java.io.File(rootDir, "VERSION")
-    if (!f.exists()) 0L
-    else new String(java.nio.file.Files.readAllBytes(f.toPath)).trim.toLong
+    if (!f.exists()) (0L, -1L)
+    else {
+      val parts = new String(java.nio.file.Files.readAllBytes(f.toPath)).trim.split("\\s+")
+      (parts(0).toLong, if (parts.length > 1) parts(1).toLong else -1L)
+    }
   }
 
-  private def writeVersion(rootDir: String, v: Long): Unit = {
+  private def writeVersion(rootDir: String, v: Long, watermark: Long): Unit = {
     val tmp = new java.io.File(rootDir, s".VERSION.tmp$v")
-    java.nio.file.Files.write(tmp.toPath, v.toString.getBytes)
+    java.nio.file.Files.write(tmp.toPath, s"$v $watermark".getBytes)
     java.nio.file.Files.move(tmp.toPath, new java.io.File(rootDir, "VERSION").toPath,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -53,6 +69,16 @@ object IndexMaintenance {
   def indexDir(rootDir: String, v: Long): String = s"$rootDir/index_v$v"
   def deltaDir(rootDir: String): String = s"$rootDir/delta"
 
+  private val BatchDirRe = "batch_(\\d+)".r
+  private def listBatchIds(rootDir: String): Seq[Long] = {
+    val d = new java.io.File(deltaDir(rootDir))
+    if (!d.isDirectory) Seq.empty
+    else d.listFiles().toSeq.flatMap(_.getName match {
+      case BatchDirRe(id) => Some(id.toLong)
+      case _ => None
+    })
+  }
+
   /** Initialize version 0 from a bootstrap corpus (the first full build —
     * the reference's initial index creation). */
   def initialize(corpus: DataFrame, rootDir: String,
@@ -61,19 +87,31 @@ object IndexMaintenance {
     corpus.write.mode("overwrite").parquet(baseDir(rootDir, 0))
     val base = corpus.sparkSession.read.parquet(baseDir(rootDir, 0))
     Seismic.write(Seismic.build(base, nPostings = nPostings), indexDir(rootDir, 0))
-    writeVersion(rootDir, 0)
+    writeVersion(rootDir, 0, -1)
   }
 
-  /** Append one micro-batch of docs to the delta (the flush analogue). */
-  def appendBatch(batch: DataFrame, rootDir: String): Unit =
-    batch.write.mode("append").parquet(deltaDir(rootDir))
+  /** Append one micro-batch of docs to the delta (the flush analogue).
+    * The batch lands in its OWN dir keyed by `batchId` with overwrite
+    * semantics — an at-least-once replay of the same micro-batch
+    * overwrites its previous attempt instead of appending duplicates.
+    * Without an explicit id (ad-hoc appends), the next free id above both
+    * the existing dirs and the compaction watermark is assigned. */
+  def appendBatch(batch: DataFrame, rootDir: String, batchId: Long = -1L): Unit = {
+    val id =
+      if (batchId >= 0) batchId
+      else (listBatchIds(rootDir) :+ versionAndWatermark(rootDir)._2).max + 1
+    batch.write.mode("overwrite").parquet(s"${deltaDir(rootDir)}/batch_$id")
+  }
 
-  /** The delta corpus — empty-schema-safe when no batch has arrived yet. */
+  /** The delta corpus: batches ABOVE the watermark only (compacted dirs
+    * are invisible even before their physical cleanup) — empty-schema-safe
+    * when no batch has arrived yet. */
   def readDelta(spark: SparkSession, rootDir: String, like: DataFrame): DataFrame = {
-    val d = new java.io.File(deltaDir(rootDir))
-    if (d.isDirectory && d.listFiles().exists(_.getName.endsWith(".parquet")))
-      spark.read.schema(like.schema).parquet(deltaDir(rootDir))
-    else like.limit(0)
+    val wm = versionAndWatermark(rootDir)._2
+    val live = listBatchIds(rootDir).filter(_ > wm).sorted
+      .map(id => s"${deltaDir(rootDir)}/batch_$id")
+    if (live.isEmpty) like.limit(0)
+    else spark.read.schema(like.schema).parquet(live: _*)
   }
 
   /** Merge policy: compact when the delta reaches `maxDeltaRatio` of the
@@ -81,23 +119,39 @@ object IndexMaintenance {
   def shouldCompact(baseRows: Long, deltaRows: Long, maxDeltaRatio: Double): Boolean =
     deltaRows > 0 && deltaRows >= math.max(1.0, baseRows * maxDeltaRatio)
 
-  /** Re-cluster base ∪ delta into version N+1 and move the pointer; the
-    * delta is cleared (its rows now live in base_v{N+1}). Readers holding
+  /** Re-cluster base ∪ delta into version N+1 and move the pointer;
+    * compacted delta batches retire via the WATERMARK inside the same
+    * atomic VERSION rename (a crash after publish but before the physical
+    * cleanup leaves invisible dirs, never duplicate rows). Readers holding
     * version N keep working — nothing under v{N} is touched. */
   def compact(spark: SparkSession, rootDir: String,
       nPostings: Int = Seismic.DefaultNPostings): Long = {
-    val v = currentVersion(rootDir)
+    val (v, wm) = versionAndWatermark(rootDir)
+    // snapshot the batch set BEFORE reading: batches landing mid-compaction
+    // stay above the published watermark and survive into the next cycle
+    val ids = listBatchIds(rootDir).filter(_ > wm).sorted
     val base = spark.read.parquet(baseDir(rootDir, v))
-    val union = base.unionByName(readDelta(spark, rootDir, base))
-    union.write.mode("overwrite").parquet(baseDir(rootDir, v + 1))
+    val delta =
+      if (ids.isEmpty) base.limit(0)
+      else spark.read.schema(base.schema)
+        .parquet(ids.map(id => s"${deltaDir(rootDir)}/batch_$id"): _*)
+    base.unionByName(delta).write.mode("overwrite").parquet(baseDir(rootDir, v + 1))
     val merged = spark.read.parquet(baseDir(rootDir, v + 1))
     Seismic.write(Seismic.build(merged, nPostings = nPostings), indexDir(rootDir, v + 1))
-    writeVersion(rootDir, v + 1) // publish AFTER both tables are durable
-    // delta rows are in the new base; clear the landing dir
-    val d = new java.io.File(deltaDir(rootDir))
-    if (d.isDirectory) d.listFiles().foreach(_.delete())
+    val newWm = if (ids.isEmpty) wm else ids.max
+    writeVersion(rootDir, v + 1, newWm) // ONE atomic publish: version + retirement
+    cleanupRetired(rootDir, newWm)      // best-effort; watermark already hides them
     v + 1
   }
+
+  /** Physical removal of batch dirs at or below the watermark — pure
+    * hygiene, idempotent, safe to crash out of at any point. */
+  private def cleanupRetired(rootDir: String, watermark: Long): Unit =
+    listBatchIds(rootDir).filter(_ <= watermark).foreach { id =>
+      val dir = new java.io.File(deltaDir(rootDir), s"batch_$id")
+      dir.listFiles().foreach(_.delete())
+      dir.delete()
+    }
 
   /** Segmented search: pruned SEISMIC over the base index + exact scan over
     * the delta, merged top-k. With no pruning (heapFactor ≤ 0/∞, topN ≥ |q|)
@@ -138,7 +192,7 @@ object IndexMaintenance {
     graft.ann.Ann.writeIndex(
       graft.ann.Ann.assign(base, centroids, roundDp = roundDp),
       centroids, ivfDir(rootDir, 0))
-    writeVersion(rootDir, 0)
+    writeVersion(rootDir, 0, -1)
   }
 
   /** Segmented IVF search: probed-cell scan over the immutable base index
@@ -160,27 +214,35 @@ object IndexMaintenance {
   }
 
   /** Re-assign base ∪ delta into version N+1 (fixed quantizer, fresh
-    * cell-partitioned layout) and move the pointer; delta cleared. */
+    * cell-partitioned layout) and move the pointer — same watermark-based
+    * crash-safe retirement as [[compact]]. */
   def compactIvf(spark: SparkSession, rootDir: String,
       centroids: Array[Array[Float]], roundDp: Int = 6): Long = {
-    val v = currentVersion(rootDir)
+    val (v, wm) = versionAndWatermark(rootDir)
+    val ids = listBatchIds(rootDir).filter(_ > wm).sorted
     val base = spark.read.parquet(baseDir(rootDir, v))
-    val union = base.unionByName(readDelta(spark, rootDir, base))
-    union.write.mode("overwrite").parquet(baseDir(rootDir, v + 1))
+    val delta =
+      if (ids.isEmpty) base.limit(0)
+      else spark.read.schema(base.schema)
+        .parquet(ids.map(id => s"${deltaDir(rootDir)}/batch_$id"): _*)
+    base.unionByName(delta).write.mode("overwrite").parquet(baseDir(rootDir, v + 1))
     val merged = spark.read.parquet(baseDir(rootDir, v + 1))
     graft.ann.Ann.writeIndex(
       graft.ann.Ann.assign(merged, centroids, roundDp = roundDp),
       centroids, ivfDir(rootDir, v + 1))
-    writeVersion(rootDir, v + 1)
-    val d = new java.io.File(deltaDir(rootDir))
-    if (d.isDirectory) d.listFiles().foreach(_.delete())
+    val newWm = if (ids.isEmpty) wm else ids.max
+    writeVersion(rootDir, v + 1, newWm)
+    cleanupRetired(rootDir, newWm)
     v + 1
   }
 
   /** Streaming maintenance loop: every trigger appends the batch and runs
     * the merge policy — the closed loop from StreamingEnrich's output to a
     * serving-ready index. Enrichment (tokens column) must already be on the
-    * stream (chain StreamingEnrich upstream). */
+    * stream (chain StreamingEnrich upstream). Pass `checkpoint` in any
+    * restartable deployment: batch ids are only monotonic across restarts
+    * when the engine's offset log survives, and the replay-overwrite
+    * guarantee is keyed on them. */
   def maintain(
       enrichedStream: DataFrame,
       rootDir: String,
@@ -190,9 +252,11 @@ object IndexMaintenance {
       checkpoint: Option[String] = None): StreamingQuery = {
     val writer = enrichedStream.writeStream
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        appendBatch(batch, rootDir)
+        // keyed by the engine's batchId: an at-least-once replay overwrites
+        // its own dir instead of appending the rows a second time
+        appendBatch(batch, rootDir, batchId)
         val v = currentVersion(rootDir)
         val base = spark.read.parquet(baseDir(rootDir, v))
         val deltaRows = readDelta(spark, rootDir, base).count()

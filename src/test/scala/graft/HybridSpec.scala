@@ -280,4 +280,23 @@ class HybridPipelineSpec extends SparkSpec {
       .select("doc_id", "rank").as[(Long, Int)].collect().toSeq.sorted
     assert(a == b && a.map(_._1) == Seq(1L, 2L, 3L))
   }
+
+  test("small collapse-key and sort-key relations plan as broadcast joins") {
+    import HybridPipeline.SortField
+    val docs = Seq(
+      (1L, 0.9, "g1", 10L), (2L, 0.5, "g1", 30L), (3L, 0.7, "g2", 20L), (4L, 0.1, "g2", 40L)
+    ).toDF("doc_id", "s0", "g", "k")
+    val scored = HybridPipeline.score(docs, col("doc_id"), Seq(col("s0")))
+    val collapseKeys = docs.select(col("doc_id"), col("g").as("collapse_key"))
+    val collapsed = HybridPipeline.run(scored, 1, NormalizationSpec.MinMax(),
+      CombinationSpec.ArithmeticMean(), size = 3,
+      collapse = Some((collapseKeys, 1)))
+    assert(collapsed.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "collapse-key join must broadcast a small key relation")
+    val sortKeys = docs.select(col("doc_id"), col("k"))
+    val sorted = HybridPipeline.runSortedFields(scored, 1, NormalizationSpec.MinMax(),
+      CombinationSpec.ArithmeticMean(), sortKeys, Seq(SortField("k", ascending = true)), size = 3)
+    assert(sorted.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "sort-key join must broadcast a small key relation")
+  }
 }

@@ -78,6 +78,30 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(spark.read.parquet(IndexMaintenance.baseDir(root, 0)).count() == 40)
   }
 
+  test("replayed batch ids overwrite; retired dirs stay invisible after a 'crash'") {
+    val root = freshRoot("crashsafe")
+    IndexMaintenance.initialize(corpus(0 until 40), root)
+    // at-least-once replay: the same batchId lands twice, rows counted once
+    IndexMaintenance.appendBatch(corpus(40 until 50), root, batchId = 0)
+    IndexMaintenance.appendBatch(corpus(40 until 50), root, batchId = 0)
+    val base0 = spark.read.parquet(IndexMaintenance.baseDir(root, 0))
+    assert(IndexMaintenance.readDelta(spark, root, base0).count() == 10)
+    val v1 = IndexMaintenance.compact(spark, root)
+    val newBase = spark.read.parquet(IndexMaintenance.baseDir(root, v1))
+    assert(newBase.count() == 50)
+    // simulate a crash BETWEEN publish and physical cleanup: resurrect a
+    // batch dir at an id ≤ the watermark holding rows already in the base —
+    // the watermark must keep it invisible (no double-serving)
+    IndexMaintenance.appendBatch(corpus(40 until 50), root, batchId = 0)
+    assert(IndexMaintenance.readDelta(spark, root, newBase).count() == 0)
+    // a FRESH ad-hoc append self-assigns an id above the watermark
+    IndexMaintenance.appendBatch(corpus(50 until 55), root)
+    assert(IndexMaintenance.readDelta(spark, root, newBase).count() == 5)
+    // and the next compaction folds only the live rows (no duplicates)
+    val v2 = IndexMaintenance.compact(spark, root)
+    assert(spark.read.parquet(IndexMaintenance.baseDir(root, v2)).count() == 55)
+  }
+
   test("segmented IVF: full-probe search equals brute over base ∪ delta; compaction republishes") {
     import graft.ann.Ann
     val root = freshRoot("ivf")

@@ -349,6 +349,59 @@ class TextMultimodalSpec extends SparkSpec {
     assert(out.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 1, 2, 3))
   }
 
+  // ---- hand-built container fixtures (header layouts per the public
+  // ISO-BMFF / RIFF specs; no codec involved — offsets only) ----
+  private def be32(v: Int): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  private def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+  private def mp4Box(typ: String, body: Array[Byte]): Array[Byte] =
+    be32(8 + body.length) ++ cc(typ) ++ body
+
+  test("MP4 sample tables yield exact frame ranges; corrupt container falls back") {
+    val f1 = cc("AAAA"); val f2 = cc("BBBBBB")
+    val ftyp = mp4Box("ftyp", cc("isom") ++ be32(0))          // 16 bytes
+    val mdat = mp4Box("mdat", f1 ++ f2)                        // data at 24, frames 24..28, 28..34
+    val stco = mp4Box("stco", be32(0) ++ be32(2) ++ be32(24) ++ be32(28))
+    val stsz = mp4Box("stsz", be32(0) ++ be32(0) ++ be32(2) ++ be32(4) ++ be32(6))
+    val moov = mp4Box("moov", mp4Box("trak", mp4Box("mdia",
+      mp4Box("minf", mp4Box("stbl", stco ++ stsz)))))
+    val mp4 = ftyp ++ mdat ++ moov
+    val out = Multimodal.sampleFrames(Seq((1L, mp4)).toDF("id", "payload"), "payload", n = 4)
+      .orderBy("frame_idx").collect()
+    assert(out.length == 2) // the container declares exactly 2 frames
+    assert(out(0).getAs[Array[Byte]]("frame").toSeq == f1.toSeq)
+    assert(out(1).getAs[Array[Byte]]("frame").toSeq == f2.toSeq)
+    // corrupt: valid ftyp magic, then a box whose size overruns the payload
+    val corrupt = ftyp ++ be32(9999) ++ cc("mdat") ++ cc("XX")
+    val fb = Multimodal.sampleFrames(Seq((1L, corrupt)).toDF("id", "payload"), "payload", n = 4)
+      .collect()
+    assert(fb.length == 4) // byte-slice stand-in: n slices
+  }
+
+  test("AVI movi chunks yield exact frame ranges, odd sizes even-padded") {
+    val f1 = cc("FRAMEONE"); val f2 = cc("F2X") // odd size → pad byte
+    val movi = cc("LIST") ++ le32(4 + 8 + f1.length + 8 + f2.length + 1) ++ cc("movi") ++
+      cc("00dc") ++ le32(f1.length) ++ f1 ++
+      cc("00db") ++ le32(f2.length) ++ f2 ++ Array(0.toByte)
+    val avi = cc("RIFF") ++ le32(4 + movi.length) ++ cc("AVI ") ++ movi
+    val out = Multimodal.sampleFrames(Seq((1L, avi)).toDF("id", "payload"), "payload", n = 4)
+      .orderBy("frame_idx").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Array[Byte]]("frame").toSeq == f1.toSeq)
+    assert(out(1).getAs[Array[Byte]]("frame").toSeq == f2.toSeq)
+    // registered decoder still wins over the header parse (seam priority)
+    Multimodal.videoDecoder = (_, _) => Some(Seq(Array[Byte](7)))
+    try {
+      val dec = Multimodal.sampleFrames(Seq((1L, avi)).toDF("id", "payload"), "payload", n = 4)
+        .collect()
+      assert(dec.length == 1 && dec(0).getAs[Array[Byte]]("frame").toSeq == Seq(7.toByte))
+    } finally Multimodal.videoDecoder = (_, _) => None
+  }
+
   // synthetic image bytes via the same in-JDK encoder ImageIO decodes with
   private def pngBytes(w: Int, h: Int, format: String = "png"): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
