@@ -87,9 +87,17 @@ object Queries7 {
       val qdir = s"/tmp/graft_stream_queries/${dir.replace('/', '_')}_$fp"
       val qFile = new java.io.File(qdir)
       if (!new java.io.File(qFile, "_DONE").exists()) {
+        // stage into a tmp dir and PUBLISH by atomic rename: the landing
+        // dir a concurrent reader lists is fully formed or absent — the
+        // parquet-files-before-_DONE window of the in-place write is gone
+        val tmp = new java.io.File(qdir + ".tmp")
         batch.toDF("query_id", "token", "qw")
-          .coalesce(1).write.mode("overwrite").parquet(qdir)
-        new java.io.File(qFile, "_DONE").createNewFile()
+          .coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+        new java.io.File(tmp, "_DONE").createNewFile()
+        if (!qFile.exists())
+          try java.nio.file.Files.move(tmp.toPath, qFile.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          catch { case _: java.nio.file.FileAlreadyExistsException => () }
       }
       val qStream = s.readStream
         .schema(s.read.parquet(qdir).schema).parquet(qdir)

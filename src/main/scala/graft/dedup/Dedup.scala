@@ -178,17 +178,26 @@ object Dedup {
   private[graft] def bucketPairsPublic(bucketed: DataFrame, keyCols: Seq[String]): DataFrame =
     bucketPairs(bucketed, keyCols)
 
-  /** Eagerly materialize `out` (lineage-truncated local checkpoint), then
-    * release the per-invocation caches. Every dedup entry point persists
-    * shingle / fingerprint / group relations mid-pipeline; without this,
-    * each CALL leaks its caches for the life of the session (the class of
-    * growth ScaleBench had to reclaim externally, measured to OOM the
-    * executor over accumulated passes). Eager materialization also de-fuses
-    * a downstream global sort's range-sampling pass from the candidate
-    * pipeline — unpersisted, the whole pipeline executed twice (measured
-    * 35 s vs 19 s). */
+  /** Eagerly materialize `out` (persist + count), then release the
+    * per-invocation caches. Every dedup entry point persists shingle /
+    * fingerprint / group relations mid-pipeline; without this, each CALL
+    * leaks ALL of them for the life of the session (the growth class
+    * ScaleBench had to reclaim externally, measured to OOM the executor
+    * over accumulated passes). After this, only the single bounded RESULT
+    * cache outlives the call — the relation the caller is actively using;
+    * long-lived services release it like any result set (Spark LRU backs
+    * them up). Eager materialization also de-fuses a downstream global
+    * sort's range-sampling pass from the candidate pipeline — unpersisted,
+    * the whole pipeline executed twice (measured 35 s vs 19 s).
+    *
+    * NOT localCheckpoint: Dataset.localCheckpoint materializes through
+    * `.rdd`, which compiles the physical plan WITHOUT adaptive execution —
+    * the candidate pipeline's runtime broadcast-join conversions revert to
+    * sort-merge joins (measured 25 s vs 6 s on the prefix-dedup ×1 curve).
+    * persist + count executes the normal AQE plan. */
   private def finishReleasing(out: DataFrame, caches: DataFrame*): DataFrame = {
-    val r = out.localCheckpoint(true)
+    val r = out.persist()
+    r.count()
     caches.foreach(_.unpersist(blocking = false))
     r
   }
@@ -699,22 +708,51 @@ object Dedup {
         sig
       }
     })
-    // only (table, bucket, id) flows through pair generation; vectors join
+    // DUPLICATE-VECTOR COLLAPSE (the ngram rep-collapse, vector form):
+    // identical embeddings have identical buckets AND identical cosine
+    // against every third vector, so the quadratic bucket/verify work runs
+    // once per GROUP and pairs expand afterwards as a linear emission. In
+    // the duplication regime (every vector replicated m×) this turns
+    // Σ C(m·b, 2) per-bucket comparisons into Σ C(b, 2) — measured 106 s
+    // at ×10 verbatim replication without it. Group key = xxhash64 of the
+    // vector; a collision conflates two distinct vectors with probability
+    // ~|vecs|²/2^65 — the same accepted odds as the shingle-hash keys.
+    val keyed = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .withColumn("__g", xxhash64(col("v")))
+    val reps = keyed.groupBy(col("__g"))
+      .agg(min(col("id")).as("rid"), sort_array(collect_list(col("id"))).as("members"),
+        first(col("v")).as("v"))
+      .persist()
+    val repVecs = reps.select(col("rid").as("id"), col("v"),
+      sqrt(VectorExpressions.dense_dot(col("v"), col("v"))).as("nrm"))
+    // only (table, bucket, rid) flows through pair generation; vectors join
     // back after dedup (narrow shuffle — see SCALE.md)
-    val bucketed = df
-      .select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("buckets", bucketUdf(col("v")))
-      .select(col("id"), posexplode(col("buckets")).as(Seq("table", "bucket")))
-    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      sqrt(VectorExpressions.dense_dot(col(vecCol), col(vecCol))).as("nrm"))
-    bucketPairs(bucketed, Seq("table", "bucket"))
-      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a")), "id_a")
-      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b")), "id_b")
-      .withColumn("cosine", round(
-        when(col("n_a") === 0.0 || col("n_b") === 0.0, lit(0.0))
-          .otherwise(VectorExpressions.dense_dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))), 6))
+    val bucketed = reps
+      .select(col("rid").as("id"), posexplode(bucketUdf(col("v"))).as(Seq("table", "bucket")))
+    def cosine(va: Column, na: Column, vb: Column, nb: Column): Column =
+      round(when(na === 0.0 || nb === 0.0, lit(0.0))
+        .otherwise(VectorExpressions.dense_dot(va, vb) / (na * nb)), 6)
+    val repPairs = bucketPairs(bucketed, Seq("table", "bucket"))
+      .join(repVecs.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a")), "id_a")
+      .join(repVecs.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b")), "id_b")
+      .withColumn("cosine", cosine(col("v_a"), col("n_a"), col("v_b"), col("n_b")))
       .where(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
+    // within-group pairs: cosine computed from the SAME expression with
+    // both sides the group vector (≡ what the pair path would emit —
+    // round-6 float arithmetic, zero-norm groups score 0.0 and drop out)
+    val within = reps.where(size(col("members")) > 1)
+      .withColumn("nrm", sqrt(VectorExpressions.dense_dot(col("v"), col("v"))))
+      .withColumn("cosine", cosine(col("v"), col("nrm"), col("v"), col("nrm")))
+      .where(col("cosine") >= threshold)
+      .select(explode(withinPairsUdf(col("members"))).as("p"), col("cosine"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"), col("cosine"))
+    val cross = repPairs
+      .join(reps.select(col("rid").as("id_a"), col("members").as("__ma")), "id_a")
+      .join(reps.select(col("rid").as("id_b"), col("members").as("__mb")), "id_b")
+      .select(explode(crossPairsUdf(col("__ma"), col("__mb"))).as("p"), col("cosine"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"), col("cosine"))
+    finishReleasing(within.unionByName(cross), reps)
   }
 
   // ------------------------------------------------------- cluster resolve
