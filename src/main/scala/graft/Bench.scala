@@ -55,28 +55,38 @@ object Bench {
     // "regression" was exactly that noise. The median of 3 is stable enough
     // to make round-over-round deltas meaningful.
     val passes = 3
-    val times = Array.fill(passes) {
+    // A failed query records NO time (None), not its time-to-exception —
+    // r7 counted four broken streaming queries' 70 ms throw latency as
+    // bench results, so the summary claimed 96 healthy queries it didn't
+    // have. Failures surface as "err" entries + n_failed downstream.
+    val times: Array[Map[String, Option[Double]]] = Array.fill(passes) {
       val t = names.map { name =>
         val t0 = System.nanoTime()
-        try force(name)
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { force(name); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+        name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
       }.toMap
       dropPassGarbage()
       t
     }
-    val results = names.map { name =>
-      val ts = times.map(_(name)).sorted
-      name -> ts(passes / 2)
-    }
+    val byName = names.map { name => name -> times.flatMap(_(name)).sorted }
+    // failed = did not complete every timed pass (a deterministic breakage
+    // fails all three; a flaky one still taints the median)
+    val failedNames = byName.collect { case (n, ts) if ts.length < passes => n }
+    val results = byName.collect { case (n, ts) if ts.length == passes =>
+      n -> ts(passes / 2) }
     // Locale.ROOT: f"" interpolation uses the JVM default locale, and a
     // comma-decimal locale (de_DE) would emit invalid JSON ("q":1,2345).
     def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     // 4-decimal times keep the side-file JSON compact without losing bench
     // signal (run-to-run drift is ±30%)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
+    val qs = (results.map { case (k, v) => "\"" + k + "\":" + num(v) } ++
+      failedNames.map(n => "\"" + n + "\":\"err\"")).mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val (maxName, maxT) = results.maxBy(_._2)
+    val (maxName, maxT) =
+      if (results.nonEmpty) results.maxBy(_._2) else ("none", 0.0)
     // Scaling-curve evidence (graft.ScaleBench, measured offline at ×1/×3/×10
     // replication of sf0.1 — see SCALE.md): embed the LATEST committed round's
     // artifacts, stamped with their source round so a reader can tell fresh
@@ -126,7 +136,7 @@ object Bench {
       java.nio.file.Paths.get(outFile),
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] write $outFile failed: ${e.getMessage}") }
-    val summary = s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir","max_query":"$maxName","max_query_s":${num(maxT)},"detail":"$outFile"$scalingSrc}"""
+    val summary = s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failedNames.size},"sf":"$sfDir","max_query":"$maxName","max_query_s":${num(maxT)},"detail":"$outFile"$scalingSrc}"""
     println(summary)
     spark.stop()
   }

@@ -60,14 +60,13 @@ object Queries4 {
 
     // event sessionization: 30-min-gap sessions per user (gaps-and-islands)
     "q_sessionize" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = t(s, dir, "events") // ts is Long nanos under nanosAsLong
-      val wUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val ev = SparkEntry.eventsWithTsNs(s, dir) // normalized ts_ns: Long
+      val wUser = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
       val gapNs = 30L * 60 * 1000 * 1000 * 1000
       val sessions = ev
-        .withColumn("prev_ts", lag(col("ts"), 1).over(wUser))
+        .withColumn("prev_ts", lag(col("ts_ns"), 1).over(wUser))
         .withColumn("new_session",
-          when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapNs, 1L).otherwise(0L))
+          when(col("prev_ts").isNull || col("ts_ns") - col("prev_ts") > gapNs, 1L).otherwise(0L))
         .withColumn("session_id", sum(col("new_session")).over(
           wUser.rowsBetween(Window.unboundedPreceding, 0)))
       sessions

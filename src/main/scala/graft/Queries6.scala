@@ -168,9 +168,9 @@ object Queries6 {
     // the batch answer — batch/stream parity under the hard gate.
     "q_stream_windowed" -> ((s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = streamOf(s, dir, "events") // ts: ns-precision → long
+      val ev = SparkEntry.withTsNs(streamOf(s, dir, "events")) // normalized ts_ns
       val agg = ev
-        .withColumn("ts_sec", timestamp_seconds(expr("ts div 1000000000")))
+        .withColumn("ts_sec", timestamp_seconds(expr("ts_ns div 1000000000")))
         .groupBy(col("event_type"), window(col("ts_sec"), "1 hour"))
         .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("sum_value"))
       runAvailableNow(agg, "complete")
@@ -211,8 +211,8 @@ object Queries6 {
     "q_stream_sessionize" -> ((s, dir) => {
       import s.implicits._
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = streamOf(s, dir, "events")
-        .select(col("user_id"), col("ts").as("ts_ns"))
+      val ev = SparkEntry.withTsNs(streamOf(s, dir, "events"))
+        .select(col("user_id"), col("ts_ns"))
         .as[StreamingSessionize.Event]
       runAvailableNow(StreamingSessionize.sessionizeAppend(ev).toDF(), "append")
         .select(col("user_id"), col("n_sessions"), col("n_events"))

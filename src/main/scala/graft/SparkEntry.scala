@@ -22,6 +22,34 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Schema-adaptive events loader — the ONE place event time is read.
+    * The testdata has shipped `events.ts` both as ns-int64 parquet
+    * (readable only under the nanosAsLong legacy conf) and as
+    * timestamp[us] (TIMESTAMP_NTZ in Spark 4). Normalize either to an
+    * explicit `ts_ns: Long` column so every event-time operator — batch
+    * and streaming — computes on one time axis. The session TZ is pinned
+    * UTC everywhere (Verify/Bench/tests), so the NTZ→TIMESTAMP cast is
+    * micros-exact; DuckDB's `epoch_ns(ts)` on the same parquet agrees. */
+  private[graft] def eventsWithTsNs(spark: SparkSession, dir: String): DataFrame = {
+    // harmless for µs fixtures; required to even READ the ns-int64 ones
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    withTsNs(t(spark, dir, "events"))
+  }
+
+  /** Add `ts_ns: Long` derived from whatever type `ts` loaded as. Works on
+    * batch and streaming frames alike (pure projection). */
+  private[graft] def withTsNs(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    events.schema("ts").dataType match {
+      case LongType => events.withColumn("ts_ns", col("ts"))
+      case TimestampNTZType | TimestampType =>
+        events.withColumn("ts_ns",
+          unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case other => throw new IllegalArgumentException(
+        s"events.ts has unsupported type $other (expected long ns or timestamp)")
+    }
+  }
+
   /** Ingest-time enrichment cache: the `tokens` and `emb` columns are
     * written ONCE at ingest in a real deployment (Enrich.sparseEncoding /
     * textEmbedding), not recomputed per query — memoize the enriched corpus
@@ -214,14 +242,11 @@ object SparkEntry {
     }),
 
     "q_events_hourly" -> ((s, dir) => {
-      // events.ts is ns-precision parquet, which Spark 4 only reads with the
-      // nanosAsLong legacy conf (dynamic SQL conf — safe to set per query).
-      // Hour bucketing is integer math on the nanos (ts is ~1.7e18, beyond
-      // double precision, so `div`, not floating division).
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      t(s, dir, "events")
+      // Hour bucketing is integer math on the nanos (ts_ns is ~1.7e18,
+      // beyond double precision, so `div`, not floating division).
+      eventsWithTsNs(s, dir)
         .groupBy(col("event_type"),
-          (expr("ts div 3600000000000") * lit(3600000L)).as("hour_ms"))
+          (expr("ts_ns div 3600000000000") * lit(3600000L)).as("hour_ms"))
         .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("sum_value"))
         .orderBy(col("event_type"), col("hour_ms"))
     }),

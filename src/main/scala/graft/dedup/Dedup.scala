@@ -708,6 +708,31 @@ object Dedup {
         sig
       }
     })
+    val keyed = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    def cosine(va: Column, na: Column, vb: Column, nb: Column): Column =
+      round(when(na === 0.0 || nb === 0.0, lit(0.0))
+        .otherwise(VectorExpressions.dense_dot(va, vb) / (na * nb)), 6)
+    // CHEAP DUPLICATE PROBE gating the collapse machinery below: ONE
+    // map-side-combinable aggregation over the vector hashes (partial
+    // count-distinct per partition, no vector shuffle) decides the regime.
+    // Duplicate-free corpora — the common case — skip the rep groupBy and
+    // the two member-expansion joins, which cost ~4× at sf0.1 for zero
+    // benefit; replicated corpora keep the Σ C(b,2) collapse win.
+    val nAll = keyed.agg(
+      count(lit(1)).as("n"), countDistinct(xxhash64(col("v"))).as("nd")).head()
+    if (nAll.getLong(1) == nAll.getLong(0)) {
+      // no duplicate vectors: bucket/verify directly over the corpus
+      val vecs = keyed
+        .withColumn("nrm", sqrt(VectorExpressions.dense_dot(col("v"), col("v"))))
+      val bucketed = keyed
+        .select(col("id"), posexplode(bucketUdf(col("v"))).as(Seq("table", "bucket")))
+      return bucketPairs(bucketed, Seq("table", "bucket"))
+        .join(vecs.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a")), "id_a")
+        .join(vecs.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b")), "id_b")
+        .withColumn("cosine", cosine(col("v_a"), col("n_a"), col("v_b"), col("n_b")))
+        .where(col("cosine") >= threshold)
+        .select(col("id_a"), col("id_b"), col("cosine"))
+    }
     // DUPLICATE-VECTOR COLLAPSE (the ngram rep-collapse, vector form):
     // identical embeddings have identical buckets AND identical cosine
     // against every third vector, so the quadratic bucket/verify work runs
@@ -717,9 +742,7 @@ object Dedup {
     // at ×10 verbatim replication without it. Group key = xxhash64 of the
     // vector; a collision conflates two distinct vectors with probability
     // ~|vecs|²/2^65 — the same accepted odds as the shingle-hash keys.
-    val keyed = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-      .withColumn("__g", xxhash64(col("v")))
-    val reps = keyed.groupBy(col("__g"))
+    val reps = keyed.withColumn("__g", xxhash64(col("v"))).groupBy(col("__g"))
       .agg(min(col("id")).as("rid"), sort_array(collect_list(col("id"))).as("members"),
         first(col("v")).as("v"))
       .persist()
@@ -729,9 +752,6 @@ object Dedup {
     // back after dedup (narrow shuffle — see SCALE.md)
     val bucketed = reps
       .select(col("rid").as("id"), posexplode(bucketUdf(col("v"))).as(Seq("table", "bucket")))
-    def cosine(va: Column, na: Column, vb: Column, nb: Column): Column =
-      round(when(na === 0.0 || nb === 0.0, lit(0.0))
-        .otherwise(VectorExpressions.dense_dot(va, vb) / (na * nb)), 6)
     val repPairs = bucketPairs(bucketed, Seq("table", "bucket"))
       .join(repVecs.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a")), "id_a")
       .join(repVecs.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b")), "id_b")

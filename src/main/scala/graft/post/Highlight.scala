@@ -221,7 +221,16 @@ object Highlight {
     * window are dropped (empty highlights). */
   def answerSpans(results: DataFrame, queryText: String, textCol: String,
       maxWindow: Int = 8): DataFrame = {
+    // asNondeterministic is a PLAN constraint, not a semantics one (the
+    // kernel is pure): a deterministic UDF lets Catalyst push the derived
+    // `isnotnull(UDF(text))` filter below the caller's top-k join onto the
+    // full corpus scan (the O(corpus × window²) kernel then runs over every
+    // document for a k-row result) and re-evaluates the UDF once per
+    // projected struct field. Nondeterministic blocks both: one evaluation
+    // per surviving row, strictly above the join. PlansSpec asserts the
+    // placement.
     val u = udf((d: String) => answerSpan(queryText, d, maxWindow))
+      .asNondeterministic().withName("answer_span")
     results
       .withColumn("a", u(col(textCol)))
       .where(col("a").isNotNull)

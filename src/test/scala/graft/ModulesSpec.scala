@@ -166,6 +166,23 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh == Set((1L, 2L)))
   }
+
+  test("embedding LSH duplicate-vector regime: collapse branch matches brute") {
+    // verbatim duplicates trip the probe gate → rep-collapse path: pairs
+    // must come back expanded (within-group AND cross-group × members)
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f, 0f, 1f, 0f, 0f, 1f)),
+      (2L, Array(1f, 0f, 0f, 0f, 1f, 0f, 0f, 1f)), // verbatim dup of 1
+      (3L, Array(1f, 0f, 0.1f, 0f, 1f, 0f, 0f, 1f)), // near-dup of 1/2
+      (4L, Array(0f, 1f, 0f, 1f, 0f, 0f, 1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val brute = Dedup.embeddingNearDupBrute(vecs, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingNearDupLsh(vecs, dim = 8, threshold = 0.95, nbits = 4, tables = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == brute)
+    assert(Set((1L, 2L), (1L, 3L), (2L, 3L)).subsetOf(lsh))
+  }
 }
 
 class AnnSpec extends SparkSpec {

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+
+/** Plan-SHAPE regression gate. Two past regressions were invisible to the
+  * row/schema/hash correctness gate because results stayed right while cost
+  * exploded:
+  *  - the answer-span UDF's derived `isnotnull(UDF(text))` filter was pushed
+  *    below the top-k join onto the full corpus scan, running the
+  *    O(window²·len) span kernel over every document for a k-row result;
+  *  - the collapse/sort key side of the hybrid pipeline could silently stop
+  *    broadcasting, shuffling the combined-result join instead.
+  * These tests pin the EXECUTED plan shape, not the output.
+  */
+class PlansSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  /** AQE wraps executedPlan in AdaptiveSparkPlanExec (a leaf until run) —
+    * disable it for plan introspection so collect() sees the real tree. */
+  private def withoutAqe[T](f: => T): T = {
+    val key = "spark.sql.adaptive.enabled"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try f finally spark.conf.set(key, old)
+  }
+
+  private def joinSubtrees(df: DataFrame) =
+    df.queryExecution.executedPlan.collect {
+      case j if j.nodeName.toLowerCase.contains("join") => j
+    }
+
+  test("q_highlight_spans: span UDF evaluates strictly above every join") {
+    withoutAqe {
+      val df = SparkEntry.queries("q_highlight_spans")(spark, dir)
+      val joins = joinSubtrees(df)
+      assert(joins.nonEmpty, s"expected a join in:\n${df.queryExecution.executedPlan}")
+      // the named span UDF must not appear anywhere BELOW a join (the
+      // ingest-time encode/embed UDFs inside the cached corpus relation are
+      // fine — they are ingest cost, not per-query cost)
+      joins.foreach { j =>
+        assert(!j.toString.contains("answer_span("),
+          s"span UDF pushed below a join (runs over the corpus, not the top-k):\n$j")
+      }
+      assert(df.queryExecution.executedPlan.toString.contains("answer_span("),
+        "span UDF missing from the plan entirely")
+    }
+  }
+
+  test("hybrid collapse: key relation joins as a broadcast hash join") {
+    withoutAqe {
+      val df = SparkEntry.queries("q_hybrid_collapse")(spark, dir)
+      val bhj = df.queryExecution.executedPlan.collect {
+        case j: BroadcastHashJoinExec => j
+      }
+      assert(bhj.nonEmpty,
+        s"collapse-key join is not broadcast:\n${df.queryExecution.executedPlan}")
+    }
+  }
+}
