@@ -32,4 +32,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Bench/ScaleBench compile ~100 distinct whole-stage-codegen plans per
+  // corpus dir in one JVM; the default 240 MB code cache fills late in the
+  // suite, the JIT shuts off, and the LAST queries run interpreted (a
+  // silent 5× cliff on whatever happens to run late — measured on the
+  // r8 disjoint suite: simhash ×10 15.1 s in-suite vs 2.9 s narrowed).
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -139,21 +139,36 @@ object ScaleBench {
         catch { case e: Throwable => System.err.println(s"[scale] warmup $q x$f: ${e.getMessage}") }
         dropPassGarbage()
       }
-      val t = queries.map { q =>
-        val ts = (1 to passes).map { _ =>
+      // Round-interleaved timing: pass p runs EVERY query once before pass
+      // p+1 starts. A time-correlated slow window (external machine load,
+      // page-cache churn) then inflates ONE pass of many queries instead of
+      // every pass of whichever queries it happened to cover, and the
+      // per-query median over passes rejects it. With consecutive per-query
+      // passes, three otherwise-identical r8 ×10 suites measured three
+      // DIFFERENT contiguous "slow" query sets (e.g. simhash 15.1 s
+      // in-suite vs 2.9 s in a narrowed re-run) — pure scheduling artifact.
+      val byPass = (1 to passes).map { _ =>
+        queries.map { q =>
           val t0 = System.nanoTime()
           try force(q, dir)
           catch { case e: Throwable => System.err.println(s"[scale] $q x$f: ${e.getMessage}") }
           val dt = (System.nanoTime() - t0) / 1e9
           dropPassGarbage()
-          dt
-        }.sorted
+          q -> dt
+        }.toMap
+      }
+      val t = queries.map { q =>
+        val ts = byPass.map(_(q)).sorted
         q -> ts(passes / 2)
       }.toMap
       results(f) = t
       queries.foreach { q =>
         println(f"[scale] x$f%-3d $q%-24s ${t(q)}%7.2fs")
       }
+      // drop this factor's ingest memos before the next one: holding all
+      // factors' corpus caches at once polluted the ×10 cells (see
+      // SparkEntry.releaseDirMemos)
+      SparkEntry.releaseDirMemos(spark, dir)
     }
     // per-query scaling factor table vs the smallest factor
     val base = results(factors.head)

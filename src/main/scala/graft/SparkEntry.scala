@@ -109,6 +109,31 @@ object SparkEntry {
       graft.ml.MllibVectorizer.buildTfIdfIndex(t(s, d, "documents"))
     })
 
+  /** Release every per-(session, dir) ingest memo. ScaleBench measures
+    * several corpus dirs in one session; holding three corpora's token/emb
+    * caches and index relations SIMULTANEOUSLY is pure storage+GC pressure
+    * (measured: the r8 full-suite ×10 cells ran 4-8× slower than the same
+    * queries in a narrowed session — simhash 11.5s vs 2.9s, ann_cosine
+    * 1.27s vs 0.14s — with no code difference). Bench/Verify never need
+    * this: they run one dir per process. */
+  private[graft] def releaseDirMemos(spark: SparkSession, dir: String): Unit = {
+    val key = (spark, dir)
+    Option(corpusCache.remove(key)).foreach(_.unpersist(blocking = false))
+    Seq(seismicCache, seismicTruncCache).foreach { c =>
+      Option(c.remove(key)).foreach { ix =>
+        ix.clusters.unpersist(blocking = false)
+        ix.summaries.unpersist(blocking = false)
+      }
+    }
+    Option(mllibMinhashCache.remove(key)).foreach { ix =>
+      Seq(ix.sigs, ix.shingleHashes, ix.banded).foreach(_.unpersist(blocking = false))
+    }
+    Option(mllibTfIdfCache.remove(key)).foreach { ix =>
+      Seq(ix.features, ix.termTf, ix.dfreq, ix.docNorm)
+        .foreach(_.unpersist(blocking = false))
+    }
+  }
+
   private[graft] val encodeUdf = udf((s: String) => HashEmbedder.encode(s))
   private[graft] def embedUdf(dim: Int) = udf((s: String) => HashEmbedder.embed(s, dim))
 

@@ -392,21 +392,24 @@ object QueryCompiler {
     * one AgentStepsSearchExtBuilder ext section per response; the
     * relational (cross-engine-hashable) encoding is a constant column per
     * hit row, null when the corresponding include flag is off — with both
-    * flags off the processor's no-attribute branch returns the response
-    * unchanged, so this returns `hits` as-is. memory_id is always null
-    * here (stateless rule translator) and, matching the processor's
-    * null-skip, is omitted entirely. */
+    * flags off AND no memory id the processor's no-attribute branch returns
+    * the response unchanged, so this returns `hits` as-is. memory_id rides
+    * along UNGATED by the include flags (the processor reads it
+    * unconditionally, AgenticContextResponseProcessor.java:64) and is
+    * omitted entirely when absent, matching the null-skip branch. */
   def attachAgentContext(hits: DataFrame, subs: Seq[SubquerySpec],
       k: Int = HybridLimits.DefaultK,
       includeAgentSteps: Boolean = true,
-      includeDslQuery: Boolean = true): DataFrame = {
-    if (!includeAgentSteps && !includeDslQuery) return hits
+      includeDslQuery: Boolean = true,
+      memoryId: Option[String] = None): DataFrame = {
+    if (!includeAgentSteps && !includeDslQuery && memoryId.isEmpty) return hits
     val steps =
       if (includeAgentSteps) lit(AgentContext.stepsSummary(subs))
       else lit(null).cast("string")
     val dsl =
       if (includeDslQuery) lit(AgentContext.dslQuery(subs, k))
       else lit(null).cast("string")
-    hits.withColumn("agent_steps", steps).withColumn("dsl_query", dsl)
+    val out = hits.withColumn("agent_steps", steps).withColumn("dsl_query", dsl)
+    memoryId.fold(out)(m => out.withColumn("memory_id", lit(m)))
   }
 }

@@ -126,6 +126,36 @@ object RuleBasedTranslator extends QueryTranslator {
     * Capped at the hybrid limit (filters and phrases take priority — they
     * are the constraints the user stated explicitly). */
   def translateWithSchema(naturalLanguage: String, schema: TranslatorSchema): Seq[SubquerySpec] = {
+    val p = translateParts(naturalLanguage, schema)
+    (p.phrases ++ p.filters ++ p.semantic).take(HybridLimits.MaxSubqueries)
+  }
+
+  /** Conversational form (AgenticSearchQueryBuilder.memoryId → the agent's
+    * ML-Commons conversation memory → response ext `memory_id`): prior
+    * turns' FILTER constraints — the conversation state a conversational
+    * agent carries — are re-derived deterministically and merged UNDER the
+    * current turn, latest-binding per (kind, field); a re-stated filter
+    * keeps the position of its first statement. Phrases and semantic
+    * clauses never carry over (each turn's retrieval intent is its own).
+    * The current turn is recorded into the store afterwards. */
+  def translateWithMemory(naturalLanguage: String, schema: TranslatorSchema,
+      memoryId: String, store: AgentMemoryStore): Seq[SubquerySpec] = {
+    val prior = store.turns(memoryId).map(q => translateParts(q, schema))
+    val cur = translateParts(naturalLanguage, schema)
+    val merged = scala.collection.mutable.LinkedHashMap.empty[(String, String), SubquerySpec]
+    (prior.flatMap(_.filters) ++ cur.filters).foreach { f =>
+      merged.update((f.kind, f.field), f)
+    }
+    store.record(memoryId, naturalLanguage)
+    (cur.phrases ++ merged.values.toSeq ++ cur.semantic)
+      .take(HybridLimits.MaxSubqueries)
+  }
+
+  private[graft] case class TranslationParts(phrases: Seq[SubquerySpec],
+      filters: Seq[SubquerySpec], semantic: Seq[SubquerySpec])
+
+  private[graft] def translateParts(naturalLanguage: String,
+      schema: TranslatorSchema): TranslationParts = {
     val field = schema.textFields.headOption.getOrElse("text")
     var rest = naturalLanguage
     val filters = Seq.newBuilder[SubquerySpec]
@@ -159,18 +189,38 @@ object RuleBasedTranslator extends QueryTranslator {
           SubquerySpec("neural", field, queryText = Some(rest)),
           SubquerySpec("neural_sparse", field, queryText = Some(rest)))
       else Seq.empty
-    (phraseSubs ++ filters.result() ++ neuralSubs).take(HybridLimits.MaxSubqueries)
+    TranslationParts(phraseSubs, filters.result(), neuralSubs)
   }
+}
+
+/** Session-scoped conversational memory for the agentic path — the
+  * stand-in for the ML-Commons conversation memory the reference's agent
+  * resumes by `memory_id` (AgenticSearchQueryBuilder.java:60-109 carries
+  * the id; AgenticQueryTranslatorProcessor.java:155-183 threads the
+  * agent-returned id into the request context; the response ext surfaces
+  * it). Holds the raw prior questions per memory id; the deterministic
+  * translator re-derives their constraints on each turn, so the stored
+  * state is exactly what a conversational agent's memory contains —
+  * turns, not compiled queries. */
+final class AgentMemoryStore {
+  private val byId =
+    scala.collection.mutable.LinkedHashMap.empty[String, Vector[String]]
+  def record(memoryId: String, question: String): Unit = synchronized {
+    byId.update(memoryId, byId.getOrElse(memoryId, Vector.empty) :+ question)
+  }
+  def turns(memoryId: String): Seq[String] =
+    synchronized(byId.getOrElse(memoryId, Vector.empty))
 }
 
 /** The agent-context payload the reference threads from the translator to
   * the response ext section (query/ext/AgentStepsSearchExtBuilder fields
   * agent_steps_summary / dsl_query, set by AgenticQueryTranslatorProcessor
   * .executeAgentAsync and attached by AgenticContextResponseProcessor
-  * .processResponse). memory_id has no analogue — the rule translator is
-  * stateless, matching the processor's null-skip branch. Both strings are
-  * pure functions of the translated subqueries, so the oracle can inline
-  * them as literals. */
+  * .processResponse). memory_id threads through [[AgentMemoryStore]] +
+  * RuleBasedTranslator.translateWithMemory and is attached by
+  * attachAgentContext when present (the processor reads it unconditionally
+  * and null-skips). Both strings are pure functions of the translated
+  * subqueries, so the oracle can inline them as literals. */
 object AgentContext {
 
   /** Deterministic steps summary: one clause per translated subquery, in

@@ -202,6 +202,30 @@ class RequestProcessorSpec extends SparkSpec {
     val bare = RuleBasedTranslator.translate("notes under 50 chars in german", Seq("text"))
     assert(!bare.exists(s => s.kind == "range" || s.kind == "term"))
   }
+
+  test("conversational memory carries prior filters, latest turn binds") {
+    val schema = TranslatorSchema(Seq("text"),
+      langField = Some("lang"), charCountField = Some("n_chars"))
+    val store = new AgentMemoryStore
+    val t1 = RuleBasedTranslator.translateWithMemory(
+      "find docs about joins in german over 200 chars", schema, "m1", store)
+    // first turn behaves exactly like the stateless translation
+    assert(t1 == RuleBasedTranslator.translateWithSchema(
+      "find docs about joins in german over 200 chars", schema))
+    // turn 2: new phrase + lang override; the range filter carries over,
+    // the term filter re-binds to the CURRENT turn's value
+    val t2 = RuleBasedTranslator.translateWithMemory(
+      "\"fast scan\" in french", schema, "m1", store)
+    assert(t2.exists(s => s.kind == "range" && s.queryText.contains("200..")))
+    assert(t2.exists(s => s.kind == "term" && s.queryText.contains("fr")))
+    assert(!t2.exists(s => s.queryText.contains("de")))
+    // phrases/semantic clauses never carry over
+    assert(!t2.exists(s => s.kind == "neural" && s.queryText.exists(_.contains("joins"))))
+    // a different memory id sees none of it
+    val other = RuleBasedTranslator.translateWithMemory(
+      "\"fast scan\"", schema, "m2", store)
+    assert(!other.exists(s => s.kind == "range" || s.kind == "term"))
+  }
 }
 
 class ExplainSpec extends SparkSpec {
