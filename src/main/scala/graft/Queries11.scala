@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.text.TrainingData
+
+/** Eleventh bank (round 8): training-data pipeline operators — benchmark
+  * decontamination, deterministic stratified sampling / corpus mixing, and
+  * greedy sequence packing. All three are hard-gate oracled: sampling and
+  * packing are integer/hash-deterministic by construction, decontamination
+  * reuses the exact-Jaccard SQL in bipartite form. */
+object Queries11 {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Per-language keep-quotas in 1024ths — a corpus-mixing spec. */
+  private val MixQuotas = Map(
+    "en" -> 410, "es" -> 307, "de" -> 205, "fr" -> 102, "zh" -> 51)
+
+  private val PackBudget = 256
+  private val PackShards = 16
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // benchmark decontamination: bench split = doc_id % 50 == 0, train =
+    // the rest; flag train docs with 3-gram Jaccard >= 0.5 vs any bench doc
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.decontaminate(
+        docs.where(col("doc_id") % 50 =!= 0),
+        docs.where(col("doc_id") % 50 === 0),
+        threshold = 0.5)
+        .orderBy(col("train_id"), col("bench_id"))
+    }),
+
+    // deterministic stratified sampling under the per-language mixing spec
+    "q_sample_stratified" -> ((s, dir) =>
+      TrainingData.stratifiedSample(t(s, dir, "documents"), "lang", MixQuotas)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
+
+    // greedy token-budget packing over doc_id-mod shards
+    "q_pack_greedy" -> ((s, dir) =>
+      TrainingData.packGreedy(t(s, dir, "documents"), PackBudget, PackShards)
+        .orderBy(col("doc_id")))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    // bipartite exact-Jaccard: same shingle CTE as q_dedup_ngram, split by
+    // the bench predicate; intersection over train x bench postings only
+    "q_decontaminate" ->
+      s"""WITH ${OracleGen.shingleCte(3, "sh")},
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |tr AS (SELECT * FROM sh WHERE doc_id % 50 <> 0),
+        |be AS (SELECT * FROM sh WHERE doc_id % 50 = 0),
+        |inter AS (
+        |  SELECT tr.doc_id AS a, be.doc_id AS b, count(*) AS i
+        |  FROM tr JOIN be ON tr.s = be.s
+        |  GROUP BY 1, 2
+        |)
+        |SELECT a AS train_id, b AS bench_id,
+        |       round(i * 1.0 / (ca.n + cb.n - i), 4) AS jaccard
+        |FROM inter JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b
+        |WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.5
+        |ORDER BY train_id, bench_id""".stripMargin,
+
+    // identical FNV-1a bucket on both engines; 1024 divides 2^32 so the
+    // unsigned SQL modulus equals Java floorMod of the signed hash
+    "q_sample_stratified" ->
+      s"""SELECT doc_id, lang FROM documents
+        |WHERE (${OracleGen.fnvSql("('doc:' || CAST(doc_id AS VARCHAR))")}) % 1024 <
+        |      CASE lang WHEN 'en' THEN 410 WHEN 'es' THEN 307 WHEN 'de' THEN 205
+        |                WHEN 'fr' THEN 102 WHEN 'zh' THEN 51 ELSE 0 END
+        |ORDER BY doc_id""".stripMargin,
+
+    // the greedy accumulator replayed exactly: recursive rank-stepped scan
+    // per shard carrying (pack, running_total) — all-integer arithmetic,
+    // no cross-engine float surface at all
+    "q_pack_greedy" ->
+      s"""WITH RECURSIVE toks AS (
+        |  SELECT doc_id, CAST(doc_id % $PackShards AS INT) AS shard,
+        |         CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+        |                              x -> x <> '')) AS INT) AS tok
+        |  FROM documents
+        |), ranked AS (
+        |  SELECT doc_id, shard, tok,
+        |         row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rk
+        |  FROM toks
+        |), acc AS (
+        |  SELECT doc_id, shard, tok, rk, 0 AS pack, tok AS a
+        |  FROM ranked WHERE rk = 1
+        |  UNION ALL
+        |  SELECT r.doc_id, r.shard, r.tok, r.rk,
+        |         CASE WHEN a.a + r.tok > $PackBudget THEN a.pack + 1 ELSE a.pack END,
+        |         CASE WHEN a.a + r.tok > $PackBudget THEN r.tok ELSE a.a + r.tok END
+        |  FROM acc a JOIN ranked r ON r.shard = a.shard AND r.rk = a.rk + 1
+        |)
+        |SELECT doc_id, shard, CAST(pack AS INT) AS pack_id, tok AS n_tokens
+        |FROM acc ORDER BY doc_id""".stripMargin
+  )
+}

@@ -907,4 +907,43 @@ object Dedup {
       .select(col("id"), col("id").as("cluster_id"))
     labels.union(singletons)
   }
+
+  // --------------------------------------------------------- decontamination
+
+  /** Cross-corpus decontamination: flag TRAIN docs whose n-gram Jaccard
+    * against ANY BENCH doc reaches the threshold — the benchmark-leakage
+    * filter every training-data pipeline runs before a model sees the
+    * corpus. Bipartite form of [[ngramJaccardPairs]]: shingle both sides on
+    * the 64-bit hash, inverted-index JOIN train×bench postings (never a
+    * train×train self-join — cost is Σ_s |train_s|·|bench_s|, not the
+    * dedup quadratic), per-pair intersection counts → Jaccard.
+    *
+    * 100 TB shape: the bench side is an EVAL SET — orders of magnitude
+    * smaller than the corpus. When its shingle postings fit the broadcast
+    * budget, the train side streams map-side with NO shuffle of the big
+    * relation; above the budget it degrades to a shuffle join on the
+    * shingle key (AQE re-picks broadcast at runtime if the estimate was
+    * pessimistic). Returns (train_id, bench_id, jaccard ≥ threshold). */
+  def decontaminate(train: DataFrame, bench: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", n: Int = 3, threshold: Double = 0.5,
+      broadcastBench: Boolean = true): DataFrame = {
+    require(threshold > 0.0, "threshold must be positive (zero-overlap pairs are not materialized)")
+    def shingled(df: DataFrame, out: String): DataFrame =
+      df.select(col(idCol).as(out), explode(shingleCol(col(textCol), n)).as("__s"))
+        .select(col(out), xxhash64(col("__s")).as("s"))
+    val shT = shingled(train, "train_id").persist()
+    val shB = shingled(bench, "bench_id").persist()
+    val cntT = shT.groupBy(col("train_id")).agg(count(lit(1)).as("na"))
+    val cntB = shB.groupBy(col("bench_id")).agg(count(lit(1)).as("nb"))
+    val right = if (broadcastBench) broadcast(shB) else shB
+    val out = shT.join(right, "s")
+      .groupBy(col("train_id"), col("bench_id"))
+      .agg(count(lit(1)).as("i"))
+      .join(cntT, "train_id")
+      .join(broadcast(cntB), "bench_id")
+      .withColumn("__raw", col("i").cast("double") / (col("na") + col("nb") - col("i")))
+      .where(col("__raw") >= threshold)
+      .select(col("train_id"), col("bench_id"), round(col("__raw"), 4).as("jaccard"))
+    finishReleasing(out, shT, shB)
+  }
 }

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.text.TrainingData
+
+class TrainingDataSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String, String)*) =
+    rows.toDF("doc_id", "text", "lang")
+
+  test("stratifiedSample is deterministic and quota-monotone") {
+    val df = (0L until 400L).map(i => (i, s"doc $i", if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "text", "lang")
+    val a = TrainingData.stratifiedSample(df, "lang", Map("en" -> 512, "de" -> 256))
+      .select("doc_id").as[Long].collect().sorted
+    val b = TrainingData.stratifiedSample(df, "lang", Map("en" -> 512, "de" -> 256))
+      .select("doc_id").as[Long].collect().sorted
+    assert(a.sameElements(b), "same spec must select the same docs")
+    // halving a quota can only shrink the stratum, and the kept set nests
+    val half = TrainingData.stratifiedSample(df, "lang", Map("en" -> 256, "de" -> 256))
+      .select("doc_id").as[Long].collect().toSet
+    val full = a.toSet
+    assert(half.subsetOf(full))
+    // rough rate sanity: 512/1024 of the 200 en docs ≈ half
+    assert(full.count(_ % 2 == 0) > 60 && full.count(_ % 2 == 0) < 140)
+  }
+
+  test("stratifiedSample: absent stratum falls to defaultQuota") {
+    val df = docs((1L, "a", "xx"), (2L, "b", "en"))
+    val none = TrainingData.stratifiedSample(df, "lang", Map("en" -> 1024))
+    assert(none.select("doc_id").as[Long].collect().toSet == Set(2L))
+    val all = TrainingData.stratifiedSample(df, "lang", Map("en" -> 1024), defaultQuota = 1024)
+    assert(all.count() == 2)
+  }
+
+  test("packGreedy respects the budget and resets per shard") {
+    val df = (0L until 64L).map(i => (i, Seq.fill(((i % 7) + 1).toInt)("w").mkString(" "), "en"))
+      .toDF("doc_id", "text", "lang")
+    val packed = TrainingData.packGreedy(df, tokenBudget = 10, nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(packed.length == 64)
+    // every (shard, pack) group's token sum fits the budget (no doc here
+    // exceeds it alone)
+    packed.groupBy(p => (p._2, p._3)).foreach { case (_, g) =>
+      assert(g.map(_._4).sum <= 10, s"overfull pack: ${g.mkString(",")}")
+    }
+    // within a shard, pack ids are contiguous from 0 in doc_id order
+    packed.groupBy(_._2).foreach { case (_, g) =>
+      val packs = g.sortBy(_._1).map(_._3)
+      assert(packs.head == 0)
+      packs.sliding(2).foreach { w =>
+        if (w.length == 2) assert(w(1) == w(0) || w(1) == w(0) + 1)
+      }
+    }
+  }
+
+  test("packGreedy: over-budget doc occupies a pack alone; parallelism-invariant") {
+    val df = docs(
+      (0L, "a b c", "en"), (4L, Seq.fill(20)("w").mkString(" "), "en"), (8L, "x y", "en"))
+    val out = TrainingData.packGreedy(df, tokenBudget = 5, nShards = 4)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getInt(2), r.getInt(3)))
+    // all three land in shard 0; the 20-token doc bursts into its own pack
+    assert(out.toSeq == Seq((0L, 0, 3), (4L, 1, 20), (8L, 2, 2)))
+    val repart = TrainingData.packGreedy(df.repartition(7), tokenBudget = 5, nShards = 4)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getInt(2), r.getInt(3)))
+    assert(repart.toSeq == out.toSeq)
+  }
+
+  test("decontaminate flags only cross-corpus pairs and matches self-join semantics") {
+    val train = docs(
+      (1L, "the quick brown fox jumps over the lazy dog", "en"),
+      (2L, "completely different words entirely here now", "en"),
+      (3L, "the quick brown fox jumps over a lazy dog", "en")) // near-dup of bench 10
+    val bench = docs(
+      (10L, "the quick brown fox jumps over the lazy dog", "en"),
+      (11L, "unrelated benchmark text with no overlap", "en"))
+    val out = Dedup.decontaminate(train, bench, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // 1 is an exact copy of 10; 3 is a near-dup of 10; train-train pair
+    // (1,3) must NOT appear
+    assert(out.toSet == Set((1L, 10L), (3L, 10L)))
+    // jaccard for the exact copy is 1.0
+    val exact = Dedup.decontaminate(train, bench, threshold = 0.4)
+      .where($"train_id" === 1L).select("jaccard").as[Double].head()
+    assert(exact == 1.0)
+  }
+}
