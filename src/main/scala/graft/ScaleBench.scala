@@ -37,7 +37,10 @@ object ScaleBench {
     "q_dedup_ngram_prefix", "q_dedup_simhash", "q_dedup_clusters",
     "q_ann_cosine", "q_ann_ivf", "q_mllib_minhash",
     "q_seismic", "q_seismic_batch", "q_sparse_exact", "q_sparse_batch",
-    "q_hybrid_minmax_arith", "q_hybrid_rrf", "q_text_quality")
+    "q_hybrid_minmax_arith", "q_hybrid_rrf", "q_text_quality",
+    // round-8 training-data ops: decontamination joins train×bench postings
+    // (bench side fixed ⇒ expect ~linear), packing is one scan + shuffle
+    "q_decontaminate", "q_pack_greedy", "q_sample_stratified")
 
   // minhash + embedding_lsh ride along in the skewed regimes too: band/
   // hyperplane buckets are exactly where shared-vocab and boilerplate skew
