@@ -44,7 +44,17 @@ object Queries11 {
     // greedy token-budget packing over doc_id-mod shards
     "q_pack_greedy" -> ((s, dir) =>
       TrainingData.packGreedy(t(s, dir, "documents"), PackBudget, PackShards)
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // dedup resolution: near-dup clusters -> canonical keeper per cluster
+    // (longest doc, ties to lowest id) -> full-corpus keep-list
+    "q_dedup_keep" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, threshold = 0.5)
+        .select(col("id_a"), col("id_b"))
+      val labels = Dedup.resolveClusters(pairs, docs.select(col("doc_id").as("id")))
+      Dedup.keepCanonical(labels, docs).orderBy(col("doc_id"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -98,6 +108,35 @@ object Queries11 {
         |  FROM acc a JOIN ranked r ON r.shard = a.shard AND r.rk = a.rk + 1
         |)
         |SELECT doc_id, shard, CAST(pack AS INT) AS pack_id, tok AS n_tokens
-        |FROM acc ORDER BY doc_id""".stripMargin
+        |FROM acc ORDER BY doc_id""".stripMargin,
+
+    // same transitive-closure labels as q_dedup_clusters, then the keeper
+    // rank (n_chars DESC, id ASC) per cluster — all-integer output
+    "q_dedup_keep" ->
+      s"""WITH RECURSIVE ${OracleGen.shingleCte(3, "sh")},
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+        |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2
+        |), pr AS (
+        |  SELECT a AS id_a, b AS id_b
+        |  FROM inter JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b
+        |  WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.5
+        |), edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pr
+        |  UNION ALL SELECT id_b, id_a FROM pr
+        |), reach(src, dst) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+        |), labels AS (
+        |  SELECT src AS id, min(dst) AS cluster_id FROM reach GROUP BY src
+        |)
+        |SELECT l.id AS doc_id, l.cluster_id,
+        |       (row_number() OVER (PARTITION BY l.cluster_id
+        |                           ORDER BY d.n_chars DESC, l.id ASC) = 1) AS kept
+        |FROM labels l JOIN documents d ON d.doc_id = l.id
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -908,6 +908,26 @@ object Dedup {
     labels.union(singletons)
   }
 
+  // ------------------------------------------------------ canonical keepers
+
+  /** Dedup RESOLUTION: given cluster labels (id, cluster_id) from
+    * [[resolveClusters]] and the corpus, decide which copy of each
+    * near-dup group survives — the standard training-data policy keeps
+    * the LONGEST doc (quality proxy), ties to the lowest id. Returns the
+    * full corpus keep-list (doc_id, cluster_id, kept); the deduplicated
+    * corpus is `kept` = true. The rank window partitions by cluster —
+    * near-dup groups are small by construction, so no skewed partition
+    * forms at any corpus size (singletons are their own cluster). */
+  def keepCanonical(labels: DataFrame, docs: DataFrame, idCol: String = "doc_id",
+      lengthCol: String = "n_chars"): DataFrame = {
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col(lengthCol).desc, col("id").asc)
+    labels
+      .join(docs.select(col(idCol).as("id"), col(lengthCol)), "id")
+      .withColumn("kept", row_number().over(w) === 1)
+      .select(col("id").as(idCol), col("cluster_id"), col("kept"))
+  }
+
   // --------------------------------------------------------- decontamination
 
   /** Cross-corpus decontamination: flag TRAIN docs whose n-gram Jaccard

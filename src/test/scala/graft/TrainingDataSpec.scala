@@ -69,6 +69,17 @@ class TrainingDataSpec extends SparkSpec {
     assert(repart.toSeq == out.toSeq)
   }
 
+  test("keepCanonical keeps the longest doc per cluster, ties to lowest id") {
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L))
+      .toDF("id", "cluster_id")
+    val docs = Seq((1L, 50), (2L, 80), (3L, 80), (7L, 10))
+      .toDF("doc_id", "n_chars")
+    val out = Dedup.keepCanonical(labels, docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    // 2 and 3 tie on length; 2 wins on id. singleton 7 keeps itself
+    assert(out == Set((1L, 1L, false), (2L, 1L, true), (3L, 1L, false), (7L, 7L, true)))
+  }
+
   test("decontaminate flags only cross-corpus pairs and matches self-join semantics") {
     val train = docs(
       (1L, "the quick brown fox jumps over the lazy dog", "en"),
