@@ -46,6 +46,12 @@ object Queries11 {
       TrainingData.packGreedy(t(s, dir, "documents"), PackBudget, PackShards)
         .orderBy(col("doc_id"))),
 
+    // Gopher-rules repetition signals per doc (top-unigram / top-bigram /
+    // repeated-trigram fractions)
+    "q_quality_repetition" -> ((s, dir) =>
+      graft.text.TextAnalysis.repetition(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+
     // dedup resolution: near-dup clusters -> canonical keeper per cluster
     // (longest doc, ties to lowest id) -> full-corpus keep-list
     "q_dedup_keep" -> ((s, dir) => {
@@ -109,6 +115,43 @@ object Queries11 {
         |)
         |SELECT doc_id, shard, CAST(pack AS INT) AS pack_id, tok AS n_tokens
         |FROM acc ORDER BY doc_id""".stripMargin,
+
+    // per-position gram counts via ordinality self-joins; all three
+    // fractions divide the same integers the engine divides
+    "q_quality_repetition" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS p,
+        |         generate_subscripts(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> ''), 1) AS ord
+        |  FROM documents
+        |), uni AS (
+        |  SELECT doc_id, round(max(c) * 1.0 / sum(c), 6) AS f
+        |  FROM (SELECT doc_id, p, count(*) AS c FROM tk GROUP BY 1, 2) GROUP BY doc_id
+        |), big0 AS (
+        |  SELECT a.doc_id, a.p || ' ' || b.p AS g
+        |  FROM tk a JOIN tk b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+        |), big AS (
+        |  SELECT doc_id, round(max(c) * 1.0 / sum(c), 6) AS f
+        |  FROM (SELECT doc_id, g, count(*) AS c FROM big0 GROUP BY 1, 2) GROUP BY doc_id
+        |), tri0 AS (
+        |  SELECT a.doc_id, a.p || ' ' || b.p || ' ' || c.p AS g
+        |  FROM tk a
+        |  JOIN tk b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+        |  JOIN tk c ON c.doc_id = a.doc_id AND c.ord = a.ord + 2
+        |), tri AS (
+        |  SELECT doc_id,
+        |         round(sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / sum(c), 6) AS f
+        |  FROM (SELECT doc_id, g, count(*) AS c FROM tri0 GROUP BY 1, 2) GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |       coalesce(uni.f, 0.0) AS top_unigram_frac,
+        |       coalesce(big.f, 0.0) AS top_bigram_frac,
+        |       coalesce(tri.f, 0.0) AS dup_trigram_frac
+        |FROM documents d
+        |LEFT JOIN uni ON uni.doc_id = d.doc_id
+        |LEFT JOIN big ON big.doc_id = d.doc_id
+        |LEFT JOIN tri ON tri.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // same transitive-closure labels as q_dedup_clusters, then the keeper
     // rank (n_chars DESC, id ASC) per cluster — all-integer output

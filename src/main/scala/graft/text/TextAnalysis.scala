@@ -102,4 +102,45 @@ object TextAnalysis {
     df
       .withColumn("fp_rolling", rollingHashUdf(col(textCol)))
       .withColumn("fp_md5", md5(col(textCol)))
+
+  /** Repetition quality signals (the Gopher-rules family): fraction of
+    * tokens taken by the most common unigram, fraction of bigram positions
+    * taken by the most common bigram, and the fraction of trigram positions
+    * covered by ANY repeated trigram. High values flag machine-generated /
+    * boilerplate text that simple length/stopword ratios miss. Row-local
+    * single-pass kernel (one HashMap per doc per gram order) — no shuffle,
+    * embarrassingly parallel like the rest of this module; all three
+    * fractions are integer ratios so the oracle divides the same ints. */
+  private val repetitionUdf = udf((s: String) => {
+    val t = HashEmbedder.tokenize(s)
+    def gramStats(order: Int): (Int, Int, Int) = { // (total, maxCount, dupPositions)
+      val total = math.max(t.length - order + 1, 0)
+      if (total == 0) (0, 0, 0)
+      else {
+        val m = scala.collection.mutable.HashMap.empty[String, Int]
+        var i = 0
+        while (i < total) {
+          val g = if (order == 1) t(i) else t.slice(i, i + order).mkString(" ")
+          m.update(g, m.getOrElse(g, 0) + 1)
+          i += 1
+        }
+        var mx = 0; var dup = 0
+        m.valuesIterator.foreach { c => if (c > mx) mx = c; if (c > 1) dup += c }
+        (total, mx, dup)
+      }
+    }
+    val (n1, m1, _) = gramStats(1)
+    val (n2, m2, _) = gramStats(2)
+    val (n3, _, d3) = gramStats(3)
+    (if (n1 == 0) 0.0 else m1.toDouble / n1,
+      if (n2 == 0) 0.0 else m2.toDouble / n2,
+      if (n3 == 0) 0.0 else d3.toDouble / n3)
+  })
+
+  def repetition(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    df.select(col(idCol), repetitionUdf(col(textCol)).as("r"))
+      .select(col(idCol),
+        round(col("r._1"), 6).as("top_unigram_frac"),
+        round(col("r._2"), 6).as("top_bigram_frac"),
+        round(col("r._3"), 6).as("dup_trigram_frac"))
 }

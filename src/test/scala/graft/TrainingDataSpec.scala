@@ -69,6 +69,23 @@ class TrainingDataSpec extends SparkSpec {
     assert(repart.toSeq == out.toSeq)
   }
 
+  test("repetition fractions: hand-computed doc and degenerate lengths") {
+    val df = Seq(
+      (1L, "a a b a"),        // uni: a=3/4; bigrams: "a a"(1,wait) -> see below
+      (2L, "x y x y x y"),    // uni 3/6; bigram "x y"=3 of 5; trigrams "x y x"=2,"y x y"=2 -> dup 4/4
+      (3L, "solo"),           // 1 token: bigram/trigram 0.0
+      (4L, "")                // empty: all 0.0
+    ).toDF("doc_id", "text")
+    val out = graft.text.TextAnalysis.repetition(df).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out(2L) == ((0.5, 0.6, 1.0)))
+    assert(out(3L) == ((1.0, 0.0, 0.0)))
+    assert(out(4L) == ((0.0, 0.0, 0.0)))
+    // doc 1: unigrams a,a,b,a -> top 3/4; bigrams "a a","a b","b a" -> top 1/3;
+    // trigrams "a a b","a b a" -> no repeats
+    assert(out(1L) == ((0.75, 0.333333, 0.0)))
+  }
+
   test("keepCanonical keeps the longest doc per cluster, ties to lowest id") {
     val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L))
       .toDF("id", "cluster_id")
