@@ -23,6 +23,10 @@ object Queries11 {
   private val PackBudget = 256
   private val PackShards = 16
 
+  /** Same term set as q_lexical_bm25 (Queries8) — the norms variant must
+    * differ ONLY in doc-length granularity. */
+  private val Bm25Terms = Seq("spark", "join", "fast", "table", "scan")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // benchmark decontamination: bench split = doc_id % 50 == 0, train =
     // the rest; flag train docs with 3-gram Jaccard >= 0.5 vs any bench doc
@@ -44,6 +48,14 @@ object Queries11 {
     // greedy token-budget packing over doc_id-mod shards
     "q_pack_greedy" -> ((s, dir) =>
       TrainingData.packGreedy(t(s, dir, "documents"), PackBudget, PackShards)
+        .orderBy(col("doc_id"))),
+
+    // BM25 with Lucene's lossy SmallFloat norm byte — full parity with
+    // what a Lucene-backed cluster scores (vs q_lexical_bm25's exact-dl
+    // refinement)
+    "q_lexical_bm25_norms" -> ((s, dir) =>
+      graft.exec.Lexical.bm25Score(t(s, dir, "documents"), Bm25Terms,
+        luceneNorms = true)
         .orderBy(col("doc_id"))),
 
     // Gopher-rules repetition signals per doc (top-unigram / top-bigram /
@@ -115,6 +127,45 @@ object Queries11 {
         |)
         |SELECT doc_id, shard, CAST(pack AS INT) AS pack_id, tok AS n_tokens
         |FROM acc ORDER BY doc_id""".stripMargin,
+
+    // the q_lexical_bm25 oracle with dl routed through the SmallFloat
+    // decoded-value table: encode truncates, so quantize(dl) = max
+    // representable value <= dl — the 256 decodables are inlined from the
+    // SAME Scala encoder the engine scores with
+    "q_lexical_bm25_norms" -> {
+      val inList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      val sqlPat = graft.exec.Lexical.StandardTokenPattern.replace("'", "''")
+      val sqlToks =
+        s"""list_filter(regexp_extract_all(lower(text), '$sqlPat'),
+           |                              x -> regexp_matches(x, '[\\p{L}\\p{N}]'))""".stripMargin
+      val decodable = graft.functions.SmallFloatNorm.decodedValues.distinct.sorted
+        .map(v => s"($v)").mkString(", ")
+      s"""WITH q4(v) AS (VALUES $decodable),
+         |dl0 AS (
+         |  SELECT doc_id, CAST(len($sqlToks) AS DOUBLE) AS dl_exact
+         |  FROM documents
+         |), dl AS (
+         |  SELECT doc_id, dl_exact,
+         |         CAST((SELECT max(v) FROM q4 WHERE v <= dl0.dl_exact) AS DOUBLE) AS dl
+         |  FROM dl0
+         |), stats AS (SELECT count(*) AS n, avg(dl_exact) AS avgdl FROM dl),
+         |toks AS (
+         |  SELECT doc_id,
+         |         unnest($sqlToks) AS token
+         |  FROM documents
+         |), tf AS (
+         |  SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+         |  FROM toks WHERE token IN ($inList) GROUP BY 1, 2
+         |), dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token)
+         |SELECT doc_id, score FROM (
+         |  SELECT t.doc_id,
+         |         round(sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+         |                   * t.tf / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl))), 6) AS score
+         |  FROM tf t JOIN dfq d USING (token) JOIN dl l ON l.doc_id = t.doc_id
+         |  CROSS JOIN stats s
+         |  GROUP BY t.doc_id
+         |) WHERE score > 0.0 ORDER BY doc_id""".stripMargin
+    },
 
     // per-position gram counts via ordinality self-joins; all three
     // fractions divide the same integers the engine divides

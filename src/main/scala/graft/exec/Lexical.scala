@@ -74,22 +74,37 @@ object Lexical {
     * over standard-analyzer tokens — the reference defers `match` scoring
     * to OpenSearch/Lucene core (e.g. query/HybridQueryBuilder.java:56-461
     * wraps arbitrary Lucene queries); this is that scorer's published form.
-    * One divergence: Lucene encodes dl through a lossy SmallFloat norm byte
-    * (25 distinct lengths); we use the EXACT token count — same formula,
-    * strictly finer-grained, and cross-engine reproducible.
+    * Doc-length granularity is a switch: the default scores with the EXACT
+    * token count (finer-grained than a real cluster); `luceneNorms = true`
+    * reproduces Lucene's lossy SmallFloat norm byte
+    * (functions/SmallFloatNorm) — the decoded quantized length feeds the
+    * norm while avgdl stays the exact corpus stat, exactly like
+    * BM25Similarity's per-byte cache. Both variants are oracled
+    * (q_lexical_bm25, q_lexical_bm25_norms).
     *
     * Scale shape: tf explodes only tokens matching the |terms|-literal
     * filter (pushed into the explode); df and the (N, avgdl) scalars are
     * broadcast; dl is a per-row array size — no corpus-keyed shuffle except
     * the (doc, token) tf groupBy, which is bounded by matching tokens. */
+  private val quantizeDlUdf =
+    udf((n: Int) => graft.functions.SmallFloatNorm.quantize(n).toDouble)
+
   def bm25Score(docs: DataFrame, terms: Seq[String], textCol: String = "text",
       docId: String = "doc_id", k1: Double = 1.2, b: Double = 0.75,
-      roundTo: Int = 6): DataFrame = {
+      roundTo: Int = 6, luceneNorms: Boolean = false): DataFrame = {
     val termLit = typedLit(terms.distinct)
+    // luceneNorms: score with the lossy SmallFloat norm byte exactly as
+    // BM25Similarity's per-byte cache does — dl is the decoded quantized
+    // length, while avgdl stays the EXACT sum/count (Lucene's
+    // avgFieldLength comes from exact corpus stats, not the norm bytes)
+    val dlExpr =
+      if (luceneNorms) quantizeDlUdf(size(col("__toks")))
+      else size(col("__toks")).cast("double")
     val withDl = docs.select(col(docId).as("doc_id"),
       standardToks(col(textCol)).as("__toks"))
-      .select(col("doc_id"), col("__toks"), size(col("__toks")).cast("double").as("dl"))
-    val stats = withDl.select(count(lit(1)).as("N"), avg(col("dl")).as("avgdl"))
+      .select(col("doc_id"), col("__toks"), dlExpr.as("dl"),
+        size(col("__toks")).cast("double").as("__dlExact"))
+    val stats = withDl.select(count(lit(1)).as("N"), avg(col("__dlExact")).as("avgdl"))
     val tf = withDl
       .select(col("doc_id"), col("dl"), explode(col("__toks")).as("token"))
       .where(array_contains(termLit, col("token")))
