@@ -64,6 +64,20 @@ object Queries11 {
       graft.text.TextAnalysis.repetition(t(s, dir, "documents"))
         .orderBy(col("doc_id"))),
 
+    // streaming decontamination: the doc stream (train split) flagged
+    // against the static bench corpus — AvailableNow run must hash-equal
+    // the batch bipartite relation (same protocol as the other q_stream_*)
+    "q_stream_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val stream = Queries6.streamOf(s, dir, "documents")
+        .where(col("doc_id") % 50 =!= 0)
+      Queries6.runAvailableNow(
+        graft.streaming.StreamingDecontaminate.flagStream(
+          stream, docs.where(col("doc_id") % 50 === 0), threshold = 0.5),
+        "complete")
+        .orderBy(col("train_id"), col("bench_id"))
+    }),
+
     // dedup resolution: near-dup clusters -> canonical keeper per cluster
     // (longest doc, ties to lowest id) -> full-corpus keep-list
     "q_dedup_keep" -> ((s, dir) => {
@@ -75,11 +89,12 @@ object Queries11 {
     })
   )
 
-  def oracleSql: Map[String, String] = Map(
-    // bipartite exact-Jaccard: same shingle CTE as q_dedup_ngram, split by
-    // the bench predicate; intersection over train x bench postings only
-    "q_decontaminate" ->
-      s"""WITH ${OracleGen.shingleCte(3, "sh")},
+  // bipartite exact-Jaccard: same shingle CTE as q_dedup_ngram, split by
+  // the bench predicate; intersection over train x bench postings only.
+  // Shared verbatim by the batch and streaming forms — identical output is
+  // the batch-parity claim.
+  private val decontaminateSql =
+    s"""WITH ${OracleGen.shingleCte(3, "sh")},
         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         |tr AS (SELECT * FROM sh WHERE doc_id % 50 <> 0),
         |be AS (SELECT * FROM sh WHERE doc_id % 50 = 0),
@@ -92,7 +107,11 @@ object Queries11 {
         |       round(i * 1.0 / (ca.n + cb.n - i), 4) AS jaccard
         |FROM inter JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b
         |WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.5
-        |ORDER BY train_id, bench_id""".stripMargin,
+        |ORDER BY train_id, bench_id""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q_decontaminate" -> decontaminateSql,
+    "q_stream_decontaminate" -> decontaminateSql,
 
     // identical FNV-1a bucket on both engines; 1024 divides 2^32 so the
     // unsigned SQL modulus equals Java floorMod of the signed hash

@@ -97,6 +97,34 @@ class TrainingDataSpec extends SparkSpec {
     assert(out == Set((1L, 1L, false), (2L, 1L, true), (3L, 1L, false), (7L, 7L, true)))
   }
 
+  test("streaming decontamination equals the batch bipartite relation") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val bench = docs(
+      (10L, "the quick brown fox jumps over the lazy dog", "en"),
+      (11L, "unrelated benchmark text with no overlap", "en"))
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val q = graft.streaming.StreamingDecontaminate
+      .flagStream(stream, bench, threshold = 0.4)
+      .writeStream.format("memory").queryName("decon_stream").outputMode("complete").start()
+    mem.addData(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different words entirely here now"),
+      (3L, "the quick brown fox jumps over a lazy dog"))
+    q.processAllAvailable()
+    val streamed = spark.table("decon_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    q.stop()
+    val batch = Dedup.decontaminate(
+      docs((1L, "the quick brown fox jumps over the lazy dog", "en"),
+        (2L, "completely different words entirely here now", "en"),
+        (3L, "the quick brown fox jumps over a lazy dog", "en")),
+      bench, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("decontaminate flags only cross-corpus pairs and matches self-join semantics") {
     val train = docs(
       (1L, "the quick brown fox jumps over the lazy dog", "en"),
