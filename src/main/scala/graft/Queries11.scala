@@ -64,6 +64,17 @@ object Queries11 {
       graft.text.TextAnalysis.repetition(t(s, dir, "documents"))
         .orderBy(col("doc_id"))),
 
+    // embedding-space decontamination: paraphrase leakage the shingle form
+    // misses — train vectors vs the broadcast bench split
+    "q_decontaminate_embedding" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Dedup.decontaminateEmbedding(
+        emb.where(col("vec_id") % 50 =!= 0),
+        emb.where(col("vec_id") % 50 === 0),
+        threshold = 0.45)
+        .orderBy(col("train_id"), col("bench_id"))
+    }),
+
     // streaming decontamination: the doc stream (train split) flagged
     // against the static bench corpus — AvailableNow run must hash-equal
     // the batch bipartite relation (same protocol as the other q_stream_*)
@@ -112,6 +123,21 @@ object Queries11 {
   def oracleSql: Map[String, String] = Map(
     "q_decontaminate" -> decontaminateSql,
     "q_stream_decontaminate" -> decontaminateSql,
+
+    // the q_dedup_embedding oracle shape with the bipartite split predicate
+    "q_decontaminate_embedding" -> {
+      val cos = OracleGen.cosineFromNormsSql("a.v", "b.v", "a.nrm", "b.nrm")
+      s"""WITH emb_n AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+         |  FROM embeddings
+         |)
+         |SELECT train_id, bench_id, cosine FROM (
+         |  SELECT a.vec_id AS train_id, b.vec_id AS bench_id, round($cos, 6) AS cosine
+         |  FROM emb_n a JOIN emb_n b ON a.vec_id % 50 <> 0 AND b.vec_id % 50 = 0)
+         |WHERE cosine >= 0.45
+         |ORDER BY train_id, bench_id""".stripMargin
+    },
 
     // identical FNV-1a bucket on both engines; 1024 divides 2^32 so the
     // unsigned SQL modulus equals Java floorMod of the signed hash

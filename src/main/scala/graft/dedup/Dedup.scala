@@ -966,4 +966,28 @@ object Dedup {
       .select(col("train_id"), col("bench_id"), round(col("__raw"), 4).as("jaccard"))
     finishReleasing(out, shT, shB)
   }
+
+  /** Embedding-space decontamination: flag TRAIN vectors whose cosine vs
+    * ANY BENCH vector reaches the threshold — catches paraphrase leakage
+    * the shingle form misses. The bench side broadcasts whole (an eval
+    * set); the train side is ONE distributed scan against it (broadcast
+    * nested-loop, no shuffle of the big relation, no collect) — cost is
+    * |train|·|bench| dots, embarrassingly parallel over train partitions.
+    * Same hoisted-norm cosine as the dedup pair kernels (NOT dense_cosine's
+    * fused form — last-ulp parity with the oracle). */
+  def decontaminateEmbedding(train: DataFrame, bench: DataFrame,
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      threshold: Double = 0.95): DataFrame = {
+    def side(df: DataFrame, id: String, v: String, n: String): DataFrame =
+      df.select(col(idCol).cast("long").as(id), col(vecCol).as(v),
+        sqrt(VectorExpressions.dense_dot(col(vecCol), col(vecCol))).as(n))
+    side(train, "train_id", "v_a", "n_a")
+      .crossJoin(broadcast(side(bench, "bench_id", "v_b", "n_b")))
+      .withColumn("cosine",
+        round(when(col("n_a") === 0.0 || col("n_b") === 0.0, lit(0.0))
+          .otherwise(VectorExpressions.dense_dot(col("v_a"), col("v_b")) /
+            (col("n_a") * col("n_b"))), 6))
+      .where(col("cosine") >= threshold)
+      .select(col("train_id"), col("bench_id"), col("cosine"))
+  }
 }
