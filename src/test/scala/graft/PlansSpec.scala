@@ -57,4 +57,39 @@ class PlansSpec extends SparkSpec {
         s"collapse-key join is not broadcast:\n${df.queryExecution.executedPlan}")
     }
   }
+
+  test("decontaminate: bench postings enter the intersection join broadcast") {
+    withoutAqe {
+      // the train side must stream against broadcast bench postings — a
+      // shuffle of the big side here is the 100 TB failure mode
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val df = graft.dedup.Dedup.decontaminate(
+        docs.where(org.apache.spark.sql.functions.col("doc_id") % 50 =!= 0),
+        docs.where(org.apache.spark.sql.functions.col("doc_id") % 50 === 0))
+      // the operator returns a persisted relation (finishReleasing), so the
+      // join lives inside the InMemoryRelation's cached plan — assert on
+      // the printed tree, which includes it
+      val plan = df.queryExecution.executedPlan.toString
+      assert("BroadcastHashJoin \\[s#".r.findFirstIn(plan).nonEmpty,
+        s"bench postings not broadcast on the shingle-key join:\n$plan")
+    }
+  }
+
+  test("decontaminateEmbedding: broadcast nested-loop, no shuffle of the train scan") {
+    withoutAqe {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val df = graft.dedup.Dedup.decontaminateEmbedding(
+        emb.where(org.apache.spark.sql.functions.col("vec_id") % 50 =!= 0),
+        emb.where(org.apache.spark.sql.functions.col("vec_id") % 50 === 0),
+        threshold = 0.45)
+      val plan = df.queryExecution.executedPlan
+      assert(plan.toString.contains("BroadcastNestedLoopJoin"),
+        s"bench vectors not broadcast:\n$plan")
+      val exchanges = plan.collect {
+        case e if e.nodeName.contains("Exchange") && !e.nodeName.contains("Broadcast") => e
+      }
+      assert(exchanges.isEmpty,
+        s"train side shuffles before the broadcast join:\n$plan")
+    }
+  }
 }
