@@ -86,6 +86,28 @@ class TrainingDataSpec extends SparkSpec {
     assert(out(1L) == ((0.75, 0.333333, 0.0)))
   }
 
+  test("degenerate inputs: empty bench, empty corpus, null text") {
+    val empty = docs()
+    val corpus = docs((1L, "some words here", "en"))
+    // empty bench -> no flags; empty train -> no flags
+    assert(Dedup.decontaminate(corpus, empty).count() == 0)
+    assert(Dedup.decontaminate(empty, corpus).count() == 0)
+    // packGreedy on empty input and on null text (0 tokens)
+    assert(TrainingData.packGreedy(empty, 10).count() == 0)
+    val withNull = Seq((0L, null.asInstanceOf[String], "en"), (4L, "a b", "en"))
+      .toDF("doc_id", "text", "lang")
+    val packed = TrainingData.packGreedy(withNull, 10)
+      .collect().map(r => (r.getLong(0), r.getInt(3))).toMap
+    assert(packed == Map(0L -> 0, 4L -> 2))
+    // repetition on null text = all zeros
+    val rep = graft.text.TextAnalysis.repetition(withNull)
+      .where($"doc_id" === 0L).collect().head
+    assert(rep.getDouble(1) == 0.0 && rep.getDouble(2) == 0.0 && rep.getDouble(3) == 0.0)
+    // keepCanonical on empty labels
+    assert(Dedup.keepCanonical(empty.select($"doc_id".as("id"), $"doc_id".as("cluster_id")),
+      corpus.withColumn("n_chars", length($"text"))).count() == 0)
+  }
+
   test("keepCanonical keeps the longest doc per cluster, ties to lowest id") {
     val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L))
       .toDF("id", "cluster_id")
