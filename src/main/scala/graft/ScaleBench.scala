@@ -39,8 +39,11 @@ object ScaleBench {
     "q_seismic", "q_seismic_batch", "q_sparse_exact", "q_sparse_batch",
     "q_hybrid_minmax_arith", "q_hybrid_rrf", "q_text_quality",
     // round-8 training-data ops: decontamination joins train×bench postings
-    // (bench side fixed ⇒ expect ~linear), packing is one scan + shuffle
-    "q_decontaminate", "q_pack_greedy", "q_sample_stratified")
+    // (bench side fixed ⇒ expect ~linear), packing is one scan + shuffle,
+    // keeper = pairs + closure + cluster-bounded rank, repetition and
+    // embedding-decontamination are scans
+    "q_decontaminate", "q_pack_greedy", "q_sample_stratified",
+    "q_dedup_keep", "q_quality_repetition", "q_decontaminate_embedding")
 
   // minhash + embedding_lsh ride along in the skewed regimes too: band/
   // hyperplane buckets are exactly where shared-vocab and boilerplate skew
