@@ -64,6 +64,15 @@ object Queries11 {
       graft.text.TextAnalysis.repetition(t(s, dir, "documents"))
         .orderBy(col("doc_id"))),
 
+    // PQ-compressed ANN: seeded codebooks, ADC candidate scan over the
+    // m-int codes, exact-cosine rescore of the window (the 100 TB memory
+    // lever: 256 B/vector -> 4 B)
+    "q_ann_pq" -> ((s, dir) => {
+      val cb = graft.ann.Ann.seededCodebooks(m = 4, ksub = 16, subDim = 16)
+      val encoded = graft.ann.Ann.pqEncode(t(s, dir, "embeddings"), cb)
+      graft.ann.Ann.pqAdcTopK(encoded, cb, SparkEntry.qDense64, k = 10, window = 40)
+    }),
+
     // embedding-space decontamination: paraphrase leakage the shingle form
     // misses — train vectors vs the broadcast bench split
     "q_decontaminate_embedding" -> ((s, dir) => {
@@ -123,6 +132,59 @@ object Queries11 {
   def oracleSql: Map[String, String] = Map(
     "q_decontaminate" -> decontaminateSql,
     "q_stream_decontaminate" -> decontaminateSql,
+
+    // PQ pipeline replicated step for step: codebook literals (the same
+    // seeded Scala arrays), per-subspace rounded argmin assignment
+    // (rn=1 ordered s ASC, code ASC = array_position's first-hit
+    // tie-break), rounded ADC over the rounded lut literals, exact-cosine
+    // rescore of the window
+    "q_ann_pq" -> {
+      import graft.ann.Ann
+      val m = 4; val ksub = 16; val subDim = 16
+      val cb = Ann.seededCodebooks(m, ksub, subDim)
+      val q = SparkEntry.qDense64
+      val cbRows = (for { j <- 0 until m; kk <- 0 until ksub } yield {
+        val c = cb(j)(kk)
+        val csq = c.map(x => x.toDouble * x.toDouble).sum
+        s"($j, $kk, ${OracleGen.doubleList(c)}, $csq)"
+      }).mkString(",\n")
+      val lutRows = (for { j <- 0 until m; kk <- 0 until ksub } yield {
+        var d = 0.0; var i = 0
+        while (i < subDim) { d += q(j * subDim + i).toDouble * cb(j)(kk)(i).toDouble; i += 1 }
+        val r = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        s"($j, $kk, $r)"
+      }).mkString(",\n")
+      val cos = OracleGen.denseCosineSql("CAST(e.embedding AS DOUBLE[])", OracleGen.doubleList(q))
+      s"""WITH cb(j, kk, c, csq) AS (VALUES
+         |$cbRows),
+         |lut(j, kk, w) AS (VALUES
+         |$lutRows),
+         |subs AS (
+         |  SELECT vec_id, j,
+         |         CAST(embedding AS DOUBLE[])[j * $subDim + 1 : j * $subDim + $subDim] AS sv
+         |  FROM embeddings CROSS JOIN (SELECT unnest(range($m)) AS j)
+         |), scored AS (
+         |  SELECT s.vec_id, s.j, cb.kk,
+         |         round(cb.csq - 2 * ${OracleGen.denseDotSql("s.sv", "cb.c")}, 6) AS d
+         |  FROM subs s JOIN cb ON cb.j = s.j
+         |), codes AS (
+         |  SELECT vec_id, j, kk FROM (
+         |    SELECT vec_id, j, kk,
+         |           row_number() OVER (PARTITION BY vec_id, j ORDER BY d ASC, kk ASC) AS rn
+         |    FROM scored) WHERE rn = 1
+         |), adc AS (
+         |  SELECT c.vec_id, round(sum(l.w), 6) AS adc
+         |  FROM codes c JOIN lut l ON l.j = c.j AND l.kk = c.kk
+         |  GROUP BY c.vec_id
+         |), cand AS (
+         |  SELECT vec_id FROM (
+         |    SELECT vec_id, row_number() OVER (ORDER BY adc DESC, vec_id ASC) AS rn
+         |    FROM adc) WHERE rn <= 40
+         |)
+         |SELECT e.vec_id, round($cos, 6) AS score
+         |FROM embeddings e JOIN cand USING (vec_id)
+         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin
+    },
 
     // the q_dedup_embedding oracle shape with the bipartite split predicate
     "q_decontaminate_embedding" -> {

@@ -178,4 +178,84 @@ object Ann {
       .map { case (c, i) => (i, VectorExpressions.cosineArrays(c, query)) }
       .sortBy { case (i, s) => (-s, i) }
       .take(nprobe).map(_._1)
+
+  // -------------------------------------------------------------------- PQ
+
+  /** Product quantization — the 100 TB memory lever for dense ANN: an
+    * m-subspace × ksub-entry codebook compresses each vector to m small
+    * codes (64-dim float32 = 256 B → 4 B at m=4), and query-time scoring
+    * is an ADC table lookup over the codes instead of a full-vector dot.
+    * Codebooks are data-independent seeded Gaussians (same determinism
+    * contract as [[seededCentroids]] — the DuckDB oracle inlines them as
+    * literals; a trained k-means codebook drops in without changing any
+    * query shape). */
+  def seededCodebooks(m: Int, ksub: Int, subDim: Int,
+      seed: Long = 7L): Array[Array[Array[Float]]] = {
+    val rnd = new scala.util.Random(seed)
+    // SPHERICAL codewords at the expected subvector scale: raw Gaussians
+    // have norm ~√subDim while unit-norm corpus vectors have subvector
+    // norm ~√(1/m) — with that mismatch ‖c‖² dominates `‖c‖² − 2·v·c` and
+    // every row collapses onto the smallest-norm codeword (measured:
+    // recall 0). Normalizing each codeword to the √(1/m) scale makes ‖c‖²
+    // constant across the codebook, so assignment argmin ≡ argmax v·c — a
+    // direction quantizer, the right untrained shape for cosine data.
+    val target = math.sqrt(1.0 / m)
+    Array.fill(m, ksub) {
+      val g = Array.fill(subDim)(rnd.nextGaussian())
+      val nrm = math.sqrt(g.map(x => x * x).sum)
+      g.map(x => (x / nrm * target).toFloat)
+    }
+  }
+
+  /** Encode vectors to PQ codes: per subspace, the argmin-L2² codebook
+    * entry. L2² is expanded to `‖c‖² − 2·v·c` (the ‖v‖² term is constant
+    * within a subspace and cannot change the argmin), computed as the
+    * same rounded column expression in both engines; `array_position` of
+    * the min takes the FIRST hit, so ties break toward the lower code on
+    * both sides — the [[assign]] rounded-argmax trick, per subspace. */
+  def pqEncode(df: DataFrame, codebooks: Array[Array[Array[Float]]],
+      vecCol: String = "embedding", roundDp: Int = 6): DataFrame = {
+    val subDim = codebooks(0)(0).length
+    val codeCols = codebooks.indices.map { j =>
+      val sub = slice(col(vecCol), j * subDim + 1, subDim)
+      val scores = array(codebooks(j).map { c =>
+        val csq = c.map(x => x.toDouble * x.toDouble).sum
+        round(lit(csq) - lit(2.0) * VectorExpressions.dense_dot(sub, typedLit(c)), roundDp)
+      }: _*)
+      (array_position(scores, array_min(scores)) - 1).cast("int")
+    }
+    df.withColumn("codes", array(codeCols: _*))
+  }
+
+  /** ADC search: score = Σ_j lut_j(code_j) with lut_j(k) = q_j · c_jk
+    * (rounded per entry, then the sum rounded — the house rank-on-rounded
+    * protocol), keep the top `window` candidates, then EXACT-cosine
+    * rescore the window down to k — the rescore contract of the quantized
+    * dense path (window covering the corpus ⇒ exact, AnnSpec invariant).
+    * At scale the scan touches only (id, codes) — m ints per row — and
+    * full vectors are fetched for `window` rows. */
+  def pqAdcTopK(encoded: DataFrame, codebooks: Array[Array[Array[Float]]],
+      query: Array[Float], k: Int, window: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val subDim = codebooks(0)(0).length
+    val luts: Array[Seq[Double]] = codebooks.zipWithIndex.map { case (cb, j) =>
+      cb.toSeq.map { c =>
+        var d = 0.0; var i = 0
+        while (i < subDim) { d += query(j * subDim + i).toDouble * c(i).toDouble; i += 1 }
+        BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }
+    val adc = round(luts.zipWithIndex.map { case (lut, j) =>
+      element_at(typedLit(lut), element_at(col("codes"), j + 1) + 1)
+    }.reduce(_ + _), 6)
+    val candidates = encoded
+      .select(col(idCol).as("vec_id"), col(vecCol), adc.as("__adc"))
+      .orderBy(col("__adc").desc, col("vec_id").asc)
+      .limit(window)
+    candidates
+      .select(col("vec_id"),
+        round(VectorExpressions.dense_cosine(col(vecCol), typedLit(query)), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+  }
 }

@@ -199,6 +199,30 @@ class AnnSpec extends SparkSpec {
     assert(ivf == brute)
   }
 
+  test("pq with a corpus-covering window equals brute force; narrow window has recall") {
+    val cb = Ann.seededCodebooks(m = 4, ksub = 16, subDim = 16)
+    val encoded = Ann.pqEncode(emb, cb)
+    val n = emb.count().toInt
+    val brute = Ann.bruteForceTopK(emb, q, 10).collect().map(_.getLong(0)).toSeq
+    // rescore window covering the corpus -> the ADC ordering is irrelevant
+    val full = Ann.pqAdcTopK(encoded, cb, q, 10, window = n).collect().map(_.getLong(0)).toSeq
+    assert(full == brute)
+    // narrow window: the seeded (untrained) codebook must still surface a
+    // non-trivial share of the true top-k through 4-byte codes
+    val narrow = Ann.pqAdcTopK(encoded, cb, q, 10, window = 40)
+      .collect().map(_.getLong(0)).toSet
+    assert((narrow intersect brute.toSet).size >= 3,
+      s"recall: ${(narrow intersect brute.toSet).size}/10")
+  }
+
+  test("pq codes are within range and deterministic") {
+    val cb = Ann.seededCodebooks(m = 4, ksub = 16, subDim = 16)
+    val codes = Ann.pqEncode(emb, cb).select($"codes").collect().map(_.getSeq[Int](0))
+    assert(codes.forall(cs => cs.length == 4 && cs.forall(c => c >= 0 && c < 16)))
+    val again = Ann.pqEncode(emb, cb).select($"codes").collect().map(_.getSeq[Int](0))
+    assert(codes.toSeq == again.toSeq)
+  }
+
   test("ivf partial probe has reasonable recall") {
     val centroids = Ann.trainCentroids(emb, dim = 64, nlist = 8, iters = 2)
     val assigned = Ann.assign(emb, centroids)
