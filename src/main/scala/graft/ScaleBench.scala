@@ -43,7 +43,7 @@ object ScaleBench {
     // keeper = pairs + closure + cluster-bounded rank, repetition and
     // embedding-decontamination are scans
     "q_decontaminate", "q_pack_greedy", "q_sample_stratified",
-    "q_dedup_keep", "q_quality_repetition", "q_decontaminate_embedding")
+    "q_dedup_keep", "q_quality_repetition", "q_decontaminate_embedding", "q_ann_pq")
 
   // minhash + embedding_lsh ride along in the skewed regimes too: band/
   // hyperplane buckets are exactly where shared-vocab and boilerplate skew
