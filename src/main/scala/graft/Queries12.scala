@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.text.TrainingData
+
+/** Twelfth bank (round 8, second pass): winnowing substring-overlap dedup
+  * (the MOSS fingerprinting algorithm) and temperature-scaled corpus
+  * mixing. Both hard-gate oracled — winnowing's selection rule and gram
+  * arithmetic are replicated step for step in SQL; temperature quotas are
+  * recomputed INDEPENDENTLY by the oracle (sqrt is IEEE-exact on both
+  * engines, the normalizer folds in stratum-sorted order). */
+object Queries12 {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  private val WinnowK = 4 // tokens per gram
+  private val WinnowW = 4 // winnow window, in grams
+  private val WinnowMinShared = 2
+
+  private val MixAlpha = 0.5
+  private val MixFrac = 0.25
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // winnowing fingerprint pairs: local verbatim-overlap detection (the
+    // substring-dedup regime); guarantee = any shared run of w+k-1 = 7
+    // tokens produces a shared fingerprint
+    "q_dedup_winnow" -> ((s, dir) =>
+      Dedup.winnowPairs(t(s, dir, "documents"), k = WinnowK, w = WinnowW,
+        minShared = WinnowMinShared)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // temperature-scaled corpus mixing over the source strata: share of
+    // stratum s targets n_s^0.5, total targets 25% of the corpus
+    "q_mix_temperature" -> ((s, dir) =>
+      TrainingData.temperatureMix(t(s, dir, "documents"), "source",
+        alpha = MixAlpha, targetFrac = MixFrac)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id")))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    // the full winnowing pipeline in SQL: unsigned-FNV token hashes in
+    // original order -> per-position k-gram Rabin-Karp fold (HUGEINT,
+    // mod 2^61-1) -> window starts 1..max(1, t-w+1) -> rightmost-min
+    // selection per window (ORDER BY gh ASC, i DESC) -> distinct
+    // fingerprint hashes per doc -> shared-hash pair counts
+    "q_dedup_winnow" -> {
+      val fnvP = OracleGen.fnvSql("p")
+      val M = (1L << 61) - 1
+      val k = WinnowK
+      val w = WinnowW
+      s"""WITH wn_parts AS (
+         |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS p,
+         |         generate_subscripts(regexp_split_to_array(lower(text), '\\s+'), 1) AS ord
+         |  FROM documents
+         |), wn_hash AS (
+         |  SELECT p, $fnvP AS th FROM (SELECT DISTINCT p FROM wn_parts WHERE p <> '')
+         |), wn_list AS (
+         |  SELECT f.doc_id, list(h.th ORDER BY f.ord) AS hl
+         |  FROM wn_parts f JOIN wn_hash h USING (p)
+         |  WHERE f.p <> '' GROUP BY f.doc_id
+         |), wn_g AS (
+         |  SELECT doc_id, i,
+         |         list_reduce(
+         |           list_prepend(CAST(0 AS BIGINT), hl[i : i + ${k - 1}]),
+         |           (h, th) -> CAST((CAST(h AS HUGEINT) * 31 % $M + th) % $M AS BIGINT)
+         |         ) AS gh
+         |  FROM (SELECT doc_id, unnest(generate_series(1, len(hl) - ${k - 1})) AS i, hl
+         |        FROM wn_list)
+         |), wn_n AS (SELECT doc_id, count(*) AS t FROM wn_g GROUP BY doc_id),
+         |wn_starts AS (
+         |  SELECT doc_id, unnest(generate_series(1, greatest(1, t - ${w - 1}))) AS j
+         |  FROM wn_n
+         |), wn_win AS (
+         |  SELECT s.doc_id, s.j, g.i, g.gh,
+         |         row_number() OVER (PARTITION BY s.doc_id, s.j
+         |                            ORDER BY g.gh ASC, g.i DESC) AS rn
+         |  FROM wn_starts s
+         |  JOIN wn_g g ON g.doc_id = s.doc_id AND g.i BETWEEN s.j AND s.j + ${w - 1}
+         |), wn_fp AS (SELECT DISTINCT doc_id, gh FROM wn_win WHERE rn = 1)
+         |SELECT id_a, id_b, n_shared FROM (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM wn_fp a JOIN wn_fp b ON a.gh = b.gh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |WHERE n_shared >= $WinnowMinShared
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    // quotas recomputed in SQL with bit-identical arithmetic: counts are
+    // exact integer doubles, sqrt is correctly rounded IEEE-754 on both
+    // engines, the normalizer z folds in source-sorted order with the same
+    // association as the Scala foldLeft, and every * / is left-associated
+    // identically — floor(least(1,p)*1024) lands on the same integer
+    "q_mix_temperature" -> {
+      val fnvId = OracleGen.fnvSql("('doc:' || CAST(doc_id AS VARCHAR))")
+      s"""WITH mx_cnt AS (
+         |  SELECT source, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY source
+         |), mx_tot AS (SELECT sum(n) AS total FROM mx_cnt),
+         |mx_z AS (
+         |  SELECT list_reduce(
+         |           list_prepend(CAST(0.0 AS DOUBLE), list(sqrt(n) ORDER BY source)),
+         |           (a, b) -> a + b) AS z
+         |  FROM mx_cnt
+         |), mx_q AS (
+         |  SELECT source,
+         |         CAST(floor(least(1.0, $MixFrac * total * sqrt(n) / z / n) * ${TrainingData.SampleMod}) AS BIGINT) AS quota
+         |  FROM mx_cnt CROSS JOIN mx_tot CROSS JOIN mx_z
+         |)
+         |SELECT d.doc_id, d.source
+         |FROM documents d JOIN mx_q q USING (source)
+         |WHERE ($fnvId) % ${TrainingData.SampleMod} < q.quota
+         |ORDER BY d.doc_id""".stripMargin
+    }
+  )
+}

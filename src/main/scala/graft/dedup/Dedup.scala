@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.VectorExpressions
 import graft.ml.HashEmbedder
+import graft.text.TextAnalysis
 
 /** Deduplication suite for training-data pipelines (builder-prompt
   * first-class ops). Five strategies, all shaped for 100 TB:
@@ -965,6 +966,117 @@ object Dedup {
       .where(col("__raw") >= threshold)
       .select(col("train_id"), col("bench_id"), round(col("__raw"), 4).as("jaccard"))
     finishReleasing(out, shT, shB)
+  }
+
+  // ------------------------------------------------------------- winnowing
+
+  /** Per-document winnowing fingerprint selection (Schleimer/Wilkerson/
+    * Aiken, "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD 2003 — the MOSS algorithm; public). Token-level k-gram hashes
+    * (Rabin-Karp base 31 mod 2^61-1 over unsigned FNV-1a token hashes, the
+    * same arithmetic as [[graft.text.TextAnalysis.rollingHash]]), then each
+    * window of `w` consecutive gram hashes selects its minimum — RIGHTMOST
+    * position on ties, the paper's rule. Returns the distinct selected
+    * (position, hash) fingerprints, 1-based positions.
+    *
+    * Guarantee (the paper's correctness theorem): two documents sharing a
+    * run of at least w + k - 1 consecutive tokens share at least one
+    * selected fingerprint. Expected density is 2/(w+1) of all grams, so
+    * the per-doc output is ~2n/(w+1) rows — this is what makes winnowing
+    * the 100 TB shape for exact-substring-overlap detection: selection is
+    * CONTENT-defined (identical text selects identical grams regardless of
+    * position), row-local, and sub-linear in emitted volume, where the
+    * naive all-grams join would shuffle one row per token.
+    *
+    * Documents with fewer than k tokens yield no grams and no fingerprints;
+    * documents with 1..w-1 grams winnow over a single truncated window. */
+  def winnowFingerprints(text: String, k: Int, w: Int): Seq[(Int, Long)] = {
+    val M = (1L << 61) - 1
+    val toks = HashEmbedder.tokenize(text)
+    val n = toks.length - k + 1
+    if (n <= 0) return Seq.empty
+    val th = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) { th(i) = HashEmbedder.tokenHash(toks(i)).toLong & 0xffffffffL; i += 1 }
+    val gh = new Array[Long](n)
+    i = 0
+    while (i < n) {
+      var h = 0L
+      var j = 0
+      while (j < k) { h = (TextAnalysis.mulMod(h, 31L, M) + th(i + j)) % M; j += 1 }
+      gh(i) = h
+      i += 1
+    }
+    val starts = math.max(1, n - w + 1)
+    val sel = scala.collection.mutable.LinkedHashSet.empty[(Int, Long)]
+    var s = 0
+    while (s < starts) {
+      val end = math.min(s + w - 1, n - 1)
+      var minPos = s
+      var p = s + 1
+      while (p <= end) { if (gh(p) <= gh(minPos)) minPos = p; p += 1 }
+      sel += ((minPos + 1, gh(minPos)))
+      s += 1
+    }
+    sel.toSeq
+  }
+
+  private def winnowUdf(k: Int, w: Int) =
+    udf((s: String) => winnowFingerprints(s, k, w))
+
+  /** Winnowing-based shared-substring pairs: (id_a, id_b, n_shared) where
+    * n_shared = count of DISTINCT winnowed fingerprint hashes the two
+    * documents share, filtered to >= minShared. Complements the Jaccard
+    * family: MinHash/SimHash measure whole-document set similarity, this
+    * detects LOCAL verbatim overlap (a copied passage inside otherwise
+    * unrelated documents — the Lee et al. "Deduplicating Training Data"
+    * substring-dedup regime) with the winnowing guarantee above.
+    *
+    * Scale shape: fingerprint extraction is one row-local scan (no
+    * shuffle); the only shuffles are the fingerprint-hash join and the
+    * per-pair count. Pair emission per hash streams through
+    * groupByKey+flatMapGroups (a hot hash never materializes its C(d,2)
+    * pairs in one allocation), and `maxDf` optionally drops corpus-hot
+    * fingerprints from candidate generation entirely — the boilerplate
+    * regime lever, same trade as ngram maxDf (recall only at hashes whose
+    * df exceeds the cap). */
+  def winnowPairs(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      k: Int = 4, w: Int = 4, minShared: Int = 1,
+      maxDf: Option[Int] = None): DataFrame = {
+    require(k >= 1 && w >= 1 && minShared >= 1, "k, w, minShared must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val fp = df
+      .select(col(idCol).cast("long").as("id"),
+        explode(winnowUdf(k, w)(col(textCol))).as("f"))
+      .select(col("id"), col("f._2").as("gh"))
+      .distinct()
+    val capped = maxDf match {
+      case Some(cap) =>
+        val dfs = fp.groupBy(col("gh")).agg(count(lit(1)).as("__df"))
+          .where(col("__df") <= cap).select(col("gh"))
+        fp.join(dfs, "gh")
+      case None => fp
+    }
+    val cappedP = capped.persist()
+    val out = cappedP.select(col("gh"), col("id"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val a = it.map(_._2).toArray
+        java.util.Arrays.sort(a)
+        if (a.length < 2) Iterator.empty
+        else (0 until a.length - 1).iterator.flatMap { i =>
+          ((i + 1) until a.length).iterator
+            .filter(j => a(i) != a(j))
+            .map(j => (a(i), a(j)))
+        }
+      }
+      .toDF("id_a", "id_b")
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+    finishReleasing(out, cappedP)
   }
 
   /** Embedding-space decontamination: flag TRAIN vectors whose cosine vs

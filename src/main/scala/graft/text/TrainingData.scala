@@ -39,6 +39,60 @@ object TrainingData {
     df.where(bucket(col(idCol)) < quotaCol)
   }
 
+  /** Temperature-scaled mixing quotas: target share of stratum s is
+    * proportional to n_s^alpha (the multilingual-corpus sampling rule —
+    * alpha=1 keeps natural proportions, alpha=0 equalizes strata, 0.3–0.7
+    * up-samples the tail; see the mC4/XLM-R sampling literature). Expected
+    * kept rows in stratum s = targetFrac·N·(n_s^alpha / Σ n^alpha), so the
+    * keep probability is that over n_s, capped at 1, quantized to 1024ths
+    * for the FNV keep rule.
+    *
+    * Cross-engine determinism contract: for alpha in {0, 0.25, 0.5, 1} the
+    * power is computed as a sqrt chain — IEEE-754 sqrt is correctly
+    * rounded on BOTH engines, so a SQL oracle that replicates this
+    * arithmetic (normalizer summed in stratum-sorted order, same
+    * association) reproduces the quotas BIT-EXACTLY and can verify the
+    * temperature math independently. Other alphas fall back to Math.pow,
+    * whose last-ulp behavior is libm-specific — spec-tested but not
+    * oracle-exact. */
+  def temperatureQuotas(counts: Map[String, Long], alpha: Double,
+      targetFrac: Double): Map[String, Int] = {
+    require(alpha >= 0.0 && alpha <= 1.0, "alpha must sit in [0, 1]")
+    require(targetFrac > 0.0 && targetFrac <= 1.0, "targetFrac must sit in (0, 1]")
+    def pw(n: Double): Double = alpha match {
+      case 0.0 => 1.0
+      case 0.25 => math.sqrt(math.sqrt(n))
+      case 0.5 => math.sqrt(n)
+      case 1.0 => n
+      case a => math.pow(n, a)
+    }
+    val total = counts.values.sum.toDouble
+    // fold in stratum-sorted order, seeded 0.0 — the exact association the
+    // oracle's list_reduce(list_prepend(0.0, list(... ORDER BY stratum)))
+    // computes, so z is the same double on both engines
+    val sorted = counts.toSeq.sortBy(_._1)
+    val z = sorted.foldLeft(0.0) { case (acc, (_, n)) => acc + pw(n.toDouble) }
+    sorted.map { case (k, n) =>
+      val p = targetFrac * total * pw(n.toDouble) / z / n.toDouble
+      k -> math.min(SampleMod, math.floor(math.min(1.0, p) * SampleMod).toInt)
+    }.toMap
+  }
+
+  /** Temperature-scaled corpus mixing: one tiny per-stratum count
+    * aggregation (driver-sized by construction — strata are domains or
+    * languages, not documents), quota computation via
+    * [[temperatureQuotas]], then the same one-scan row-local FNV keep rule
+    * as [[stratifiedSample]]. Two passes over the corpus; at 100 TB the
+    * count pass is a column-pruned scan of one string column (or comes
+    * free from catalog statistics / a metadata table). */
+  def temperatureMix(df: DataFrame, strataCol: String, alpha: Double,
+      targetFrac: Double, idCol: String = "doc_id", salt: String = "doc:"): DataFrame = {
+    val counts = df.groupBy(col(strataCol)).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    stratifiedSample(df, strataCol, temperatureQuotas(counts, alpha, targetFrac),
+      defaultQuota = 0, idCol = idCol, salt = salt)
+  }
+
   /** Greedy sequential sequence packing: assign docs to fixed-token-budget
     * packs (LLM pretraining sample packing). Docs are sharded by
     * doc_id mod nShards; WITHIN a shard, docs are scanned in doc_id order

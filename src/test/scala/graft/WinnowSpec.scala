@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.text.TrainingData
+
+class WinnowSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.map { case (id, t) => (id, t, "en") }.toDF("doc_id", "text", "lang")
+
+  // -------------------------------------------------- winnowing kernel
+
+  test("winnowFingerprints: degenerate inputs") {
+    assert(Dedup.winnowFingerprints("", 4, 4).isEmpty)
+    assert(Dedup.winnowFingerprints(null, 4, 4).isEmpty)
+    assert(Dedup.winnowFingerprints("a b c", 4, 4).isEmpty, "< k tokens has no grams")
+    // exactly k tokens -> one gram, one (truncated) window, one fingerprint
+    val one = Dedup.winnowFingerprints("a b c d", 4, 4)
+    assert(one.length == 1 && one.head._1 == 1)
+  }
+
+  test("winnowFingerprints: fewer grams than w winnows one truncated window") {
+    // 6 tokens, k=4 -> 3 grams, w=4 -> single window over all 3
+    val fps = Dedup.winnowFingerprints("a b c d e f", 4, 4)
+    assert(fps.length == 1)
+    // the selected gram must be one of the 3, and equal the global min
+    // (rightmost on ties)
+    val all = (1 to 3).map { i =>
+      val sub = Seq("a", "b", "c", "d", "e", "f").slice(i - 1, i + 3).mkString(" ")
+      (i, Dedup.winnowFingerprints(sub, 4, 4).head._2)
+    }
+    val minH = all.map(_._2).min
+    val expectPos = all.filter(_._2 == minH).map(_._1).max
+    assert(fps.head == ((expectPos, minH)))
+  }
+
+  test("winnowFingerprints: rightmost tie-break on constant text") {
+    // every gram hash is identical -> each window selects its LAST position
+    val fps = Dedup.winnowFingerprints(Seq.fill(12)("x").mkString(" "), 4, 4)
+    val n = 12 - 4 + 1 // 9 grams
+    val starts = n - 4 + 1 // 6 windows
+    // window j (1-based) selects position j+w-1
+    assert(fps.map(_._1).sorted == (4 to starts + 3).toSeq)
+  }
+
+  test("winnowing guarantee: a shared run of w+k-1 tokens shares a fingerprint") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    def words(m: Int) = Seq.fill(m)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    // 200 random trials: two otherwise-random docs share a 7-token run
+    (1 to 200).foreach { _ =>
+      val shared = words(4 + 4 - 1)
+      val a = s"${words(10)} $shared ${words(10)}"
+      val b = s"${words(10)} $shared ${words(10)}"
+      val fa = Dedup.winnowFingerprints(a, 4, 4).map(_._2).toSet
+      val fb = Dedup.winnowFingerprints(b, 4, 4).map(_._2).toSet
+      assert(fa.intersect(fb).nonEmpty,
+        s"docs sharing a ${4 + 4 - 1}-token run must share a fingerprint:\n$a\n$b")
+    }
+  }
+
+  test("winnowing density: selection is sparse but covers every window") {
+    val rnd = new scala.util.Random(13)
+    val text = Seq.fill(500)(s"t${rnd.nextInt(5000)}").mkString(" ")
+    val k = 4; val w = 8
+    val fps = Dedup.winnowFingerprints(text, k, w)
+    val nGrams = 500 - k + 1
+    // expected density 2/(w+1) ~ 0.22; allow generous slack either side
+    assert(fps.length > nGrams / (w + 1) / 2, "far below theoretical density")
+    assert(fps.length < nGrams / 2, "selection must be sparse vs all grams")
+    // positions must be a subset of gram positions
+    assert(fps.forall(f => f._1 >= 1 && f._1 <= nGrams))
+  }
+
+  // -------------------------------------------------- pair operator
+
+  test("winnowPairs finds a planted copied passage and orders ids") {
+    val passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val df = docs(
+      (1L, s"one two three four five six $passage seven eight nine ten"),
+      (2L, s"uno dos tres cuatro cinco seis $passage siete ocho nueve"),
+      (3L, "totally unrelated text with completely different tokens here"))
+    val out = Dedup.winnowPairs(df, k = 4, w = 4, minShared = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(out.contains((1L, 2L)))
+    assert(!out.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("winnowPairs maxDf drops corpus-hot fingerprints from candidates") {
+    val boiler = "standard footer text appears on every single page here"
+    val df = docs((1L to 6L).map(i => (i, s"unique$i content$i $boiler")): _*)
+    val uncapped = Dedup.winnowPairs(df, k = 4, w = 4, minShared = 1).count()
+    assert(uncapped == 15, "all C(6,2) pairs share the boilerplate fingerprints")
+    val capped = Dedup.winnowPairs(df, k = 4, w = 4, minShared = 1, maxDf = Some(3))
+    assert(capped.count() == 0, "df-6 fingerprints are dropped by the cap")
+  }
+
+  test("winnowPairs n_shared counts distinct shared hashes") {
+    val df = docs(
+      (1L, "p q r s t u v w x y z aa bb cc dd"),
+      (2L, "p q r s t u v w x y z aa bb cc dd"))
+    val expected = Dedup.winnowFingerprints("p q r s t u v w x y z aa bb cc dd", 4, 4)
+      .map(_._2).distinct.size
+    val row = Dedup.winnowPairs(df, k = 4, w = 4, minShared = 1)
+      .select("id_a", "id_b", "n_shared").as[(Long, Long, Long)].head()
+    assert(row == ((1L, 2L, expected.toLong)))
+  }
+
+  // -------------------------------------------------- temperature mixing
+
+  test("temperatureQuotas: alpha=1 reproduces natural proportions") {
+    val q = TrainingData.temperatureQuotas(Map("a" -> 100L, "b" -> 900L), 1.0, 0.5)
+    // p_s = targetFrac for every stratum -> quota = floor(0.5 * 1024)
+    assert(q("a") == 512 && q("b") == 512)
+  }
+
+  test("temperatureQuotas: alpha=0 equalizes expected stratum counts") {
+    // strata big enough that the per-stratum cap never binds (the equal
+    // target is 375 docs each)
+    val counts = Map("a" -> 600L, "b" -> 900L)
+    val q = TrainingData.temperatureQuotas(counts, 0.0, 0.5)
+    val ea = q("a") / 1024.0 * 600
+    val eb = q("b") / 1024.0 * 900
+    assert(math.abs(ea - eb) < 2.0, s"expected counts diverge: $ea vs $eb")
+    // and when a stratum CANNOT supply its equal share, it clamps to 1024
+    val clamped = TrainingData.temperatureQuotas(Map("a" -> 100L, "b" -> 900L), 0.0, 0.5)
+    assert(clamped("a") == TrainingData.SampleMod)
+  }
+
+  test("temperatureQuotas: alpha<1 up-samples the tail, caps at 1") {
+    val counts = Map("big" -> 10000L, "small" -> 10L)
+    val q = TrainingData.temperatureQuotas(counts, 0.5, 0.5)
+    // keep PROBABILITY for the small stratum must exceed the big one
+    assert(q("small") > q("big"))
+    // a tiny stratum under heavy up-sampling clamps at SampleMod
+    val q2 = TrainingData.temperatureQuotas(Map("big" -> 1000000L, "tiny" -> 2L), 0.25, 0.9)
+    assert(q2("tiny") == TrainingData.SampleMod)
+    assert(q.values.forall(v => v >= 0 && v <= TrainingData.SampleMod))
+  }
+
+  test("temperatureMix keeps ~targetFrac of the corpus and nests determinism") {
+    val df = (0L until 1000L)
+      .map(i => (i, s"doc $i", "en", s"src${i % 4}"))
+      .toDF("doc_id", "text", "lang", "source")
+    val a = TrainingData.temperatureMix(df, "source", 0.5, 0.25)
+      .select("doc_id").as[Long].collect().sorted
+    val b = TrainingData.temperatureMix(df, "source", 0.5, 0.25)
+      .select("doc_id").as[Long].collect().sorted
+    assert(a.sameElements(b), "mix must be reproducible")
+    // equal strata -> alpha irrelevant; keep rate ~25%
+    assert(a.length > 180 && a.length < 320, s"kept ${a.length} of 1000")
+  }
+}
