@@ -20,6 +20,7 @@ object Queries12 {
   private val WinnowK = 4 // tokens per gram
   private val WinnowW = 4 // winnow window, in grams
   private val WinnowMinShared = 2
+  private val WinnowCap = 2 // maxDf for the capped variant (binds at sf0.01: df reaches 4)
 
   private val MixAlpha = 0.5
   private val MixFrac = 0.25
@@ -33,6 +34,27 @@ object Queries12 {
         minShared = WinnowMinShared)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // the boilerplate-regime lever: fingerprints seen in more than maxDf
+    // docs never enter pair generation (corpus-hot = boilerplate, not
+    // copied passages) — candidates only from rare shared substrings
+    "q_dedup_winnow_capped" -> ((s, dir) =>
+      Dedup.winnowPairs(t(s, dir, "documents"), k = WinnowK, w = WinnowW,
+        minShared = 1, maxDf = Some(WinnowCap))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // substring-level decontamination: train docs (doc_id % 50 <> 0)
+    // sharing any winnowed fingerprint with a bench doc — catches a quoted
+    // benchmark passage inside a long train doc that whole-doc Jaccard
+    // dilutes below threshold
+    "q_decontaminate_winnow" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.decontaminateWinnow(
+        docs.where(col("doc_id") % 50 =!= 0),
+        docs.where(col("doc_id") % 50 === 0),
+        k = WinnowK, w = WinnowW, minShared = WinnowMinShared)
+        .orderBy(col("train_id"), col("bench_id"))
+    }),
+
     // temperature-scaled corpus mixing over the source strata: share of
     // stratum s targets n_s^0.5, total targets 25% of the corpus
     "q_mix_temperature" -> ((s, dir) =>
@@ -42,54 +64,83 @@ object Queries12 {
         .orderBy(col("doc_id")))
   )
 
+  /** The winnowing pipeline in SQL, up through the per-doc distinct
+    * fingerprint set `wn_fp`: unsigned-FNV token hashes in original order
+    * -> per-position k-gram Rabin-Karp fold (HUGEINT, mod 2^61-1) ->
+    * window starts 1..max(1, t-w+1) -> rightmost-min selection per window
+    * (ORDER BY gh ASC, i DESC). Shared by the uncapped and capped pair
+    * queries. */
+  private lazy val winnowFpCtes: String = {
+    val fnvP = OracleGen.fnvSql("p")
+    val M = (1L << 61) - 1
+    val k = WinnowK
+    val w = WinnowW
+    s"""wn_parts AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS p,
+       |         generate_subscripts(regexp_split_to_array(lower(text), '\\s+'), 1) AS ord
+       |  FROM documents
+       |), wn_hash AS (
+       |  SELECT p, $fnvP AS th FROM (SELECT DISTINCT p FROM wn_parts WHERE p <> '')
+       |), wn_list AS (
+       |  SELECT f.doc_id, list(h.th ORDER BY f.ord) AS hl
+       |  FROM wn_parts f JOIN wn_hash h USING (p)
+       |  WHERE f.p <> '' GROUP BY f.doc_id
+       |), wn_g AS (
+       |  SELECT doc_id, i,
+       |         list_reduce(
+       |           list_prepend(CAST(0 AS BIGINT), hl[i : i + ${k - 1}]),
+       |           (h, th) -> CAST((CAST(h AS HUGEINT) * 31 % $M + th) % $M AS BIGINT)
+       |         ) AS gh
+       |  FROM (SELECT doc_id, unnest(generate_series(1, len(hl) - ${k - 1})) AS i, hl
+       |        FROM wn_list)
+       |), wn_n AS (SELECT doc_id, count(*) AS t FROM wn_g GROUP BY doc_id),
+       |wn_starts AS (
+       |  SELECT doc_id, unnest(generate_series(1, greatest(1, t - ${w - 1}))) AS j
+       |  FROM wn_n
+       |), wn_win AS (
+       |  SELECT s.doc_id, s.j, g.i, g.gh,
+       |         row_number() OVER (PARTITION BY s.doc_id, s.j
+       |                            ORDER BY g.gh ASC, g.i DESC) AS rn
+       |  FROM wn_starts s
+       |  JOIN wn_g g ON g.doc_id = s.doc_id AND g.i BETWEEN s.j AND s.j + ${w - 1}
+       |), wn_fp AS (SELECT DISTINCT doc_id, gh FROM wn_win WHERE rn = 1)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
-    // the full winnowing pipeline in SQL: unsigned-FNV token hashes in
-    // original order -> per-position k-gram Rabin-Karp fold (HUGEINT,
-    // mod 2^61-1) -> window starts 1..max(1, t-w+1) -> rightmost-min
-    // selection per window (ORDER BY gh ASC, i DESC) -> distinct
-    // fingerprint hashes per doc -> shared-hash pair counts
-    "q_dedup_winnow" -> {
-      val fnvP = OracleGen.fnvSql("p")
-      val M = (1L << 61) - 1
-      val k = WinnowK
-      val w = WinnowW
-      s"""WITH wn_parts AS (
-         |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS p,
-         |         generate_subscripts(regexp_split_to_array(lower(text), '\\s+'), 1) AS ord
-         |  FROM documents
-         |), wn_hash AS (
-         |  SELECT p, $fnvP AS th FROM (SELECT DISTINCT p FROM wn_parts WHERE p <> '')
-         |), wn_list AS (
-         |  SELECT f.doc_id, list(h.th ORDER BY f.ord) AS hl
-         |  FROM wn_parts f JOIN wn_hash h USING (p)
-         |  WHERE f.p <> '' GROUP BY f.doc_id
-         |), wn_g AS (
-         |  SELECT doc_id, i,
-         |         list_reduce(
-         |           list_prepend(CAST(0 AS BIGINT), hl[i : i + ${k - 1}]),
-         |           (h, th) -> CAST((CAST(h AS HUGEINT) * 31 % $M + th) % $M AS BIGINT)
-         |         ) AS gh
-         |  FROM (SELECT doc_id, unnest(generate_series(1, len(hl) - ${k - 1})) AS i, hl
-         |        FROM wn_list)
-         |), wn_n AS (SELECT doc_id, count(*) AS t FROM wn_g GROUP BY doc_id),
-         |wn_starts AS (
-         |  SELECT doc_id, unnest(generate_series(1, greatest(1, t - ${w - 1}))) AS j
-         |  FROM wn_n
-         |), wn_win AS (
-         |  SELECT s.doc_id, s.j, g.i, g.gh,
-         |         row_number() OVER (PARTITION BY s.doc_id, s.j
-         |                            ORDER BY g.gh ASC, g.i DESC) AS rn
-         |  FROM wn_starts s
-         |  JOIN wn_g g ON g.doc_id = s.doc_id AND g.i BETWEEN s.j AND s.j + ${w - 1}
-         |), wn_fp AS (SELECT DISTINCT doc_id, gh FROM wn_win WHERE rn = 1)
+    "q_dedup_winnow" ->
+      s"""WITH ${winnowFpCtes}
          |SELECT id_a, id_b, n_shared FROM (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |         CAST(count(*) AS BIGINT) AS n_shared
          |  FROM wn_fp a JOIN wn_fp b ON a.gh = b.gh AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
          |WHERE n_shared >= $WinnowMinShared
-         |ORDER BY id_a, id_b""".stripMargin
-    },
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // same fingerprint chain; hashes with df > cap are excluded from pair
+    // generation entirely
+    "q_dedup_winnow_capped" ->
+      s"""WITH ${winnowFpCtes},
+         |wn_df AS (SELECT gh FROM (SELECT gh, count(*) AS df FROM wn_fp GROUP BY gh)
+         |          WHERE df <= $WinnowCap),
+         |wn_fpc AS (SELECT f.doc_id, f.gh FROM wn_fp f JOIN wn_df USING (gh))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       CAST(count(*) AS BIGINT) AS n_shared
+         |FROM wn_fpc a JOIN wn_fpc b ON a.gh = b.gh AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // bipartite winnow fingerprint join, split by the bench predicate
+    "q_decontaminate_winnow" ->
+      s"""WITH ${winnowFpCtes},
+         |wn_tr AS (SELECT doc_id AS train_id, gh FROM wn_fp WHERE doc_id % 50 <> 0),
+         |wn_be AS (SELECT doc_id AS bench_id, gh FROM wn_fp WHERE doc_id % 50 = 0)
+         |SELECT train_id, bench_id, n_shared FROM (
+         |  SELECT t.train_id, b.bench_id, CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM wn_tr t JOIN wn_be b ON t.gh = b.gh
+         |  GROUP BY 1, 2)
+         |WHERE n_shared >= $WinnowMinShared
+         |ORDER BY train_id, bench_id""".stripMargin,
 
     // quotas recomputed in SQL with bit-identical arithmetic: counts are
     // exact integer doubles, sqrt is correctly rounded IEEE-754 on both

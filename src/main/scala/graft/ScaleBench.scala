@@ -43,14 +43,21 @@ object ScaleBench {
     // keeper = pairs + closure + cluster-bounded rank, repetition and
     // embedding-decontamination are scans
     "q_decontaminate", "q_pack_greedy", "q_sample_stratified",
-    "q_dedup_keep", "q_quality_repetition", "q_decontaminate_embedding", "q_ann_pq")
+    "q_dedup_keep", "q_quality_repetition", "q_decontaminate_embedding", "q_ann_pq",
+    // round-8 second pass: winnowing is a row-local scan + fingerprint
+    // join (expect ~linear disjoint), temperature mix is a count agg + scan
+    "q_dedup_winnow", "q_mix_temperature")
 
   // minhash + embedding_lsh ride along in the skewed regimes too: band/
   // hyperplane buckets are exactly where shared-vocab and boilerplate skew
   // concentrate, and measuring them only disjoint hides that (r6 advice).
   private val SharedQueries =
     Seq("q_dedup_ngram", "q_dedup_ngram_capped", "q_dedup_ngram_prefix",
-      "q_dedup_minhash", "q_dedup_embedding_lsh")
+      "q_dedup_minhash", "q_dedup_embedding_lsh",
+      // winnow pairs grow quadratically with verbatim duplication by
+      // SEMANTICS (replicas are true duplicates); the capped form is the
+      // boilerplate-regime lever (hot fingerprints never enter pair gen)
+      "q_dedup_winnow", "q_dedup_winnow_capped")
 
   /** ~6 corpus-hot shingles once appended to every doc (8 tokens). */
   private val Boilerplate =

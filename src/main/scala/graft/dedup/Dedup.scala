@@ -1079,6 +1079,36 @@ object Dedup {
     finishReleasing(out, cappedP)
   }
 
+  /** Winnowing-based decontamination: flag TRAIN docs sharing at least
+    * `minShared` winnowed fingerprints with ANY bench doc — SUBSTRING-level
+    * benchmark leakage (a benchmark question quoted inside a long training
+    * doc), which whole-document Jaccard decontamination under-detects
+    * because the shared span is a small fraction of the train doc's
+    * shingle set. Same guarantee as [[winnowPairs]]: any shared run of
+    * w + k - 1 tokens is caught.
+    *
+    * 100 TB shape mirrors [[decontaminate]]: the bench side is an eval set
+    * — its fingerprint list broadcasts, the train side streams map-side
+    * with no shuffle of the big relation (AQE re-picks if the estimate was
+    * pessimistic). Returns (train_id, bench_id, n_shared). */
+  def decontaminateWinnow(train: DataFrame, bench: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      k: Int = 4, w: Int = 4, minShared: Int = 1,
+      broadcastBench: Boolean = true): DataFrame = {
+    def fps(df: DataFrame, out: String): DataFrame =
+      df.select(col(idCol).cast("long").as(out),
+          explode(winnowUdf(k, w)(col(textCol))).as("f"))
+        .select(col(out), col("f._2").as("gh"))
+        .distinct()
+    val right0 = fps(bench, "bench_id")
+    val right = if (broadcastBench) broadcast(right0) else right0
+    fps(train, "train_id")
+      .join(right, "gh")
+      .groupBy(col("train_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** Embedding-space decontamination: flag TRAIN vectors whose cosine vs
     * ANY BENCH vector reaches the threshold — catches paraphrase leakage
     * the shingle form misses. The bench side broadcasts whole (an eval

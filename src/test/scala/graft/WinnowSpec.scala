@@ -109,6 +109,25 @@ class WinnowSpec extends SparkSpec {
     assert(row == ((1L, 2L, expected.toLong)))
   }
 
+  test("decontaminateWinnow catches a quoted benchmark passage Jaccard dilutes") {
+    val benchQ = "what is the capital of france paris is the capital"
+    val rnd = new scala.util.Random(3)
+    val filler = Seq.fill(200)(s"w${rnd.nextInt(10000)}").mkString(" ")
+    val train = docs(
+      (1L, s"$filler $benchQ $filler"), // long doc quoting the bench passage
+      (2L, filler))
+    val bench = docs((100L, benchQ))
+    // whole-doc Jaccard dilutes: |shared shingles| / |union| is tiny
+    val jac = Dedup.decontaminate(train, bench, threshold = 0.4)
+    assert(jac.count() == 0, "Jaccard decontamination misses the quoted passage")
+    // winnow fingerprints are LOCAL: the shared run is caught regardless of
+    // surrounding length
+    val wn = Dedup.decontaminateWinnow(train, bench, minShared = 1)
+      .select("train_id", "bench_id").as[(Long, Long)].collect().toSet
+    assert(wn.contains((1L, 100L)))
+    assert(!wn.exists(_._1 == 2L))
+  }
+
   // -------------------------------------------------- temperature mixing
 
   test("temperatureQuotas: alpha=1 reproduces natural proportions") {
