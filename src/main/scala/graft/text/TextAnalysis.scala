@@ -143,4 +143,39 @@ object TextAnalysis {
         round(col("r._1"), 6).as("top_unigram_frac"),
         round(col("r._2"), 6).as("top_bigram_frac"),
         round(col("r._3"), 6).as("dup_trigram_frac"))
+
+  /** Gopher-style corpus filter: compose the length / word-shape /
+    * repetition signals into a keep-or-drop decision with a per-document
+    * REJECT REASON (the first failing rule, in a fixed order — the
+    * breakdown a pipeline owner actually reads). One row-local projection
+    * (signals recomputed inline, NOT joined from the signal operators — a
+    * join on doc_id would shuffle the corpus for values the scan can
+    * compute in place); thresholds compare ROUNDED signal values, so the
+    * oracle compares the identical doubles. Returns
+    * (doc_id, kept, reason). */
+  def gopherFilter(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      minTokens: Int = 20, maxTokens: Int = 90, maxMeanWordLen: Double = 5.0,
+      maxTopUnigram: Double = 0.12, maxTopBigram: Double = 0.08,
+      maxDupTrigram: Double = 0.05): DataFrame = {
+    val t = toks(col(textCol))
+    val nTok = size(t)
+    val nTokD = nTok.cast("double")
+    val nChars = length(col(textCol)).cast("double")
+    val meanWl = when(nTok > 0, round((nChars - (nTokD - 1)) / nTokD, 4)).otherwise(lit(0.0))
+    df.select(col(idCol), nTok.as("n_tokens"), meanWl.as("mean_word_len"),
+        repetitionUdf(col(textCol)).as("r"))
+      .select(col(idCol), col("n_tokens"), col("mean_word_len"),
+        round(col("r._1"), 6).as("top_unigram_frac"),
+        round(col("r._2"), 6).as("top_bigram_frac"),
+        round(col("r._3"), 6).as("dup_trigram_frac"))
+      .withColumn("reason",
+        when(col("n_tokens") < minTokens, "too_short")
+          .when(col("n_tokens") > maxTokens, "too_long")
+          .when(col("mean_word_len") > maxMeanWordLen, "word_len")
+          .when(col("top_unigram_frac") > maxTopUnigram, "repetitive_unigram")
+          .when(col("top_bigram_frac") > maxTopBigram, "repetitive_bigram")
+          .when(col("dup_trigram_frac") > maxDupTrigram, "repetitive_trigram")
+          .otherwise("ok"))
+      .select(col(idCol), (col("reason") === "ok").as("kept"), col("reason"))
+  }
 }

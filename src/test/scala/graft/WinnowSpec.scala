@@ -128,6 +128,28 @@ class WinnowSpec extends SparkSpec {
     assert(!wn.exists(_._1 == 2L))
   }
 
+  test("gopherFilter fires each rule in first-fail order") {
+    import graft.text.TextAnalysis
+    val df = docs(
+      (1L, "too short"),                                           // too_short
+      (2L, Seq.fill(120)("w").mkString(" ")),                      // too_long (n=120; unigram frac 1.0 shadowed)
+      (3L, (1 to 30).map(i => s"verylongword$i").mkString(" ")),   // word_len (mwl > 5)
+      (4L, (("spam " * 10) + (1 to 40).map(i => s"u$i").mkString(" ")).trim), // repetitive_unigram (10/50 = 0.2)
+      (5L, ((1 to 25).map(i => s"a$i b$i").mkString(" ")) + " " + ("x y " * 5).trim), // repetitive_bigram? check
+      (6L, (1 to 60).map(i => s"ok$i").mkString(" ")))             // ok (distinct short words)
+    val out = TextAnalysis.gopherFilter(df)
+      .select("doc_id", "kept", "reason").as[(Long, Boolean, String)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) == ((false, "too_short")))
+    assert(out(2L) == ((false, "too_long")))
+    assert(out(3L) == ((false, "word_len")))
+    assert(out(4L) == ((false, "repetitive_unigram")))
+    assert(out(6L) == ((true, "ok")))
+    // first-fail shadowing: doc 2 is ALSO maximally repetitive, but the
+    // length rule fires first
+    assert(out(2L)._2 != "repetitive_unigram")
+  }
+
   // -------------------------------------------------- temperature mixing
 
   test("temperatureQuotas: alpha=1 reproduces natural proportions") {
