@@ -55,6 +55,11 @@ object Queries12 {
         .orderBy(col("train_id"), col("bench_id"))
     }),
 
+    // corpus vocabulary: top-100 tokens by total count (+ doc frequency),
+    // the BPE-prep / stopword-detection frequency table
+    "q_vocab_top" -> ((s, dir) =>
+      graft.text.TextAnalysis.vocab(t(s, dir, "documents"), topK = 100)),
+
     // Gopher-rules corpus filter: keep/drop decision + first-failing-rule
     // reject reason, one row-local projection over the corpus
     "q_corpus_filter" -> ((s, dir) =>
@@ -147,6 +152,16 @@ object Queries12 {
          |  GROUP BY 1, 2)
          |WHERE n_shared >= $WinnowMinShared
          |ORDER BY train_id, bench_id""".stripMargin,
+
+    "q_vocab_top" ->
+      """SELECT token, CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |FROM (SELECT doc_id,
+        |             unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS token
+        |      FROM documents)
+        |GROUP BY token
+        |ORDER BY cnt DESC, token ASC
+        |LIMIT 100""".stripMargin,
 
     // the repetition-CTE chain + length signals, then the same first-fail
     // CASE chain over the identical rounded doubles

@@ -144,6 +144,23 @@ object TextAnalysis {
         round(col("r._2"), 6).as("top_bigram_frac"),
         round(col("r._3"), 6).as("dup_trigram_frac"))
 
+  /** Corpus vocabulary extraction: token -> (total count, document
+    * frequency), top-K by count with token-asc tie-break. The frequency
+    * table that feeds BPE-training prep and data-driven stopword lists.
+    * One explode + one aggregation: partial (map-side) aggregation does
+    * the heavy lifting, the shuffle carries one row per distinct
+    * (token, doc) for df and per token for counts — at 100 TB the result
+    * is vocabulary-sized, not corpus-sized. */
+  def vocab(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      topK: Int = 100): DataFrame = {
+    val exploded = df.select(col(idCol).as("__id"), explode(toks(col(textCol))).as("token"))
+    val out = exploded.groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"), count_distinct(col("__id")).as("df"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(topK)
+    out
+  }
+
   /** Gopher-style corpus filter: compose the length / word-shape /
     * repetition signals into a keep-or-drop decision with a per-document
     * REJECT REASON (the first failing rule, in a fixed order — the
