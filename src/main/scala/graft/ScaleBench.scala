@@ -45,8 +45,9 @@ object ScaleBench {
     "q_decontaminate", "q_pack_greedy", "q_sample_stratified",
     "q_dedup_keep", "q_quality_repetition", "q_decontaminate_embedding", "q_ann_pq",
     // round-8 second pass: winnowing is a row-local scan + fingerprint
-    // join (expect ~linear disjoint), temperature mix is a count agg + scan
-    "q_dedup_winnow", "q_mix_temperature")
+    // join (expect ~linear disjoint), temperature mix is a count agg +
+    // scan, filter/vocab are single-pass scans
+    "q_dedup_winnow", "q_mix_temperature", "q_corpus_filter", "q_vocab_top")
 
   // minhash + embedding_lsh ride along in the skewed regimes too: band/
   // hyperplane buckets are exactly where shared-vocab and boilerplate skew
@@ -58,6 +59,13 @@ object ScaleBench {
       // SEMANTICS (replicas are true duplicates); the capped form is the
       // boilerplate-regime lever (hot fingerprints never enter pair gen)
       "q_dedup_winnow", "q_dedup_winnow_capped")
+
+  // Boilerplate regime drops UNCAPPED winnow: the appended footer makes
+  // every doc select >=1 identical fingerprint (the final winnow window is
+  // footer-only), so one df-N hash emits C(N,2) pairs inside a single
+  // group — quadratic by construction, and the reason maxDf exists. The
+  // capped form measures the lever.
+  private val BoilerplateQueries = SharedQueries.filterNot(_ == "q_dedup_winnow")
 
   /** ~6 corpus-hot shingles once appended to every doc (8 tokens). */
   private val Boilerplate =
@@ -104,7 +112,11 @@ object ScaleBench {
     // queries= comma-list narrows a run to specific curves (iteration aid);
     // default = the full per-mode suite
     val queries = argOf("queries", "") match {
-      case "" => if (mode == "disjoint") DisjointQueries else SharedQueries
+      case "" => mode match {
+        case "disjoint" => DisjointQueries
+        case "boilerplate" => BoilerplateQueries
+        case _ => SharedQueries
+      }
       case qs => qs.split(",").map(_.trim).filter(_.nonEmpty).toSeq
     }
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

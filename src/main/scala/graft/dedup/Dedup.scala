@@ -1039,7 +1039,11 @@ object Dedup {
     * pairs in one allocation), and `maxDf` optionally drops corpus-hot
     * fingerprints from candidate generation entirely — the boilerplate
     * regime lever, same trade as ngram maxDf (recall only at hashes whose
-    * df exceeds the cap). */
+    * df exceeds the cap). Uncapped pair generation is quadratic in
+    * per-hash df AND serial within the hash's single group — a corpus-wide
+    * boilerplate fingerprint (df = N) emits C(N,2) pairs on one core. At
+    * corpus scale always set maxDf; the uncapped form is for
+    * boilerplate-free corpora and verification. */
   def winnowPairs(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       k: Int = 4, w: Int = 4, minShared: Int = 1,
       maxDf: Option[Int] = None): DataFrame = {
