@@ -42,6 +42,13 @@ object Queries12 {
         minShared = 1, maxDf = Some(WinnowCap))
         .orderBy(col("id_a"), col("id_b"))),
 
+    // overlap EXTENT per winnow pair: the longest shared token run — the
+    // quantity substring-dedup policies threshold on
+    "q_dedup_substring" -> ((s, dir) =>
+      Dedup.winnowPairExtent(t(s, dir, "documents"), k = WinnowK, w = WinnowW,
+        minShared = WinnowMinShared)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // substring-level decontamination: train docs (doc_id % 50 <> 0)
     // sharing any winnowed fingerprint with a bench doc — catches a quoted
     // benchmark passage inside a long train doc that whole-doc Jaccard
@@ -140,6 +147,41 @@ object Queries12 {
          |FROM wn_fpc a JOIN wn_fpc b ON a.gh = b.gh AND a.doc_id < b.doc_id
          |GROUP BY 1, 2
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // longest common token run per winnow pair, relationally: token-match
+    // positions (i, j) per pair -> per-diagonal (i-j) gaps-and-islands on
+    // consecutive i -> max island size. Identical by definition to the
+    // engine's O(n·m) DP (same string-equality matches).
+    "q_dedup_substring" ->
+      s"""WITH ${winnowFpCtes},
+         |ws_pairs AS (
+         |  SELECT id_a, id_b, n_shared FROM (
+         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |           CAST(count(*) AS BIGINT) AS n_shared
+         |    FROM wn_fp a JOIN wn_fp b ON a.gh = b.gh AND a.doc_id < b.doc_id
+         |    GROUP BY 1, 2)
+         |  WHERE n_shared >= $WinnowMinShared
+         |), ws_tk AS (
+         |  SELECT doc_id, p, row_number() OVER (PARTITION BY doc_id ORDER BY ord) AS o
+         |  FROM wn_parts WHERE p <> ''
+         |), ws_m AS (
+         |  SELECT c.id_a, c.id_b, a.o AS i, b.o AS j
+         |  FROM ws_pairs c
+         |  JOIN ws_tk a ON a.doc_id = c.id_a
+         |  JOIN ws_tk b ON b.doc_id = c.id_b AND b.p = a.p
+         |), ws_runs AS (
+         |  SELECT id_a, id_b, d, grp, count(*) AS rl
+         |  FROM (SELECT id_a, id_b, i - j AS d,
+         |               i - row_number() OVER (PARTITION BY id_a, id_b, i - j
+         |                                      ORDER BY i) AS grp
+         |        FROM ws_m)
+         |  GROUP BY 1, 2, 3, 4
+         |)
+         |SELECT p.id_a, p.id_b, p.n_shared,
+         |       CAST(coalesce(max(r.rl), 0) AS INT) AS max_run
+         |FROM ws_pairs p LEFT JOIN ws_runs r ON r.id_a = p.id_a AND r.id_b = p.id_b
+         |GROUP BY 1, 2, 3
+         |ORDER BY p.id_a, p.id_b""".stripMargin,
 
     // bipartite winnow fingerprint join, split by the bench predicate
     "q_decontaminate_winnow" ->

@@ -47,7 +47,8 @@ object ScaleBench {
     // round-8 second pass: winnowing is a row-local scan + fingerprint
     // join (expect ~linear disjoint), temperature mix is a count agg +
     // scan, filter/vocab are single-pass scans
-    "q_dedup_winnow", "q_mix_temperature", "q_corpus_filter", "q_vocab_top")
+    "q_dedup_winnow", "q_mix_temperature", "q_corpus_filter", "q_vocab_top",
+    "q_dedup_substring")
 
   // minhash + embedding_lsh ride along in the skewed regimes too: band/
   // hyperplane buckets are exactly where shared-vocab and boilerplate skew

@@ -1083,6 +1083,60 @@ object Dedup {
     finishReleasing(out, cappedP)
   }
 
+  /** Longest common token RUN of two documents (the maximal verbatim
+    * shared span, in tokens) — classic O(n·m) two-row DP; token equality
+    * is checked on the strings (hash equality is only the fast path).
+    * Runs per CANDIDATE PAIR, so the quadratic cost is bounded by doc
+    * length, not corpus size. */
+  private[graft] def longestCommonRun(a: Array[String], b: Array[String]): Int = {
+    if (a.isEmpty || b.isEmpty) return 0
+    val ha = new Array[Int](a.length)
+    val hb = new Array[Int](b.length)
+    var x = 0
+    while (x < a.length) { ha(x) = HashEmbedder.tokenHash(a(x)); x += 1 }
+    x = 0
+    while (x < b.length) { hb(x) = HashEmbedder.tokenHash(b(x)); x += 1 }
+    var best = 0
+    var prev = new Array[Int](b.length + 1)
+    var cur = new Array[Int](b.length + 1)
+    var i = 0
+    while (i < a.length) {
+      var j = 0
+      while (j < b.length) {
+        cur(j + 1) = if (ha(i) == hb(j) && a(i) == b(j)) prev(j) + 1 else 0
+        if (cur(j + 1) > best) best = cur(j + 1)
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    best
+  }
+
+  private val runUdf = udf((a: String, b: String) =>
+    longestCommonRun(HashEmbedder.tokenize(a), HashEmbedder.tokenize(b)))
+
+  /** Winnow pairs annotated with the EXTENT of the overlap: the longest
+    * shared token run per candidate pair — the quantity substring-dedup
+    * policies actually threshold on ("drop one copy when >= 50 tokens are
+    * verbatim-shared"). Candidates come from [[winnowPairs]] (cheap,
+    * guaranteed to contain every pair with a run >= w+k-1); the DP extent
+    * kernel then runs per PAIR — corpus cost is candidate-bounded, and
+    * each extent is a row-local O(len²) kernel on the joined texts. The
+    * pair relation is the broadcast side of both text joins. Returns
+    * (id_a, id_b, n_shared, max_run). */
+  def winnowPairExtent(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      k: Int = 4, w: Int = 4, minShared: Int = 1,
+      maxDf: Option[Int] = None): DataFrame = {
+    val pairs = winnowPairs(df, textCol, idCol, k, w, minShared, maxDf)
+    val txt = df.select(col(idCol).cast("long").as("__tid"), col(textCol).as("__txt"))
+    broadcast(pairs)
+      .join(txt.select(col("__tid").as("id_a"), col("__txt").as("__ta")), "id_a")
+      .join(txt.select(col("__tid").as("id_b"), col("__txt").as("__tb")), "id_b")
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        runUdf(col("__ta"), col("__tb")).as("max_run"))
+  }
+
   /** Winnowing-based decontamination: flag TRAIN docs sharing at least
     * `minShared` winnowed fingerprints with ANY bench doc — SUBSTRING-level
     * benchmark leakage (a benchmark question quoted inside a long training

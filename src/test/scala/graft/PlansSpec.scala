@@ -92,4 +92,16 @@ class PlansSpec extends SparkSpec {
         s"train side shuffles before the broadcast join:\n$plan")
     }
   }
+
+  test("decontaminateWinnow: bench fingerprints enter the join broadcast") {
+    withoutAqe {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val df = graft.dedup.Dedup.decontaminateWinnow(
+        docs.where(org.apache.spark.sql.functions.col("doc_id") % 50 =!= 0),
+        docs.where(org.apache.spark.sql.functions.col("doc_id") % 50 === 0))
+      val plan = df.queryExecution.executedPlan.toString
+      assert("BroadcastHashJoin \\[gh#".r.findFirstIn(plan).nonEmpty,
+        s"bench winnow fingerprints not broadcast on the hash-key join:\n$plan")
+    }
+  }
 }

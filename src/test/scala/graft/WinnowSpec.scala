@@ -109,6 +109,31 @@ class WinnowSpec extends SparkSpec {
     assert(row == ((1L, 2L, expected.toLong)))
   }
 
+  test("longestCommonRun: DP kernel ground truths") {
+    import Dedup.longestCommonRun
+    def lcr(a: String, b: String) =
+      longestCommonRun(a.split(" ").filter(_.nonEmpty), b.split(" ").filter(_.nonEmpty))
+    assert(lcr("a b c d e", "x b c d y") == 3)
+    assert(lcr("a b c", "a b c") == 3)
+    assert(lcr("a b c", "x y z") == 0)
+    assert(lcr("", "a b") == 0)
+    // repeated tokens: best run spans the repetition
+    assert(lcr("a a a b", "z a a a q") == 3)
+    // two disjoint shared runs -> the longer wins
+    assert(lcr("p q r s t u m n", "p q x s t u v w") == 3)
+  }
+
+  test("winnowPairExtent reports the planted passage length") {
+    val passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa" // 10 tokens
+    val df = docs(
+      (1L, s"one two three four five six $passage seven eight nine ten"),
+      (2L, s"uno dos tres cuatro cinco seis $passage siete ocho nueve"))
+    val row = Dedup.winnowPairExtent(df, k = 4, w = 4, minShared = 1)
+      .select("id_a", "id_b", "max_run").as[(Long, Long, Int)].head()
+    assert(row._1 == 1L && row._2 == 2L)
+    assert(row._3 == 10, s"expected the 10-token passage, got run ${row._3}")
+  }
+
   test("decontaminateWinnow catches a quoted benchmark passage Jaccard dilutes") {
     val benchQ = "what is the capital of france paris is the capital"
     val rnd = new scala.util.Random(3)
