@@ -73,6 +73,22 @@ object Queries12 {
       graft.text.TextAnalysis.gopherFilter(t(s, dir, "documents"))
         .orderBy(col("doc_id"))),
 
+    // streaming form of the substring gate: the train-split doc stream
+    // flagged against static bench fingerprints as it lands; AvailableNow
+    // must hash-equal the batch bipartite relation (batch parity in the
+    // hard gate, same protocol as q_stream_decontaminate)
+    "q_stream_decontaminate_winnow" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val stream = Queries6.streamOf(s, dir, "documents")
+        .where(col("doc_id") % 50 =!= 0)
+      Queries6.runAvailableNow(
+        graft.streaming.StreamingDecontaminate.flagStreamWinnow(
+          stream, docs.where(col("doc_id") % 50 === 0),
+          k = WinnowK, w = WinnowW, minShared = WinnowMinShared),
+        "complete")
+        .orderBy(col("train_id"), col("bench_id"))
+    }),
+
     // temperature-scaled corpus mixing over the source strata: share of
     // stratum s targets n_s^0.5, total targets 25% of the corpus
     "q_mix_temperature" -> ((s, dir) =>
@@ -123,6 +139,17 @@ object Queries12 {
        |  JOIN wn_g g ON g.doc_id = s.doc_id AND g.i BETWEEN s.j AND s.j + ${w - 1}
        |), wn_fp AS (SELECT DISTINCT doc_id, gh FROM wn_win WHERE rn = 1)""".stripMargin
   }
+
+  private lazy val decontWinnowSql: String =
+    s"""WITH ${winnowFpCtes},
+       |wn_tr AS (SELECT doc_id AS train_id, gh FROM wn_fp WHERE doc_id % 50 <> 0),
+       |wn_be AS (SELECT doc_id AS bench_id, gh FROM wn_fp WHERE doc_id % 50 = 0)
+       |SELECT train_id, bench_id, n_shared FROM (
+       |  SELECT t.train_id, b.bench_id, CAST(count(*) AS BIGINT) AS n_shared
+       |  FROM wn_tr t JOIN wn_be b ON t.gh = b.gh
+       |  GROUP BY 1, 2)
+       |WHERE n_shared >= $WinnowMinShared
+       |ORDER BY train_id, bench_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_dedup_winnow" ->
@@ -183,17 +210,11 @@ object Queries12 {
          |GROUP BY 1, 2, 3
          |ORDER BY p.id_a, p.id_b""".stripMargin,
 
-    // bipartite winnow fingerprint join, split by the bench predicate
-    "q_decontaminate_winnow" ->
-      s"""WITH ${winnowFpCtes},
-         |wn_tr AS (SELECT doc_id AS train_id, gh FROM wn_fp WHERE doc_id % 50 <> 0),
-         |wn_be AS (SELECT doc_id AS bench_id, gh FROM wn_fp WHERE doc_id % 50 = 0)
-         |SELECT train_id, bench_id, n_shared FROM (
-         |  SELECT t.train_id, b.bench_id, CAST(count(*) AS BIGINT) AS n_shared
-         |  FROM wn_tr t JOIN wn_be b ON t.gh = b.gh
-         |  GROUP BY 1, 2)
-         |WHERE n_shared >= $WinnowMinShared
-         |ORDER BY train_id, bench_id""".stripMargin,
+    // bipartite winnow fingerprint join, split by the bench predicate;
+    // shared verbatim by the batch and streaming forms — identical output
+    // is the batch-parity claim
+    "q_decontaminate_winnow" -> decontWinnowSql,
+    "q_stream_decontaminate_winnow" -> decontWinnowSql,
 
     "q_vocab_top" ->
       """SELECT token, CAST(count(*) AS BIGINT) AS cnt,

@@ -1024,6 +1024,12 @@ object Dedup {
   private def winnowUdf(k: Int, w: Int) =
     udf((s: String) => winnowFingerprints(s, k, w))
 
+  /** Per-doc DISTINCT winnowed fingerprint hashes as one row-local array
+    * column — the streaming-compatible form (no distinct() aggregation
+    * needed downstream; array_distinct runs inside the row). */
+  private[graft] def winnowGhsCol(text: Column, k: Int, w: Int): Column =
+    array_distinct(transform(winnowUdf(k, w)(text), f => f("_2")))
+
   /** Winnowing-based shared-substring pairs: (id_a, id_b, n_shared) where
     * n_shared = count of DISTINCT winnowed fingerprint hashes the two
     * documents share, filtered to >= minShared. Complements the Jaccard

@@ -46,4 +46,30 @@ object StreamingDecontaminate {
       .where(col("__raw") >= threshold)
       .select(col("train_id"), col("bench_id"), round(col("__raw"), 4).as("jaccard"))
   }
+
+  /** Static bench side for the WINNOW gate: (gh, bench_id) distinct
+    * fingerprint postings, built once and broadcast. */
+  def benchWinnowFps(bench: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", k: Int = 4, w: Int = 4): DataFrame =
+    bench.select(col(idCol).cast("long").as("bench_id"),
+        explode(Dedup.winnowGhsCol(col(textCol), k, w)).as("gh"))
+
+  /** Streaming SUBSTRING-level decontamination: flag stream docs sharing
+    * >= minShared winnowed fingerprints with any bench doc — the
+    * ingestion-time form of [[graft.dedup.Dedup.decontaminateWinnow]],
+    * catching a quoted benchmark passage as the doc lands. Winnow
+    * selection is row-local and the per-doc DISTINCT hash set is computed
+    * inside the row (array_distinct before the explode), so the per-pair
+    * shared count is the stream's single stateful aggregation (Complete
+    * mode); state is bounded by contamination pairs, not the corpus.
+    * AvailableNow output equals the batch relation exactly. */
+  def flagStreamWinnow(docs: DataFrame, bench: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", k: Int = 4, w: Int = 4,
+      minShared: Int = 1): DataFrame =
+    docs.select(col(idCol).cast("long").as("train_id"),
+        explode(Dedup.winnowGhsCol(col(textCol), k, w)).as("gh"))
+      .join(broadcast(benchWinnowFps(bench, textCol, idCol, k, w)), "gh")
+      .groupBy(col("train_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
 }

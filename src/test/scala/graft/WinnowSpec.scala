@@ -175,6 +175,30 @@ class WinnowSpec extends SparkSpec {
     assert(out(2L)._2 != "repetitive_unigram")
   }
 
+  test("flagStreamWinnow equals the batch winnow decontamination relation") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val passage = "what is the capital of france paris is the capital"
+    val bench = docs((100L, passage))
+    val trainRows = Seq(
+      (1L, s"x1 x2 x3 x4 x5 x6 $passage y1 y2 y3"),
+      (2L, "completely different words entirely here now present today"))
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val q = graft.streaming.StreamingDecontaminate
+      .flagStreamWinnow(stream, bench, minShared = 1)
+      .writeStream.format("memory").queryName("winnow_stream").outputMode("complete").start()
+    mem.addData(trainRows: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("winnow_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    q.stop()
+    val batch = Dedup.decontaminateWinnow(docs(trainRows: _*), bench, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    assert(streamed.forall(_._1 == 1L), "only the quoting doc is flagged")
+  }
+
   // -------------------------------------------------- temperature mixing
 
   test("temperatureQuotas: alpha=1 reproduces natural proportions") {
