@@ -73,6 +73,14 @@ object Queries12 {
       graft.text.TextAnalysis.gopherFilter(t(s, dir, "documents"))
         .orderBy(col("doc_id"))),
 
+    // the REMOVAL step (substring-dedup policy: keep one copy of the
+    // duplicated span): per-pair dry run excising the best shared run
+    // from the higher-id doc
+    "q_dedup_excise" -> ((s, dir) =>
+      Dedup.winnowExcise(t(s, dir, "documents"), k = WinnowK, w = WinnowW,
+        minShared = WinnowMinShared)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // streaming form of the substring gate: the train-split doc stream
     // flagged against static bench fingerprints as it lands; AvailableNow
     // must hash-equal the batch bipartite relation (batch parity in the
@@ -140,6 +148,37 @@ object Queries12 {
        |), wn_fp AS (SELECT DISTINCT doc_id, gh FROM wn_win WHERE rn = 1)""".stripMargin
   }
 
+  /** Winnow pair candidates + per-pair token-match islands, shared by the
+    * extent and excision oracles: ws_pairs (shared-hash pairs at
+    * minShared), ws_tk (contiguous re-ranked token positions), ws_m
+    * (string-equality match positions), ws_runs (per-diagonal
+    * gaps-and-islands with length AND end position). */
+  private lazy val winnowMatchCtes: String =
+    s"""${winnowFpCtes},
+       |ws_pairs AS (
+       |  SELECT id_a, id_b, n_shared FROM (
+       |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |           CAST(count(*) AS BIGINT) AS n_shared
+       |    FROM wn_fp a JOIN wn_fp b ON a.gh = b.gh AND a.doc_id < b.doc_id
+       |    GROUP BY 1, 2)
+       |  WHERE n_shared >= $WinnowMinShared
+       |), ws_tk AS (
+       |  SELECT doc_id, p, row_number() OVER (PARTITION BY doc_id ORDER BY ord) AS o
+       |  FROM wn_parts WHERE p <> ''
+       |), ws_m AS (
+       |  SELECT c.id_a, c.id_b, a.o AS i, b.o AS j
+       |  FROM ws_pairs c
+       |  JOIN ws_tk a ON a.doc_id = c.id_a
+       |  JOIN ws_tk b ON b.doc_id = c.id_b AND b.p = a.p
+       |), ws_runs AS (
+       |  SELECT id_a, id_b, d, grp, count(*) AS rl, max(i) AS i_end
+       |  FROM (SELECT id_a, id_b, i - j AS d,
+       |               i - row_number() OVER (PARTITION BY id_a, id_b, i - j
+       |                                      ORDER BY i) AS grp, i
+       |        FROM ws_m)
+       |  GROUP BY 1, 2, 3, 4
+       |)""".stripMargin
+
   private lazy val decontWinnowSql: String =
     s"""WITH ${winnowFpCtes},
        |wn_tr AS (SELECT doc_id AS train_id, gh FROM wn_fp WHERE doc_id % 50 <> 0),
@@ -180,34 +219,41 @@ object Queries12 {
     // consecutive i -> max island size. Identical by definition to the
     // engine's O(n·m) DP (same string-equality matches).
     "q_dedup_substring" ->
-      s"""WITH ${winnowFpCtes},
-         |ws_pairs AS (
-         |  SELECT id_a, id_b, n_shared FROM (
-         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |           CAST(count(*) AS BIGINT) AS n_shared
-         |    FROM wn_fp a JOIN wn_fp b ON a.gh = b.gh AND a.doc_id < b.doc_id
-         |    GROUP BY 1, 2)
-         |  WHERE n_shared >= $WinnowMinShared
-         |), ws_tk AS (
-         |  SELECT doc_id, p, row_number() OVER (PARTITION BY doc_id ORDER BY ord) AS o
-         |  FROM wn_parts WHERE p <> ''
-         |), ws_m AS (
-         |  SELECT c.id_a, c.id_b, a.o AS i, b.o AS j
-         |  FROM ws_pairs c
-         |  JOIN ws_tk a ON a.doc_id = c.id_a
-         |  JOIN ws_tk b ON b.doc_id = c.id_b AND b.p = a.p
-         |), ws_runs AS (
-         |  SELECT id_a, id_b, d, grp, count(*) AS rl
-         |  FROM (SELECT id_a, id_b, i - j AS d,
-         |               i - row_number() OVER (PARTITION BY id_a, id_b, i - j
-         |                                      ORDER BY i) AS grp
-         |        FROM ws_m)
-         |  GROUP BY 1, 2, 3, 4
-         |)
+      s"""WITH ${winnowMatchCtes}
          |SELECT p.id_a, p.id_b, p.n_shared,
          |       CAST(coalesce(max(r.rl), 0) AS INT) AS max_run
          |FROM ws_pairs p LEFT JOIN ws_runs r ON r.id_a = p.id_a AND r.id_b = p.id_b
          |GROUP BY 1, 2, 3
+         |ORDER BY p.id_a, p.id_b""".stripMargin,
+
+    // the removal step: rank the islands exactly the way the DP scan picks
+    // its winner (rl DESC, i_end ASC, j_end ASC = first scan-order cell
+    // reaching max length), then rebuild id_b's text without the tokens
+    // in [j_end - rl + 1, j_end]
+    "q_dedup_excise" ->
+      s"""WITH ${winnowMatchCtes},
+         |ws_best AS (
+         |  SELECT id_a, id_b, rl, i_end - d AS j_end FROM (
+         |    SELECT id_a, id_b, d, rl, i_end,
+         |           row_number() OVER (PARTITION BY id_a, id_b
+         |                              ORDER BY rl DESC, i_end ASC, i_end - d ASC) AS rn
+         |    FROM ws_runs)
+         |  WHERE rn = 1
+         |), ws_exc AS (
+         |  SELECT b.id_a, b.id_b, b.rl,
+         |         coalesce(string_agg(t.p, ' ' ORDER BY t.o), '') AS text_b_clean
+         |  FROM ws_best b
+         |  LEFT JOIN ws_tk t ON t.doc_id = b.id_b
+         |    AND NOT (t.o BETWEEN b.j_end - b.rl + 1 AND b.j_end)
+         |  GROUP BY 1, 2, 3
+         |)
+         |SELECT p.id_a, p.id_b,
+         |       CAST(coalesce(e.rl, 0) AS INT) AS run_len,
+         |       coalesce(e.text_b_clean, tb.full_text) AS text_b_clean
+         |FROM ws_pairs p
+         |LEFT JOIN ws_exc e ON e.id_a = p.id_a AND e.id_b = p.id_b
+         |LEFT JOIN (SELECT doc_id, string_agg(p, ' ' ORDER BY o) AS full_text
+         |           FROM ws_tk GROUP BY doc_id) tb ON tb.doc_id = p.id_b
          |ORDER BY p.id_a, p.id_b""".stripMargin,
 
     // bipartite winnow fingerprint join, split by the bench predicate;

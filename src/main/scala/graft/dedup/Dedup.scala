@@ -1094,8 +1094,17 @@ object Dedup {
     * is checked on the strings (hash equality is only the fast path).
     * Runs per CANDIDATE PAIR, so the quadratic cost is bounded by doc
     * length, not corpus size. */
-  private[graft] def longestCommonRun(a: Array[String], b: Array[String]): Int = {
-    if (a.isEmpty || b.isEmpty) return 0
+  private[graft] def longestCommonRun(a: Array[String], b: Array[String]): Int =
+    longestCommonRunEnd(a, b)._1
+
+  /** (length, 1-based end position in `b`) of the longest common token run.
+    * Ties resolve to the FIRST cell in (i asc, j asc) scan order that
+    * achieves the maximal length — i.e. the run with the smallest end
+    * position in `a`, then in `b`. The SQL mirror ranks islands by
+    * (len DESC, i_end ASC, j_end ASC), which is the same rule: cells with
+    * value == max are exactly the end cells of maximal runs. */
+  private[graft] def longestCommonRunEnd(a: Array[String], b: Array[String]): (Int, Int) = {
+    if (a.isEmpty || b.isEmpty) return (0, 0)
     val ha = new Array[Int](a.length)
     val hb = new Array[Int](b.length)
     var x = 0
@@ -1103,6 +1112,7 @@ object Dedup {
     x = 0
     while (x < b.length) { hb(x) = HashEmbedder.tokenHash(b(x)); x += 1 }
     var best = 0
+    var bestEndB = 0
     var prev = new Array[Int](b.length + 1)
     var cur = new Array[Int](b.length + 1)
     var i = 0
@@ -1110,13 +1120,13 @@ object Dedup {
       var j = 0
       while (j < b.length) {
         cur(j + 1) = if (ha(i) == hb(j) && a(i) == b(j)) prev(j) + 1 else 0
-        if (cur(j + 1) > best) best = cur(j + 1)
+        if (cur(j + 1) > best) { best = cur(j + 1); bestEndB = j + 1 }
         j += 1
       }
       val t = prev; prev = cur; cur = t
       i += 1
     }
-    best
+    (best, bestEndB)
   }
 
   private val runUdf = udf((a: String, b: String) =>
@@ -1141,6 +1151,43 @@ object Dedup {
       .join(txt.select(col("__tid").as("id_b"), col("__txt").as("__tb")), "id_b")
       .select(col("id_a"), col("id_b"), col("n_shared"),
         runUdf(col("__ta"), col("__tb")).as("max_run"))
+  }
+
+  private val exciseUdf = udf((a: String, b: String) => {
+    val ta = HashEmbedder.tokenize(a)
+    val tb = HashEmbedder.tokenize(b)
+    val (len, endB) = longestCommonRunEnd(ta, tb)
+    val kept = new scala.collection.mutable.ArrayBuffer[String](tb.length)
+    var j = 0
+    while (j < tb.length) {
+      val pos = j + 1
+      if (len == 0 || pos < endB - len + 1 || pos > endB) kept += tb(j)
+      j += 1
+    }
+    (len, kept.mkString(" "))
+  })
+
+  /** Span EXCISION — the removal step of substring dedup (the Lee et al.
+    * policy: keep ONE copy of a duplicated span): for each winnow
+    * candidate pair, locate the longest shared token run and delete it
+    * from the HIGHER-id document, keeping the lower-id copy intact.
+    * Per-pair dry-run form: one row per pair with the excised text, so a
+    * doc in several pairs shows each excision independently (the caller
+    * picks a resolution policy, exactly like keepCanonical consumes
+    * pair/cluster output). Text re-serializes with single spaces
+    * (whitespace-normalized, like every tokenizer in this engine).
+    * Returns (id_a, id_b, run_len, text_b_clean). */
+  def winnowExcise(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      k: Int = 4, w: Int = 4, minShared: Int = 1,
+      maxDf: Option[Int] = None): DataFrame = {
+    val pairs = winnowPairs(df, textCol, idCol, k, w, minShared, maxDf)
+    val txt = df.select(col(idCol).cast("long").as("__tid"), col(textCol).as("__txt"))
+    broadcast(pairs)
+      .join(txt.select(col("__tid").as("id_a"), col("__txt").as("__ta")), "id_a")
+      .join(txt.select(col("__tid").as("id_b"), col("__txt").as("__tb")), "id_b")
+      .withColumn("__e", exciseUdf(col("__ta"), col("__tb")))
+      .select(col("id_a"), col("id_b"),
+        col("__e._1").as("run_len"), col("__e._2").as("text_b_clean"))
   }
 
   /** Winnowing-based decontamination: flag TRAIN docs sharing at least

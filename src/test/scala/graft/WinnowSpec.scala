@@ -134,6 +134,24 @@ class WinnowSpec extends SparkSpec {
     assert(row._3 == 10, s"expected the 10-token passage, got run ${row._3}")
   }
 
+  test("winnowExcise removes the best shared run from the higher-id doc") {
+    val passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val df = docs(
+      (1L, s"one two three four five six $passage seven eight nine ten"),
+      (2L, s"uno dos tres cuatro cinco seis $passage siete ocho nueve"))
+    val row = Dedup.winnowExcise(df, k = 4, w = 4, minShared = 1)
+      .select("id_a", "id_b", "run_len", "text_b_clean")
+      .as[(Long, Long, Int, String)].head()
+    assert(row._1 == 1L && row._2 == 2L && row._3 == 10)
+    assert(row._4 == "uno dos tres cuatro cinco seis siete ocho nueve",
+      s"excised text wrong: '${row._4}'")
+    // identical docs: the whole of doc B is one shared run -> empty clean text
+    val dup = docs((1L, passage), (2L, passage))
+    val r2 = Dedup.winnowExcise(dup, k = 4, w = 4, minShared = 1)
+      .select("run_len", "text_b_clean").as[(Int, String)].head()
+    assert(r2 == ((10, "")))
+  }
+
   test("decontaminateWinnow catches a quoted benchmark passage Jaccard dilutes") {
     val benchQ = "what is the capital of france paris is the capital"
     val rnd = new scala.util.Random(3)
