@@ -62,6 +62,12 @@ object Queries12 {
         .orderBy(col("train_id"), col("bench_id"))
     }),
 
+    // embedding-space outlier scoring: cosine of every vector against its
+    // own label-group centroid (deterministic long-sum quantized centroid)
+    "q_embedding_outliers" -> ((s, dir) =>
+      TrainingData.embeddingOutliers(t(s, dir, "embeddings"), threshold = 0.0)
+        .orderBy(col("vec_id"))),
+
     // corpus vocabulary: top-100 tokens by total count (+ doc frequency),
     // the BPE-prep / stopword-detection frequency table
     "q_vocab_top" -> ((s, dir) =>
@@ -261,6 +267,38 @@ object Queries12 {
     // is the batch-parity claim
     "q_decontaminate_winnow" -> decontWinnowSql,
     "q_stream_decontaminate_winnow" -> decontWinnowSql,
+
+    // centroid recomputed with the same order-independent arithmetic: the
+    // long sums are exact, the double divisions are left-associated
+    // identically, and the per-vector cosine is the same list-order fold
+    // dense_dot executes
+    "q_embedding_outliers" -> {
+      val q = graft.text.TrainingData.CentroidQ.toDouble
+      val dotVC = OracleGen.denseDotSql("CAST(e.embedding AS DOUBLE[])", "c.cent")
+      val dotVV = OracleGen.denseDotSql("CAST(e.embedding AS DOUBLE[])",
+        "CAST(e.embedding AS DOUBLE[])")
+      val dotCC = OracleGen.denseDotSql("c.cent", "c.cent")
+      s"""WITH eo_x AS (
+         |  SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+         |         generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS i
+         |  FROM embeddings
+         |), eo_s AS (
+         |  SELECT label, i, sum(CAST(floor(v * $q) AS BIGINT)) AS s, count(*) AS n
+         |  FROM eo_x GROUP BY 1, 2
+         |), eo_c AS (
+         |  SELECT label,
+         |         list(CAST(CAST(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / $q AS REAL) AS DOUBLE)
+         |              ORDER BY i) AS cent
+         |  FROM eo_s GROUP BY label
+         |), scored AS (
+         |  SELECT e.vec_id, e.label,
+         |         round(CASE WHEN sqrt($dotVV) = 0.0 OR sqrt($dotCC) = 0.0 THEN 0.0
+         |                    ELSE $dotVC / (sqrt($dotVV) * sqrt($dotCC)) END, 6) AS centroid_cos
+         |  FROM embeddings e JOIN eo_c c USING (label)
+         |)
+         |SELECT vec_id, label, centroid_cos, centroid_cos < 0.0 AS is_outlier
+         |FROM scored ORDER BY vec_id""".stripMargin
+    },
 
     "q_vocab_top" ->
       """SELECT token, CAST(count(*) AS BIGINT) AS cnt,

@@ -93,6 +93,58 @@ object TrainingData {
       defaultQuota = 0, idCol = idCol, salt = salt)
   }
 
+  /** Quantization grid for deterministic centroid aggregation: components
+    * are floor-quantized to this scale and summed as LONGS, so the sum —
+    * and therefore the centroid — is identical under ANY aggregation
+    * order, engine, or partitioning (float sums are order-dependent;
+    * integer sums are not). floor() is unambiguous where half-up/half-even
+    * rounding modes could differ across engines. */
+  val CentroidQ: Long = 1L << 20
+
+  /** Embedding-space outlier scoring (the embedding-based quality /
+    * anomaly filter of modern curation pipelines): per-group centroid of
+    * the embedding column, then every vector's cosine against its own
+    * group centroid — low scores flag mislabeled / off-domain / junk
+    * rows. Returns (idCol, groupCol, centroid_cos) with is_outlier =
+    * centroid_cos < threshold.
+    *
+    * Scale shape: the only aggregation is (group, component-idx) long
+    * sums — group-count-sized, order-independent (see [[CentroidQ]]); the
+    * centroid relation is groups × dim (tiny, broadcast into the scoring
+    * join) and the cosine is a row-local codegen'd left fold
+    * (dense_dot), so scoring is one scan. */
+  def embeddingOutliers(df: DataFrame, groupCol: String = "label",
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      threshold: Double = 0.5): DataFrame = {
+    import graft.functions.VectorExpressions
+    val q = lit(CentroidQ.toDouble)
+    val exploded = df.select(col(groupCol).as("__g"),
+        posexplode(col(vecCol)).as(Seq("__i", "__v")))
+      .select(col("__g"), col("__i"),
+        floor(col("__v").cast("double") * q).as("__q"))
+    val cent = exploded.groupBy(col("__g"), col("__i"))
+      .agg(sum(col("__q")).as("__s"), count(lit(1)).as("__n"))
+      .withColumn("__c",
+        col("__s").cast("double") / col("__n").cast("double") / q)
+      .groupBy(col("__g"))
+      .agg(array_sort(collect_list(struct(col("__i"), col("__c")))).as("__sc"))
+      // dense_dot is the float32-typed codegen'd fold — the centroid
+      // rounds once to nearest float (CAST AS REAL in the oracle), then
+      // both sides widen exactly inside the double accumulation
+      .select(col("__g"),
+        transform(col("__sc"), s => s("__c").cast("float")).as("__cent"))
+    val vd = col(vecCol)
+    df.join(broadcast(cent), col(groupCol) === col("__g"))
+      .withColumn("__dot", VectorExpressions.dense_dot(vd, col("__cent")))
+      .withColumn("__nv", sqrt(VectorExpressions.dense_dot(vd, vd)))
+      .withColumn("__nc", sqrt(VectorExpressions.dense_dot(col("__cent"), col("__cent"))))
+      .withColumn("centroid_cos",
+        round(when(col("__nv") === 0.0 || col("__nc") === 0.0, lit(0.0))
+          .otherwise(col("__dot") / (col("__nv") * col("__nc"))), 6))
+      .select(col(idCol), col(groupCol), col("centroid_cos"),
+        (col("centroid_cos") < threshold).as("is_outlier"))
+  }
+
   /** Greedy sequential sequence packing: assign docs to fixed-token-budget
     * packs (LLM pretraining sample packing). Docs are sharded by
     * doc_id mod nShards; WITHIN a shard, docs are scanned in doc_id order

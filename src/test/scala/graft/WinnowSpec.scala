@@ -217,6 +217,29 @@ class WinnowSpec extends SparkSpec {
     assert(streamed.forall(_._1 == 1L), "only the quoting doc is flagged")
   }
 
+  // -------------------------------------------------- embedding outliers
+
+  test("embeddingOutliers flags a planted opposite vector; centroid is partition-invariant") {
+    import graft.text.TrainingData
+    val dim = 8
+    val base = Array.tabulate(dim)(i => 0.5f + 0.01f * i)
+    val rows = (0L until 20L).map { i =>
+      (i, base.map(v => v + (i % 3) * 0.001f).toSeq, 1)
+    } :+ ((99L, base.map(v => -v).toSeq, 1)) // the planted outlier
+    val df = rows.toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val out = TrainingData.embeddingOutliers(df, threshold = 0.0)
+      .select("vec_id", "is_outlier").as[(Long, Boolean)].collect().toMap
+    assert(out(99L), "opposite vector must flag as outlier")
+    assert((0L until 20L).forall(i => !out(i)), "cluster members must not flag")
+    // quantized-long centroid: identical scores under any partitioning
+    val a = TrainingData.embeddingOutliers(df.repartition(2), threshold = 0.0)
+      .select("vec_id", "centroid_cos").as[(Long, Double)].collect().toMap
+    val b = TrainingData.embeddingOutliers(df.repartition(7), threshold = 0.0)
+      .select("vec_id", "centroid_cos").as[(Long, Double)].collect().toMap
+    assert(a == b, "centroid cosine must be aggregation-order invariant")
+  }
+
   // -------------------------------------------------- temperature mixing
 
   test("temperatureQuotas: alpha=1 reproduces natural proportions") {
