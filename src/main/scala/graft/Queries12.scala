@@ -68,6 +68,11 @@ object Queries12 {
       TrainingData.embeddingOutliers(t(s, dir, "embeddings"), threshold = 0.0)
         .orderBy(col("vec_id"))),
 
+    // per-source corpus profile: counts, exact mean, interpolated p50/p95
+    "q_source_stats" -> ((s, dir) =>
+      graft.text.TextAnalysis.corpusStats(t(s, dir, "documents"))
+        .orderBy(col("source"))),
+
     // corpus vocabulary: top-100 tokens by total count (+ doc frequency),
     // the BPE-prep / stopword-detection frequency table
     "q_vocab_top" -> ((s, dir) =>
@@ -299,6 +304,17 @@ object Queries12 {
          |SELECT vec_id, label, centroid_cos, centroid_cos < 0.0 AS is_outlier
          |FROM scored ORDER BY vec_id""".stripMargin
     },
+
+    // integer sums divide exactly; quantile_cont implements the same
+    // (n-1)p linear interpolation as Spark's exact percentile; 4dp
+    // rounding absorbs any last-ulp interpolation divergence
+    "q_source_stats" ->
+      """SELECT source,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS mean_chars,
+        |       round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+        |       round(quantile_cont(n_chars, 0.95), 4) AS p95_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "q_vocab_top" ->
       """SELECT token, CAST(count(*) AS BIGINT) AS cnt,

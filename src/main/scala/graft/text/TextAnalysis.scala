@@ -161,6 +161,23 @@ object TextAnalysis {
     out
   }
 
+  /** Per-stratum corpus profile: row count, exact mean and interpolated
+    * p50/p95 of a numeric column — the summary a pipeline owner reads
+    * before choosing filter thresholds. Means divide an EXACT integer sum
+    * (no float-order sensitivity); percentiles use the standard
+    * (n-1)p linear interpolation both engines implement. One shuffle,
+    * stratum-sized output. */
+  def corpusStats(df: DataFrame, strataCol: String = "source",
+      numCol: String = "n_chars"): DataFrame =
+    df.groupBy(col(strataCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(sum(col(numCol)).cast("double") / count(lit(1)), 4).as("mean_chars"),
+        // exact interpolating percentile (NOT percentile_approx, which
+        // returns a dataset element) — matches quantile_cont's (n-1)p rule
+        round(expr(s"percentile($numCol, 0.5d)"), 4).as("p50_chars"),
+        round(expr(s"percentile($numCol, 0.95d)"), 4).as("p95_chars"))
+
   /** Gopher-style corpus filter: compose the length / word-shape /
     * repetition signals into a keep-or-drop decision with a per-document
     * REJECT REASON (the first failing rule, in a fixed order — the

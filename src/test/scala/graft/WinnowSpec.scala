@@ -217,6 +217,19 @@ class WinnowSpec extends SparkSpec {
     assert(streamed.forall(_._1 == 1L), "only the quoting doc is flagged")
   }
 
+  test("corpusStats interpolates percentiles the quantile_cont way") {
+    import graft.text.TextAnalysis
+    val df = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L), (4L, "a", 40L))
+      .toDF("doc_id", "source", "n_chars")
+    val r = TextAnalysis.corpusStats(df)
+      .select("n_docs", "mean_chars", "p50_chars", "p95_chars")
+      .as[(Long, Double, Double, Double)].head()
+    assert(r._1 == 4L && r._2 == 25.0)
+    assert(r._3 == 25.0, "p50 of [10,20,30,40] interpolates to 25")
+    // h = (n-1)p = 2.85 -> 30 + 0.85*(40-30) = 38.5
+    assert(r._4 == 38.5, s"p95 must interpolate: got ${r._4}")
+  }
+
   // -------------------------------------------------- embedding outliers
 
   test("embeddingOutliers flags a planted opposite vector; centroid is partition-invariant") {
