@@ -68,6 +68,15 @@ object Queries12 {
       TrainingData.embeddingOutliers(t(s, dir, "embeddings"), threshold = 0.0)
         .orderBy(col("vec_id"))),
 
+    // the corpus filter as an INGESTION-TIME gate: gopherFilter is
+    // row-local, so it runs stateless on the doc stream (Append mode) and
+    // AvailableNow must equal the batch decision table exactly
+    "q_stream_filter" -> ((s, dir) =>
+      Queries6.runAvailableNow(
+        graft.text.TextAnalysis.gopherFilter(Queries6.streamOf(s, dir, "documents")),
+        "append")
+        .orderBy(col("doc_id"))),
+
     // per-source corpus profile: counts, exact mean, interpolated p50/p95
     "q_source_stats" -> ((s, dir) =>
       graft.text.TextAnalysis.corpusStats(t(s, dir, "documents"))
@@ -201,6 +210,56 @@ object Queries12 {
        |WHERE n_shared >= $WinnowMinShared
        |ORDER BY train_id, bench_id""".stripMargin
 
+  private lazy val corpusFilterSql: String =
+        """WITH cf_tk AS (
+          |  SELECT doc_id,
+          |         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS p,
+          |         generate_subscripts(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> ''), 1) AS ord
+          |  FROM documents
+          |), cf_uni AS (
+          |  SELECT doc_id, round(max(c) * 1.0 / sum(c), 6) AS f
+          |  FROM (SELECT doc_id, p, count(*) AS c FROM cf_tk GROUP BY 1, 2) GROUP BY doc_id
+          |), cf_big0 AS (
+          |  SELECT a.doc_id, a.p || ' ' || b.p AS g
+          |  FROM cf_tk a JOIN cf_tk b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+          |), cf_big AS (
+          |  SELECT doc_id, round(max(c) * 1.0 / sum(c), 6) AS f
+          |  FROM (SELECT doc_id, g, count(*) AS c FROM cf_big0 GROUP BY 1, 2) GROUP BY doc_id
+          |), cf_tri0 AS (
+          |  SELECT a.doc_id, a.p || ' ' || b.p || ' ' || c.p AS g
+          |  FROM cf_tk a
+          |  JOIN cf_tk b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+          |  JOIN cf_tk c ON c.doc_id = a.doc_id AND c.ord = a.ord + 2
+          |), cf_tri AS (
+          |  SELECT doc_id,
+          |         round(sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / sum(c), 6) AS f
+          |  FROM (SELECT doc_id, g, count(*) AS c FROM cf_tri0 GROUP BY 1, 2) GROUP BY doc_id
+          |), cf_len AS (
+          |  SELECT doc_id,
+          |         len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS nt,
+          |         CAST(length(text) AS DOUBLE) AS nc
+          |  FROM documents
+          |), cf_sig AS (
+          |  SELECT l.doc_id, l.nt,
+          |         CASE WHEN l.nt > 0 THEN round((l.nc - (l.nt - 1)) / l.nt, 4) ELSE 0.0 END AS mwl,
+          |         coalesce(u.f, 0.0) AS uf, coalesce(b.f, 0.0) AS bf, coalesce(t.f, 0.0) AS tf
+          |  FROM cf_len l
+          |  LEFT JOIN cf_uni u ON u.doc_id = l.doc_id
+          |  LEFT JOIN cf_big b ON b.doc_id = l.doc_id
+          |  LEFT JOIN cf_tri t ON t.doc_id = l.doc_id
+          |)
+          |SELECT doc_id, reason = 'ok' AS kept, reason FROM (
+          |  SELECT doc_id,
+          |         CASE WHEN nt < 20 THEN 'too_short'
+          |              WHEN nt > 90 THEN 'too_long'
+          |              WHEN mwl > 5.0 THEN 'word_len'
+          |              WHEN uf > 0.12 THEN 'repetitive_unigram'
+          |              WHEN bf > 0.08 THEN 'repetitive_bigram'
+          |              WHEN tf > 0.05 THEN 'repetitive_trigram'
+          |              ELSE 'ok' END AS reason
+          |  FROM cf_sig)
+          |ORDER BY doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_dedup_winnow" ->
       s"""WITH ${winnowFpCtes}
@@ -327,56 +386,10 @@ object Queries12 {
         |LIMIT 100""".stripMargin,
 
     // the repetition-CTE chain + length signals, then the same first-fail
-    // CASE chain over the identical rounded doubles
-    "q_corpus_filter" ->
-      """WITH cf_tk AS (
-        |  SELECT doc_id,
-        |         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS p,
-        |         generate_subscripts(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> ''), 1) AS ord
-        |  FROM documents
-        |), cf_uni AS (
-        |  SELECT doc_id, round(max(c) * 1.0 / sum(c), 6) AS f
-        |  FROM (SELECT doc_id, p, count(*) AS c FROM cf_tk GROUP BY 1, 2) GROUP BY doc_id
-        |), cf_big0 AS (
-        |  SELECT a.doc_id, a.p || ' ' || b.p AS g
-        |  FROM cf_tk a JOIN cf_tk b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
-        |), cf_big AS (
-        |  SELECT doc_id, round(max(c) * 1.0 / sum(c), 6) AS f
-        |  FROM (SELECT doc_id, g, count(*) AS c FROM cf_big0 GROUP BY 1, 2) GROUP BY doc_id
-        |), cf_tri0 AS (
-        |  SELECT a.doc_id, a.p || ' ' || b.p || ' ' || c.p AS g
-        |  FROM cf_tk a
-        |  JOIN cf_tk b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
-        |  JOIN cf_tk c ON c.doc_id = a.doc_id AND c.ord = a.ord + 2
-        |), cf_tri AS (
-        |  SELECT doc_id,
-        |         round(sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / sum(c), 6) AS f
-        |  FROM (SELECT doc_id, g, count(*) AS c FROM cf_tri0 GROUP BY 1, 2) GROUP BY doc_id
-        |), cf_len AS (
-        |  SELECT doc_id,
-        |         len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS nt,
-        |         CAST(length(text) AS DOUBLE) AS nc
-        |  FROM documents
-        |), cf_sig AS (
-        |  SELECT l.doc_id, l.nt,
-        |         CASE WHEN l.nt > 0 THEN round((l.nc - (l.nt - 1)) / l.nt, 4) ELSE 0.0 END AS mwl,
-        |         coalesce(u.f, 0.0) AS uf, coalesce(b.f, 0.0) AS bf, coalesce(t.f, 0.0) AS tf
-        |  FROM cf_len l
-        |  LEFT JOIN cf_uni u ON u.doc_id = l.doc_id
-        |  LEFT JOIN cf_big b ON b.doc_id = l.doc_id
-        |  LEFT JOIN cf_tri t ON t.doc_id = l.doc_id
-        |)
-        |SELECT doc_id, reason = 'ok' AS kept, reason FROM (
-        |  SELECT doc_id,
-        |         CASE WHEN nt < 20 THEN 'too_short'
-        |              WHEN nt > 90 THEN 'too_long'
-        |              WHEN mwl > 5.0 THEN 'word_len'
-        |              WHEN uf > 0.12 THEN 'repetitive_unigram'
-        |              WHEN bf > 0.08 THEN 'repetitive_bigram'
-        |              WHEN tf > 0.05 THEN 'repetitive_trigram'
-        |              ELSE 'ok' END AS reason
-        |  FROM cf_sig)
-        |ORDER BY doc_id""".stripMargin,
+    // CASE chain over the identical rounded doubles; shared verbatim by
+    // the batch and streaming forms (AvailableNow == batch is the claim)
+    "q_corpus_filter" -> corpusFilterSql,
+    "q_stream_filter" -> corpusFilterSql,
 
     // quotas recomputed in SQL with bit-identical arithmetic: counts are
     // exact integer doubles, sqrt is correctly rounded IEEE-754 on both
