@@ -93,6 +93,22 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("winnowPairExtent: the pair relation broadcasts into both text joins") {
+    withoutAqe {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val df = graft.dedup.Dedup.winnowPairExtent(docs, minShared = 1)
+      val plan = df.queryExecution.executedPlan
+      val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+      assert(bhj.size >= 2,
+        s"expected two broadcast joins (pairs x text_a, x text_b):\n$plan")
+      // the corpus scan must not shuffle for the join
+      val shuffles = plan.collect {
+        case e if e.nodeName.contains("Exchange") && !e.nodeName.contains("Broadcast") => e
+      }
+      assert(shuffles.isEmpty, s"corpus side shuffles before the pair joins:\n$plan")
+    }
+  }
+
   test("decontaminateWinnow: bench fingerprints enter the join broadcast") {
     withoutAqe {
       val docs = spark.read.parquet(s"$dir/documents.parquet")

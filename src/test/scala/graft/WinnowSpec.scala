@@ -75,6 +75,26 @@ class WinnowSpec extends SparkSpec {
     assert(fps.forall(f => f._1 >= 1 && f._1 <= nGrams))
   }
 
+  test("operators tolerate empty and token-less corpora") {
+    import graft.text.{TextAnalysis, TrainingData}
+    val empty = docs()
+    assert(Dedup.winnowPairs(empty).count() == 0)
+    assert(Dedup.winnowPairExtent(empty).count() == 0)
+    assert(Dedup.winnowExcise(empty).count() == 0)
+    assert(TextAnalysis.gopherFilter(empty).count() == 0)
+    assert(TextAnalysis.vocab(empty).count() == 0)
+    val blank = docs((1L, ""), (2L, "   "), (3L, "x"))
+    assert(Dedup.winnowPairs(blank).count() == 0, "no k-grams, no pairs")
+    val f = TextAnalysis.gopherFilter(blank).select("doc_id", "reason")
+      .as[(Long, String)].collect().toMap
+    assert(f(1L) == "too_short" && f(2L) == "too_short" && f(3L) == "too_short")
+    // temperature mixing over a single stratum keeps ~targetFrac
+    val one = (0L until 200L).map(i => (i, s"d $i", "en", "only"))
+      .toDF("doc_id", "text", "lang", "source")
+    val kept = TrainingData.temperatureMix(one, "source", 0.5, 0.5).count()
+    assert(kept > 60 && kept < 140)
+  }
+
   // -------------------------------------------------- pair operator
 
   test("winnowPairs finds a planted copied passage and orders ids") {
