@@ -77,6 +77,17 @@ object Queries12 {
         "append")
         .orderBy(col("doc_id"))),
 
+    // deterministic train/val/test assignment (922/51/51 in 1024ths)
+    "q_split_assign" -> ((s, dir) =>
+      TrainingData.assignSplits(t(s, dir, "documents"))
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))),
+
+    // corpus-relative token commonness (the ln-free perplexity cousin)
+    "q_token_commonness" -> ((s, dir) =>
+      graft.text.TextAnalysis.commonness(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+
     // per-source corpus profile: counts, exact mean, interpolated p50/p95
     "q_source_stats" -> ((s, dir) =>
       graft.text.TextAnalysis.corpusStats(t(s, dir, "documents"))
@@ -363,6 +374,30 @@ object Queries12 {
          |SELECT vec_id, label, centroid_cos, centroid_cos < 0.0 AS is_outlier
          |FROM scored ORDER BY vec_id""".stripMargin
     },
+
+    // identical FNV bucket, cut points in 1024ths
+    "q_split_assign" -> {
+      val fnvId = OracleGen.fnvSql("('split:' || CAST(doc_id AS VARCHAR))")
+      s"""SELECT doc_id,
+         |       CASE WHEN ($fnvId) % 1024 < 922 THEN 'train'
+         |            WHEN ($fnvId) % 1024 < 973 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    // exact integer sums; ONE double division with the same association
+    "q_token_commonness" ->
+      """WITH tc_tk AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS token
+        |  FROM documents
+        |), tc_cnt AS (SELECT token, count(*) AS c FROM tc_tk GROUP BY token),
+        |tc_tot AS (SELECT sum(c) AS t FROM tc_cnt)
+        |SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+        |       round(CAST(sum(c) AS DOUBLE) /
+        |             (CAST(count(*) AS DOUBLE) * CAST(t AS DOUBLE)), 8) AS mean_token_freq
+        |FROM tc_tk JOIN tc_cnt USING (token) CROSS JOIN tc_tot
+        |GROUP BY doc_id, t ORDER BY doc_id""".stripMargin,
 
     // integer sums divide exactly; quantile_cont implements the same
     // (n-1)p linear interpolation as Spark's exact percentile; 4dp

@@ -161,6 +161,35 @@ object TextAnalysis {
     out
   }
 
+  /** Corpus-relative token commonness: per doc, the mean corpus frequency
+    * of its tokens — sum over the doc of count(token), divided once by
+    * n_doc_tokens · total_corpus_tokens. The rational-arithmetic cousin of
+    * perplexity filtering: rare-token-heavy (OOV-ish, noisy) docs score
+    * low, boilerplate scores high, and because the score is ONE division
+    * of exact integer sums there is no ln()/float-fold surface to
+    * diverge cross-engine (a true unigram-LM perplexity needs ln, whose
+    * last-ulp behavior is libm-specific — considered and rejected for the
+    * hard gate). Two shuffles: the corpus count aggregation
+    * (vocabulary-sized, broadcast back) and the per-doc sum of exact
+    * longs (order-independent). */
+  def commonness(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val toksOf = toks(col(textCol))
+    val exploded = df.select(col(idCol).as("__id"), explode(toksOf).as("token"))
+    val counts = exploded.groupBy(col("token")).agg(count(lit(1)).as("__c"))
+    val totalRow = counts.agg(sum(col("__c")).as("__t"))
+    exploded
+      .join(broadcast(counts), "token")
+      .groupBy(col("__id"))
+      .agg(sum(col("__c")).as("__sc"), count(lit(1)).as("__n"))
+      .crossJoin(broadcast(totalRow))
+      .select(col("__id").as(idCol),
+        col("__n").cast("int").as("n_tokens"),
+        round(col("__sc").cast("double") /
+          (col("__n").cast("double") * col("__t").cast("double")), 8)
+          .as("mean_token_freq"))
+  }
+
   /** Per-stratum corpus profile: row count, exact mean and interpolated
     * p50/p95 of a numeric column — the summary a pipeline owner reads
     * before choosing filter thresholds. Means divide an EXACT integer sum

@@ -93,6 +93,24 @@ object TrainingData {
       defaultQuota = 0, idCol = idCol, salt = salt)
   }
 
+  /** Deterministic train/validation/test split assignment: the FNV bucket
+    * of the doc id routes each row to a split, with cut points in
+    * 1024ths ("918/51/55" ≈ 90/5/5). Same reproducibility contract as
+    * [[stratifiedSample]] — membership is a pure function of the id, so
+    * re-runs, backfills, and other engines agree row for row, and a doc
+    * can never leak across splits between pipeline versions. One scan, no
+    * shuffle. Returns the input plus a `split` column. */
+  def assignSplits(df: DataFrame, trainQuota: Int = 922, valQuota: Int = 51,
+      idCol: String = "doc_id", salt: String = "split:"): DataFrame = {
+    require(trainQuota >= 0 && valQuota >= 0 && trainQuota + valQuota <= SampleMod,
+      s"quotas are in ${SampleMod}ths: train + val must be <= $SampleMod")
+    val bucket = udf((id: Long) => math.floorMod(HashEmbedder.tokenHash(salt + id), SampleMod))
+    df.withColumn("split",
+      when(bucket(col(idCol)) < trainQuota, "train")
+        .when(bucket(col(idCol)) < trainQuota + valQuota, "val")
+        .otherwise("test"))
+  }
+
   /** Quantization grid for deterministic centroid aggregation: components
     * are floor-quantized to this scale and summed as LONGS, so the sum —
     * and therefore the centroid — is identical under ANY aggregation

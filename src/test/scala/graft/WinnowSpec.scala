@@ -305,6 +305,36 @@ class WinnowSpec extends SparkSpec {
     assert(q.values.forall(v => v >= 0 && v <= TrainingData.SampleMod))
   }
 
+  test("assignSplits partitions every doc deterministically at ~922/51/51") {
+    import graft.text.TrainingData
+    val df = (0L until 2000L).map(i => (i, s"d $i", "en")).toDF("doc_id", "text", "lang")
+    val a = TrainingData.assignSplits(df).select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    val b = TrainingData.assignSplits(df).select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    assert(a == b, "split must be reproducible")
+    val byS = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(byS.keySet == Set("train", "val", "test"))
+    assert(byS("train") > 1700 && byS("train") < 1890, s"train ${byS("train")}")
+    assert(byS("val") > 50 && byS("val") < 160)
+    // the split salt is independent of the sampling salt: membership in a
+    // stratified SAMPLE does not correlate with the split assignment
+    assert(TrainingData.assignSplits(df, salt = "doc:")
+      .select("split").as[String].collect().toSet == Set("train", "val", "test"))
+  }
+
+  test("commonness ranks boilerplate above rare-token docs") {
+    import graft.text.TextAnalysis
+    val df = docs(
+      (1L, "common common common common words words here here"),
+      (2L, "zyx9 qwv8 unique7 rare6 single5 once4 solo3 lone2"))
+    val m = TextAnalysis.commonness(df)
+      .select("doc_id", "mean_token_freq").as[(Long, Double)].collect().toMap
+    assert(m(1L) > m(2L), s"boilerplate doc must score higher: $m")
+    // every token in doc 2 is unique -> mean freq = 1/total
+    assert(m(2L) == BigDecimal(1.0 / 16).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("temperatureMix keeps ~targetFrac of the corpus and nests determinism") {
     val df = (0L until 1000L)
       .map(i => (i, s"doc $i", "en", s"src${i % 4}"))
