@@ -48,7 +48,8 @@ object ScaleBench {
     // join (expect ~linear disjoint), temperature mix is a count agg +
     // scan, filter/vocab are single-pass scans
     "q_dedup_winnow", "q_mix_temperature", "q_corpus_filter", "q_vocab_top",
-    "q_dedup_substring", "q_dedup_excise", "q_embedding_outliers")
+    "q_dedup_substring", "q_dedup_excise", "q_embedding_outliers",
+    "q_split_assign", "q_token_commonness", "q_source_stats")
 
   // minhash + embedding_lsh ride along in the skewed regimes too: band/
   // hyperplane buckets are exactly where shared-vocab and boilerplate skew
