@@ -6,12 +6,20 @@ import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
 import graft.text.TrainingData
 
-/** Twelfth bank (round 8, second pass): winnowing substring-overlap dedup
-  * (the MOSS fingerprinting algorithm) and temperature-scaled corpus
-  * mixing. Both hard-gate oracled — winnowing's selection rule and gram
-  * arithmetic are replicated step for step in SQL; temperature quotas are
-  * recomputed INDEPENDENTLY by the oracle (sqrt is IEEE-exact on both
-  * engines, the normalizer folds in stratum-sorted order). */
+/** Twelfth bank (round 8, second pass) — the substring-dedup story and
+  * corpus-curation widening, all hard-gate oracled:
+  *
+  *   - winnowing (MOSS) fingerprint pairs, capped variant, overlap
+  *     EXTENT (longest common token run; DP vs a gaps-and-islands SQL
+  *     oracle), and span EXCISION (the keep-one-copy removal step);
+  *   - substring-level decontamination, batch + streaming (AvailableNow
+  *     ≡ batch with the same SQL verbatim);
+  *   - temperature-scaled corpus mixing (quotas RECOMPUTED independently
+  *     by the oracle — sqrt is IEEE-exact, the normalizer folds in
+  *     stratum-sorted order), deterministic train/val/test splits;
+  *   - Gopher-rules corpus filter (batch + stream gate), token
+  *     commonness, per-source profiles, vocabulary, embedding-space
+  *     outlier scoring (order-invariant quantized centroids). */
 object Queries12 {
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
