@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.events.EventAnalytics
+
+/** Thirteenth bank (round 8, second pass): event analytics — ordered-step
+  * funnels and weekly cohort retention over the normalized events
+  * relation. Pure integer/relational pipelines; the oracles are direct
+  * SQL restatements (epoch_us(ts)*1000 is the shared nanos norm). */
+object Queries13 {
+
+  private val FunnelSteps = Seq("view", "click", "purchase")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // first-touch funnel: first view, first click AFTER it, first
+    // purchase after that
+    "q_funnel" -> ((s, dir) =>
+      EventAnalytics.funnel(SparkEntry.eventsWithTsNs(s, dir), FunnelSteps)
+        .orderBy(col("step_idx"))),
+
+    // weekly retention triangle: cohort = first active epoch-week
+    "q_retention_cohorts" -> ((s, dir) =>
+      EventAnalytics.retentionCohorts(SparkEntry.eventsWithTsNs(s, dir))
+        .orderBy(col("cohort_week"), col("week_offset")))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_funnel" ->
+      """WITH fe AS (SELECT user_id AS u, event_type AS et, epoch_us(ts) * 1000 AS t
+        |            FROM events),
+        |f0 AS (SELECT u, min(t) AS tp FROM fe WHERE et = 'view' GROUP BY u),
+        |f1 AS (SELECT fe.u, min(fe.t) AS tp FROM fe JOIN f0 USING (u)
+        |       WHERE fe.et = 'click' AND fe.t > f0.tp GROUP BY fe.u),
+        |f2 AS (SELECT fe.u, min(fe.t) AS tp FROM fe JOIN f1 USING (u)
+        |       WHERE fe.et = 'purchase' AND fe.t > f1.tp GROUP BY fe.u)
+        |SELECT step_idx, step, n_users FROM (
+        |  SELECT 0 AS step_idx, 'view' AS step, CAST(count(*) AS BIGINT) AS n_users FROM f0
+        |  UNION ALL
+        |  SELECT 1, 'click', CAST(count(*) AS BIGINT) FROM f1
+        |  UNION ALL
+        |  SELECT 2, 'purchase', CAST(count(*) AS BIGINT) FROM f2)
+        |ORDER BY step_idx""".stripMargin,
+
+    "q_retention_cohorts" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id AS u,
+        |         (epoch_us(ts) * 1000) // 604800000000000 AS w
+        |  FROM events
+        |), ch AS (SELECT u, min(w) AS cw FROM uw GROUP BY u)
+        |SELECT cw AS cohort_week, w - cw AS week_offset,
+        |       CAST(count(*) AS BIGINT) AS n_users
+        |FROM uw JOIN ch USING (u)
+        |GROUP BY 1, 2
+        |ORDER BY cohort_week, week_offset""".stripMargin
+  )
+}

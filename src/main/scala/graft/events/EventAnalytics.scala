@@ -1,0 +1,66 @@
+package graft.events
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-analytics operators over the normalized events relation
+  * (`ts_ns: Long` — always load through `SparkEntry.eventsWithTsNs`):
+  * ordered-step funnels and weekly cohort retention. Both are pure
+  * integer/relational pipelines — week bucketing is `div` on the nanos
+  * (ts_ns ~1.7e18 exceeds double's exact range, so never floating
+  * division), counts are exact — which makes the oracles trivial and the
+  * results engine-independent. */
+object EventAnalytics {
+
+  /** Ordered-step funnel: how many users complete step 1, then step 2
+    * STRICTLY AFTER their first step-1 event, and so on (each step's
+    * anchor is the EARLIEST qualifying event after the previous anchor —
+    * the standard first-touch funnel). Returns one row per step:
+    * (step_idx, step, n_users).
+    *
+    * Scale shape: one filtered aggregation per step, each shuffling on
+    * user_id only the users still in the funnel — the relation shrinks
+    * monotonically, and no per-user event lists are ever materialized
+    * (the window-function formulation would sort every user's full
+    * history; this one only carries one anchor timestamp per survivor). */
+  def funnel(events: DataFrame, steps: Seq[String],
+      typeCol: String = "event_type", userCol: String = "user_id",
+      tsCol: String = "ts_ns"): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val base = events.select(col(userCol).cast("long").as("u"),
+      col(typeCol).as("et"), col(tsCol).as("t"))
+    var cur = base.where(col("et") === steps.head)
+      .groupBy(col("u")).agg(min(col("t")).as("tprev"))
+    val perStep = scala.collection.mutable.ArrayBuffer((0, steps.head, cur))
+    steps.zipWithIndex.drop(1).foreach { case (st, i) =>
+      cur = base.where(col("et") === st)
+        .join(cur.select(col("u"), col("tprev")), "u")
+        .where(col("t") > col("tprev"))
+        .groupBy(col("u")).agg(min(col("t")).as("tprev"))
+      perStep += ((i, st, cur))
+    }
+    perStep.map { case (i, st, df) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i).as("step_idx"), lit(st).as("step"), col("n_users"))
+    }.reduce(_.unionAll(_))
+  }
+
+  /** Weekly cohort retention: users cohorted by their FIRST active week,
+    * then counted per (cohort_week, week_offset) — the classic retention
+    * triangle. Weeks are epoch-based integer buckets (ts_ns div weekNs),
+    * so cohort membership is engine- and timezone-independent. Returns
+    * (cohort_week, week_offset, n_users).
+    *
+    * Scale shape: the distinct (user, week) relation is the only
+    * event-volume shuffle; everything after is user- and cohort-sized. */
+  def retentionCohorts(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts_ns", weekNs: Long = 604800000000000L): DataFrame = {
+    val uw = events.select(col(userCol).cast("long").as("u"),
+        expr(s"$tsCol div $weekNs").as("w"))
+      .distinct()
+    val cohort = uw.groupBy(col("u")).agg(min(col("w")).as("cw"))
+    uw.join(cohort, "u")
+      .groupBy(col("cw").as("cohort_week"), (col("w") - col("cw")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+}
