@@ -23,7 +23,20 @@ object Queries13 {
     // weekly retention triangle: cohort = first active epoch-week
     "q_retention_cohorts" -> ((s, dir) =>
       EventAnalytics.retentionCohorts(SparkEntry.eventsWithTsNs(s, dir))
-        .orderBy(col("cohort_week"), col("week_offset")))
+        .orderBy(col("cohort_week"), col("week_offset"))),
+
+    // semi-structured extraction: the JSON props payload parsed with
+    // schema-on-read (from_json), then a per-type profile of the field —
+    // the schemaless-column pattern every event pipeline hits
+    "q_props_stats" -> ((s, dir) =>
+      SparkEntry.eventsWithTsNs(s, dir)
+        .withColumn("k", expr("from_json(props, 'k LONG').k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+        .orderBy(col("event_type")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -42,6 +55,13 @@ object Queries13 {
         |  UNION ALL
         |  SELECT 2, 'purchase', CAST(count(*) AS BIGINT) FROM f2)
         |ORDER BY step_idx""".stripMargin,
+
+    "q_props_stats" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |       CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+        |       CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_retention_cohorts" ->
       """WITH uw AS (
