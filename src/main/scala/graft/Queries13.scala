@@ -56,12 +56,20 @@ object Queries13 {
         |  SELECT 2, 'purchase', CAST(count(*) AS BIGINT) FROM f2)
         |ORDER BY step_idx""".stripMargin,
 
+    // json_valid + try_cast mirror Spark's permissive from_json: malformed
+    // JSON or a non-integer k degrade to NULL on BOTH engines instead of
+    // erroring only in DuckDB (parity survives a testdata regeneration)
     "q_props_stats" ->
-      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-        |       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-        |       CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
-        |       CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      """WITH ev AS (
+        |  SELECT event_type,
+        |         CASE WHEN json_valid(props)
+        |              THEN try_cast(json_extract(props, '$.k') AS BIGINT) END AS k
+        |  FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(k) AS BIGINT) AS sum_k,
+        |       CAST(min(k) AS BIGINT) AS min_k,
+        |       CAST(max(k) AS BIGINT) AS max_k
+        |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_retention_cohorts" ->
       """WITH uw AS (

@@ -35,7 +35,7 @@ object ScaleBench {
   private val DisjointQueries = Seq(
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_ngram", "q_dedup_ngram_capped",
     "q_dedup_ngram_prefix", "q_dedup_simhash", "q_dedup_clusters",
-    "q_ann_cosine", "q_ann_ivf", "q_mllib_minhash",
+    "q_ann_cosine", "q_ann_ivf", "q_ann_ivf_pruned", "q_mllib_minhash",
     "q_seismic", "q_seismic_batch", "q_sparse_exact", "q_sparse_batch",
     "q_hybrid_minmax_arith", "q_hybrid_rrf", "q_text_quality",
     // round-8 training-data ops: decontamination joins train×bench postings
@@ -43,7 +43,8 @@ object ScaleBench {
     // keeper = pairs + closure + cluster-bounded rank, repetition and
     // embedding-decontamination are scans
     "q_decontaminate", "q_pack_greedy", "q_sample_stratified",
-    "q_dedup_keep", "q_quality_repetition", "q_decontaminate_embedding", "q_ann_pq",
+    "q_dedup_keep", "q_quality_repetition", "q_decontaminate_embedding",
+    "q_decontaminate_embedding_lsh", "q_ann_pq",
     // round-8 second pass: winnowing is a row-local scan + fingerprint
     // join (expect ~linear disjoint), temperature mix is a count agg +
     // scan, filter/vocab are single-pass scans
@@ -148,6 +149,8 @@ object ScaleBench {
         SparkEntry.seismicTruncIndex(spark, dir).clusters.count()
         if (queries.contains("q_mllib_minhash"))
           SparkEntry.mllibMinhashIndex(spark, dir)
+        if (queries.contains("q_ann_ivf_pruned"))
+          SparkEntry.ivfIndex(spark, dir) // ingest-time index write, once per dir
         ()
       } catch { case e: Throwable => System.err.println(s"[scale] memo x$f: ${e.getMessage}") }
       // Intra-query persists (shingle tables, rep groups, rare splits, …)

@@ -109,6 +109,29 @@ object SparkEntry {
       graft.ml.MllibVectorizer.buildTfIdfIndex(t(s, d, "documents"))
     })
 
+  /** Written-IVF-index memo — the PERSISTED form of the q_ann_ivf path:
+    * assignments written `partitionBy(centroid_id)` to local disk and read
+    * back, so an nprobe probe is Parquet PARTITION PRUNING (directory
+    * pruning at the scan), not an in-memory filter — the scale mechanism
+    * the index exists for, now on the oracle-gated/benched path (the
+    * in-memory q_ann_ivf stays as the contrast). Built once per
+    * (session, dir) like every ingest artifact; the on-disk path is
+    * per-process (pid-scoped tmp dir), so parallel test/bench JVMs never
+    * race on a write and nothing stale survives a process. */
+  private val ivfIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, Array[Array[Float]])]()
+  private[graft] val IvfNlist = 8
+  private[graft] def ivfIndex(spark: SparkSession, dir: String): (DataFrame, Array[Array[Float]]) =
+    ivfIndexCache.computeIfAbsent((spark, dir), { case (s, d) =>
+      import graft.ann.Ann
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_${ProcessHandle.current().pid()}/" +
+        d.replaceAll("[^A-Za-z0-9._-]", "_")
+      val centroids = Ann.seededCentroids(nlist = IvfNlist, dim = 64)
+      Ann.writeIndex(Ann.assign(t(s, d, "embeddings"), centroids, roundDp = 6),
+        centroids, path)
+      Ann.loadIndex(s, path)
+    })
+
   /** Release every per-(session, dir) ingest memo. ScaleBench measures
     * several corpus dirs in one session; holding three corpora's token/emb
     * caches and index relations SIMULTANEOUSLY is pure storage+GC pressure
@@ -132,6 +155,8 @@ object SparkEntry {
       Seq(ix.features, ix.termTf, ix.dfreq, ix.docNorm)
         .foreach(_.unpersist(blocking = false))
     }
+    ivfIndexCache.remove(key) // plain parquet read relation — nothing cached
+    ()
   }
 
   private[graft] val encodeUdf = udf((s: String) => HashEmbedder.encode(s))
@@ -210,7 +235,7 @@ object SparkEntry {
   // ---------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    coreQueries ++ QueriesExtra.queries ++ Queries3.queries ++ Queries4.queries ++ Queries5.queries ++ Queries6.queries ++ Queries7.queries ++ Queries8.queries ++ Queries9.queries ++ Queries10.queries ++ Queries11.queries ++ Queries12.queries ++ Queries13.queries
+    coreQueries ++ QueriesExtra.queries ++ Queries3.queries ++ Queries4.queries ++ Queries5.queries ++ Queries6.queries ++ Queries7.queries ++ Queries8.queries ++ Queries9.queries ++ Queries10.queries ++ Queries11.queries ++ Queries12.queries ++ Queries13.queries ++ Queries14.queries
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- relational skeleton (scan/filter/agg/join/window/topk) --------------
@@ -337,7 +362,7 @@ object SparkEntry {
   // ------------------------------------------------------------- oracle SQL
 
   def oracleSql: Map[String, String] =
-    coreOracleSql ++ QueriesExtra.oracleSql ++ Queries3.oracleSql ++ Queries4.oracleSql ++ Queries5.oracleSql ++ Queries6.oracleSql ++ Queries7.oracleSql ++ Queries8.oracleSql ++ Queries9.oracleSql ++ Queries10.oracleSql ++ Queries11.oracleSql ++ Queries12.oracleSql ++ Queries13.oracleSql
+    coreOracleSql ++ QueriesExtra.oracleSql ++ Queries3.oracleSql ++ Queries4.oracleSql ++ Queries5.oracleSql ++ Queries6.oracleSql ++ Queries7.oracleSql ++ Queries8.oracleSql ++ Queries9.oracleSql ++ Queries10.oracleSql ++ Queries11.oracleSql ++ Queries12.oracleSql ++ Queries13.oracleSql ++ Queries14.oracleSql
 
   private def coreOracleSql: Map[String, String] = Map(
     "q1_agg" ->

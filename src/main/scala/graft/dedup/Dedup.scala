@@ -515,14 +515,24 @@ object Dedup {
     // better discriminativeness signal; any global total order preserves
     // the prefix-filter recall theorem)
     val shdf = repSh.groupBy(col("s")).agg(count(lit(1)).as("__df"))
-    val wDoc = Window.partitionBy(col("id"))
-    val wOrd = wDoc.orderBy(col("__df").asc, col("s").asc)
+    // ROW-LOCAL prefix selection: the earlier form ran two global windows
+    // (row_number + count, both partitioned by doc) over the entire
+    // (id, shingle, df) relation — a corpus×shingles sort-shuffle per call
+    // that was the suite's steepest scaling slope (disjoint ratio_10x 3.6
+    // at r8). The df annotation still needs the one join on s, but the
+    // ordering, the per-doc count, and the prefix cut are all computable
+    // inside a single per-doc array: groupBy(id)+collect_list replaces the
+    // global sort with a hash aggregation, sort_array orders each doc's
+    // (df, s) structs locally (same (df asc, s asc) total order as the old
+    // window), and slice emits ONLY the ⌈(1−τ)n⌉+1 rarest shingles — the
+    // non-prefix majority never flows through the explode or a filter.
     val prefix = repSh.join(shdf, "s")
-      .select(col("id"), col("s"),
-        row_number().over(wOrd).as("__rn"),
-        count(lit(1)).over(wDoc).as("__n"))
-      .where(col("__rn") <= ceil((lit(1.0) - threshold) * col("__n")) + 1)
-      .select(col("id"), col("s"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("__df"), col("s")))).as("__o"))
+      .select(col("id"),
+        explode(slice(col("__o"), lit(1),
+          (ceil((lit(1.0) - threshold) * size(col("__o"))) + 1).cast("int"))).as("__p"))
+      .select(col("id"), col("__p.s").as("s"))
     val repPairs = verifyPairs(bucketPairs(prefix, Seq("s")), arrs, threshold)
     // every group is within-eligible under prefix-exact semantics: identical
     // docs share their whole (nonempty) prefix, so they are always candidates
@@ -688,11 +698,13 @@ object Dedup {
     Array.fill(tables, nbits, dim)(rnd.nextGaussian().toFloat)
   }
 
-  def embeddingNearDupLsh(df: DataFrame, dim: Int, vecCol: String = "embedding",
-      idCol: String = "vec_id", threshold: Double = 0.95,
-      nbits: Int = 8, tables: Int = 4, seed: Long = 42L): DataFrame = {
-    val planes = lshPlanes(tables, nbits, dim, seed)
-    val bucketUdf = udf((v: Seq[Float]) => {
+  /** Per-table random-hyperplane signature longs for one vector (one long
+    * per table; bit b = sign of v·plane(t)(b)). Shared by the dedup and
+    * decontamination LSH paths so both bucket identically. */
+  private def lshBucketUdf(planes: Array[Array[Array[Float]]]) = {
+    val tables = planes.length
+    val nbits = planes(0).length
+    udf((v: Seq[Float]) => {
       val arr = v.toArray
       (0 until tables).map { t =>
         var sig = 0L
@@ -709,6 +721,13 @@ object Dedup {
         sig
       }
     })
+  }
+
+  def embeddingNearDupLsh(df: DataFrame, dim: Int, vecCol: String = "embedding",
+      idCol: String = "vec_id", threshold: Double = 0.95,
+      nbits: Int = 8, tables: Int = 4, seed: Long = 42L): DataFrame = {
+    val planes = lshPlanes(tables, nbits, dim, seed)
+    val bucketUdf = lshBucketUdf(planes)
     val keyed = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
     def cosine(va: Column, na: Column, vb: Column, nb: Column): Column =
       round(when(na === 0.0 || nb === 0.0, lit(0.0))
@@ -1139,14 +1158,18 @@ object Dedup {
     * guaranteed to contain every pair with a run >= w+k-1); the DP extent
     * kernel then runs per PAIR — corpus cost is candidate-bounded, and
     * each extent is a row-local O(len²) kernel on the joined texts. The
-    * pair relation is the broadcast side of both text joins. Returns
+    * pair relation is the broadcast side of both text joins WHEN maxDf is
+    * set (bounded pair count); with maxDf unset a corpus-hot fingerprint
+    * makes pairs quadratic, so the hint is withheld and AQE decides — at
+    * corpus scale always set maxDf (the [[winnowPairs]] warning). Returns
     * (id_a, id_b, n_shared, max_run). */
   def winnowPairExtent(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       k: Int = 4, w: Int = 4, minShared: Int = 1,
       maxDf: Option[Int] = None): DataFrame = {
-    val pairs = winnowPairs(df, textCol, idCol, k, w, minShared, maxDf)
+    val pairs0 = winnowPairs(df, textCol, idCol, k, w, minShared, maxDf)
+    val pairs = if (maxDf.isDefined) broadcast(pairs0) else pairs0
     val txt = df.select(col(idCol).cast("long").as("__tid"), col(textCol).as("__txt"))
-    broadcast(pairs)
+    pairs
       .join(txt.select(col("__tid").as("id_a"), col("__txt").as("__ta")), "id_a")
       .join(txt.select(col("__tid").as("id_b"), col("__txt").as("__tb")), "id_b")
       .select(col("id_a"), col("id_b"), col("n_shared"),
@@ -1176,13 +1199,15 @@ object Dedup {
     * picks a resolution policy, exactly like keepCanonical consumes
     * pair/cluster output). Text re-serializes with single spaces
     * (whitespace-normalized, like every tokenizer in this engine).
-    * Returns (id_a, id_b, run_len, text_b_clean). */
+    * The pair relation broadcasts only when maxDf bounds it (see
+    * [[winnowPairExtent]]). Returns (id_a, id_b, run_len, text_b_clean). */
   def winnowExcise(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       k: Int = 4, w: Int = 4, minShared: Int = 1,
       maxDf: Option[Int] = None): DataFrame = {
-    val pairs = winnowPairs(df, textCol, idCol, k, w, minShared, maxDf)
+    val pairs0 = winnowPairs(df, textCol, idCol, k, w, minShared, maxDf)
+    val pairs = if (maxDf.isDefined) broadcast(pairs0) else pairs0
     val txt = df.select(col(idCol).cast("long").as("__tid"), col(textCol).as("__txt"))
-    broadcast(pairs)
+    pairs
       .join(txt.select(col("__tid").as("id_a"), col("__txt").as("__ta")), "id_a")
       .join(txt.select(col("__tid").as("id_b"), col("__txt").as("__tb")), "id_b")
       .withColumn("__e", exciseUdf(col("__ta"), col("__tb")))
@@ -1242,5 +1267,86 @@ object Dedup {
             (col("n_a") * col("n_b"))), 6))
       .where(col("cosine") >= threshold)
       .select(col("train_id"), col("bench_id"), col("cosine"))
+  }
+
+  /** Bucketed bipartite embedding decontamination — the large-bench escape
+    * hatch [[decontaminateEmbedding]]'s brute |train|·|bench| scan lacks:
+    * BOTH sides hash through the SAME seeded hyperplanes, candidates are
+    * (table, signature) collisions, survivors verify with the exact
+    * hoisted-norm cosine. Candidate recall is the random-hyperplane LSH
+    * contract (a cos ≥ τ pair collides in one table with probability
+    * (1 − θ/π)^nbits; `tables` tables raise it) — the oracle replicates
+    * candidate generation with the identical plane literals, so the gate
+    * checks the LSH semantics end to end, not just the verify.
+    *
+    * 100 TB shape: cost is Σ_buckets |train_b|·|bench_b| instead of
+    * |train|·|bench| — and the bench side's buckets broadcast (an eval
+    * set), so the train side never shuffles. Duplicate-vector collapse
+    * (probe-gated per side, the [[embeddingNearDupLsh]] protocol) bounds
+    * the replication regime: identical vectors bucket and score
+    * identically, so bucket-join work runs once per DISTINCT vector per
+    * side and (train, bench) pairs expand linearly afterwards. */
+  def decontaminateEmbeddingLsh(train: DataFrame, bench: DataFrame, dim: Int,
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      threshold: Double = 0.95, nbits: Int = 8, tables: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val planes = lshPlanes(tables, nbits, dim, seed)
+    val bucketUdf = lshBucketUdf(planes)
+    def side(df: DataFrame): DataFrame =
+      df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    // cheap duplicate probe per side (map-side-combinable agg over vector
+    // hashes, no vector shuffle): duplicate-free sides skip the collapse
+    // groupBy and the member-expansion join entirely
+    def maybeReps(k: DataFrame): Option[DataFrame] = {
+      val r = k.agg(count(lit(1)).as("n"),
+        countDistinct(xxhash64(col("v"))).as("nd")).head()
+      if (r.getLong(1) == r.getLong(0)) None
+      else Some(k.withColumn("__g", xxhash64(col("v"))).groupBy(col("__g"))
+        .agg(min(col("id")).as("id"),
+          sort_array(collect_list(col("id"))).as("members"),
+          first(col("v")).as("v"))
+        .persist())
+    }
+    val tReps = maybeReps(side(train))
+    val bReps = maybeReps(side(bench))
+    val tRel = tReps.map(_.select(col("id"), col("v"))).getOrElse(side(train))
+    val bRel = bReps.map(_.select(col("id"), col("v"))).getOrElse(side(bench))
+    def bucketed(rel: DataFrame, id: String): DataFrame =
+      rel.select(col("id").as(id),
+        posexplode(bucketUdf(col("v"))).as(Seq("table", "bucket")))
+    def withNorm(rel: DataFrame, id: String, v: String, n: String): DataFrame =
+      rel.select(col("id").as(id), col("v").as(v),
+        sqrt(VectorExpressions.dense_dot(col("v"), col("v"))).as(n))
+    // only (table, bucket, id) flows through candidate generation; vectors
+    // join back after the pair set is deduped (narrow shuffle)
+    val cand = bucketed(tRel, "train_id")
+      .join(broadcast(bucketed(bRel, "bench_id")), Seq("table", "bucket"))
+      .select(col("train_id"), col("bench_id"))
+      .dropDuplicates("train_id", "bench_id")
+    val repPairs = cand
+      .join(withNorm(tRel, "train_id", "v_a", "n_a"), "train_id")
+      .join(broadcast(withNorm(bRel, "bench_id", "v_b", "n_b")), "bench_id")
+      .withColumn("cosine",
+        round(when(col("n_a") === 0.0 || col("n_b") === 0.0, lit(0.0))
+          .otherwise(VectorExpressions.dense_dot(col("v_a"), col("v_b")) /
+            (col("n_a") * col("n_b"))), 6))
+      .where(col("cosine") >= threshold)
+      .select(col("train_id"), col("bench_id"), col("cosine"))
+    // expand collapsed members back to ids on whichever sides collapsed
+    // (identical vectors have identical cosine against every counterpart,
+    // so expansion is a pure linear emission of the rep's verdict)
+    val tExp = tReps match {
+      case Some(r) => repPairs
+        .join(r.select(col("id").as("train_id"), col("members").as("__mt")), "train_id")
+        .select(explode(col("__mt")).as("train_id"), col("bench_id"), col("cosine"))
+      case None => repPairs
+    }
+    val out = bReps match {
+      case Some(r) => tExp
+        .join(broadcast(r.select(col("id").as("bench_id"), col("members").as("__mb"))), "bench_id")
+        .select(col("train_id"), explode(col("__mb")).as("bench_id"), col("cosine"))
+      case None => tExp
+    }
+    finishReleasing(out, (tReps.toSeq ++ bReps.toSeq): _*)
   }
 }

@@ -22,27 +22,46 @@ object EventAnalytics {
     * user_id only the users still in the funnel — the relation shrinks
     * monotonically, and no per-user event lists are ever materialized
     * (the window-function formulation would sort every user's full
-    * history; this one only carries one anchor timestamp per survivor). */
+    * history; this one only carries one anchor timestamp per survivor).
+    * Each step's frontier is persisted and materialized before the next
+    * step builds on it, and its count is taken from that SAME
+    * materialization — an N-step funnel therefore scans the events
+    * relation exactly once per step. (The earlier lazy form re-executed
+    * step i's whole join chain once per downstream aggregate — O(N²)
+    * event scans, harmless at 3 steps, ~55 re-scans at 10.) Frontier
+    * caches are per-call scratch, released before returning; the result
+    * is a steps-sized local relation. */
   def funnel(events: DataFrame, steps: Seq[String],
       typeCol: String = "event_type", userCol: String = "user_id",
       tsCol: String = "ts_ns"): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    val spark = events.sparkSession
+    import spark.implicits._
     val base = events.select(col(userCol).cast("long").as("u"),
       col(typeCol).as("et"), col(tsCol).as("t"))
-    var cur = base.where(col("et") === steps.head)
-      .groupBy(col("u")).agg(min(col("t")).as("tprev"))
-    val perStep = scala.collection.mutable.ArrayBuffer((0, steps.head, cur))
+    val frontiers = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // persist + count: the count IS the step's n_users (one action per
+    // step, no second aggregation pass), and the warm cache is what the
+    // next step's join reads instead of re-running this step's lineage
+    def materialize(df: DataFrame): (DataFrame, Long) = {
+      val p = df.persist()
+      val n = p.count()
+      frontiers += p
+      (p, n)
+    }
+    var (cur, n0) = materialize(base.where(col("et") === steps.head)
+      .groupBy(col("u")).agg(min(col("t")).as("tprev")))
+    val counts = scala.collection.mutable.ArrayBuffer((0, steps.head, n0))
     steps.zipWithIndex.drop(1).foreach { case (st, i) =>
-      cur = base.where(col("et") === st)
+      val (nxt, n) = materialize(base.where(col("et") === st)
         .join(cur.select(col("u"), col("tprev")), "u")
         .where(col("t") > col("tprev"))
-        .groupBy(col("u")).agg(min(col("t")).as("tprev"))
-      perStep += ((i, st, cur))
+        .groupBy(col("u")).agg(min(col("t")).as("tprev")))
+      cur = nxt
+      counts += ((i, st, n))
     }
-    perStep.map { case (i, st, df) =>
-      df.agg(count(lit(1)).as("n_users"))
-        .select(lit(i).as("step_idx"), lit(st).as("step"), col("n_users"))
-    }.reduce(_.unionAll(_))
+    frontiers.foreach(_.unpersist(blocking = false))
+    counts.toSeq.toDF("step_idx", "step", "n_users")
   }
 
   /** Weekly cohort retention: users cohorted by their FIRST active week,

@@ -38,6 +38,32 @@ import graft.ml.HashEmbedder
   * sub-batch (mapPartitions), with results applied back per hit — the same
   * seam as the ingest-side subBatchExecute analogue (q_embed_batched).
   */
+/** Scoring head for [[Highlight.answerSpan]]'s window search — the seam
+  * where the reference's QUESTION_ANSWERING model plugs in
+  * (highlight/single/SemanticHighlighterEngine.java:87-158 scores start/end
+  * logits from the QA model; this engine's no-egress stand-in scores the
+  * window substring's embedding similarity). Implementations must be pure
+  * functions of (queryText, windowText): span MECHANICS — token offsets,
+  * the (sim desc, start asc, width asc) tie-break, char-span emission over
+  * the original text — are fixed by answerSpan and identical under every
+  * scorer; only the number attached to a candidate window changes. A real
+  * QA head drops in by scoring a window as startLogit(first token) +
+  * endLogit(last token). */
+trait SpanScorer extends Serializable {
+  /** Raw (unrounded) relevance of one candidate token window; answerSpan
+    * applies the house round-6 before comparing. */
+  def score(queryText: String, windowText: String): Double
+}
+
+/** Default deterministic stand-in: hash-embedder similarity of the query
+  * vs the window substring (includes intra-window whitespace; the
+  * substring re-tokenizes to exactly the window's tokens). */
+final case class SimilaritySpanScorer(dim: Int = HashEmbedder.DefaultDim)
+    extends SpanScorer {
+  def score(queryText: String, windowText: String): Double =
+    HashEmbedder.similarity(queryText, windowText, dim).toDouble
+}
+
 object Highlight {
 
   val DefaultPreTag = "<em>"
@@ -187,7 +213,9 @@ object Highlight {
     * Returns None when no sentence or no window scores > 0 (the
     * reference's empty-highlights contract). */
   def answerSpan(queryText: String, docText: String, maxWindow: Int = 8,
-      dim: Int = HashEmbedder.DefaultDim): Option[(Int, Int, Int, Double)] = {
+      dim: Int = HashEmbedder.DefaultDim,
+      scorer: Option[SpanScorer] = None): Option[(Int, Int, Int, Double)] = {
+    val head = scorer.getOrElse(SimilaritySpanScorer(dim))
     val sents = segmentSentences(docText)
     if (sents.isEmpty) return None
     val scored = sents.zip(scoreSentences(queryText, docText, sents).map(round6))
@@ -203,7 +231,7 @@ object Highlight {
       var i = 0
       while (i + w <= n) {
         val s0 = toks(i)._1; val e0 = toks(i + w - 1)._2
-        val sim = round6(HashEmbedder.similarity(queryText, sent.substring(s0, e0), dim).toDouble)
+        val sim = round6(head.score(queryText, sent.substring(s0, e0)))
         val better = sim > bestSim ||
           (sim == bestSim && bestStart >= 0 &&
             (s0 < bestStart || (s0 == bestStart && w < bestW)))

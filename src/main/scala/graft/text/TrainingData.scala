@@ -95,7 +95,7 @@ object TrainingData {
 
   /** Deterministic train/validation/test split assignment: the FNV bucket
     * of the doc id routes each row to a split, with cut points in
-    * 1024ths ("918/51/55" ≈ 90/5/5). Same reproducibility contract as
+    * 1024ths (the 922/51/51 defaults ≈ 90/5/5). Same reproducibility contract as
     * [[stratifiedSample]] — membership is a pure function of the id, so
     * re-runs, backfills, and other engines agree row for row, and a doc
     * can never leak across splits between pipeline versions. One scan, no

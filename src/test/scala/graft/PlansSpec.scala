@@ -96,7 +96,12 @@ class PlansSpec extends SparkSpec {
   test("winnowPairExtent: the pair relation broadcasts into both text joins") {
     withoutAqe {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
-      val df = graft.dedup.Dedup.winnowPairExtent(docs, minShared = 1)
+      // maxDf set = the pair count is bounded, so the broadcast hint is on
+      // (without it the hint is withheld and AQE sizes the join at runtime
+      // — a corpus-hot fingerprint would otherwise force a quadratic pair
+      // relation through a mandatory broadcast)
+      val df = graft.dedup.Dedup.winnowPairExtent(docs, minShared = 1,
+        maxDf = Some(1000))
       val plan = df.queryExecution.executedPlan
       val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
       assert(bhj.size >= 2,
