@@ -17,8 +17,9 @@ import graft.sparse.SparseRetrieval
   *     decontamination — the large-bench escape hatch for the brute
   *     |train|·|bench| form, with the hyperplane literals inlined in the
   *     oracle so candidate generation itself is gate-checked;
-  *   - q_mmr_sparse: MMR diversity rerank over sparse token vectors
-  *     (MMRNeuralSparseQueryTransformer.java:43-119 analogue). */
+  *   - q_mmr_sparse: MMR diversity rerank over sparse token vectors (the
+  *     sparse-field analogue of processor/mmr/MMRNeuralQueryTransformer
+  *     .java:44-118's greedy rerank transform). */
 object Queries14 {
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =

@@ -581,17 +581,14 @@ object Dedup {
   /** Merge-intersect over two sorted hash arrays: O(|a|+|b|), no
     * intermediate rows (the row-explode verification form materializes
     * Σ_pairs |sh| rows, which OOMs when the candidate-pair count is itself
-    * quadratic — measured at ×10 shared-vocabulary replication). */
-  private val sortedInter = udf((a: Seq[Long], b: Seq[Long]) => {
-    var i = 0; var j = 0; var n = 0L
-    while (i < a.length && j < b.length) {
-      val x = a(i); val y = b(j)
-      if (x == y) { n += 1; i += 1; j += 1 }
-      else if (x < y) i += 1
-      else j += 1
-    }
-    n
-  })
+    * quadratic — measured at ×10 shared-vocabulary replication). Native
+    * codegen'd expression, NOT a Scala UDF: the UDF form deserialized both
+    * catalyst arrays to Seq[Long] per candidate pair, and at ×10 disjoint
+    * replication (4.2M candidates × two ~52-element arrays) that
+    * conversion alone measured 17 s of the 23 s prefix pipeline — the
+    * whole disjoint scaling slope lived here, not in the joins. */
+  private def sortedInter(a: Column, b: Column): Column =
+    VectorExpressions.sorted_intersect_count(a, b)
 
   /** Exact-verify candidate pairs against full shingle arrays: length
     * filter first (J ≥ τ forces τ|A| ≤ |B| ≤ |A|/τ — necessary, cheap),

@@ -202,6 +202,65 @@ object VectorExpressions {
       copy(left = l, right = r)
   }
 
+  /** Count of common elements of two SORTED bigint arrays (distinct-element
+    * inputs — the per-doc shingle/fingerprint hash arrays): one merge pass
+    * directly over ArrayData, inside whole-stage codegen. Replaces the
+    * Scala-UDF merge that dominated prefix-dedup verification at scale:
+    * the UDF deserialized both catalyst arrays into Seq[Long] per candidate
+    * pair (~8.4M conversions / ~430M boxed longs at ×10 replication —
+    * measured 17 s of a 23 s pipeline; the same merge as a native
+    * expression is pure primitive reads). */
+  case class SortedIntersectCount(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "sorted_intersect_count"
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val bad = children.find(c => c.dataType match {
+        case ArrayType(LongType, _) => false
+        case _                      => true
+      })
+      bad match {
+        case Some(c) => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<bigint> arguments, got ${c.dataType.catalogString}")
+        case None => TypeCheckResult.TypeCheckSuccess
+      }
+    }
+
+    override protected def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+      val na = a.numElements(); val nb = b.numElements()
+      var i = 0; var j = 0; var n = 0L
+      while (i < na && j < nb) {
+        val x = a.getLong(i); val y = b.getLong(j)
+        if (x == y) { n += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
+      n
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+        val i = ctx.freshName("i"); val j = ctx.freshName("j")
+        val n = ctx.freshName("cnt")
+        val x = ctx.freshName("x"); val y = ctx.freshName("y")
+        s"""
+           |int $na = $a.numElements(); int $nb = $b.numElements();
+           |int $i = 0; int $j = 0; long $n = 0L;
+           |while ($i < $na && $j < $nb) {
+           |  long $x = $a.getLong($i); long $y = $b.getLong($j);
+           |  if ($x == $y) { $n++; $i++; $j++; }
+           |  else if ($x < $y) { $i++; } else { $j++; }
+           |}
+           |${ev.value} = $n;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+  }
+
   // Column-level API (Spark 4: Column<->Expression via Bridge)
   def dense_dot(a: Column, b: Column): Column =
     Bridge.column(DenseDot(Bridge.expression(a), Bridge.expression(b)))
@@ -209,4 +268,6 @@ object VectorExpressions {
     Bridge.column(DenseCosine(Bridge.expression(a), Bridge.expression(b)))
   def sparse_dot(doc: Column, query: Column): Column =
     Bridge.column(SparseDot(Bridge.expression(doc), Bridge.expression(query)))
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    Bridge.column(SortedIntersectCount(Bridge.expression(a), Bridge.expression(b)))
 }

@@ -78,10 +78,12 @@ object Rerank {
       (a, b) => cosineArrays(vecOf(a), vecOf(b)), k, lambda)
   }
 
-  /** MMR over SPARSE token-weight maps — the sparse-field form the
-    * reference transforms alongside the dense one
-    * (processor/mmr/MMRNeuralSparseQueryTransformer.java:43-119 fetches
-    * the stored sparse vectors for the same greedy rerank). Similarity is
+  /** MMR over SPARSE token-weight maps — the sparse-field analogue of the
+    * reference's dense MMR transform
+    * (processor/mmr/MMRNeuralQueryTransformer.java:44-118 widens the
+    * candidate pool and resolves the stored vector field for the k-NN
+    * plugin's greedy rerank; here the stored vector is the sparse token
+    * map and the kernel is sparse cosine). Similarity is
     * sparse cosine with hoisted norms, rounded to 6 dp BEFORE the greedy
     * compare: the SQL oracle sums the identical float products in a
     * different order, and the house rank-on-rounded protocol keeps a

@@ -154,6 +154,35 @@ class Round9Spec extends SparkSpec {
     assert(got == expect.toSeq)
   }
 
+  // ------------------------------------------------------------ plan shapes
+
+  test("ngramJaccardPairsPrefix: prefix selection is window-free (row-local slice)") {
+    // the r8 form ran two global windows partitioned by doc over the whole
+    // (id, shingle, df) relation — the suite's steepest scaling slope; the
+    // flattened form must not reintroduce a Window exchange anywhere
+    // (the operator returns a persisted relation, so the printed tree
+    // includes the cached plan — round-8 lore)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = Dedup.ngramJaccardPairsPrefix(docs, threshold = 0.5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"prefix selection still runs a window:\n$plan")
+  }
+
+  test("decontaminateEmbeddingLsh: bench buckets broadcast into candidate generation") {
+    val old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      val df = Dedup.decontaminateEmbeddingLsh(
+        emb.where(col("vec_id") % 50 =!= 0),
+        emb.where(col("vec_id") % 50 === 0),
+        dim = 64, threshold = 0.45, nbits = 4, tables = 8)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"bench side not broadcast on the (table, bucket) join:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", old)
+  }
+
   // ------------------------------------------------- funnel scan efficiency
 
   test("funnel scans the events relation once per step, not O(steps^2)") {
