@@ -25,6 +25,9 @@ object Queries14 {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** 3-day conversion window in nanos (shared with the oracle literal). */
+  private val FunnelGapNs = 259200000000000L
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_ivf_pruned" -> ((s, dir) => {
       val (assigned, centroids) = SparkEntry.ivfIndex(s, dir)
@@ -39,6 +42,15 @@ object Queries14 {
         dim = 64, threshold = 0.45, nbits = 4, tables = 8)
         .orderBy(col("train_id"), col("bench_id"))
     }),
+
+    // conversion-window funnel: each step must land within 3 days of the
+    // previous step's anchor (the product-analytics form of q_funnel —
+    // anchors stay first-touch, the window drops slow converters)
+    "q_funnel_windowed" -> ((s, dir) =>
+      graft.events.EventAnalytics.funnel(
+        SparkEntry.eventsWithTsNs(s, dir), Seq("view", "click", "purchase"),
+        maxGapNs = Some(FunnelGapNs))
+        .orderBy(col("step_idx"))),
 
     "q_mmr_sparse" -> ((s, dir) => {
       val docs = SparkEntry.docsWithTokens(s, dir)
@@ -89,6 +101,26 @@ object Queries14 {
          |  JOIN lsh_emb_n eb ON eb.vec_id = c.bench_id)
          |WHERE cosine >= 0.45 ORDER BY train_id, bench_id""".stripMargin
     },
+
+    // q_funnel's CTE chain with the in-window predicate on each join —
+    // all-integer time arithmetic, the gap inlined from the same constant
+    "q_funnel_windowed" ->
+      s"""WITH fe AS (SELECT user_id AS u, event_type AS et, epoch_us(ts) * 1000 AS t
+        |            FROM events),
+        |f0 AS (SELECT u, min(t) AS tp FROM fe WHERE et = 'view' GROUP BY u),
+        |f1 AS (SELECT fe.u, min(fe.t) AS tp FROM fe JOIN f0 USING (u)
+        |       WHERE fe.et = 'click' AND fe.t > f0.tp
+        |         AND fe.t <= f0.tp + $FunnelGapNs GROUP BY fe.u),
+        |f2 AS (SELECT fe.u, min(fe.t) AS tp FROM fe JOIN f1 USING (u)
+        |       WHERE fe.et = 'purchase' AND fe.t > f1.tp
+        |         AND fe.t <= f1.tp + $FunnelGapNs GROUP BY fe.u)
+        |SELECT step_idx, step, n_users FROM (
+        |  SELECT 0 AS step_idx, 'view' AS step, CAST(count(*) AS BIGINT) AS n_users FROM f0
+        |  UNION ALL
+        |  SELECT 1, 'click', CAST(count(*) AS BIGINT) FROM f1
+        |  UNION ALL
+        |  SELECT 2, 'purchase', CAST(count(*) AS BIGINT) FROM f2)
+        |ORDER BY step_idx""".stripMargin,
 
     // the q_mmr recursive-greedy oracle with the sparse cosine kernel:
     // pairwise sims precomputed over the candidate set (dot over shared

@@ -31,9 +31,15 @@ object EventAnalytics {
     * event scans, harmless at 3 steps, ~55 re-scans at 10.) Frontier
     * caches are per-call scratch, released before returning; the result
     * is a steps-sized local relation. */
+  /** `maxGapNs`: optional CONVERSION WINDOW — step i+1 must land within
+    * maxGapNs of step i's anchor (strictly-after still applies). A user
+    * whose only qualifying event is outside the window drops out of the
+    * funnel at that step; the anchor stays the earliest in-window event.
+    * Pure extra predicate on the per-step join — same one-scan-per-step
+    * shape. */
   def funnel(events: DataFrame, steps: Seq[String],
       typeCol: String = "event_type", userCol: String = "user_id",
-      tsCol: String = "ts_ns"): DataFrame = {
+      tsCol: String = "ts_ns", maxGapNs: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     val spark = events.sparkSession
     import spark.implicits._
@@ -53,9 +59,13 @@ object EventAnalytics {
       .groupBy(col("u")).agg(min(col("t")).as("tprev")))
     val counts = scala.collection.mutable.ArrayBuffer((0, steps.head, n0))
     steps.zipWithIndex.drop(1).foreach { case (st, i) =>
+      val inWindow = maxGapNs match {
+        case Some(g) => col("t") > col("tprev") && col("t") <= col("tprev") + g
+        case None    => col("t") > col("tprev")
+      }
       val (nxt, n) = materialize(base.where(col("et") === st)
         .join(cur.select(col("u"), col("tprev")), "u")
-        .where(col("t") > col("tprev"))
+        .where(inWindow)
         .groupBy(col("u")).agg(min(col("t")).as("tprev")))
       cur = nxt
       counts += ((i, st, n))

@@ -205,6 +205,55 @@ class Round9Spec extends SparkSpec {
     assert(n <= 2L * 6 * 600, s"funnel re-scanned events: $n UDF evaluations")
   }
 
+  // --------------------------------------- SortedIntersectCount expression
+
+  test("sorted_intersect_count: merge semantics, nulls, empties, codegen+interpreted") {
+    import graft.functions.VectorExpressions.sorted_intersect_count
+    val df = Seq(
+      (1L, Seq(1L, 3L, 5L, 9L), Seq(2L, 3L, 5L, 10L)), // 2 common
+      (2L, Seq.empty[Long], Seq(1L, 2L)),              // empty left
+      (3L, Seq(7L), Seq(7L)),                          // full overlap
+      (4L, Seq(-5L, 0L, 4L), Seq(-5L, 4L, 8L))         // negatives sort first
+    ).toDF("id", "a", "b")
+    val got = df.select(col("id"), sorted_intersect_count(col("a"), col("b")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 0L, 3L -> 1L, 4L -> 2L))
+    // null in -> null out (BinaryExpression null-safety)
+    val withNull = df.select(
+      sorted_intersect_count(when(col("id") === 1L, col("a")), col("b")).as("n"))
+      .collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).toSet
+    assert(withNull.contains(-1L))
+    // wrong element type is a type-check error, not silent misreads
+    val err = intercept[Exception] {
+      Seq((Seq(1, 2), Seq(2, 3))).toDF("a", "b")
+        .select(sorted_intersect_count(col("a"), col("b"))).collect()
+    }
+    assert(err.getMessage.contains("array<bigint>") ||
+      err.getMessage.toLowerCase.contains("datatype"), err.getMessage)
+  }
+
+  // ------------------------------------------------------- windowed funnel
+
+  test("funnel conversion window drops slow converters, keeps anchors first-touch") {
+    val df = Seq(
+      (1L, "view", 100L), (1L, "click", 150L),  // converts within gap 100
+      (2L, "view", 100L), (2L, "click", 500L),  // outside gap -> drops
+      // user 3: first in-window click at 180 is the anchor even though a
+      // later one exists
+      (3L, "view", 100L), (3L, "click", 180L), (3L, "click", 190L),
+      // user 4: out-of-window click only, then nothing
+      (4L, "view", 100L), (4L, "click", 201L)
+    ).toDF("user_id", "event_type", "ts_ns")
+    val out = graft.events.EventAnalytics.funnel(df, Seq("view", "click"),
+      maxGapNs = Some(100L))
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(out == Map("view" -> 4L, "click" -> 2L), s"got $out")
+    // unwindowed form unchanged
+    val full = graft.events.EventAnalytics.funnel(df, Seq("view", "click"))
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(full == Map("view" -> 4L, "click" -> 4L))
+  }
+
   // --------------------------------------------------------- SpanScorer seam
 
   test("answerSpan: default path equals an explicit SimilaritySpanScorer") {
