@@ -499,6 +499,42 @@ object Dedup {
     // still being populated — measured ~2× the whole pipeline at sf0.1
     sh.count()
     val arrs = fullArrays(sh)
+    // ROW-LOCAL prefix selection (shared by both regimes below): the
+    // earlier form ran two global windows (row_number + count, both
+    // partitioned by doc) over the entire (id, shingle, df) relation — a
+    // corpus×shingles sort-shuffle per call. The df annotation still needs
+    // the one join on s, but the ordering, the per-doc count, and the
+    // prefix cut are all computable inside a single per-doc array:
+    // groupBy(id)+collect_list replaces the global sort with a hash
+    // aggregation, sort_array orders each doc's (df, s) structs locally
+    // (same (df asc, s asc) total order as the old window), and slice
+    // emits ONLY the ⌈(1−τ)n⌉+1 rarest shingles — the non-prefix majority
+    // never flows through the explode or a filter. (Any global total order
+    // preserves the prefix-filter recall theorem; df ascending is the
+    // discriminativeness heuristic that keeps hot shingles out.)
+    def prefixOf(rel: DataFrame): DataFrame = {
+      val dfs = rel.groupBy(col("s")).agg(count(lit(1)).as("__df"))
+      rel.join(dfs, "s")
+        .groupBy(col("id"))
+        .agg(sort_array(collect_list(struct(col("__df"), col("s")))).as("__o"))
+        .select(col("id"),
+          explode(slice(col("__o"), lit(1),
+            (ceil((lit(1.0) - threshold) * size(col("__o"))) + 1).cast("int"))).as("__p"))
+        .select(col("id"), col("__p.s").as("s"))
+    }
+    // CHEAP DUPLICATE PROBE gating the collapse machinery (the
+    // embeddingNearDupLsh protocol): one map-side-combinable aggregation
+    // over the per-doc array hashes decides the regime. Duplicate-free
+    // corpora — the production common case, and the density-preserving
+    // disjoint scale shape — skip the rep groupBy, the rep-id join, and
+    // the member-expansion joins, which are identity work there.
+    val nAll = arrs.agg(count(lit(1)).as("n"),
+      countDistinct(xxhash64(col("hs"))).as("nd")).head()
+    if (nAll.getLong(1) == nAll.getLong(0)) {
+      return finishReleasing(
+        verifyPairs(bucketPairs(prefixOf(sh), Seq("s")), arrs, threshold),
+        sh, arrs)
+    }
     // EXACT-DUP PRE-COLLAPSE: docs with identical shingle SETS (group key =
     // hash of the sorted array) have identical jaccard against every third
     // doc, so the quadratic join/merge work runs once per GROUP and pairs
@@ -508,32 +544,11 @@ object Dedup {
     // minutes per pass; with it, near the ×1 cost plus the (inherently
     // quadratic) output rows. Group-hash collisions conflate distinct
     // shingle sets with probability ~|docs|²/2^65 — the same accepted odds
-    // as the shingle-hash join keys.
+    // as the shingle-hash join keys. (df recomputed over REPRESENTATIVES —
+    // the dedup'd df is the better discriminativeness signal.)
     val reps = collapseGroups(arrs)
     val repSh = sh.join(reps.select(col("rid").as("id")), "id")
-    // global order = df ascending over REPRESENTATIVES (dedup'd df is the
-    // better discriminativeness signal; any global total order preserves
-    // the prefix-filter recall theorem)
-    val shdf = repSh.groupBy(col("s")).agg(count(lit(1)).as("__df"))
-    // ROW-LOCAL prefix selection: the earlier form ran two global windows
-    // (row_number + count, both partitioned by doc) over the entire
-    // (id, shingle, df) relation — a corpus×shingles sort-shuffle per call
-    // that was the suite's steepest scaling slope (disjoint ratio_10x 3.6
-    // at r8). The df annotation still needs the one join on s, but the
-    // ordering, the per-doc count, and the prefix cut are all computable
-    // inside a single per-doc array: groupBy(id)+collect_list replaces the
-    // global sort with a hash aggregation, sort_array orders each doc's
-    // (df, s) structs locally (same (df asc, s asc) total order as the old
-    // window), and slice emits ONLY the ⌈(1−τ)n⌉+1 rarest shingles — the
-    // non-prefix majority never flows through the explode or a filter.
-    val prefix = repSh.join(shdf, "s")
-      .groupBy(col("id"))
-      .agg(sort_array(collect_list(struct(col("__df"), col("s")))).as("__o"))
-      .select(col("id"),
-        explode(slice(col("__o"), lit(1),
-          (ceil((lit(1.0) - threshold) * size(col("__o"))) + 1).cast("int"))).as("__p"))
-      .select(col("id"), col("__p.s").as("s"))
-    val repPairs = verifyPairs(bucketPairs(prefix, Seq("s")), arrs, threshold)
+    val repPairs = verifyPairs(bucketPairs(prefixOf(repSh), Seq("s")), arrs, threshold)
     // every group is within-eligible under prefix-exact semantics: identical
     // docs share their whole (nonempty) prefix, so they are always candidates
     finishReleasing(
