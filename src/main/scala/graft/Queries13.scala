@@ -56,13 +56,16 @@ object Queries13 {
         |  SELECT 2, 'purchase', CAST(count(*) AS BIGINT) FROM f2)
         |ORDER BY step_idx""".stripMargin,
 
-    // json_valid + try_cast mirror Spark's permissive from_json: malformed
-    // JSON or a non-integer k degrade to NULL on BOTH engines instead of
-    // erroring only in DuckDB (parity survives a testdata regeneration)
+    // json_valid + json_type + try_cast mirror Spark's type-strict
+    // from_json: malformed JSON or a non-integer-typed k (quoted "12",
+    // booleans, doubles — which DuckDB's bare try_cast would coerce but
+    // from_json(.., 'k LONG') yields NULL for) degrade to NULL on BOTH
+    // engines (parity survives a testdata regeneration)
     "q_props_stats" ->
       """WITH ev AS (
         |  SELECT event_type,
         |         CASE WHEN json_valid(props)
+        |               AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
         |              THEN try_cast(json_extract(props, '$.k') AS BIGINT) END AS k
         |  FROM events)
         |SELECT event_type, CAST(count(*) AS BIGINT) AS n,

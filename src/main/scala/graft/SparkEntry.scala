@@ -116,15 +116,28 @@ object SparkEntry {
     * the index exists for, now on the oracle-gated/benched path (the
     * in-memory q_ann_ivf stays as the contrast). Built once per
     * (session, dir) like every ingest artifact; the on-disk path is
-    * per-process (pid-scoped tmp dir), so parallel test/bench JVMs never
-    * race on a write and nothing stale survives a process. */
+    * scoped by (pid, session identity hash), so parallel test/bench JVMs
+    * never race on a write AND a second SparkSession in the same JVM never
+    * overwrites parquet files a prior session's loaded relation still
+    * scans. A JVM shutdown hook deletes the pid-scoped root so repeated
+    * bench/verify processes don't accumulate indexes under java.io.tmpdir. */
   private val ivfIndexCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, Array[Array[Float]])]()
   private[graft] val IvfNlist = 8
+  private lazy val ivfTmpRoot: String = {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_${ProcessHandle.current().pid()}"
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(root))
+    }))
+    root
+  }
   private[graft] def ivfIndex(spark: SparkSession, dir: String): (DataFrame, Array[Array[Float]]) =
     ivfIndexCache.computeIfAbsent((spark, dir), { case (s, d) =>
       import graft.ann.Ann
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_${ProcessHandle.current().pid()}/" +
+      val path = s"$ivfTmpRoot/s${System.identityHashCode(s).toHexString}/" +
         d.replaceAll("[^A-Za-z0-9._-]", "_")
       val centroids = Ann.seededCentroids(nlist = IvfNlist, dim = 64)
       Ann.writeIndex(Ann.assign(t(s, d, "embeddings"), centroids, roundDp = 6),

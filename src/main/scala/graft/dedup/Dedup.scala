@@ -1281,8 +1281,12 @@ object Dedup {
       .select(col("train_id"), col("bench_id"), col("cosine"))
   }
 
-  /** Bucketed bipartite embedding decontamination — the large-bench escape
-    * hatch [[decontaminateEmbedding]]'s brute |train|·|bench| scan lacks:
+  /** Bucketed bipartite embedding decontamination — the escape hatch from
+    * [[decontaminateEmbedding]]'s brute |train|·|bench| COMPUTE (not from
+    * bench-side memory: like the brute form, the bench side is
+    * broadcast-hinted on the assumption it is an eval set that fits in
+    * executor memory — a bench too large to broadcast needs the hint
+    * dropped so AQE sizes the join):
     * BOTH sides hash through the SAME seeded hyperplanes, candidates are
     * (table, signature) collisions, survivors verify with the exact
     * hoisted-norm cosine. Candidate recall is the random-hyperplane LSH

@@ -30,7 +30,14 @@ object EventAnalytics {
     * step i's whole join chain once per downstream aggregate — O(N²)
     * event scans, harmless at 3 steps, ~55 re-scans at 10.) Frontier
     * caches are per-call scratch, released before returning; the result
-    * is a steps-sized local relation. */
+    * is a steps-sized local relation.
+    *
+    * EAGER CONTRACT: unlike the other operators here, calling funnel()
+    * EXECUTES N Spark jobs (one persist+count per step) and returns a
+    * driver-local steps-sized DataFrame — it is not a lazy, composable
+    * plan, and it cannot be applied to a streaming DataFrame
+    * (persist/count are batch-only; streaming funnels go through
+    * [[graft.streaming]]'s stateful paths). */
   /** `maxGapNs`: optional CONVERSION WINDOW — step i+1 must land within
     * maxGapNs of step i's anchor (strictly-after still applies). A user
     * whose only qualifying event is outside the window drops out of the
