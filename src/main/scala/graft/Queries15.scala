@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+/** Fifteenth bank (round 10): the round-9 verdict's seam/strategy closures —
+  *   - q_dedup_ngram_auto lives in QueriesExtra next to its siblings;
+  *   - q_stream_decontaminate_embedding: the ingest-time embedding gate —
+  *     the paraphrase-catching decontamination form the Jaccard/winnow
+  *     stream gates miss, batch-parity-checked against the SAME bucketed
+  *     LSH oracle as q_decontaminate_embedding_lsh. */
+object Queries15 {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // streaming embedding decontamination: the vector stream (train split)
+    // flagged against the static bench split via shared-hyperplane LSH
+    // buckets — AvailableNow must hash-equal the batch bucketed relation
+    // (same protocol as q_stream_decontaminate / _winnow)
+    // query-set-at-a-time hybrid via ONE postings join (the serving shape
+    // for large query batches — the union form q_hybrid_batch pays one
+    // corpus scan per query): same two queries, same pipeline, same oracle
+    "q_hybrid_batch_rel" -> ((s, dir) => {
+      import graft.exec.HybridPipeline
+      import graft.model.{NormalizationSpec, CombinationSpec}
+      val postings = graft.sparse.SparseRetrieval.buildPostings(
+        SparkEntry.docsWithTokens(s, dir))
+      val scored = HybridPipeline.scoreBatchSparse(postings,
+        Map(0L -> Seq(SparkEntry.qTokensA, SparkEntry.qTokensB),
+          1L -> Seq(SparkEntry.qTokensB, SparkEntry.qTokensA)))
+      HybridPipeline.run(scored, 2, NormalizationSpec.MinMax(),
+        CombinationSpec.ArithmeticMean(), paginationDepth = Some(100), size = 10)
+        .select(col("query_id"), col("doc_id"),
+          round(col("score"), 4).as("score"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "q_stream_decontaminate_embedding" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val stream = Queries6.streamOf(s, dir, "embeddings")
+        .where(col("vec_id") % 50 =!= 0)
+      Queries6.runAvailableNow(
+        graft.streaming.StreamingDecontaminate.flagStreamEmbedding(
+          stream, emb.where(col("vec_id") % 50 === 0),
+          dim = 64, threshold = 0.45, nbits = 4, tables = 8),
+        "complete")
+        .orderBy(col("train_id"), col("bench_id"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    // the q_hybrid_batch oracle VERBATIM: the relational batch form must
+    // produce exactly the union form's answer — only the physical shape
+    // (one postings join vs one scan per query) differs
+    "q_hybrid_batch_rel" -> Queries4.oracleSql("q_hybrid_batch"),
+
+    // the batch bucketed-LSH oracle VERBATIM — identical planes, candidate
+    // rule, and round-6 cosine; equality of the streamed result against it
+    // is the batch-parity claim
+    "q_stream_decontaminate_embedding" ->
+      Queries14.oracleSql("q_decontaminate_embedding_lsh")
+  )
+}

@@ -111,6 +111,16 @@ object QueriesExtra {
       Dedup.ngramJaccardPairsPrefix(t(s, dir, "documents"), threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // auto-dispatched ngram dedup: a corpus-stat probe picks uncapped /
+    // capped / prefix (the approximate_threshold idea applied to dedup),
+    // so the uncapped form's quadratic regimes are never the default. The
+    // fixture's density lands in the uncapped regime; the oracle is the
+    // exact-recall jaccard SQL, which the auto contract guarantees
+    // everywhere outside the boilerplate (capped) regime.
+    "q_dedup_ngram_auto" -> ((s, dir) =>
+      Dedup.ngramJaccardAuto(t(s, dir, "documents"), threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))),
+
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashLsh(t(s, dir, "documents"), threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))),
@@ -340,6 +350,23 @@ object QueriesExtra {
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_dedup_ngram" ->
+      s"""WITH ${OracleGen.shingleCte(3, "sh")},
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+        |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT a AS id_a, b AS id_b,
+        |       round(i * 1.0 / (ca.n + cb.n - i), 4) AS jaccard
+        |FROM inter JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b
+        |WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // auto form: the probe dispatches to an EXACT-recall strategy on this
+    // corpus (uncapped or prefix — both reproduce full jaccard semantics),
+    // so the oracle is the exact-jaccard SQL verbatim
+    "q_dedup_ngram_auto" ->
       s"""WITH ${OracleGen.shingleCte(3, "sh")},
         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         |inter AS (

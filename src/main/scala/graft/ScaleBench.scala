@@ -106,6 +106,38 @@ object ScaleBench {
     new java.io.File(fs, "_DONE").createNewFile()
   }
 
+  /** Per-query physical-cost instrumentation (the r9 verdict's ask: a
+    * scaling RATIO alone can't distinguish an n·log n shuffle-IO step from
+    * a super-linear break — shuffle/spill bytes can). Task-end metrics
+    * accumulate across all tasks of whatever ran between reset() and
+    * snapshot(); listener delivery is async, so snapshot() polls until the
+    * counters go quiet instead of racing the bus. */
+  private[graft] final class MetricsListener extends org.apache.spark.scheduler.SparkListener {
+    private val sr, sw, ms, ds = new java.util.concurrent.atomic.AtomicLong()
+    override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        sr.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        sw.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        ms.addAndGet(m.memoryBytesSpilled)
+        ds.addAndGet(m.diskBytesSpilled)
+        ()
+      }
+    }
+    def reset(): Unit = Seq(sr, sw, ms, ds).foreach(_.set(0L))
+    def snapshot(): Map[String, Long] = {
+      var prev = -1L
+      var cur = sr.get + sw.get + ms.get + ds.get
+      val deadline = System.nanoTime() + 2_000_000_000L
+      while (cur != prev && System.nanoTime() < deadline) {
+        prev = cur; Thread.sleep(100)
+        cur = sr.get + sw.get + ms.get + ds.get
+      }
+      Map("shuffle_read_mb" -> sr.get / (1 << 20), "shuffle_write_mb" -> sw.get / (1 << 20),
+        "spill_mem_mb" -> ms.get / (1 << 20), "spill_disk_mb" -> ds.get / (1 << 20))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     def argOf(key: String, dflt: String): String =
       args.find(_.startsWith(key + "=")).map(_.stripPrefix(key + "=")).getOrElse(dflt)
@@ -128,16 +160,30 @@ object ScaleBench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Partition-count headroom for the ×30 cells: with a FIXED reduce
+      // side of 32 partitions, per-partition volume grows with the factor
+      // and the heavy dedup aggregations start spilling (measured r10:
+      // prefix ×30 shuffle bytes were exactly 3.0× the ×10 bytes — linear —
+      // but 6.6 GB spilled where ×10 spilled zero, turning a 3× step into
+      // 4.3×). Giving AQE a large initial partition number lets it SIZE
+      // each exchange by bytes (coalescing small ones back down), which is
+      // precisely how a production cluster holds per-partition volume
+      // constant as the corpus grows.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "1024")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val metrics = new MetricsListener
+    spark.sparkContext.addSparkListener(metrics)
 
     def force(name: String, dir: String): Unit =
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
 
     val results = scala.collection.mutable.LinkedHashMap.empty[Int, Map[String, Double]]
+    // (factor, query) -> per-metric median across timed passes
+    val physResults = scala.collection.mutable.LinkedHashMap.empty[(Int, String), Map[String, Long]]
     factors.foreach { f =>
       val dir = s"/tmp/graftscale/$mode/x$f"
       replicate(spark, srcDir, dir, f, mode)
@@ -179,21 +225,31 @@ object ScaleBench {
       // in-suite vs 2.9 s in a narrowed re-run) — pure scheduling artifact.
       val byPass = (1 to passes).map { _ =>
         queries.map { q =>
+          metrics.reset()
           val t0 = System.nanoTime()
           try force(q, dir)
           catch { case e: Throwable => System.err.println(s"[scale] $q x$f: ${e.getMessage}") }
           val dt = (System.nanoTime() - t0) / 1e9
+          val phys = metrics.snapshot()
           dropPassGarbage()
-          q -> dt
+          q -> (dt, phys)
         }.toMap
       }
       val t = queries.map { q =>
-        val ts = byPass.map(_(q)).sorted
+        val ts = byPass.map(_(q)._1).sorted
         q -> ts(passes / 2)
       }.toMap
+      queries.foreach { q =>
+        val keys = byPass.head(q)._2.keys
+        physResults((f, q)) = keys.map { k =>
+          val vs = byPass.map(_(q)._2(k)).sorted
+          k -> vs(passes / 2)
+        }.toMap
+      }
       results(f) = t
       queries.foreach { q =>
-        println(f"[scale] x$f%-3d $q%-24s ${t(q)}%7.2fs")
+        val p = physResults((f, q))
+        println(f"[scale] x$f%-3d $q%-24s ${t(q)}%7.2fs  shr=${p("shuffle_read_mb")}%dMB shw=${p("shuffle_write_mb")}%dMB spill=${p("spill_mem_mb")}%d/${p("spill_disk_mb")}%dMB")
       }
       // drop this factor's ingest memos before the next one: holding all
       // factors' corpus caches at once polluted the ×10 cells (see
@@ -206,7 +262,11 @@ object ScaleBench {
       val factorsStr = factors.map(f => f""""x$f":${results(f)(q)}""").mkString(",")
       val ratio =
         if (base(q) > 0) results(factors.last)(q) / base(q) else Double.NaN
-      s""""$q":{$factorsStr,"ratio_${factors.last}x":$ratio}"""
+      val physStr = factors.map { f =>
+        val p = physResults((f, q))
+        s""""x$f":{${p.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }.mkString(",")}}"""
+      }.mkString(",")
+      s""""$q":{$factorsStr,"ratio_${factors.last}x":$ratio,"phys":{$physStr}}"""
     }
     // Provenance stamp: the r04/r06 artifacts were distinguishable only by
     // filename — bake the producing commit + round into the payload.

@@ -556,6 +556,93 @@ object Dedup {
       sh, arrs, reps)
   }
 
+  /** Corpus stats behind [[ngramStrategy]]'s dispatch, from one probe pass
+    * over the shingle-df distribution (same tokenizer + hash as the
+    * strategies themselves): `joinWork` = Σ_s C(df_s, 2) is EXACTLY the
+    * candidate-pair row count the uncapped inverted-index self-join would
+    * materialize; `hotJoinWork`/`hotPostings` split it at df > cap. */
+  private[graft] final case class NgramProbeStats(nDocs: Long, postings: Long,
+      joinWork: Long, hotJoinWork: Long, hotPostings: Long, maxDf: Long)
+
+  private[graft] def ngramProbe(df: DataFrame, textCol: String, idCol: String,
+      n: Int, cap: Int): NgramProbeStats = {
+    val nDocs = df.count()
+    val sh = df.select(col(idCol).as("id"),
+        explode(shingleCol(col(textCol), n)).as("__s"))
+      .select(xxhash64(col("__s")).as("s"))
+    // df·(df−1) is always even, so the /2 is exact; the cast keeps the
+    // aggregate integral (SQL `/` on longs yields double)
+    val pairsOf = ((col("df") * (col("df") - 1)) / 2).cast("long")
+    val r = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .agg(coalesce(sum(col("df")), lit(0L)).as("p"),
+        coalesce(sum(pairsOf), lit(0L)).as("w"),
+        coalesce(sum(when(col("df") > cap, pairsOf).otherwise(lit(0L))), lit(0L)).as("hw"),
+        coalesce(sum(when(col("df") > cap, col("df")).otherwise(lit(0L))), lit(0L)).as("hp"),
+        coalesce(max(col("df")), lit(0L)).as("m"))
+      .head()
+    NgramProbeStats(nDocs, r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))
+  }
+
+  /** Pick the n-gram dedup strategy from corpus stats — the
+    * `approximate_threshold` idea (exact↔ANN auto-dispatch,
+    * reference `query/NeuralSparseQueryBuilder` two-phase/SEISMIC gating)
+    * applied to dedup, so the uncapped form's corpus-quadratic regimes are
+    * never reached by default at scale:
+    *
+    *   - `"uncapped"` when the probe-counted candidate volume (Σ C(df,2))
+    *     stays within `budgetPerDoc` rows per document — the plain join is
+    *     then the cheapest exact form (density-preserving corpora of any
+    *     row count land here: per-doc work is scale-invariant).
+    *   - `"capped"` when candidates blow the budget AND ≥ `hotShare` of
+    *     them come from df > `cap` shingles that carry ≤ `hotPostingsShare`
+    *     of all postings — the boilerplate regime (a few corpus-hot
+    *     header/footer shingles generating almost all candidate volume).
+    *     The cap drops exactly those non-discriminative buckets from
+    *     candidate generation; the only recall cost is pairs whose ENTIRE
+    *     overlap is corpus-hot shingles — in this regime, boilerplate-only
+    *     false near-dups.
+    *   - `"prefix"` otherwise — candidate volume is blown but spread across
+    *     the df distribution (shared-vocabulary / verbatim-duplication
+    *     regimes), where no cap both helps and keeps recall; prefix
+    *     filtering keeps EXACT recall while only each doc's rarest
+    *     shingles enter the join.
+    *
+    * The probe is one aggregation over the shingle-df distribution (a scan
+    * + one shuffle of 8-byte keys) — cheaper than the first stage of any
+    * strategy, and row-count-bounded at any corpus size. */
+  def ngramStrategy(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", n: Int = 3, cap: Int = 100,
+      budgetPerDoc: Long = 512L, hotShare: Double = 0.5,
+      hotPostingsShare: Double = 0.2): String = {
+    val p = ngramProbe(df, textCol, idCol, n, cap)
+    if (p.joinWork <= budgetPerDoc * p.nDocs) "uncapped"
+    else if (p.hotJoinWork >= hotShare * p.joinWork &&
+      p.hotPostings <= hotPostingsShare * p.postings) "capped"
+    else "prefix"
+  }
+
+  /** Auto-dispatched exact n-gram Jaccard pairs: probe the corpus, then run
+    * [[ngramJaccardPairs]] (uncapped or df-capped) or
+    * [[ngramJaccardPairsPrefix]] per [[ngramStrategy]]'s regime call.
+    * Output contract matches the underlying strategies — (id_a, id_b,
+    * jaccard ≥ threshold) with jaccard always computed over FULL shingle
+    * sets; recall is exact unless the probe lands in the boilerplate
+    * regime (see [[ngramStrategy]]).
+    *
+    * EAGER: the probe executes two Spark jobs (count + df aggregation) at
+    * call time before returning the lazily-planned pair relation. */
+  def ngramJaccardAuto(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", n: Int = 3, threshold: Double = 0.5,
+      cap: Int = 100, budgetPerDoc: Long = 512L, hotShare: Double = 0.5,
+      hotPostingsShare: Double = 0.2): DataFrame =
+    ngramStrategy(df, textCol, idCol, n, cap, budgetPerDoc, hotShare,
+      hotPostingsShare) match {
+      case "uncapped" => ngramJaccardPairs(df, textCol, idCol, n, threshold, None)
+      case "capped" => ngramJaccardPairs(df, textCol, idCol, n, threshold, Some(cap))
+      case _ => ngramJaccardPairsPrefix(df, textCol, idCol, n, threshold)
+    }
+
   /** All C(m,2) ordered pairs within one sorted member array. */
   private val withinPairsUdf = udf((ms: Seq[Long]) => {
     val out = Seq.newBuilder[(Long, Long)]
@@ -704,6 +791,13 @@ object Dedup {
     * probability (1 − θ/π)^nbits per table; multiple tables raise recall. */
   /** Seeded random hyperplanes, shared with the oracle generator (which
     * inlines them as SQL literals so both engines bucket identically). */
+  /** Column form of the per-table LSH signatures for the streaming
+    * decontamination gate — same planes/UDF as the batch paths, so stream
+    * and batch bucket identically (the AvailableNow ≡ batch claim). */
+  private[graft] def lshBucketCol(vec: Column,
+      planes: Array[Array[Array[Float]]]): Column =
+    lshBucketUdf(planes)(vec)
+
   private[graft] def lshPlanes(tables: Int, nbits: Int, dim: Int,
       seed: Long): Array[Array[Array[Float]]] = {
     val rnd = new scala.util.Random(seed)

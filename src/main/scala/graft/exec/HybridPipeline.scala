@@ -38,6 +38,37 @@ object HybridPipeline {
     * HybridQueryBuilder.java:117-128) should be applied on `corpus` BEFORE
     * calling — Catalyst pushes them into the parquet scan.
     */
+  /** Query-SET-at-a-time hybrid scoring over a sparse postings index: the
+    * per-query [[score]] form pays one corpus scan per query (a 2-query
+    * batch unions 2 scans — fine; a 1000-query serving batch must not run
+    * 1000 scans). Here the ENTIRE (query, subquery) token batch joins the
+    * postings relation ONCE — broadcast query side, corpus-side cost paid
+    * once for the batch — and emits the same canonical intermediate
+    * relation [query_id, subq, doc_id, score] that [[run]] consumes
+    * (positive scores only, the "no-hit in this scorer" rows absent,
+    * round-6 like the single-query sparse kernel). */
+  def scoreBatchSparse(postings: DataFrame,
+      queries: Map[Long, Seq[Map[String, Float]]],
+      roundTo: Int = 6): DataFrame = {
+    require(queries.nonEmpty && queries.values.forall(_.nonEmpty),
+      "at least one query with at least one subquery required")
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val qDf = queries.toSeq
+      .flatMap { case (qid, subs) =>
+        subs.zipWithIndex.flatMap { case (m, i) =>
+          m.toSeq.map { case (tk, w) => (qid, i, tk, w) }
+        }
+      }
+      .toDF("query_id", "subq", "token", "qw")
+    postings
+      .join(broadcast(qDf), "token")
+      .groupBy(col("query_id"), col("subq"), col("doc_id"))
+      .agg(round(sum(col("weight").cast("double") * col("qw").cast("double")),
+        roundTo).as("score"))
+      .where(col("score") > 0.0)
+  }
+
   def score(
       corpus: DataFrame,
       docId: Column,

@@ -28,7 +28,7 @@ object NeuralQuery {
     * embedding column instead (no doc-side inference). */
   def scoreByText(corpus: DataFrame, queryText: String, textCol: String,
       dim: Int = HashEmbedder.DefaultDim): DataFrame = {
-    val qv = HashEmbedder.embed(queryText, dim)
+    val qv = graft.ml.ModelRegistry.current.embedDense(queryText, dim)
     corpus.withColumn("score",
       round(VectorExpressions.dense_cosine(Enrich.embedUdf(dim)(col(textCol)), typedLit(qv)), 6))
   }
@@ -116,7 +116,7 @@ object NeuralQuery {
     * as produced by Enrich.semanticField. */
   def chunkedMaxScore(corpus: DataFrame, queryText: String, chunksCol: String,
       docId: String = "doc_id", dim: Int = HashEmbedder.DefaultDim): DataFrame = {
-    val qv = HashEmbedder.embed(queryText, dim)
+    val qv = graft.ml.ModelRegistry.current.embedDense(queryText, dim)
     corpus
       .select(col(docId), posexplode(col(chunksCol)).as(Seq("chunk_idx", "chunk")))
       .select(col(docId), col("chunk_idx"),

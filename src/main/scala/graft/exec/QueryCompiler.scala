@@ -66,8 +66,8 @@ object QueryCompiler {
       // query_image present → one multimodal inference for the {text,image}
       // pair (NeuralQueryBuilder.java:914-919), else plain text inference
       val qv = sq.queryImage match {
-        case Some(img) => HashEmbedder.embedMultimodal(sq.queryText.getOrElse(""), img, dim)
-        case None      => HashEmbedder.embed(sq.queryText.getOrElse(""), dim)
+        case Some(img) => graft.ml.ModelRegistry.current.embedMultimodal(sq.queryText.getOrElse(""), img, dim)
+        case None      => graft.ml.ModelRegistry.current.embedDense(sq.queryText.getOrElse(""), dim)
       }
       // expand_nested: score every chunk of the semantic target, keep the
       // per-document max (reference wraps the knn query in nested/
@@ -97,7 +97,7 @@ object QueryCompiler {
       val q = sq.queryTokens.getOrElse {
         if (sq.analyzer.isDefined)
           HashEmbedder.tokenize(sq.queryText.getOrElse("")).distinct.map(_ -> 1.0f).toMap
-        else HashEmbedder.encode(sq.queryText.getOrElse(""))
+        else graft.ml.ModelRegistry.current.encodeSparse(sq.queryText.getOrElse(""))
       }
       val docTokens = sq.tokensCol.map(col).getOrElse(Enrich.encodeUdf(col(sq.field)))
       val sc = round(VectorExpressions.sparse_dot(docTokens, typedLit(q)), 6)
@@ -106,7 +106,7 @@ object QueryCompiler {
       // tf overlap against the query's token multiset (pinned lexical
       // scorer; corpus-wide idf needs a side aggregation — use
       // Lexical.matchScore for the idf-weighted form)
-      val q = HashEmbedder.encode(sq.queryText.getOrElse(""))
+      val q = graft.ml.ModelRegistry.current.encodeSparse(sq.queryText.getOrElse(""))
       val docTokens = sq.tokensCol.map(col).getOrElse(Enrich.encodeUdf(col(sq.field)))
       val sc = round(VectorExpressions.sparse_dot(docTokens, typedLit(q)), 6)
       when(sc > 0.0, sc)
@@ -164,8 +164,8 @@ object QueryCompiler {
           case FieldSpec(n, FieldKind.Dense(d)) if n == sq.field => d
         }.getOrElse(HashEmbedder.DefaultDim)
         val qv = sq.queryImage match {
-          case Some(img) => HashEmbedder.embedMultimodal(sq.queryText.getOrElse(""), img, dim)
-          case None      => HashEmbedder.embed(sq.queryText.getOrElse(""), dim)
+          case Some(img) => graft.ml.ModelRegistry.current.embedMultimodal(sq.queryText.getOrElse(""), img, dim)
+          case None      => graft.ml.ModelRegistry.current.embedDense(sq.queryText.getOrElse(""), dim)
         }
         val base = req.filterExpr.fold(corpus)(corpus.filter)
         // vector column: explicit vecCol > the field itself when registered
@@ -196,7 +196,7 @@ object QueryCompiler {
         val q = sq.queryTokens.getOrElse {
           if (sq.analyzer.isDefined)
             HashEmbedder.tokenize(sq.queryText.getOrElse("")).distinct.map(_ -> 1.0f).toMap
-          else HashEmbedder.encode(sq.queryText.getOrElse(""))
+          else graft.ml.ModelRegistry.current.encodeSparse(sq.queryText.getOrElse(""))
         }
         val base = req.filterExpr.fold(corpus)(corpus.filter)
         val scored = sq.tokensCol match {
@@ -243,7 +243,7 @@ object QueryCompiler {
       val q = sq.queryTokens.getOrElse {
         if (sq.analyzer.isDefined)
           HashEmbedder.tokenize(sq.queryText.getOrElse("")).distinct.map(_ -> 1.0f).toMap
-        else HashEmbedder.encode(sq.queryText.getOrElse(""))
+        else graft.ml.ModelRegistry.current.encodeSparse(sq.queryText.getOrElse(""))
       }
       // the request's other clauses apply around the cascade exactly as on
       // the hybrid path: filter below scoring, post_filter/min_score on the

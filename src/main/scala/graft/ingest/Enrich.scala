@@ -26,7 +26,7 @@ object Enrich {
 
   val DefaultDim: Int = HashEmbedder.DefaultDim
 
-  def embedUdf(dim: Int) = udf((s: String) => if (s == null) null else HashEmbedder.embed(s, dim))
+  def embedUdf(dim: Int) = udf((s: String) => if (s == null) null else graft.ml.ModelRegistry.current.embedDense(s, dim))
 
   /** Ingest-side embedding for an asymmetric model: the reference's
     * TextEmbeddingProcessor always requests PASSAGE content
@@ -35,7 +35,7 @@ object Enrich {
   def embedPassageUdf(dim: Int, model: graft.ml.AsymmetricModel.ModelConfig) =
     udf((s: String) => if (s == null) null
       else graft.ml.AsymmetricModel.embed(s, graft.ml.AsymmetricModel.ContentType.Passage, model, dim))
-  val encodeUdf = udf((s: String) => if (s == null) null else HashEmbedder.encode(s))
+  val encodeUdf = udf((s: String) => if (s == null) null else graft.ml.ModelRegistry.current.encodeSparse(s))
 
   /** Batched embedding via mapPartitions — the seam for a REAL inference
     * model: one model invocation per `batchSize` rows, mirroring the
@@ -49,7 +49,7 @@ object Enrich {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types.{ArrayType, FloatType}
     def embedBatch(texts: Seq[String]): Seq[Array[Float]] =
-      texts.map(s => if (s == null) null else HashEmbedder.embed(s, dim))
+      texts.map(s => if (s == null) null else graft.ml.ModelRegistry.current.embedDense(s, dim))
     val schema = df.schema.add(dst, ArrayType(FloatType))
     val srcIdx = df.schema.fieldIndex(src)
     df.mapPartitions { it =>
@@ -63,10 +63,10 @@ object Enrich {
   }
   def encodePrunedUdf(pruneType: String, ratio: Float) = udf { (s: String) =>
     if (s == null) null
-    else PruneUtils.prune(HashEmbedder.encode(s), PruneUtils.pruneType(pruneType), ratio)
+    else PruneUtils.prune(graft.ml.ModelRegistry.current.encodeSparse(s), PruneUtils.pruneType(pruneType), ratio)
   }
   def embedMultimodalUdf(dim: Int) =
-    udf((t: String, img: String) => HashEmbedder.embedMultimodal(t, img, dim))
+    udf((t: String, img: String) => graft.ml.ModelRegistry.current.embedMultimodal(t, img, dim))
 
   def chunkFixedTokenUdf(tokenLimit: Int, overlapRate: Double, maxChunkLimit: Int) =
     udf((s: String) => Chunkers.fixedTokenLength(s, tokenLimit, overlapRate, maxChunkLimit))

@@ -57,5 +57,5 @@ object AsymmetricModel {
     * HashEmbedder.embed. */
   def embed(text: String, contentType: ContentType,
       config: ModelConfig, dim: Int = HashEmbedder.DefaultDim): Array[Float] =
-    HashEmbedder.embed(config.inputFor(text, contentType), dim)
+    ModelRegistry.current.embedDense(config.inputFor(text, contentType), dim)
 }

@@ -389,7 +389,7 @@ object Multimodal {
   /** text+image multimodal embedding (the reference's exact surface). */
   def textImageEmbedding(df: DataFrame, textCol: String, imageB64Col: String,
       dst: String, dim: Int = HashEmbedder.DefaultDim): DataFrame = {
-    val u = udf((t: String, img: String) => HashEmbedder.embedMultimodal(t, img, dim))
+    val u = udf((t: String, img: String) => graft.ml.ModelRegistry.current.embedMultimodal(t, img, dim))
     df.withColumn(dst, u(col(textCol), col(imageB64Col)))
   }
 }

@@ -64,6 +64,18 @@ final case class SimilaritySpanScorer(dim: Int = HashEmbedder.DefaultDim)
     HashEmbedder.similarity(queryText, windowText, dim).toDouble
 }
 
+/** The DEFAULT scorer everywhere a caller doesn't supply one: delegates to
+  * the process-global [[graft.ml.ModelRegistry]] QA-head slot at CALL time,
+  * so installing a real model client swaps every highlight path at once
+  * (single answerSpan, the answerSpans relation, and the batch processor).
+  * With the default [[graft.ml.HashModelClient]] this is numerically
+  * identical to [[SimilaritySpanScorer]]. */
+final case class RegistrySpanScorer(dim: Int = HashEmbedder.DefaultDim)
+    extends SpanScorer {
+  def score(queryText: String, windowText: String): Double =
+    graft.ml.ModelRegistry.current.spanScore(queryText, windowText, dim)
+}
+
 object Highlight {
 
   val DefaultPreTag = "<em>"
@@ -101,8 +113,9 @@ object Highlight {
   /** Relevance of each sentence to the query on the model surface —
     * the deterministic stand-in for the QA span model's logits. */
   def scoreSentences(queryText: String, text: String,
-      spans: Seq[SentenceSpan]): Seq[Double] =
-    spans.map(sp => HashEmbedder.similarity(queryText, text.substring(sp.start, sp.end)).toDouble)
+      spans: Seq[SentenceSpan],
+      scorer: SpanScorer = RegistrySpanScorer()): Seq[Double] =
+    spans.map(sp => scorer.score(queryText, text.substring(sp.start, sp.end)))
 
   /** HighlightTagApplier.applyTags (reference
     * highlight/utils/HighlightTagApplier.java:36-115): validates that spans
@@ -141,10 +154,11 @@ object Highlight {
     * context comes back untouched (reference: empty highlights list). */
   def highlightText(queryText: String, docText: String,
       threshold: Double = 0.999, preTag: String = DefaultPreTag,
-      postTag: String = DefaultPostTag): String = {
+      postTag: String = DefaultPostTag,
+      scorer: SpanScorer = RegistrySpanScorer()): String = {
     val spans = segmentSentences(docText)
     if (spans.isEmpty) return docText
-    val scores = scoreSentences(queryText, docText, spans)
+    val scores = scoreSentences(queryText, docText, spans, scorer)
     val best = scores.max
     if (best <= 0.0) return docText
     val selected = spans.zip(scores).collect {
@@ -156,8 +170,9 @@ object Highlight {
   /** DataFrame form: adds a `highlights` column for the given text column
     * (the single-inference path — one model call per hit). */
   def highlight(results: DataFrame, queryText: String, textCol: String,
-      threshold: Double = 0.999): DataFrame = {
-    val u = udf((d: String) => highlightText(queryText, d, threshold))
+      threshold: Double = 0.999,
+      scorer: SpanScorer = RegistrySpanScorer()): DataFrame = {
+    val u = udf((d: String) => highlightText(queryText, d, threshold, scorer = scorer))
     results.withColumn("highlights", u(col(textCol)))
   }
 
@@ -166,10 +181,11 @@ object Highlight {
     * span model's output (SentenceHighlightingRequest → highlights list
     * with start/end per sentence). */
   def sentenceRelation(results: DataFrame, queryText: String, textCol: String,
-      threshold: Double = 0.999): DataFrame = {
+      threshold: Double = 0.999,
+      scorer: SpanScorer = RegistrySpanScorer()): DataFrame = {
     val u = udf((d: String) => {
       val spans = segmentSentences(d)
-      val scores = scoreSentences(queryText, d, spans)
+      val scores = scoreSentences(queryText, d, spans, scorer)
       val best = if (scores.isEmpty) 0.0 else scores.max
       spans.zip(scores).map { case (sp, sc) =>
         (sp.ord, sp.start, sp.end, sc, best > 0.0 && sc >= best * threshold)
@@ -215,10 +231,10 @@ object Highlight {
   def answerSpan(queryText: String, docText: String, maxWindow: Int = 8,
       dim: Int = HashEmbedder.DefaultDim,
       scorer: Option[SpanScorer] = None): Option[(Int, Int, Int, Double)] = {
-    val head = scorer.getOrElse(SimilaritySpanScorer(dim))
+    val head = scorer.getOrElse(RegistrySpanScorer(dim))
     val sents = segmentSentences(docText)
     if (sents.isEmpty) return None
-    val scored = sents.zip(scoreSentences(queryText, docText, sents).map(round6))
+    val scored = sents.zip(scoreSentences(queryText, docText, sents, head).map(round6))
     val (top, topSim) = scored.minBy { case (sp, sc) => (-sc, sp.ord) }
     if (topSim <= 0.0) return None
     val sent = docText.substring(top.start, top.end)
@@ -248,7 +264,7 @@ object Highlight {
     * [doc_id, ord, span_start, span_end, sim]; docs with no positive
     * window are dropped (empty highlights). */
   def answerSpans(results: DataFrame, queryText: String, textCol: String,
-      maxWindow: Int = 8): DataFrame = {
+      maxWindow: Int = 8, scorer: Option[SpanScorer] = None): DataFrame = {
     // asNondeterministic is a PLAN constraint, not a semantics one (the
     // kernel is pure): a deterministic UDF lets Catalyst push the derived
     // `isnotnull(UDF(text))` filter below the caller's top-k join onto the
@@ -257,7 +273,7 @@ object Highlight {
     // projected struct field. Nondeterministic blocks both: one evaluation
     // per surviving row, strictly above the join. PlansSpec asserts the
     // placement.
-    val u = udf((d: String) => answerSpan(queryText, d, maxWindow))
+    val u = udf((d: String) => answerSpan(queryText, d, maxWindow, scorer = scorer))
       .asNondeterministic().withName("answer_span")
     results
       .withColumn("a", u(col(textCol)))
@@ -275,7 +291,8 @@ object Highlight {
     * batching is an execution seam, not a semantic change. */
   def highlightBatch(results: DataFrame, queryText: String, textCol: String,
       threshold: Double = 0.999,
-      maxInferenceBatchSize: Int = DefaultMaxInferenceBatchSize): DataFrame = {
+      maxInferenceBatchSize: Int = DefaultMaxInferenceBatchSize,
+      scorer: SpanScorer = RegistrySpanScorer()): DataFrame = {
     val schema = StructType(results.schema.fields :+ StructField("highlights", StringType, nullable = true))
     val textIdx = results.schema.fieldIndex(textCol)
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
@@ -283,7 +300,7 @@ object Highlight {
       rows.grouped(maxInferenceBatchSize).flatMap { batch =>
         // one "model call" per sub-batch: contexts in, tagged strings out
         val contexts = batch.map(_.getString(textIdx))
-        val tagged = contexts.map(c => highlightText(queryText, c, threshold))
+        val tagged = contexts.map(c => highlightText(queryText, c, threshold, scorer = scorer))
         batch.zip(tagged).map { case (r, h) => Row.fromSeq(r.toSeq :+ h) }
       }
     }(enc)

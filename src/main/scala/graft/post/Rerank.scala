@@ -33,7 +33,7 @@ object Rerank {
       .orderBy(col("score").desc, col("doc_id").asc)
   }
 
-  private val similarityUdf = udf((q: String, d: String) => HashEmbedder.similarity(q, d).toDouble)
+  private val similarityUdf = udf((q: String, d: String) => graft.ml.ModelRegistry.current.similarity(q, d).toDouble)
 
   /** ml rerank: cross-encoder stand-in = HashEmbedder.similarity. */
   def mlRerank(results: DataFrame, queryText: String, contextField: String): DataFrame =

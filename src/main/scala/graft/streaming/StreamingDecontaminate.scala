@@ -54,6 +54,50 @@ object StreamingDecontaminate {
     bench.select(col(idCol).cast("long").as("bench_id"),
         explode(Dedup.winnowGhsCol(col(textCol), k, w)).as("gh"))
 
+  /** Static bench side for the EMBEDDING gate: per-table LSH signature rows
+    * with the bench vector and hoisted norm attached, built once and
+    * broadcast (the bench is an eval set — the same fits-in-memory
+    * precondition as the batch forms). */
+  def benchLshBuckets(bench: DataFrame, planes: Array[Array[Array[Float]]],
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =
+    bench.select(col(idCol).cast("long").as("bench_id"), col(vecCol).as("vb"),
+        sqrt(graft.functions.VectorExpressions.dense_dot(col(vecCol), col(vecCol))).as("nb"),
+        posexplode(Dedup.lshBucketCol(col(vecCol), planes)).as(Seq("table", "bucket")))
+
+  /** Streaming EMBEDDING-space decontamination: flag stream vectors with
+    * cosine ≥ threshold vs any bench vector — the paraphrase-catching gate
+    * the shingle and winnow forms miss, applied as vectors land instead of
+    * a batch sweep ([[graft.dedup.Dedup.decontaminateEmbeddingLsh]]'s
+    * ingestion-time form).
+    *
+    * Stream-compatible restructuring: candidate generation is a STATELESS
+    * stream-static join on (table, signature) against the broadcast bench
+    * buckets — both sides hash through the SAME seeded hyperplanes — and
+    * the exact cosine verify runs per collision row BEFORE any state, so
+    * the only stateful step is the final per-pair aggregation collapsing
+    * multi-table collisions (Complete mode; cosine is identical across a
+    * pair's collisions, so max = the value). State is bounded by
+    * contamination pairs, not the corpus. AvailableNow output equals the
+    * batch relation exactly (same planes, same round-6 cosine). */
+  def flagStreamEmbedding(docs: DataFrame, bench: DataFrame, dim: Int,
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      threshold: Double = 0.95, nbits: Int = 8, tables: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val planes = Dedup.lshPlanes(tables, nbits, dim, seed)
+    val dot = graft.functions.VectorExpressions.dense_dot _
+    docs.select(col(idCol).cast("long").as("train_id"), col(vecCol).as("va"),
+        sqrt(dot(col(vecCol), col(vecCol))).as("na"),
+        posexplode(Dedup.lshBucketCol(col(vecCol), planes)).as(Seq("table", "bucket")))
+      .join(broadcast(benchLshBuckets(bench, planes, vecCol, idCol)),
+        Seq("table", "bucket"))
+      .withColumn("cosine",
+        round(when(col("na") === 0.0 || col("nb") === 0.0, lit(0.0))
+          .otherwise(dot(col("va"), col("vb")) / (col("na") * col("nb"))), 6))
+      .where(col("cosine") >= threshold)
+      .groupBy(col("train_id"), col("bench_id"))
+      .agg(max(col("cosine")).as("cosine"))
+  }
+
   /** Streaming SUBSTRING-level decontamination: flag stream docs sharing
     * >= minShared winnowed fingerprints with any bench doc — the
     * ingestion-time form of [[graft.dedup.Dedup.decontaminateWinnow]],
