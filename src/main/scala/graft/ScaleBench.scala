@@ -160,16 +160,6 @@ object ScaleBench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // Partition-count headroom for the ×30 cells: with a FIXED reduce
-      // side of 32 partitions, per-partition volume grows with the factor
-      // and the heavy dedup aggregations start spilling (measured r10:
-      // prefix ×30 shuffle bytes were exactly 3.0× the ×10 bytes — linear —
-      // but 6.6 GB spilled where ×10 spilled zero, turning a 3× step into
-      // 4.3×). Giving AQE a large initial partition number lets it SIZE
-      // each exchange by bytes (coalescing small ones back down), which is
-      // precisely how a production cluster holds per-partition volume
-      // constant as the corpus grows.
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "1024")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -186,6 +176,18 @@ object ScaleBench {
     val physResults = scala.collection.mutable.LinkedHashMap.empty[(Int, String), Map[String, Long]]
     factors.foreach { f =>
       val dir = s"/tmp/graftscale/$mode/x$f"
+      // Reduce-side partition count scales WITH the data factor (what a
+      // production cluster does as a corpus grows): with a fixed 32-reduce
+      // side the heavy dedup aggregations start spilling at ×30 (measured
+      // r10: prefix ×30 shuffle bytes were exactly 3.0× the ×10 bytes —
+      // linear — but 6.6 GB spilled where ×10 spilled zero, turning a 3×
+      // data step into a 4.3× time step). A flat large initialPartitionNum
+      // is NOT the answer either — 1024 reduce partitions over the ×1 cell
+      // measured prefix 5.8 → 13.9 s (task-launch + cache-block overhead
+      // on tiny partitions), so the headroom must track the factor; AQE
+      // coalescing then sizes the actual post-shuffle partitions by bytes.
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        math.min(cpus.toInt * f, 1024))
       replicate(spark, srcDir, dir, f, mode)
       // Build EVERY per-dir ingest memo up front (token cache, SEISMIC
       // indexes, minhash index) so the memo snapshot below is complete —
