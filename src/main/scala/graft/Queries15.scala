@@ -21,6 +21,18 @@ object Queries15 {
     // flagged against the static bench split via shared-hyperplane LSH
     // buckets — AvailableNow must hash-equal the batch bucketed relation
     // (same protocol as q_stream_decontaminate / _winnow)
+    // band-bucket-capped MinHash LSH: buckets with > 100 distinct members
+    // are dropped from candidate generation — the boilerplate-regime scale
+    // lever (a shared footer drives linear-growth band buckets whose
+    // candidate pairs grow quadratically; measured 11.5x time for 3x data
+    // at x30 uncapped). On this fixture no bucket exceeds the cap, so the
+    // gate checks the MECHANISM (the oracle replicates the bucket-size
+    // filter) with output identical to q_dedup_minhash.
+    "q_dedup_minhash_capped" -> ((s, dir) =>
+      Dedup.minhashLsh(t(s, dir, "documents"), threshold = 0.5,
+        maxBucket = Some(100))
+        .orderBy(col("id_a"), col("id_b"))),
+
     // query-set-at-a-time hybrid via ONE postings join (the serving shape
     // for large query batches — the union form q_hybrid_batch pays one
     // corpus scan per query): same two queries, same pipeline, same oracle
@@ -52,7 +64,33 @@ object Queries15 {
     })
   )
 
+  /** The q_dedup_minhash oracle with ONE inserted CTE: candidate buckets
+    * are filtered to ≤ 100 distinct members before pair emission, exactly
+    * the engine's maxBucket semantics. Derived from the uncapped SQL so
+    * the hash-family literals can never drift between the two gates. */
+  private val minhashCappedSql: String = {
+    val base = QueriesExtra.oracleSql("q_dedup_minhash")
+    val from = """mh_cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM mh_band a JOIN mh_band b
+         |    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+         |)""".stripMargin
+    val to = """mh_bsz AS (
+         |  SELECT band, bsig, count(DISTINCT doc_id) AS bn
+         |  FROM mh_band GROUP BY band, bsig
+         |), mh_cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM mh_band a JOIN mh_band b
+         |    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+         |  JOIN mh_bsz z ON z.band = a.band AND z.bsig = a.bsig AND z.bn <= 100
+         |)""".stripMargin
+    require(base.contains(from), "q_dedup_minhash oracle shape changed — update minhashCappedSql")
+    base.replace(from, to)
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_dedup_minhash_capped" -> minhashCappedSql,
+
     // the q_hybrid_batch oracle VERBATIM: the relational batch form must
     // produce exactly the union form's answer — only the physical shape
     // (one postings join vs one scan per query) differs

@@ -100,12 +100,28 @@ object Dedup {
 
   /** MinHash-LSH near-duplicate PAIRS (id_a < id_b):
     * numHashes = bands × rowsPerBand; candidates share ≥1 band; verified by
-    * exact shingle Jaccard ≥ threshold. */
+    * exact shingle Jaccard ≥ threshold.
+    *
+    * `maxBucket` (the maxDf idea at the band-bucket level): band buckets
+    * with more than maxBucket distinct members are dropped from candidate
+    * generation. The boilerplate regime makes this the scale lever — a
+    * shared footer/header drives some band signatures for a constant
+    * fraction of ALL docs, so those buckets grow linearly with the corpus
+    * and their candidate pairs quadratically (measured: boilerplate ×10→×30
+    * was 4.5 → 51 s, 11.5× time for 3× data, entirely below-threshold
+    * false candidates that verification then discards). Recall cost:
+    * only pairs whose EVERY shared band is corpus-hot — in that regime,
+    * boilerplate-only false matches; a true near-dup pair at τ shares
+    * bands on its CONTENT minima, which are corpus-rare. Emitted jaccard
+    * stays exact (full-shingle verification, as always). A band-key hash
+    * collision merging two buckets can now DROP candidates (not only add)
+    * with the same accepted ~2⁻⁶⁴ odds as every hashed join key here. */
   def minhashLsh(
       df: DataFrame,
       textCol: String = "text", idCol: String = "doc_id",
       shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,
-      threshold: Double = 0.7, seed: Long = 42L): DataFrame = {
+      threshold: Double = 0.7, seed: Long = 42L,
+      maxBucket: Option[Int] = None): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val params = hashParams(numHashes, seed)
@@ -125,7 +141,7 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
         xxhash64(lit("band"), b, slice(col("sig"), b * lit(rows) + 1, lit(rows))))).as(Seq("band", "bucket")))
 
-    val candidates = bucketPairs(banded, Seq("band", "bucket"))
+    val candidates = bucketPairs(banded, Seq("band", "bucket"), maxBucket)
 
     val jacc = udf((a: Seq[String], b: Seq[String]) => {
       val sa = a.toSet; val sb = b.toSet
@@ -157,16 +173,30 @@ object Dedup {
     * key columns — a cross-bucket collision merges two buckets and only
     * adds candidates (downstream verification filters them), never drops.
     * `bucketed` must have an `id` column plus `keyCols`. */
-  private def bucketPairs(bucketed: DataFrame, keyCols: Seq[String]): DataFrame = {
+  private def bucketPairs(bucketed: DataFrame, keyCols: Seq[String],
+      maxBucket: Option[Int] = None): DataFrame = {
     val spark = bucketed.sparkSession
     import spark.implicits._
+    val cap = maxBucket.getOrElse(Int.MaxValue)
     bucketed.select(xxhash64(keyCols.map(col): _*).as("__k"), col("id"))
       .as[(Long, Long)]
       .groupByKey(_._1)
       .flatMapGroups { (_, it) =>
         val a = it.map(_._2).toArray
         java.util.Arrays.sort(a)
-        if (a.length < 2) Iterator.empty
+        // maxBucket: corpus-hot buckets emit NO pairs — a bucket whose
+        // membership grows linearly with the corpus (boilerplate-driven
+        // band signatures, stop fingerprints) contributes quadratically
+        // many candidates, nearly all below-threshold false positives by
+        // construction (they collide on the shared boilerplate, not on
+        // content). Distinct-member count so duplicate postings of one doc
+        // can't trip the cap.
+        val distinctMembers = {
+          var d = 0; var i = 0
+          while (i < a.length) { if (i == 0 || a(i) != a(i - 1)) d += 1; i += 1 }
+          d
+        }
+        if (a.length < 2 || distinctMembers > cap) Iterator.empty
         else (0 until a.length - 1).iterator.flatMap { i =>
           ((i + 1) until a.length).iterator
             .filter(j => a(i) != a(j))
@@ -176,8 +206,9 @@ object Dedup {
       .toDF("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
   }
-  private[graft] def bucketPairsPublic(bucketed: DataFrame, keyCols: Seq[String]): DataFrame =
-    bucketPairs(bucketed, keyCols)
+  private[graft] def bucketPairsPublic(bucketed: DataFrame, keyCols: Seq[String],
+      maxBucket: Option[Int] = None): DataFrame =
+    bucketPairs(bucketed, keyCols, maxBucket)
 
   /** Eagerly materialize `out` (persist + count), then release the
     * per-invocation caches. Every dedup entry point persists shingle /
@@ -531,9 +562,22 @@ object Dedup {
     val nAll = arrs.agg(count(lit(1)).as("n"),
       countDistinct(xxhash64(col("hs"))).as("nd")).head()
     if (nAll.getLong(1) == nAll.getLong(0)) {
+      // EARLY RELEASE of the shingle cache: the staged ×10/×30 profile
+      // showed the fused pipeline's super-linear step is storage pressure,
+      // not algorithm (every stage's row count is exactly linear; the
+      // stage-by-stage sum scales at ~1.6× for 3× data while the fused run
+      // paid 3-5×, and a verify re-run with cold-evicted caches cost 1.8×
+      // its warm time). sh is the largest resident block (corpus × ~52
+      // postings) and the heavy candidate/verify phase never reads it —
+      // only prefix (a (1−τ)-fraction slice) and arrs do. Materialize the
+      // prefix, drop sh, THEN run the quadratic-ish phase against the two
+      // small caches. (The probe above has already materialized arrs.)
+      val pre = prefixOf(sh).persist()
+      pre.count()
+      sh.unpersist(blocking = false)
       return finishReleasing(
-        verifyPairs(bucketPairs(prefixOf(sh), Seq("s")), arrs, threshold),
-        sh, arrs)
+        verifyPairs(bucketPairs(pre, Seq("s")), arrs, threshold),
+        pre, arrs)
     }
     // EXACT-DUP PRE-COLLAPSE: docs with identical shingle SETS (group key =
     // hash of the sorted array) have identical jaccard against every third

@@ -79,6 +79,33 @@ class Round10Spec extends SparkSpec {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  // ------------------------------------------------ minhash bucket cap
+
+  test("minhashLsh maxBucket drops boilerplate mega-buckets, keeps true near-dups") {
+    // 40 docs with disjoint content + a LONG shared footer (footer minima
+    // drive some band signatures for every doc → linear-growth buckets),
+    // plus one true near-dup pair (docs 100/101 share most content)
+    val footer = (0 until 12).map(i => s"footer_$i").mkString(" ")
+    val docs = ((0 until 40).map { i =>
+      (i.toLong, (0 until 10).map(j => s"u${i}_$j").mkString(" ") + " " + footer)
+    } ++ Seq(
+      (100L, (0 until 30).map(j => s"shared_$j").mkString(" ") + " tail_a"),
+      (101L, (0 until 30).map(j => s"shared_$j").mkString(" ") + " tail_b")))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.minhashLsh(docs, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.minhashLsh(docs, threshold = 0.5, maxBucket = Some(10))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the true pair survives the cap (its content buckets are size 2)
+    assert(capped.contains((100L, 101L)))
+    // capped is a subset of uncapped, same verification semantics
+    assert(capped.subsetOf(uncapped))
+    // and with the cap above every bucket size, output is identical
+    val cappedHigh = Dedup.minhashLsh(docs, threshold = 0.5, maxBucket = Some(1000))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cappedHigh == uncapped)
+  }
+
   // ------------------------------------------- relational batch hybrid
 
   test("q_hybrid_batch_rel (one postings join) equals q_hybrid_batch (union of scans)") {
