@@ -21,6 +21,15 @@ object Queries15 {
     // flagged against the static bench split via shared-hyperplane LSH
     // buckets — AvailableNow must hash-equal the batch bucketed relation
     // (same protocol as q_stream_decontaminate / _winnow)
+    // SemDeDup-style semantic dedup (arXiv:2303.09540): seeded-centroid
+    // clusters -> within-cluster cosine pairs -> connected components ->
+    // keep the least-prototypical member per component. One row per
+    // vector: (vec_id, sem_cluster, keep).
+    "q_dedup_semantic" -> ((s, dir) =>
+      Dedup.semanticDedup(t(s, dir, "embeddings"), dim = 64,
+        nlist = 8, threshold = 0.45)
+        .orderBy(col("vec_id"))),
+
     // band-bucket-capped MinHash LSH: buckets with > 100 distinct members
     // are dropped from candidate generation — the boilerplate-regime scale
     // lever (a shared footer drives linear-growth band buckets whose
@@ -88,7 +97,56 @@ object Queries15 {
     base.replace(from, to)
   }
 
+  /** Full SemDeDup pipeline replicated in SQL: seeded centroid literals
+    * (same arrays as the engine), rn=1 argmax assignment with the ccos
+    * carried, within-cluster round-6 cosine pairs, recursive-CTE connected
+    * components, and the (ccos asc, vec_id asc) keeper window. */
+  private val semanticDedupSql: String = {
+    val centroids = graft.ann.Ann.seededCentroids(nlist = 8, dim = 64)
+    val centRows = centroids.zipWithIndex
+      .map { case (c, i) => s"($i, ${OracleGen.doubleList(c)})" }
+      .mkString(",\n")
+    val cosAssign = OracleGen.denseCosineSql("CAST(e.embedding AS DOUBLE[])", "c.c")
+    val cosPair = OracleGen.cosineFromNormsSql("ea.v", "eb.v", "ea.nrm", "eb.nrm")
+    s"""WITH RECURSIVE cents(i, c) AS (VALUES
+       |$centRows
+       |), scored AS (
+       |  SELECT e.vec_id, c.i AS ci, round($cosAssign, 6) AS cc,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |              ORDER BY round($cosAssign, 6) DESC, c.i ASC) AS rn
+       |  FROM embeddings e CROSS JOIN cents c
+       |), assigned AS (SELECT vec_id, ci, cc AS ccos FROM scored WHERE rn = 1),
+       |emb_n AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+       |  FROM embeddings
+       |), pr AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM assigned a JOIN assigned b ON a.ci = b.ci AND a.vec_id < b.vec_id
+       |  JOIN emb_n ea ON ea.vec_id = a.vec_id
+       |  JOIN emb_n eb ON eb.vec_id = b.vec_id
+       |  WHERE round($cosPair, 6) >= 0.45
+       |), edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pr
+       |  UNION ALL SELECT id_b, id_a FROM pr
+       |), reach(src, dst) AS (
+       |  SELECT vec_id, vec_id FROM embeddings
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+       |), labels AS (
+       |  SELECT src AS vec_id, min(dst) AS sem_cluster FROM reach GROUP BY src
+       |), ranked AS (
+       |  SELECT l.vec_id, l.sem_cluster, a.ccos,
+       |         row_number() OVER (PARTITION BY l.sem_cluster
+       |              ORDER BY a.ccos ASC, l.vec_id ASC) AS rn
+       |  FROM labels l JOIN assigned a USING (vec_id)
+       |)
+       |SELECT vec_id, sem_cluster, rn = 1 AS keep FROM ranked
+       |ORDER BY vec_id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_dedup_semantic" -> semanticDedupSql,
     "q_dedup_minhash_capped" -> minhashCappedSql,
 
     // the q_hybrid_batch oracle VERBATIM: the relational batch form must

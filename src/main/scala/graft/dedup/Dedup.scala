@@ -945,6 +945,61 @@ object Dedup {
     finishReleasing(within.unionByName(cross), reps)
   }
 
+  // -------------------------------------------------------- semantic dedup
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space, call within-cluster
+    * pairs with cosine ≥ threshold SEMANTIC duplicates, resolve them into
+    * connected components, and keep ONE representative per component — the
+    * member LEAST similar to its cluster centroid (the paper's keeper rule:
+    * prefer the least prototypical example; ties by lowest id).
+    *
+    * Returns one row PER INPUT VECTOR: (vec_id, sem_cluster = component
+    * label (min id; singletons label themselves), keep). Filtering
+    * `keep` yields the semantically-deduplicated corpus.
+    *
+    * Spark shape: centroid assignment is a row-local codegen'd argmax
+    * ([[graft.ann.Ann.assign]], the IVF machinery reused — seeded
+    * data-independent centroids keep the whole pipeline oracle-exact);
+    * candidate generation joins each cluster ONLY against itself
+    * (`Σ |cluster|²` instead of the corpus square — at 100 TB, nlist
+    * scales with the corpus so cluster populations stay bounded, exactly
+    * how the paper runs k=11k on LAION); components ride
+    * [[resolveClusters]] (bounded driver union-find, relational fallback);
+    * the keeper rank is a window over components — every wide exchange is
+    * keyed on cluster/component dimensions, never the raw corpus.
+    * Cross-cluster near-dups are out of candidate scope BY DESIGN (the
+    * paper's recall trade for the non-quadratic candidate step);
+    * [[embeddingNearDupLsh]] is the exact-recall-oriented alternative. */
+  def semanticDedup(df: DataFrame, dim: Int, nlist: Int = 8,
+      threshold: Double = 0.95, vecCol: String = "embedding",
+      idCol: String = "vec_id", seed: Long = 42L): DataFrame = {
+    import graft.ann.Ann
+    val centroids = Ann.seededCentroids(nlist, dim, seed)
+    val centArr = array(centroids.map(c => typedLit(c)): _*)
+    val assigned = Ann.assign(
+      df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v")),
+      centroids, vecCol = "v", roundDp = 6)
+      .withColumn("ccos", round(VectorExpressions.dense_cosine(col("v"),
+        element_at(centArr, col("centroid_id") + 1)), 6))
+      .persist()
+    assigned.count() // materialize before the self-join fan-out
+    val side = assigned.select(col("id"), col("v"), col("centroid_id"))
+    val pairs = side.as("a").join(side.as("b"), "centroid_id")
+      .where(col("a.id") < col("b.id"))
+      .withColumn("cos",
+        round(VectorExpressions.dense_cosine(col("a.v"), col("b.v")), 6))
+      .where(col("cos") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val labels = resolveClusters(pairs, assigned.select(col("id")))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("ccos").asc, col("id").asc)
+    val out = labels.join(assigned.select(col("id"), col("ccos")), "id")
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col("id").as(idCol), col("cluster_id").as("sem_cluster"), col("keep"))
+    finishReleasing(out, assigned)
+  }
+
   // ------------------------------------------------------- cluster resolve
 
   /** Resolve near-dup PAIRS into clusters (connected components), fully

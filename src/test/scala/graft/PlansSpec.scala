@@ -114,6 +114,35 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("scoreBatchSparse: the query-batch side broadcasts into the postings join") {
+    withoutAqe {
+      val docs = SparkEntry.docsWithTokens(spark, dir)
+      val postings = graft.sparse.SparseRetrieval.buildPostings(docs)
+      val scored = graft.exec.HybridPipeline.scoreBatchSparse(postings,
+        Map(0L -> Seq(SparkEntry.qTokensA, SparkEntry.qTokensB)))
+      val bhj = scored.queryExecution.executedPlan.collect {
+        case j: BroadcastHashJoinExec => j
+      }
+      assert(bhj.nonEmpty,
+        s"query batch is not broadcast:\n${scored.queryExecution.executedPlan}")
+    }
+  }
+
+  test("flagStreamEmbedding bench side: LSH buckets + vectors join broadcast (batch form)") {
+    withoutAqe {
+      // same plan shape the stream-static join compiles to: run the batch
+      // relation (stream plans aren't introspectable pre-execution)
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val plan = graft.streaming.StreamingDecontaminate
+        .flagStreamEmbedding(emb.where(org.apache.spark.sql.functions.col("vec_id") % 50 =!= 0),
+          emb.where(org.apache.spark.sql.functions.col("vec_id") % 50 === 0), dim = 64,
+          threshold = 0.45, nbits = 4, tables = 8)
+        .queryExecution.executedPlan
+      val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+      assert(bhj.nonEmpty, s"bench buckets are not broadcast:\n$plan")
+    }
+  }
+
   test("decontaminateWinnow: bench fingerprints enter the join broadcast") {
     withoutAqe {
       val docs = spark.read.parquet(s"$dir/documents.parquet")

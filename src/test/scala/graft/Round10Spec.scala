@@ -79,6 +79,22 @@ class Round10Spec extends SparkSpec {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  // ------------------------------------------------------ semantic dedup
+
+  test("semanticDedup: one keeper per component, drops only in multi-member components") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val out = Dedup.semanticDedup(emb, dim = 64, nlist = 8, threshold = 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.length == emb.count())
+    val byCluster = out.groupBy(_._2)
+    // exactly one keeper per component
+    assert(byCluster.values.forall(_.count(_._3) == 1))
+    // a vector is dropped ONLY when its component has another member
+    assert(out.filter(!_._3).forall(v => byCluster(v._2).length > 1))
+    // some semantic duplicates exist on this fixture (3 multi components)
+    assert(byCluster.values.count(_.length > 1) > 0)
+  }
+
   // ------------------------------------------------ minhash bucket cap
 
   test("minhashLsh maxBucket drops boilerplate mega-buckets, keeps true near-dups") {
