@@ -75,7 +75,11 @@ object QsetBench {
       .orderBy(col("doc_id")).limit(maxNq).collect()
       .map(r => (r.getLong(0), r.getMap[String, Float](1)))
     def sparseQ(nq: Int): Map[Long, Map[String, Float]] =
-      docTok.take(nq).zipWithIndex.map { case ((_, m), i) =>
+      (0 until nq).map { i =>
+        // wrap past the corpus like denseQ: query i = doc (i mod nDocs),
+        // distinct query_ids (a batch larger than the corpus exercises the
+        // batch machinery, not new geometry)
+        val m = docTok(i % docTok.length)._2
         i.toLong -> m.toSeq.sortBy { case (t, w) => (-w, t) }.take(QTokens).toMap
       }.toMap
     val vecs = emb.select(col("vec_id"), col("embedding"))
