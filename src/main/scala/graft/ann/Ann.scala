@@ -109,6 +109,41 @@ object Ann {
       .drop("__cscores")
   }
 
+  /** Join-form centroid assignment for LARGE nlist — identical contract to
+    * [[assign]] (round-`roundDp` cosines, argmax with first-max/lowest-id
+    * tie-break) plus a `centroid_cos` column (the winning cosine, which the
+    * SemDeDup keeper rule needs anyway). [[assign]] inlines nlist cosine
+    * expressions into ONE generated method: past a few dozen centroids the
+    * method outgrows the JIT compile threshold and runs as interpreted
+    * bytecode (measured: nlist=80 on 5 000 vectors was 6× slower than
+    * nlist=8 — the cost cliff is codegen, not math). Here centroids are a
+    * broadcast RELATION: per (vector, centroid) cosine rows through the
+    * normal codegen'd kernel, argmax as a rank window keyed on the vector
+    * id — nlist scales to the thousands (SemDeDup's k=11k regime) with no
+    * giant method anywhere. Null-embedding rows are dropped (the inline
+    * form maps them to sentinel -1); callers with nullable vectors filter
+    * first. */
+  def assignByJoin(df: DataFrame, centroids: Array[Array[Float]],
+      idCol: String, vecCol: String = "embedding",
+      roundDp: Int = -1): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cents = broadcast(
+      centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("__ci", "__cvec"))
+    val sc = VectorExpressions.dense_cosine(col(vecCol), col("__cvec"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__cc").desc, col("__ci").asc)
+    df.crossJoin(cents)
+      .withColumn("__cc", if (roundDp >= 0) round(sc, roundDp) else sc)
+      .where(col("__cc").isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .withColumn("centroid_id", col("__ci").cast("int"))
+      .withColumn("centroid_cos", col("__cc"))
+      .drop("__ci", "__cvec", "__cc", "__rn")
+  }
+
   /** Persist an IVF index: the assignments table partitioned BY CELL — at
     * read time `nprobe` probing becomes Parquet partition pruning (only the
     * probed centroid_id directories are listed and scanned), the scale

@@ -976,13 +976,22 @@ object Dedup {
       idCol: String = "vec_id", seed: Long = 42L): DataFrame = {
     import graft.ann.Ann
     val centroids = Ann.seededCentroids(nlist, dim, seed)
-    val centArr = array(centroids.map(c => typedLit(c)): _*)
-    val assigned = Ann.assign(
-      df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v")),
-      centroids, vecCol = "v", roundDp = 6)
-      .withColumn("ccos", round(VectorExpressions.dense_cosine(col("v"),
-        element_at(centArr, col("centroid_id") + 1)), 6))
-      .persist()
+    val keyed = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    // Small nlist: the inline codegen'd argmax ([[Ann.assign]]). Large
+    // nlist (the production regime — nlist scales with the corpus): the
+    // broadcast-join argmax — the inline form's ONE generated method grows
+    // with nlist past the JIT compile threshold and runs as interpreted
+    // bytecode (measured 6× at nlist=80). Both produce identical
+    // assignments (round-6, first-max/lowest-id ties).
+    val assigned = (if (nlist <= 16) {
+      val centArr = array(centroids.map(c => typedLit(c)): _*)
+      Ann.assign(keyed, centroids, vecCol = "v", roundDp = 6)
+        .withColumn("ccos", round(VectorExpressions.dense_cosine(col("v"),
+          element_at(centArr, col("centroid_id") + 1)), 6))
+    } else {
+      Ann.assignByJoin(keyed, centroids, idCol = "id", vecCol = "v", roundDp = 6)
+        .withColumnRenamed("centroid_cos", "ccos")
+    }).persist()
     assigned.count() // materialize before the self-join fan-out
     val side = assigned.select(col("id"), col("v"), col("centroid_id"))
     val pairs = side.as("a").join(side.as("b"), "centroid_id")

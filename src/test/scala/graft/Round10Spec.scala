@@ -95,6 +95,27 @@ class Round10Spec extends SparkSpec {
     assert(byCluster.values.count(_.length > 1) > 0)
   }
 
+  test("assignByJoin equals the inline assign (same argmax, same ties)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val cents = graft.ann.Ann.seededCentroids(nlist = 8, dim = 64)
+    val inline = graft.ann.Ann.assign(emb, cents, roundDp = 6)
+      .select(col("vec_id"), col("centroid_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    val joined = graft.ann.Ann.assignByJoin(emb, cents, idCol = "vec_id", roundDp = 6)
+      .select(col("vec_id"), col("centroid_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(joined == inline && inline.nonEmpty)
+    // and semanticDedup's two dispatch branches agree at the boundary
+    val a = Dedup.semanticDedup(emb, dim = 64, nlist = 16, threshold = 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sorted.toSeq
+    val b = Dedup.semanticDedup(emb, dim = 64, nlist = 17, threshold = 0.45)
+    // nlist 16 vs 17 differ in geometry, so only check the join branch RUNS
+    // and produces the full corpus with one keeper per component
+    val bo = b.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(a.nonEmpty && bo.length == a.length)
+    assert(bo.groupBy(_._2).values.forall(_.count(_._3) == 1))
+  }
+
   // ------------------------------------------------ minhash bucket cap
 
   test("minhashLsh maxBucket drops boilerplate mega-buckets, keeps true near-dups") {

@@ -72,11 +72,15 @@ def merge(mode, base_name, overlays):
 
 merge("disjoint", "scale_r09_disjoint.json",
       [LOGS / "r10_prefixcurve_disjoint.json", LOGS / "r10_x30_disjoint.json",
-       LOGS / "r10b_prefix_disjoint.json"])
-merge("shared", "scale_r09_shared.json", [LOGS / "r10_x30_shared.json"])
+       LOGS / "r10b_prefix_disjoint.json",
+       LOGS / "r10c_semantic_disjoint.json"])
+merge("shared", "scale_r09_shared.json",
+      [LOGS / "r10_x30_shared.json", LOGS / "r10c_auto_shared.json"])
 merge("boilerplate", "scale_r09_boilerplate.json",
       [LOGS / "r10_x30_boilerplate.json",
-       LOGS / "r10b_minhashcap_boilerplate.json"])
+       LOGS / "r10b_minhashcap_boilerplate.json",
+       LOGS / "r10c_auto_boilerplate.json",
+       LOGS / "r10d_capped_boilerplate.json"])
 
 # qset is new this round — copy verbatim
 qset = load(LOGS / "r10_qset.json")
