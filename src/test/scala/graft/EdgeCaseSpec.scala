@@ -38,7 +38,30 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Dedup.exact(emptyDocs).count() == 0)
     assert(Dedup.ngramJaccardPairs(emptyDocs).count() == 0)
     assert(Dedup.minhashLsh(emptyDocs).count() == 0)
+    assert(Dedup.minhashLsh(emptyDocs, maxBucket = Some(10)).count() == 0)
     assert(Dedup.simhashPairs(emptyDocs).count() == 0)
+    // the probe on an empty corpus dispatches uncapped (0 ≤ any budget)
+    assert(Dedup.ngramStrategy(emptyDocs) == "uncapped")
+    assert(Dedup.ngramJaccardAuto(emptyDocs).count() == 0)
+    assert(Dedup.semanticDedup(emptyEmb, dim = 64).count() == 0)
+  }
+
+  test("single-doc corpus: auto dispatch and semantic dedup are identity-shaped") {
+    val one = Seq((7L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    assert(Dedup.ngramJaccardAuto(one).count() == 0) // no pair to emit
+    val oneVec = Seq((3L, Array.fill(64)(0.5f))).toDF("vec_id", "embedding")
+    val sem = Dedup.semanticDedup(oneVec, dim = 64).head()
+    assert(sem.getLong(0) == 3L && sem.getLong(1) == 3L && sem.getBoolean(2))
+  }
+
+  test("scoreBatchSparse: empty postings yields empty; empty query map throws") {
+    val emptyPostings = Seq.empty[(Long, String, Float)]
+      .toDF("doc_id", "token", "weight")
+    assert(HybridPipeline.scoreBatchSparse(emptyPostings,
+      Map(0L -> Seq(Map("x" -> 1f)))).count() == 0)
+    intercept[IllegalArgumentException] {
+      HybridPipeline.scoreBatchSparse(emptyPostings, Map.empty)
+    }
   }
 
   test("resolveClusters with no pairs labels everyone a singleton (both paths)") {
