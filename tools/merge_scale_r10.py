@@ -24,8 +24,9 @@ def load(p):
         return json.load(f)
 
 
-def merge(mode, base_name, overlays):
-    """overlays: list of (json path) whose queries REPLACE/extend base's."""
+def merge(mode, base_name, overlays, only=None):
+    """overlays: list of (json path) whose queries REPLACE/extend base's.
+    only: restrict overlay queries to this set (e.g. tdata's query list)."""
     base = load(BENCH / base_name)
     out = {
         "mode": mode,
@@ -49,6 +50,8 @@ def merge(mode, base_name, overlays):
     for ov_path in overlays:
         ov = load(ov_path)
         for q, cell in ov["queries"].items():
+            if only is not None and q not in only:
+                continue
             out["queries"][q] = cell
             prov[q] = f"r10:{ov['git']}:{pathlib.Path(ov_path).name}"
         if max(ov["factors"]) > max(out["factors"]):
@@ -81,6 +84,11 @@ merge("boilerplate", "scale_r09_boilerplate.json",
        LOGS / "r10b_minhashcap_boilerplate.json",
        LOGS / "r10c_auto_boilerplate.json",
        LOGS / "r10d_capped_boilerplate.json"])
+
+# tdata (the training-data query set over the disjoint replicas): r9 base,
+# with the two cells r10 re-measured (x30 octaves) overlaid
+merge("tdata", "scale_r09_tdata.json", [LOGS / "r10_x30_disjoint.json"],
+      only=set(load(BENCH / "scale_r09_tdata.json")["queries"]))
 
 # qset is new this round — copy verbatim
 qset = load(LOGS / "r10_qset.json")
