@@ -21,6 +21,17 @@ object Queries15 {
     // flagged against the static bench split via shared-hyperplane LSH
     // buckets — AvailableNow must hash-equal the batch bucketed relation
     // (same protocol as q_stream_decontaminate / _winnow)
+    // batch sparse search against the WRITTEN token-bucketed postings
+    // index: the batch's token set prunes the scan to its buckets (Parquet
+    // partition pruning — the q_ann_ivf_pruned protocol on the sparse
+    // side); same logical result as q_sparse_batch, same oracle
+    "q_sparse_batch_pruned" -> ((s, dir) =>
+      graft.sparse.SparseRetrieval.batchTopKPruned(
+        SparkEntry.postingsIndex(s, dir),
+        Map(0L -> SparkEntry.qTokensA, 1L -> SparkEntry.qTokensB),
+        k = 10, nBuckets = SparkEntry.PostingsBuckets)
+        .orderBy(col("query_id"), col("rank"))),
+
     // SemDeDup-style semantic dedup (arXiv:2303.09540): seeded-centroid
     // clusters -> within-cluster cosine pairs -> connected components ->
     // keep the least-prototypical member per component. One row per
@@ -146,6 +157,10 @@ object Queries15 {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // the q_sparse_batch oracle VERBATIM: bucket pruning is a physical
+    // optimization — same answer, scan only the touched buckets
+    "q_sparse_batch_pruned" -> Queries3.oracleSql("q_sparse_batch"),
+
     "q_dedup_semantic" -> semanticDedupSql,
     "q_dedup_minhash_capped" -> minhashCappedSql,
 

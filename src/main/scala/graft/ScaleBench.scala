@@ -199,6 +199,8 @@ object ScaleBench {
           SparkEntry.mllibMinhashIndex(spark, dir)
         if (queries.contains("q_ann_ivf_pruned"))
           SparkEntry.ivfIndex(spark, dir) // ingest-time index write, once per dir
+        if (queries.contains("q_sparse_batch_pruned"))
+          SparkEntry.postingsIndex(spark, dir) // written postings buckets
         ()
       } catch { case e: Throwable => System.err.println(s"[scale] memo x$f: ${e.getMessage}") }
       // Intra-query persists (shingle tables, rep groups, rare splits, …)

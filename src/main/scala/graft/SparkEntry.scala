@@ -134,6 +134,24 @@ object SparkEntry {
     }))
     root
   }
+  /** Written-postings-index memo — the PERSISTED form of the sparse batch
+    * path: postings written `partitionBy(bucket)` (token-hash buckets) so
+    * a query batch's token set prunes the scan to its buckets — Parquet
+    * partition pruning, the [[ivfIndex]] protocol on the sparse side. Same
+    * (pid, session)-scoped tmp path + shutdown cleanup as the IVF index. */
+  private val postingsIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private[graft] val PostingsBuckets = 64
+  private[graft] def postingsIndex(spark: SparkSession, dir: String): DataFrame =
+    postingsIndexCache.computeIfAbsent((spark, dir), { case (s, d) =>
+      import graft.sparse.SparseRetrieval
+      val path = s"$ivfTmpRoot/s${System.identityHashCode(s).toHexString}/postings_" +
+        d.replaceAll("[^A-Za-z0-9._-]", "_")
+      SparseRetrieval.writePostingsIndex(
+        SparseRetrieval.buildPostings(docsWithTokens(s, d)), path, PostingsBuckets)
+      SparseRetrieval.loadPostingsIndex(s, path)
+    })
+
   private[graft] def ivfIndex(spark: SparkSession, dir: String): (DataFrame, Array[Array[Float]]) =
     ivfIndexCache.computeIfAbsent((spark, dir), { case (s, d) =>
       import graft.ann.Ann
@@ -169,6 +187,7 @@ object SparkEntry {
         .foreach(_.unpersist(blocking = false))
     }
     ivfIndexCache.remove(key) // plain parquet read relation — nothing cached
+    postingsIndexCache.remove(key) // same — plain parquet read relation
     ()
   }
 

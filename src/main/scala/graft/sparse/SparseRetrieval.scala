@@ -30,6 +30,50 @@ object SparseRetrieval {
   def buildPostings(corpus: DataFrame, docId: String = "doc_id", tokens: String = "tokens"): DataFrame =
     corpus.select(col(docId).as("doc_id"), explode(col(tokens)).as(Seq("token", "weight")))
 
+  /** Persist a postings INDEX partitioned by token-hash bucket — the
+    * written form of the "postings table partitioned/bucketed by token"
+    * posture above (and the sparse twin of [[graft.ann.Ann.writeIndex]]):
+    * at read time a query batch's token set resolves to a bucket set on
+    * the DRIVER, and the scan becomes Parquet PARTITION PRUNING — only the
+    * touched buckets' directories are listed and read, never the full
+    * postings relation. nBuckets sizes the pruning granularity: a batch
+    * touching t distinct tokens reads ≤ min(t, nBuckets)/nBuckets of the
+    * index. */
+  def writePostingsIndex(postings: DataFrame, path: String,
+      nBuckets: Int = 64): Unit =
+    postings
+      .withColumn("bucket", pmod(xxhash64(col("token")), lit(nBuckets.toLong)).cast("int"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  def loadPostingsIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Driver-side bucket of one token — MUST match writePostingsIndex's
+    * bucket expression (xxhash64 of the UTF-8 token, floor-mod): Spark's
+    * pmod(xxhash64) over a string column and this kernel hash identically,
+    * so the pruned read sees exactly the written buckets. */
+  private[graft] def tokenBucket(token: String, nBuckets: Int): Int = {
+    val bytes = token.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val h = org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(bytes,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, 42L)
+    java.lang.Math.floorMod(h, nBuckets.toLong).toInt
+  }
+
+  /** [[batchTopK]] against a WRITTEN bucket-partitioned postings index:
+    * same logical result, but the corpus-side scan prunes to the buckets
+    * the batch's tokens hash into (PartitionFilters at the Parquet scan —
+    * plan-pinned in PlansSpec). The query-batch side broadcasts as in
+    * batchTopK. */
+  def batchTopKPruned(index: DataFrame, queries: Map[Long, Map[String, Float]],
+      k: Int, nBuckets: Int = 64, roundTo: Int = 6): DataFrame = {
+    val buckets = queries.values.flatMap(_.keys).toSeq.distinct
+      .map(tokenBucket(_, nBuckets)).distinct
+    batchTopK(index.where(col("bucket").isin(buckets: _*)).drop("bucket"),
+      queries, k, roundTo)
+  }
+
   /** Strategy 1: expression dot product; keeps only matching docs (score>0). */
   def scoreDocs(corpus: DataFrame, qTokens: Map[String, Float],
       docId: String = "doc_id", tokens: String = "tokens",

@@ -143,6 +143,17 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("q_sparse_batch_pruned: bucket probe reaches the scan as a partition filter") {
+    withoutAqe {
+      val df = SparkEntry.queries("q_sparse_batch_pruned")(spark, dir)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+        s"bucket probe is not partition pruning:\n$plan")
+      assert(!plan.contains("PartitionFilters: []"),
+        s"partition filter list is empty:\n$plan")
+    }
+  }
+
   test("decontaminateWinnow: bench fingerprints enter the join broadcast") {
     withoutAqe {
       val docs = spark.read.parquet(s"$dir/documents.parquet")

@@ -95,6 +95,26 @@ class Round10Spec extends SparkSpec {
     assert(byCluster.values.count(_.length > 1) > 0)
   }
 
+  test("batchTopKPruned equals batchTopK; tokenBucket matches the written buckets") {
+    val dir = "/root/testdata/sf0.001"
+    def rows(name: String) =
+      SparkEntry.queries(name)(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(rows("q_sparse_batch_pruned") == rows("q_sparse_batch") &&
+      rows("q_sparse_batch").nonEmpty)
+    // the driver-side bucket kernel must hash exactly like the written
+    // pmod(xxhash64(token), n) column — checked over the real vocabulary
+    import graft.sparse.SparseRetrieval
+    val postings = SparseRetrieval.buildPostings(SparkEntry.docsWithTokens(spark, dir))
+    val engine = postings.select(col("token"),
+        pmod(xxhash64(col("token")), lit(64L)).cast("int").as("b"))
+      .distinct().collect()
+    engine.foreach { r =>
+      assert(SparseRetrieval.tokenBucket(r.getString(0), 64) == r.getInt(1),
+        s"bucket mismatch for token '${r.getString(0)}'")
+    }
+  }
+
   test("assignByJoin equals the inline assign (same argmax, same ties)") {
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val cents = graft.ann.Ann.seededCentroids(nlist = 8, dim = 64)
