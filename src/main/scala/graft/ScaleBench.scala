@@ -113,7 +113,7 @@ object ScaleBench {
     * snapshot(); listener delivery is async, so snapshot() polls until the
     * counters go quiet instead of racing the bus. */
   private[graft] final class MetricsListener extends org.apache.spark.scheduler.SparkListener {
-    private val sr, sw, ms, ds = new java.util.concurrent.atomic.AtomicLong()
+    private val sr, sw, ms, ds, ir = new java.util.concurrent.atomic.AtomicLong()
     override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
       val m = te.taskMetrics
       if (m != null) {
@@ -121,20 +121,24 @@ object ScaleBench {
         sw.addAndGet(m.shuffleWriteMetrics.bytesWritten)
         ms.addAndGet(m.memoryBytesSpilled)
         ds.addAndGet(m.diskBytesSpilled)
+        ir.addAndGet(m.inputMetrics.bytesRead) // source-scan bytes: the
+        // partition-pruning counter (a pruned written index reads ONLY its
+        // probed buckets' files)
         ()
       }
     }
-    def reset(): Unit = Seq(sr, sw, ms, ds).foreach(_.set(0L))
+    def reset(): Unit = Seq(sr, sw, ms, ds, ir).foreach(_.set(0L))
     def snapshot(): Map[String, Long] = {
       var prev = -1L
-      var cur = sr.get + sw.get + ms.get + ds.get
+      var cur = sr.get + sw.get + ms.get + ds.get + ir.get
       val deadline = System.nanoTime() + 2_000_000_000L
       while (cur != prev && System.nanoTime() < deadline) {
         prev = cur; Thread.sleep(100)
-        cur = sr.get + sw.get + ms.get + ds.get
+        cur = sr.get + sw.get + ms.get + ds.get + ir.get
       }
       Map("shuffle_read_mb" -> sr.get / (1 << 20), "shuffle_write_mb" -> sw.get / (1 << 20),
-        "spill_mem_mb" -> ms.get / (1 << 20), "spill_disk_mb" -> ds.get / (1 << 20))
+        "spill_mem_mb" -> ms.get / (1 << 20), "spill_disk_mb" -> ds.get / (1 << 20),
+        "input_read_mb" -> ir.get / (1 << 20))
     }
   }
 

@@ -76,7 +76,8 @@ def merge(mode, base_name, overlays, only=None):
 merge("disjoint", "scale_r09_disjoint.json",
       [LOGS / "r10_prefixcurve_disjoint.json", LOGS / "r10_x30_disjoint.json",
        LOGS / "r10b_prefix_disjoint.json",
-       LOGS / "r10c_semantic_disjoint.json"])
+       LOGS / "r10c_semantic_disjoint.json",
+       LOGS / "r10e_sparsepruned_disjoint.json"])
 merge("shared", "scale_r09_shared.json",
       [LOGS / "r10_x30_shared.json", LOGS / "r10c_auto_shared.json"])
 merge("boilerplate", "scale_r09_boilerplate.json",
