@@ -10,7 +10,15 @@ import graft.dedup.Dedup
   *   - q_stream_decontaminate_embedding: the ingest-time embedding gate —
   *     the paraphrase-catching decontamination form the Jaccard/winnow
   *     stream gates miss, batch-parity-checked against the SAME bucketed
-  *     LSH oracle as q_decontaminate_embedding_lsh. */
+  *     LSH oracle as q_decontaminate_embedding_lsh;
+  *   - q_hybrid_batch_rel: query-set-at-a-time hybrid via ONE postings
+  *     join (HybridPipeline.scoreBatchSparse) — the union form's oracle;
+  *   - q_dedup_minhash_capped: band-bucket-capped MinHash (the
+  *     boilerplate-regime lever the ×30 octave motivated);
+  *   - q_dedup_semantic: SemDeDup-style semantic dedup (arXiv:2303.09540);
+  *   - q_sparse_batch_pruned: batch search over the WRITTEN token-bucketed
+  *     postings index (Parquet partition pruning — the q_ann_ivf_pruned
+  *     protocol on the sparse side). */
 object Queries15 {
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
