@@ -49,6 +49,17 @@ object Queries15 {
         nlist = 8, threshold = 0.45)
         .orderBy(col("vec_id"))),
 
+    // the probe-scaled form (THE production configuration): one count()
+    // picks nlist = clamp(ceil(n/20), 8, 64) so expected cluster
+    // population stays ~20 at every corpus size — the fixed-8 gate above
+    // is kept as the deliberate quadratic contrast. maxNlist=64 here only
+    // bounds the oracle's literal inlining; the engine default is
+    // effectively unbounded.
+    "q_dedup_semantic_scaled" -> ((s, dir) =>
+      Dedup.semanticDedupAuto(t(s, dir, "embeddings"), dim = 64,
+        targetCluster = 20, threshold = 0.45, maxNlist = 64)
+        .orderBy(col("vec_id"))),
+
     // band-bucket-capped MinHash LSH: buckets with > 100 distinct members
     // are dropped from candidate generation — the boilerplate-regime scale
     // lever (a shared footer drives linear-growth band buckets whose
@@ -116,20 +127,15 @@ object Queries15 {
     base.replace(from, to)
   }
 
-  /** Full SemDeDup pipeline replicated in SQL: seeded centroid literals
-    * (same arrays as the engine), rn=1 argmax assignment with the ccos
-    * carried, within-cluster round-6 cosine pairs, recursive-CTE connected
+  /** Full SemDeDup pipeline replicated in SQL, parameterized by the
+    * clause(s) that define `cents(i, c)`: seeded centroid literals (same
+    * arrays as the engine), rn=1 argmax assignment with the ccos carried,
+    * within-cluster round-6 cosine pairs, recursive-CTE connected
     * components, and the (ccos asc, vec_id asc) keeper window. */
-  private val semanticDedupSql: String = {
-    val centroids = graft.ann.Ann.seededCentroids(nlist = 8, dim = 64)
-    val centRows = centroids.zipWithIndex
-      .map { case (c, i) => s"($i, ${OracleGen.doubleList(c)})" }
-      .mkString(",\n")
+  private def semanticSqlFor(centsClauses: String): String = {
     val cosAssign = OracleGen.denseCosineSql("CAST(e.embedding AS DOUBLE[])", "c.c")
     val cosPair = OracleGen.cosineFromNormsSql("ea.v", "eb.v", "ea.nrm", "eb.nrm")
-    s"""WITH RECURSIVE cents(i, c) AS (VALUES
-       |$centRows
-       |), scored AS (
+    s"""WITH RECURSIVE $centsClauses, scored AS (
        |  SELECT e.vec_id, c.i AS ci, round($cosAssign, 6) AS cc,
        |         row_number() OVER (PARTITION BY e.vec_id
        |              ORDER BY round($cosAssign, 6) DESC, c.i ASC) AS rn
@@ -164,12 +170,41 @@ object Queries15 {
        |ORDER BY vec_id""".stripMargin
   }
 
+  private def centRowsSql(centroids: Array[Array[Float]]): String =
+    centroids.zipWithIndex
+      .map { case (c, i) => s"($i, ${OracleGen.doubleList(c)})" }
+      .mkString(",\n")
+
+  /** The fixed-nlist=8 form — kept as the deliberate scale CONTRAST (its
+    * own ×30 curve is quadratic: bench/scale_r10_semantic_contrast.json). */
+  private val semanticDedupSql: String =
+    semanticSqlFor(s"""cents(i, c) AS (VALUES
+       |${centRowsSql(graft.ann.Ann.seededCentroids(nlist = 8, dim = 64))}
+       |)""".stripMargin)
+
+  /** The probe-scaled form (Dedup.semanticDedupAuto): nlist is chosen by
+    * the SAME clamp(ceil(n/20), 8, 64) formula from the oracle's own
+    * count(*) — possible because the seeded centroid stream is
+    * prefix-stable in nlist (row-major fill from one seeded RNG), so the
+    * 64 inlined literals cover every choice and `WHERE i < nlist` selects
+    * the engine's exact centroid set. On the 500-vector fixture this
+    * picks nlist=25, which also exercises the broadcast-join argmax
+    * dispatch (> 16). */
+  private val semanticDedupScaledSql: String =
+    semanticSqlFor(s"""cents_all(i, c) AS (VALUES
+       |${centRowsSql(graft.ann.Ann.seededCentroids(nlist = 64, dim = 64))}
+       |), nl AS (
+       |  SELECT greatest(8, least(64, CAST(ceil(count(*) / 20.0) AS BIGINT))) AS nlist
+       |  FROM embeddings
+       |), cents AS (SELECT i, c FROM cents_all WHERE i < (SELECT nlist FROM nl))""".stripMargin)
+
   def oracleSql: Map[String, String] = Map(
     // the q_sparse_batch oracle VERBATIM: bucket pruning is a physical
     // optimization — same answer, scan only the touched buckets
     "q_sparse_batch_pruned" -> Queries3.oracleSql("q_sparse_batch"),
 
     "q_dedup_semantic" -> semanticDedupSql,
+    "q_dedup_semantic_scaled" -> semanticDedupScaledSql,
     "q_dedup_minhash_capped" -> minhashCappedSql,
 
     // the q_hybrid_batch oracle VERBATIM: the relational batch form must

@@ -976,7 +976,20 @@ object Dedup {
       idCol: String = "vec_id", seed: Long = 42L): DataFrame = {
     import graft.ann.Ann
     val centroids = Ann.seededCentroids(nlist, dim, seed)
-    val keyed = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val all = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    // Null/mis-dimensioned vectors cannot participate in ANY cosine, and
+    // the two assignment branches used to disagree on them (the inline
+    // argmax mapped them to sentinel -1, whose ccos lookup
+    // element_at(..., 0) crashes; the join argmax silently dropped them,
+    // breaking the one-row-per-input contract). Split them off ONCE here,
+    // branch-independently: they return as singleton keepers
+    // (sem_cluster = own id, keep = true) — a row with no comparable
+    // embedding is trivially not a semantic duplicate of anything.
+    val valid = col("v").isNotNull && size(col("v")) === dim
+    val keyed = all.where(valid)
+    val degenerate = all.where(!valid)
+      .select(col("id").as(idCol), col("id").as("sem_cluster"),
+        lit(true).as("keep"))
     // Small nlist: the inline codegen'd argmax ([[Ann.assign]]). Large
     // nlist (the production regime — nlist scales with the corpus): the
     // broadcast-join argmax — the inline form's ONE generated method grows
@@ -1006,7 +1019,45 @@ object Dedup {
     val out = labels.join(assigned.select(col("id"), col("ccos")), "id")
       .withColumn("keep", row_number().over(w) === 1)
       .select(col("id").as(idCol), col("cluster_id").as("sem_cluster"), col("keep"))
-    finishReleasing(out, assigned)
+    finishReleasing(out.unionByName(degenerate), assigned)
+  }
+
+  /** Probe-scaled SemDeDup — the configuration that survives 100×. A fixed
+    * nlist makes cluster populations grow linearly with the corpus and the
+    * within-cluster pair step quadratically (measured: ×30 ratio 27.5 with
+    * nlist=8 vs 4.2 with nlist scaled — bench/scale_r10_semantic_contrast
+    * .json); the paper's own regime scales k with the corpus (k=11k on
+    * LAION). ONE count() probes the corpus and picks
+    * `nlist = clamp(ceil(n / targetCluster), minNlist, maxNlist)` so the
+    * EXPECTED cluster population stays ≈ targetCluster at every scale,
+    * then runs [[semanticDedup]] (which dispatches to the broadcast-join
+    * argmax above nlist=16, so the chosen nlist can reach the thousands
+    * with no codegen cliff). The probe is the [[ngramStrategy]] pattern:
+    * plan-time data statistics choose the physical configuration.
+    *
+    * Oracle protocol: [[graft.ann.Ann.seededCentroids]] fills row-major
+    * from one seeded stream, so centroids for nlist are a PREFIX of
+    * centroids for any larger nlist under the same seed — an oracle can
+    * inline `maxNlist` centroid literals and select the same prefix from
+    * its own count(*) (Queries15.semanticDedupScaledSql does exactly
+    * this). `maxNlist` defaults effectively-unbounded; gates pass a finite
+    * cap only so the oracle's literal inlining stays small. */
+  def semanticDedupAuto(df: DataFrame, dim: Int, targetCluster: Int = 20,
+      threshold: Double = 0.95, vecCol: String = "embedding",
+      idCol: String = "vec_id", seed: Long = 42L,
+      minNlist: Int = 8, maxNlist: Int = 1 << 20): DataFrame = {
+    val nlist = semanticNlist(df.count(), targetCluster, minNlist, maxNlist)
+    semanticDedup(df, dim, nlist, threshold, vecCol, idCol, seed)
+  }
+
+  /** The nlist formula shared by [[semanticDedupAuto]] and its oracle:
+    * clamp(ceil(n / targetCluster), minNlist, maxNlist). */
+  def semanticNlist(n: Long, targetCluster: Int, minNlist: Int,
+      maxNlist: Int): Int = {
+    require(targetCluster > 0 && minNlist > 0 && maxNlist >= minNlist,
+      s"bad nlist bounds: target=$targetCluster min=$minNlist max=$maxNlist")
+    math.min(maxNlist.toLong,
+      math.max(minNlist.toLong, math.ceil(n.toDouble / targetCluster).toLong)).toInt
   }
 
   // ------------------------------------------------------- cluster resolve
