@@ -117,9 +117,21 @@ object QueriesExtra {
     // fixture's density lands in the uncapped regime; the oracle is the
     // exact-recall jaccard SQL, which the auto contract guarantees
     // everywhere outside the boilerplate (capped) regime.
-    "q_dedup_ngram_auto" -> ((s, dir) =>
-      Dedup.ngramJaccardAuto(t(s, dir, "documents"), threshold = 0.5)
-        .orderBy(col("id_a"), col("id_b"))),
+    "q_dedup_ngram_auto" -> ((s, dir) => {
+      // The oracle below is the EXACT-jaccard SQL, which auto matches only
+      // when the probe dispatches an exact-recall strategy. The dispatch is
+      // data-dependent: if a testdata regeneration ever lands this corpus
+      // in the boilerplate (capped) regime, fail LOUD as a fixture problem
+      // instead of a spurious engine/oracle divergence (or a silent recall
+      // difference that happens to hash-match).
+      val (strat, pairs) = Dedup.ngramJaccardAutoWithStrategy(
+        t(s, dir, "documents"), threshold = 0.5)
+      require(strat != "capped",
+        "q_dedup_ngram_auto fixture dispatches 'capped': that regime " +
+          "trades recall, so the exact-jaccard oracle no longer applies — " +
+          "regenerated testdata changed the corpus density; repin the gate")
+      pairs.orderBy(col("id_a"), col("id_b"))
+    }),
 
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashLsh(t(s, dir, "documents"), threshold = 0.5)

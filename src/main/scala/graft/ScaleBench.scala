@@ -129,13 +129,27 @@ object ScaleBench {
     }
     def reset(): Unit = Seq(sr, sw, ms, ds, ir).foreach(_.set(0L))
     def snapshot(): Map[String, Long] = {
+      // Require TWO consecutive quiet 100 ms reads before trusting the
+      // counters: one quiet interval can be a bus scheduling gap on a
+      // large cell with many queued task-end events still draining. The
+      // deadline is generous (30 s — it only ever binds when the bus is
+      // pathologically behind); hitting it is LOGGED so a truncated
+      // phys{} cell is visible in the artifact run log rather than
+      // silently attributing the residue to nothing (reset() runs before
+      // the next query).
+      var quiet = 0
       var prev = -1L
-      var cur = sr.get + sw.get + ms.get + ds.get + ir.get
-      val deadline = System.nanoTime() + 2_000_000_000L
-      while (cur != prev && System.nanoTime() < deadline) {
-        prev = cur; Thread.sleep(100)
-        cur = sr.get + sw.get + ms.get + ds.get + ir.get
+      val deadline = System.nanoTime() + 30_000_000_000L
+      while (quiet < 2 && System.nanoTime() < deadline) {
+        val cur = sr.get + sw.get + ms.get + ds.get + ir.get
+        if (cur == prev) quiet += 1 else quiet = 0
+        prev = cur
+        if (quiet < 2) Thread.sleep(100)
       }
+      if (quiet < 2)
+        System.err.println("[scalebench] WARN: metrics snapshot hit the 30 s " +
+          "quiet-poll deadline — listener bus still draining; phys{} for " +
+          "this cell may be truncated")
       Map("shuffle_read_mb" -> sr.get / (1 << 20), "shuffle_write_mb" -> sw.get / (1 << 20),
         "spill_mem_mb" -> ms.get / (1 << 20), "spill_disk_mb" -> ds.get / (1 << 20),
         "input_read_mb" -> ir.get / (1 << 20))

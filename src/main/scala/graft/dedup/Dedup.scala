@@ -368,8 +368,7 @@ object Dedup {
     * (very common) shingles are the residual hotspot; cap them upstream or
     * let AQE skew-split the join. */
   def ngramJaccardPairs(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
-      n: Int = 3, threshold: Double = 0.5, maxDf: Option[Int] = None): DataFrame = {
-    require(threshold > 0.0, "threshold must be positive (zero-overlap pairs are not materialized)")
+      n: Int = 3, threshold: Double = 0.5, maxDf: Option[Int] = None): DataFrame =
     // join on the 64-bit shingle hash, not the shingle string: the
     // inverted-index shuffle carries 8-byte keys instead of ~n·8-char
     // strings, and the join compares longs. xxhash64 collisions would
@@ -377,10 +376,25 @@ object Dedup {
     // negligible against the engine's 1e-6 score tolerance.
     // persisted: consumed three times (per-doc counts + both sides of the
     // inverted-index self-join) — the UDF explode would otherwise run 3×
-    val sh = df.select(col(idCol).as("id"),
+    ngramJaccardPairsFromSh(shingleRel(df, textCol, idCol, n).persist(),
+      threshold, maxDf)
+
+  /** The (id, shingle-hash) postings relation every n-gram strategy — and
+    * the dispatch probe — is built from. Extracted so [[ngramJaccardAuto]]
+    * can materialize it ONCE and feed both the probe and the dispatched
+    * strategy (the probe otherwise pays a full second tokenizer+explode
+    * scan at exactly the scale the dispatcher targets). */
+  private def shingleRel(df: DataFrame, textCol: String, idCol: String,
+      n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
         explode(shingleCol(col(textCol), n)).as("__s"))
       .select(col("id"), xxhash64(col("__s")).as("s"))
-      .persist()
+
+  /** [[ngramJaccardPairs]] body over a prebuilt (id, s) relation. `sh`
+    * must arrive persisted; it is released via [[finishReleasing]]. */
+  private def ngramJaccardPairsFromSh(sh: DataFrame, threshold: Double,
+      maxDf: Option[Int]): DataFrame = {
+    require(threshold > 0.0, "threshold must be positive (zero-overlap pairs are not materialized)")
     val cnt = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val inter = maxDf match {
       case None =>
@@ -518,16 +532,20 @@ object Dedup {
     * merge-intersect over full sorted shingle-hash arrays; a length filter
     * (|B| ≥ τ|A|, necessary for J ≥ τ) prunes before the merge. */
   def ngramJaccardPairsPrefix(df: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id", n: Int = 3, threshold: Double = 0.5): DataFrame = {
+      idCol: String = "doc_id", n: Int = 3, threshold: Double = 0.5): DataFrame =
+    ngramJaccardPairsPrefixFromSh(
+      shingleRel(df, textCol, idCol, n).persist(), threshold)
+
+  /** [[ngramJaccardPairsPrefix]] body over a prebuilt (id, s) relation.
+    * `sh` must arrive persisted; released via [[finishReleasing]]. */
+  private def ngramJaccardPairsPrefixFromSh(sh: DataFrame,
+      threshold: Double): DataFrame = {
     require(threshold > 0.0, "threshold must be positive (zero-overlap pairs are not materialized)")
-    val sh = df.select(col(idCol).as("id"),
-        explode(shingleCol(col(textCol), n)).as("__s"))
-      .select(col("id"), xxhash64(col("__s")).as("s"))
-      .persist()
     // materialize the cache BEFORE the fan-out: four consumers (df groupBy,
     // the ordered join, both verification arrays) otherwise launch parallel
     // stages that each re-run the shingle UDF scan while the blocks are
     // still being populated — measured ~2× the whole pipeline at sf0.1
+    // (a no-op count when the caller already materialized the cache)
     sh.count()
     val arrs = fullArrays(sh)
     // ROW-LOCAL prefix selection (shared by both regimes below): the
@@ -609,23 +627,36 @@ object Dedup {
       joinWork: Long, hotJoinWork: Long, hotPostings: Long, maxDf: Long)
 
   private[graft] def ngramProbe(df: DataFrame, textCol: String, idCol: String,
-      n: Int, cap: Int): NgramProbeStats = {
-    val nDocs = df.count()
-    val sh = df.select(col(idCol).as("id"),
-        explode(shingleCol(col(textCol), n)).as("__s"))
-      .select(xxhash64(col("__s")).as("s"))
-    // df·(df−1) is always even, so the /2 is exact; the cast keeps the
-    // aggregate integral (SQL `/` on longs yields double)
-    val pairsOf = ((col("df") * (col("df") - 1)) / 2).cast("long")
-    val r = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      n: Int, cap: Int): NgramProbeStats =
+    ngramProbeFromSh(shingleRel(df, textCol, idCol, n), df.count(), cap)
+
+  private[graft] def ngramProbeFromSh(sh: DataFrame, nDocs: Long,
+      cap: Int): NgramProbeStats = {
+    // df·(df−1) in DECIMAL(38,0), NOT long: at the 100 TB regime a
+    // corpus-hot boilerplate shingle's df can exceed ~4.3e9, where the
+    // long product silently wraps (and a double /2 loses precision past
+    // 2^53) — a wrapped joinWork mis-dispatches the strategy. The product
+    // is always even, so the driver-side /2 below is exact; sums saturate
+    // to Long.MaxValue (the dispatch thresholds only need order-of-
+    // magnitude fidelity, and a saturated value can only push AWAY from
+    // the uncapped foot-gun).
+    val zero = lit(0).cast("decimal(38,0)")
+    val prodOf = (col("df").cast("decimal(38,0)") * (col("df") - 1))
+      .cast("decimal(38,0)")
+    val r = sh.select(col("s")).groupBy(col("s")).agg(count(lit(1)).as("df"))
       .agg(coalesce(sum(col("df")), lit(0L)).as("p"),
-        coalesce(sum(pairsOf), lit(0L)).as("w"),
-        coalesce(sum(when(col("df") > cap, pairsOf).otherwise(lit(0L))), lit(0L)).as("hw"),
+        coalesce(sum(prodOf), zero).as("w2"),
+        coalesce(sum(when(col("df") > cap, prodOf).otherwise(zero)), zero).as("hw2"),
         coalesce(sum(when(col("df") > cap, col("df")).otherwise(lit(0L))), lit(0L)).as("hp"),
         coalesce(max(col("df")), lit(0L)).as("m"))
       .head()
-    NgramProbeStats(nDocs, r.getLong(0), r.getLong(1), r.getLong(2),
-      r.getLong(3), r.getLong(4))
+    def halfToLong(d: java.math.BigDecimal): Long = {
+      val h = d.divide(java.math.BigDecimal.valueOf(2))
+      if (h.compareTo(java.math.BigDecimal.valueOf(Long.MaxValue)) >= 0) Long.MaxValue
+      else h.longValueExact()
+    }
+    NgramProbeStats(nDocs, r.getLong(0), halfToLong(r.getDecimal(1)),
+      halfToLong(r.getDecimal(2)), r.getLong(3), r.getLong(4))
   }
 
   /** Pick the n-gram dedup strategy from corpus stats — the
@@ -658,13 +689,20 @@ object Dedup {
   def ngramStrategy(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", n: Int = 3, cap: Int = 100,
       budgetPerDoc: Long = 512L, hotShare: Double = 0.5,
-      hotPostingsShare: Double = 0.2): String = {
-    val p = ngramProbe(df, textCol, idCol, n, cap)
-    if (p.joinWork <= budgetPerDoc * p.nDocs) "uncapped"
+      hotPostingsShare: Double = 0.2): String =
+    dispatchOf(ngramProbe(df, textCol, idCol, n, cap), budgetPerDoc,
+      hotShare, hotPostingsShare)
+
+  /** The [[ngramStrategy]] decision rule over probe stats (shared with
+    * [[ngramJaccardAuto]], which probes its own materialized relation). */
+  private def dispatchOf(p: NgramProbeStats, budgetPerDoc: Long,
+      hotShare: Double, hotPostingsShare: Double): String =
+    // the budget product in double: budgetPerDoc·nDocs can exceed Long at
+    // planetary corpus sizes, and the comparison only needs magnitude
+    if (p.joinWork.toDouble <= budgetPerDoc.toDouble * p.nDocs) "uncapped"
     else if (p.hotJoinWork >= hotShare * p.joinWork &&
       p.hotPostings <= hotPostingsShare * p.postings) "capped"
     else "prefix"
-  }
 
   /** Auto-dispatched exact n-gram Jaccard pairs: probe the corpus, then run
     * [[ngramJaccardPairs]] (uncapped or df-capped) or
@@ -674,18 +712,39 @@ object Dedup {
     * sets; recall is exact unless the probe lands in the boilerplate
     * regime (see [[ngramStrategy]]).
     *
-    * EAGER: the probe executes two Spark jobs (count + df aggregation) at
-    * call time before returning the lazily-planned pair relation. */
+    * EAGER: the probe executes three Spark jobs (doc count + shingle
+    * materialization + df aggregation) at call time before returning the
+    * lazily-planned pair relation.
+    *
+    * The shingle relation is materialized ONCE and shared: the probe's df
+    * aggregation and the dispatched strategy read the same persisted
+    * (id, s) postings (the strategy releases it). The earlier form paid a
+    * full second tokenizer+explode scan for the probe — measured ~50% on
+    * top of the dispatched strategy at ×30 boilerplate, at exactly the
+    * scale the dispatcher targets. */
   def ngramJaccardAuto(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", n: Int = 3, threshold: Double = 0.5,
       cap: Int = 100, budgetPerDoc: Long = 512L, hotShare: Double = 0.5,
       hotPostingsShare: Double = 0.2): DataFrame =
-    ngramStrategy(df, textCol, idCol, n, cap, budgetPerDoc, hotShare,
-      hotPostingsShare) match {
-      case "uncapped" => ngramJaccardPairs(df, textCol, idCol, n, threshold, None)
-      case "capped" => ngramJaccardPairs(df, textCol, idCol, n, threshold, Some(cap))
-      case _ => ngramJaccardPairsPrefix(df, textCol, idCol, n, threshold)
+    ngramJaccardAutoWithStrategy(df, textCol, idCol, n, threshold, cap,
+      budgetPerDoc, hotShare, hotPostingsShare)._2
+
+  /** [[ngramJaccardAuto]] plus the strategy the probe chose — for callers
+    * that need to act on the dispatch (e.g. the correctness gate asserts
+    * the fixture stayed out of the recall-trading capped regime) without
+    * paying a second probe pass. */
+  def ngramJaccardAutoWithStrategy(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", n: Int = 3, threshold: Double = 0.5,
+      cap: Int = 100, budgetPerDoc: Long = 512L, hotShare: Double = 0.5,
+      hotPostingsShare: Double = 0.2): (String, DataFrame) = {
+    val sh = shingleRel(df, textCol, idCol, n).persist()
+    val p = ngramProbeFromSh(sh, df.count(), cap)
+    dispatchOf(p, budgetPerDoc, hotShare, hotPostingsShare) match {
+      case "uncapped" => ("uncapped", ngramJaccardPairsFromSh(sh, threshold, None))
+      case "capped" => ("capped", ngramJaccardPairsFromSh(sh, threshold, Some(cap)))
+      case _ => ("prefix", ngramJaccardPairsPrefixFromSh(sh, threshold))
     }
+  }
 
   /** All C(m,2) ordered pairs within one sorted member array. */
   private val withinPairsUdf = udf((ms: Seq[Long]) => {

@@ -46,12 +46,31 @@ object HybridPipeline {
     * once for the batch — and emits the same canonical intermediate
     * relation [query_id, subq, doc_id, score] that [[run]] consumes
     * (positive scores only, the "no-hit in this scorer" rows absent,
-    * round-6 like the single-query sparse kernel). */
+    * round-6 like the single-query sparse kernel).
+    *
+    * CHUNKED above `chunkSize` queries: the single join's intermediate
+    * grows with Σ_t df_query(t)·df_doc(t), so a corpus-hot token shared by
+    * most of a 10k-query batch multiplies its whole posting list by the
+    * batch size inside ONE aggregation (measured: the qset sweep's
+    * per-query cost fell monotonically to batch 1 000 then saturated at
+    * 10 000). Batches larger than `chunkSize` are split on query_id and
+    * each chunk joins the postings independently (union of per-chunk
+    * results — exact: queries never interact across chunks), bounding the
+    * hot-token fan-out per join at chunkSize·df while still paying the
+    * corpus side only |batch|/chunkSize times. Callers serving large
+    * batches should hand in a PERSISTED (or written, partition-prunable)
+    * postings relation so per-chunk scans hit cache/pruned files — both
+    * bench memos already do. */
   def scoreBatchSparse(postings: DataFrame,
       queries: Map[Long, Seq[Map[String, Float]]],
-      roundTo: Int = 6): DataFrame = {
+      roundTo: Int = 6, chunkSize: Int = 1000): DataFrame = {
+    require(chunkSize > 0, "chunkSize must be positive")
     require(queries.nonEmpty && queries.values.forall(_.nonEmpty),
       "at least one query with at least one subquery required")
+    if (queries.size > chunkSize)
+      return queries.toSeq.sortBy(_._1).grouped(chunkSize)
+        .map(ch => scoreBatchSparse(postings, ch.toMap, roundTo, chunkSize))
+        .reduce(_.unionByName(_))
     val spark = postings.sparkSession
     import spark.implicits._
     val qDf = queries.toSeq

@@ -4,6 +4,26 @@ import org.apache.spark.sql.functions._
 
 import graft.ann.Ann
 import graft.dedup.Dedup
+import graft.ml.ModelClient
+
+/** Conf-install fixtures for ModelRegistry.clientFromConf (must be
+  * top-level: Class.forName resolves them by name). */
+object ConfFakeObjectClient extends ModelClient {
+  def embedDense(text: String, dim: Int): Array[Float] = Array.fill(dim)(7f)
+  def encodeSparse(text: String): Map[String, Float] = Map("t" -> 7f)
+  def embedMultimodal(text: String, imageB64: String, dim: Int): Array[Float] =
+    Array.fill(dim)(7f)
+  def similarity(query: String, passage: String, dim: Int): Float = 7f
+  def spanScore(query: String, window: String, dim: Int): Double = 7.0
+}
+class ConfFakeClassClient extends ModelClient {
+  def embedDense(text: String, dim: Int): Array[Float] = Array.fill(dim)(9f)
+  def encodeSparse(text: String): Map[String, Float] = Map("t" -> 9f)
+  def embedMultimodal(text: String, imageB64: String, dim: Int): Array[Float] =
+    Array.fill(dim)(9f)
+  def similarity(query: String, passage: String, dim: Int): Float = 9f
+  def spanScore(query: String, window: String, dim: Int): Double = 9.0
+}
 
 /** Round-11 additions: probe-scaled SemDeDup (the scale-safe nlist
   * configuration) and the null-embedding contract fix. */
@@ -52,6 +72,69 @@ class Round11Spec extends SparkSpec {
       // the valid rows still deduplicate: 3 bundles -> 3 keepers
       assert(out.filter(r => r._1 < 100L && r._3).length == 3)
     }
+  }
+
+  // -------------------------------------------- ModelRegistry conf seam
+
+  test("ModelRegistry.clientFromConf: resolves object and class client forms, rejects junk") {
+    import graft.ml.ModelRegistry
+    def confOf(name: String) =
+      new org.apache.spark.SparkConf(false).set(ModelRegistry.ClientConfKey, name)
+    // no key set -> no override
+    assert(ModelRegistry.clientFromConf(new org.apache.spark.SparkConf(false)).isEmpty)
+    // Scala object by plain name (the cluster --conf form)
+    val obj = ModelRegistry.clientFromConf(confOf("graft.ConfFakeObjectClient"))
+    assert(obj.exists(_.embedDense("x", 2).toSeq == Seq(7f, 7f)))
+    // no-arg-constructor class
+    val cls = ModelRegistry.clientFromConf(confOf(classOf[ConfFakeClassClient].getName))
+    assert(cls.exists(_.embedDense("x", 3).toSeq == Seq(9f, 9f, 9f)))
+    // fails LOUD: a cluster that asked for a real model must not silently
+    // fall back to the hash stand-in
+    assertThrows[ClassNotFoundException](
+      ModelRegistry.clientFromConf(confOf("graft.NoSuchClient")).get)
+    assertThrows[IllegalArgumentException](
+      ModelRegistry.clientFromConf(confOf("java.lang.Object")).get)
+  }
+
+  test("ModelRegistry.withClient: nested swap fails loud; scoped swap routes executor-side UDFs") {
+    import graft.ml.{HashModelClient, ModelRegistry}
+    assertThrows[IllegalStateException] {
+      ModelRegistry.withClient(HashModelClient) {
+        ModelRegistry.withClient(HashModelClient) { () }
+      }
+    }
+    // after the failed nesting, the depth guard must have unwound
+    val out = ModelRegistry.withClient(graft.ConfFakeObjectClient) {
+      // FORCE evaluation inside the scope (the documented contract): the
+      // UDF runs on task threads, which resolve current at call time
+      val f = org.apache.spark.sql.functions.udf((s: String) =>
+        graft.ml.ModelRegistry.current.embedDense(s, 2))
+      Seq("a", "b").toDF("t").select(f(col("t")).as("v")).collect()
+    }
+    assert(out.forall(_.getSeq[Float](0) == Seq(7f, 7f)))
+  }
+
+  // --------------------------------------- batch-serving chunk contract
+
+  test("scoreBatchSparse: chunked execution equals the single-join form exactly") {
+    import graft.exec.HybridPipeline
+    val postings = Seq(
+      (1L, "a", 2f), (1L, "b", 1f), (2L, "a", 3f), (2L, "c", 2f),
+      (3L, "c", 1f), (3L, "b", 4f)).toDF("doc_id", "token", "weight")
+    val queries = (0L until 7L).map { q =>
+      q -> Seq(Map("a" -> 1f, "c" -> (q + 1).toFloat), Map("b" -> 0.5f))
+    }.toMap
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy(col("query_id"), col("subq"), col("doc_id"))
+      .collect().toSeq
+    val full = rows(HybridPipeline.scoreBatchSparse(postings, queries))
+    assert(full.nonEmpty)
+    // chunkSize 2 -> 4 chunks over 7 queries; must be row-identical
+    assert(rows(HybridPipeline.scoreBatchSparse(postings, queries, chunkSize = 2)) == full)
+    // chunkSize 1 degenerates to per-query joins; still identical
+    assert(rows(HybridPipeline.scoreBatchSparse(postings, queries, chunkSize = 1)) == full)
+    assertThrows[IllegalArgumentException](
+      HybridPipeline.scoreBatchSparse(postings, queries, chunkSize = 0))
   }
 
   test("semanticDedupAuto: probe picks the formula nlist and matches the manual call") {
