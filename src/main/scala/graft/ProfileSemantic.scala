@@ -36,20 +36,31 @@ object ProfileSemantic {
       val dir = s"/tmp/graftscale/disjoint/x$f"
       require(new java.io.File(dir, "_DONE").exists(), s"missing replica $dir — run ScaleBench first")
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      // semantic_auto is the GATED API (semanticDedupAuto — the probe
+      // picks nlist) with production constants: targetCluster=250 over the
+      // 2000·f-vector replicas chooses nlist = 8·f, i.e. the same
+      // measured-safe shape as the manual scaled curve, but through the
+      // code path q_dedup_semantic_scaled oracles (the gate fixture is 500
+      // vectors so it pins targetCluster=20 / maxNlist=64; the MECHANISM —
+      // one count() scaling nlist with the corpus — is identical).
       val variants = Seq(
-        "semantic_fixed_nlist" -> 8,
-        "semantic_scaled_nlist" -> 8 * f)
-      variants.foreach { case (name, nlist) =>
+        "semantic_fixed_nlist" -> Some(8),
+        "semantic_scaled_nlist" -> Some(8 * f),
+        "semantic_auto" -> None)
+      variants.foreach { case (name, nlistOpt) =>
         def force(): Unit =
-          graft.dedup.Dedup.semanticDedup(emb, dim = 64, nlist = nlist,
-            threshold = 0.45)
-            .write.format("noop").mode("overwrite").save()
+          (nlistOpt match {
+            case Some(nlist) => graft.dedup.Dedup.semanticDedup(emb, dim = 64,
+              nlist = nlist, threshold = 0.45)
+            case None => graft.dedup.Dedup.semanticDedupAuto(emb, dim = 64,
+              targetCluster = 250, threshold = 0.45)
+          }).write.format("noop").mode("overwrite").save()
         force() // warmup
         val ts = (1 to passes).map { _ =>
           val t0 = System.nanoTime(); force(); (System.nanoTime() - t0) / 1e9
         }.sorted
         results((name, f)) = ts(passes / 2)
-        println(f"[sem] x$f%-3d $name%-22s nlist=$nlist%-4d ${ts(passes / 2)}%7.2fs")
+        println(f"[sem] x$f%-3d $name%-22s nlist=${nlistOpt.map(_.toString).getOrElse("auto")}%-4s ${ts(passes / 2)}%7.2fs")
       }
     }
     val names = results.keys.map(_._1).toSeq.distinct
