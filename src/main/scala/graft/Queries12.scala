@@ -50,6 +50,26 @@ object Queries12 {
         minShared = 1, maxDf = Some(WinnowCap))
         .orderBy(col("id_a"), col("id_b"))),
 
+    // probe-dispatched winnow (the ngramJaccardAuto protocol on the
+    // fingerprint side): one df-distribution probe picks uncapped/capped,
+    // so the serial-hot-group foot-gun is never the default at scale. The
+    // oracle is the EXACT (uncapped) winnow SQL, so the gate asserts the
+    // fixture stayed out of the recall-trading capped regime — a testdata
+    // regeneration that flips the regime fails loud as a fixture problem,
+    // not a silent engine/oracle divergence.
+    "q_dedup_winnow_auto" -> ((s, dir) => {
+      val (strat, out) = Dedup.winnowPairsAutoWithStrategy(
+        t(s, dir, "documents"), k = WinnowK, w = WinnowW,
+        minShared = WinnowMinShared)
+      require(strat != "capped",
+        s"q_dedup_winnow_auto fixture dispatched '$strat' — the gate's " +
+          "oracle is exact winnow counts, valid only outside the capped " +
+          "regime; the testdata fixture has regenerated into a " +
+          "boilerplate-like df distribution (fix the fixture or gate the " +
+          "capped oracle explicitly)")
+      out.orderBy(col("id_a"), col("id_b"))
+    }),
+
     // overlap EXTENT per winnow pair: the longest shared token run — the
     // quantity substring-dedup policies threshold on
     "q_dedup_substring" -> ((s, dir) =>
@@ -281,6 +301,18 @@ object Queries12 {
 
   def oracleSql: Map[String, String] = Map(
     "q_dedup_winnow" ->
+      s"""WITH ${winnowFpCtes}
+         |SELECT id_a, id_b, n_shared FROM (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM wn_fp a JOIN wn_fp b ON a.gh = b.gh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |WHERE n_shared >= $WinnowMinShared
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // auto gate: the probe dispatches uncapped on this fixture (asserted
+    // engine-side), so the oracle is the exact winnow SQL verbatim
+    "q_dedup_winnow_auto" ->
       s"""WITH ${winnowFpCtes}
          |SELECT id_a, id_b, n_shared FROM (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,

@@ -59,9 +59,11 @@ object ScaleBench {
     Seq("q_dedup_ngram", "q_dedup_ngram_capped", "q_dedup_ngram_prefix",
       "q_dedup_minhash", "q_dedup_embedding_lsh",
       // winnow pairs grow quadratically with verbatim duplication by
-      // SEMANTICS (replicas are true duplicates); the capped form is the
-      // boilerplate-regime lever (hot fingerprints never enter pair gen)
-      "q_dedup_winnow", "q_dedup_winnow_capped")
+      // SEMANTICS (replicas are true duplicates — the duplicate-set
+      // collapse bounds the CANDIDATE stream, output stays quadratic);
+      // the capped form is the boilerplate-regime lever (hot fingerprints
+      // never enter pair gen); auto probes the df distribution
+      "q_dedup_winnow", "q_dedup_winnow_capped", "q_dedup_winnow_auto")
 
   // Boilerplate regime drops UNCAPPED winnow: the appended footer makes
   // every doc select >=1 identical fingerprint (the final winnow window is
@@ -195,6 +197,11 @@ object ScaleBench {
       "q_dedup_ngram_auto" -> ((s, dir) =>
         graft.dedup.Dedup.ngramJaccardAuto(
           s.read.parquet(s"$dir/documents.parquet"), threshold = 0.5)
+          .orderBy(col("id_a"), col("id_b"))),
+      "q_dedup_winnow_auto" -> ((s, dir) =>
+        graft.dedup.Dedup.winnowPairsAuto(
+          s.read.parquet(s"$dir/documents.parquet"), k = 4, w = 4,
+          minShared = 2)
           .orderBy(col("id_a"), col("id_b"))))
 
     def force(name: String, dir: String): Unit =

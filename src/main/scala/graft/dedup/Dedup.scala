@@ -1391,28 +1391,54 @@ object Dedup {
     * df exceeds the cap). Uncapped pair generation is quadratic in
     * per-hash df AND serial within the hash's single group — a corpus-wide
     * boilerplate fingerprint (df = N) emits C(N,2) pairs on one core. At
-    * corpus scale always set maxDf; the uncapped form is for
-    * boilerplate-free corpora and verification. */
+    * corpus scale use [[winnowPairsAuto]] (one probe over the
+    * fingerprint-df distribution picks the cap) rather than hand-setting
+    * maxDf; verbatim duplication is bounded structurally by the
+    * duplicate-set pre-collapse (see [[winnowPairsFromArr]]). */
   def winnowPairs(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       k: Int = 4, w: Int = 4, minShared: Int = 1,
       maxDf: Option[Int] = None): DataFrame = {
     require(k >= 1 && w >= 1 && minShared >= 1, "k, w, minShared must be >= 1")
-    val spark = df.sparkSession
+    winnowPairsFromArr(winnowDocArr(df, textCol, idCol, k, w), minShared, maxDf)
+  }
+
+  /** Per-doc SORTED distinct winnowed fingerprint hashes, built row-locally
+    * (no shuffle — winnowGhsCol dedupes inside the row; sorting makes the
+    * set hash below deterministic). Docs with no fingerprints (< k tokens)
+    * drop here, matching the postings form where they emit no rows. */
+  private[graft] def winnowDocArr(df: DataFrame, textCol: String,
+      idCol: String, k: Int, w: Int): DataFrame =
+    df.select(col(idCol).cast("long").as("id"),
+        sort_array(winnowGhsCol(col(textCol), k, w)).as("ghs"))
+      .where(size(col("ghs")) > 0)
+
+  /** [[winnowPairs]] over a prepared per-doc fingerprint-array relation.
+    *
+    * DUPLICATE-SET PRE-COLLAPSE (the ngram/embedding collapse, winnow
+    * form): docs with IDENTICAL fingerprint sets have identical n_shared
+    * against every third doc, so one cheap probe (count vs distinct set
+    * hash — map-side combinable, no extra shuffle of the postings) decides
+    * the regime. Duplicate-free corpora — the common case — run the plain
+    * postings pipeline; replicated corpora run candidate generation and
+    * the per-pair count once per GROUP and expand pairs afterwards as a
+    * row-local emission: Σ C(m·df, 2) candidate rows become Σ C(df, 2)
+    * (within-group pairs share their WHOLE set, n_shared = |set|; cross
+    * pairs inherit the representative count verbatim). The ×30 verbatim-
+    * replication cell's 824 MB pair-stream shuffle (SCALE.md round 11) is
+    * exactly what this bounds. Set-hash collisions conflate distinct sets
+    * with probability ~|docs|²/2^65 — the same accepted odds as the
+    * fingerprint join keys. In capped mode df stays defined on FULL-corpus
+    * document frequency (the oracle's semantics) and the collapse groups
+    * on the SURVIVING set — identical capped sets imply identical capped
+    * candidacy and counts. */
+  private def winnowPairsFromArr(docArr0: DataFrame, minShared: Int,
+      maxDf: Option[Int]): DataFrame = {
+    val spark = docArr0.sparkSession
     import spark.implicits._
-    val fp = df
-      .select(col(idCol).cast("long").as("id"),
-        explode(winnowUdf(k, w)(col(textCol))).as("f"))
-      .select(col("id"), col("f._2").as("gh"))
-      .distinct()
-    val capped = maxDf match {
-      case Some(cap) =>
-        val dfs = fp.groupBy(col("gh")).agg(count(lit(1)).as("__df"))
-          .where(col("__df") <= cap).select(col("gh"))
-        fp.join(dfs, "gh")
-      case None => fp
-    }
-    val cappedP = capped.persist()
-    val out = cappedP.select(col("gh"), col("id"))
+    val docArr = docArr0.persist()
+    val fp = docArr.select(col("id"), explode(col("ghs")).as("gh"))
+    def pairCounts(rel: DataFrame): DataFrame = rel
+      .select(col("gh"), col("id"))
       .as[(Long, Long)]
       .groupByKey(_._1)
       .flatMapGroups { (_, it) =>
@@ -1429,7 +1455,107 @@ object Dedup {
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
-    finishReleasing(out, cappedP)
+    // capped postings + per-doc arrays over the SURVIVING hashes (only the
+    // capped branch pays the array re-aggregation shuffle)
+    val (capFp, arrs, extraCaches) = maxDf match {
+      case Some(cap) =>
+        val keep = fp.groupBy(col("gh")).agg(count(lit(1)).as("__df"))
+          .where(col("__df") <= cap).select(col("gh"))
+        val cfp = fp.join(keep, "gh").persist()
+        val ca = cfp.groupBy(col("id"))
+          .agg(sort_array(collect_list(col("gh"))).as("ghs")).persist()
+        (cfp, ca, Seq(cfp, ca))
+      case None => (fp, docArr, Seq.empty[DataFrame])
+    }
+    val nAll = arrs.agg(count(lit(1)).as("n"),
+      countDistinct(xxhash64(col("ghs"))).as("nd")).head()
+    if (nAll.getLong(1) == nAll.getLong(0))
+      return finishReleasing(pairCounts(capFp), docArr +: extraCaches: _*)
+    val reps = arrs
+      .select(col("id"), xxhash64(col("ghs")).as("__g"),
+        size(col("ghs")).cast("long").as("__nsh"))
+      .groupBy(col("__g"))
+      .agg(min(col("id")).as("rid"),
+        sort_array(collect_list(col("id"))).as("members"),
+        first(col("__nsh")).as("nsh"))
+      .persist()
+    val repPairs = pairCounts(capFp.join(reps.select(col("rid").as("id")), "id"))
+    val within = reps
+      .where(size(col("members")) > 1 && col("nsh") >= minShared)
+      .select(explode(withinPairsUdf(col("members"))).as("p"), col("nsh"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"),
+        col("nsh").as("n_shared"))
+    val cross = repPairs
+      .join(reps.select(col("rid").as("id_a"), col("members").as("__ma")), "id_a")
+      .join(reps.select(col("rid").as("id_b"), col("members").as("__mb")), "id_b")
+      .select(explode(crossPairsUdf(col("__ma"), col("__mb"))).as("p"),
+        col("n_shared"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"), col("n_shared"))
+    finishReleasing(within.unionByName(cross), (docArr +: reps +: extraCaches): _*)
+  }
+
+  /** Pick the winnow dedup strategy from the fingerprint-df distribution —
+    * [[ngramStrategy]]'s probe applied to winnowing, so "at corpus scale
+    * always set maxDf" stops being a prose norm and becomes the default
+    * behavior. Winnowing has no prefix analog: every candidate pair shares
+    * a REAL selected fingerprint, so outside the boilerplate regime a
+    * blown candidate volume IS true shared-substring output (and verbatim
+    * duplication is bounded structurally by the set pre-collapse in
+    * [[winnowPairs]]) — the dispatch is binary:
+    *
+    *   - `"capped"` when the probe-counted candidate volume (Σ C(df,2))
+    *     blows `budgetPerDoc` rows per doc AND ≥ `hotShare` of it comes
+    *     from df > `cap` fingerprints carrying ≤ `hotPostingsShare` of all
+    *     postings — the boilerplate regime (a shared footer's fingerprints
+    *     in every doc; recall lost only on pairs whose entire overlap is
+    *     corpus-hot, i.e. boilerplate-only matches).
+    *   - `"uncapped"` otherwise — exact counts over all fingerprints. */
+  def winnowStrategy(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", k: Int = 4, w: Int = 4, cap: Int = 100,
+      budgetPerDoc: Long = 512L, hotShare: Double = 0.5,
+      hotPostingsShare: Double = 0.2): String = {
+    val docArr = winnowDocArr(df, textCol, idCol, k, w)
+    winnowDispatch(
+      ngramProbeFromSh(docArr.select(explode(col("ghs")).as("s")),
+        docArr.count(), cap),
+      budgetPerDoc, hotShare, hotPostingsShare)
+  }
+
+  private def winnowDispatch(p: NgramProbeStats, budgetPerDoc: Long,
+      hotShare: Double, hotPostingsShare: Double): String =
+    if (dispatchOf(p, budgetPerDoc, hotShare, hotPostingsShare) == "capped")
+      "capped"
+    else "uncapped"
+
+  /** Auto-dispatched winnow pairs: probe the fingerprint-df distribution
+    * once, then run [[winnowPairs]] uncapped or df-capped per
+    * [[winnowStrategy]]'s regime call. The per-doc fingerprint arrays are
+    * built ONCE (row-locally) and shared by probe and strategy — the
+    * ngramJaccardAuto materialize-once contract. EAGER: the probe executes
+    * two Spark jobs (doc count + df aggregation) at call time. */
+  def winnowPairsAuto(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", k: Int = 4, w: Int = 4, minShared: Int = 1,
+      cap: Int = 100, budgetPerDoc: Long = 512L, hotShare: Double = 0.5,
+      hotPostingsShare: Double = 0.2): DataFrame =
+    winnowPairsAutoWithStrategy(df, textCol, idCol, k, w, minShared, cap,
+      budgetPerDoc, hotShare, hotPostingsShare)._2
+
+  /** [[winnowPairsAuto]] plus the chosen strategy — for callers acting on
+    * the dispatch (the correctness gate asserts its fixture stays out of
+    * the recall-trading capped regime) without a second probe pass. */
+  def winnowPairsAutoWithStrategy(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", k: Int = 4, w: Int = 4, minShared: Int = 1,
+      cap: Int = 100, budgetPerDoc: Long = 512L, hotShare: Double = 0.5,
+      hotPostingsShare: Double = 0.2): (String, DataFrame) = {
+    require(k >= 1 && w >= 1 && minShared >= 1, "k, w, minShared must be >= 1")
+    val docArr = winnowDocArr(df, textCol, idCol, k, w).persist()
+    val p = ngramProbeFromSh(docArr.select(explode(col("ghs")).as("s")),
+      docArr.count(), cap)
+    winnowDispatch(p, budgetPerDoc, hotShare, hotPostingsShare) match {
+      case "capped" =>
+        ("capped", winnowPairsFromArr(docArr, minShared, Some(cap)))
+      case _ => ("uncapped", winnowPairsFromArr(docArr, minShared, None))
+    }
   }
 
   /** Longest common token RUN of two documents (the maximal verbatim

@@ -137,6 +137,101 @@ class Round11Spec extends SparkSpec {
       HybridPipeline.scoreBatchSparse(postings, queries, chunkSize = 0))
   }
 
+  // ------------------------------------------- winnow collapse + auto
+
+  /** Reference winnow pair counts computed the naive way (explode →
+    * self-join → count), deliberately bypassing the collapse machinery. */
+  private def naiveWinnowPairs(docs: org.apache.spark.sql.DataFrame,
+      minShared: Int, maxDf: Option[Int]): Seq[(Long, Long, Long)] = {
+    val fp0 = docs.select(col("doc_id").cast("long").as("id"),
+        explode(udf((s: String) => Dedup.winnowFingerprints(s, 4, 4))
+          .apply(col("text"))).as("f"))
+      .select(col("id"), col("f._2").as("gh")).distinct()
+    val fp = maxDf match {
+      case Some(cap) => fp0.join(
+        fp0.groupBy(col("gh")).agg(count(lit(1)).as("__df"))
+          .where(col("__df") <= cap).select(col("gh")), "gh")
+      case None => fp0
+    }
+    fp.as("a").join(fp.as("b"), Seq("gh"))
+      .where(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .orderBy(col("id_a"), col("id_b"))
+      .as[(Long, Long, Long)].collect().toSeq
+  }
+
+  /** 6 distinct docs, two of them verbatim-replicated (3× and 2×) plus a
+    * short doc with no fingerprints — exercises within-group, cross-group,
+    * and singleton paths of the duplicate-set collapse. */
+  private def dupDocs = {
+    val base = Seq(
+      "the quick brown fox jumps over the lazy dog near the river bank today",
+      "a completely different document about spark catalyst optimizer rules and plans",
+      "the quick brown fox jumps over the lazy dog near the river bank today and more",
+      "winnowing selects minimum hashes from each window of consecutive gram hashes always",
+      "shared boilerplate footer terms apply to every document in this corpus forever",
+      "tiny")
+    val docs = base.zipWithIndex.map { case (t, i) => (i.toLong, t) } ++
+      Seq((10L, base(0)), (11L, base(0)), (12L, base(2)))
+    docs.toDF("doc_id", "text")
+  }
+
+  test("winnowPairs: duplicate-set collapse equals the naive form (uncapped, capped, minShared)") {
+    def run(minShared: Int, maxDf: Option[Int]) = {
+      val got = Dedup.winnowPairs(dupDocs, k = 4, w = 4,
+          minShared = minShared, maxDf = maxDf)
+        .orderBy(col("id_a"), col("id_b"))
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(got == naiveWinnowPairs(dupDocs, minShared, maxDf),
+        s"minShared=$minShared maxDf=$maxDf")
+      got
+    }
+    val uncapped = run(1, None)
+    // the replicas must pair with each other (within-group) AND with their
+    // near-dup siblings (cross-group inheritance)
+    assert(uncapped.exists(p => p._1 == 0L && p._2 == 10L))
+    assert(uncapped.exists(p => p._1 == 10L && p._2 == 11L))
+    assert(uncapped.exists(p => p._1 == 2L && p._2 == 10L) ||
+      uncapped.exists(p => p._1 == 0L && p._2 == 2L))
+    run(2, None)
+    // cap at 2: fingerprints in >2 docs (the 0/10/11/2/12 shared run) drop
+    run(1, Some(2))
+    run(2, Some(2))
+    // duplicate-free corpus exercises the probe's skip branch
+    val plain = dupDocs.where(col("doc_id") < 6)
+    assert(Dedup.winnowPairs(plain, k = 4, w = 4, minShared = 1)
+      .orderBy(col("id_a"), col("id_b"))
+      .as[(Long, Long, Long)].collect().toSeq ==
+      naiveWinnowPairs(plain, 1, None))
+  }
+
+  test("winnowStrategy/auto: dispatch pinned per regime; auto equals the dispatched form") {
+    // plain corpus: candidate volume within budget -> uncapped
+    val plain = dupDocs.where(col("doc_id") < 6)
+    assert(Dedup.winnowStrategy(plain, k = 4, w = 4) == "uncapped")
+    // boilerplate regime: a hot shared footer in EVERY doc, distinct
+    // bodies; tight budget + low cap force the capped call
+    val boiler = (0L until 40L).map { i =>
+      val body = (0 until 40).map(j => s"w${i}x$j").mkString(" ")
+      (i, s"$body standard corpus footer terms apply all rights reserved forever")
+    }.toDF("doc_id", "text")
+    val (stratB, outB) = Dedup.winnowPairsAutoWithStrategy(boiler,
+      k = 4, w = 4, minShared = 1, cap = 10, budgetPerDoc = 2L)
+    assert(stratB == "capped")
+    assert(outB.orderBy(col("id_a"), col("id_b"))
+      .as[(Long, Long, Long)].collect().toSeq ==
+      naiveWinnowPairs(boiler, 1, Some(10)))
+    // auto on the plain corpus = the exact uncapped relation
+    val (stratP, outP) = Dedup.winnowPairsAutoWithStrategy(plain,
+      k = 4, w = 4, minShared = 1)
+    assert(stratP == "uncapped")
+    assert(outP.orderBy(col("id_a"), col("id_b"))
+      .as[(Long, Long, Long)].collect().toSeq ==
+      naiveWinnowPairs(plain, 1, None))
+  }
+
   test("semanticDedupAuto: probe picks the formula nlist and matches the manual call") {
     val df = vecs().where(col("vec_id") < 100) // 12 valid rows
     val auto = Dedup.semanticDedupAuto(df, dim = 8, targetCluster = 4,
