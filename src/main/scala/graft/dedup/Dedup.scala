@@ -391,9 +391,13 @@ object Dedup {
       .select(col("id"), xxhash64(col("__s")).as("s"))
 
   /** [[ngramJaccardPairs]] body over a prebuilt (id, s) relation. `sh`
-    * must arrive persisted; it is released via [[finishReleasing]]. */
+    * must arrive persisted; it is released via [[finishReleasing]].
+    * `precomputedHot`, when given, is the persisted+materialized set of
+    * shingle keys with df > maxDf (the auto dispatcher already aggregated
+    * the df distribution for its probe) — the capped branch then skips its
+    * own postings-wide groupBy. */
   private def ngramJaccardPairsFromSh(sh: DataFrame, threshold: Double,
-      maxDf: Option[Int]): DataFrame = {
+      maxDf: Option[Int], precomputedHot: Option[DataFrame] = None): DataFrame = {
     require(threshold > 0.0, "threshold must be positive (zero-overlap pairs are not materialized)")
     val cnt = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val inter = maxDf match {
@@ -426,9 +430,10 @@ object Dedup {
         // stop-shingles), so materialize it once and drop them from
         // candidate generation with a broadcast anti join: no shuffle of
         // the shingle table.
-        val hotKeys = sh.groupBy(col("s")).agg(count(lit(1)).as("__df"))
-          .where(col("__df") > cap).select(col("s")).persist()
-        val nHot = hotKeys.count() // materialize before fan-out
+        val hotKeys = precomputedHot.getOrElse(
+          sh.groupBy(col("s")).agg(count(lit(1)).as("__df"))
+            .where(col("__df") > cap).select(col("s")).persist())
+        val nHot = hotKeys.count() // materialize before fan-out (cached: free when precomputed)
         // no shingle above the cap → rare == sh and the split machinery is
         // pure overhead; run the plain join (identical result)
         if (nHot == 0)
@@ -631,6 +636,18 @@ object Dedup {
     ngramProbeFromSh(shingleRel(df, textCol, idCol, n), df.count(), cap)
 
   private[graft] def ngramProbeFromSh(sh: DataFrame, nDocs: Long,
+      cap: Int): NgramProbeStats =
+    probeStatsFromDfRel(
+      sh.select(col("s")).groupBy(col("s")).agg(count(lit(1)).as("df")),
+      nDocs, cap)
+
+  /** Probe stats from a prebuilt per-key document-frequency relation (any
+    * key column + a `df` count column). Extracted so the auto dispatchers
+    * can run ONE postings-wide df aggregation, persist it, and feed both
+    * the probe and the dispatched strategy's hot-key filter — the second
+    * full groupBy was measured at +36% wall / +2.2× shuffle on the ×30
+    * boilerplate winnow cell (bench/scale_r11b_boilerplate.json). */
+  private[graft] def probeStatsFromDfRel(dfRel: DataFrame, nDocs: Long,
       cap: Int): NgramProbeStats = {
     // df·(df−1) in DECIMAL(38,0), NOT long: at the 100 TB regime a
     // corpus-hot boilerplate shingle's df can exceed ~4.3e9, where the
@@ -643,7 +660,7 @@ object Dedup {
     val zero = lit(0).cast("decimal(38,0)")
     val prodOf = (col("df").cast("decimal(38,0)") * (col("df") - 1))
       .cast("decimal(38,0)")
-    val r = sh.select(col("s")).groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val r = dfRel
       .agg(coalesce(sum(col("df")), lit(0L)).as("p"),
         coalesce(sum(prodOf), zero).as("w2"),
         coalesce(sum(when(col("df") > cap, prodOf).otherwise(zero)), zero).as("hw2"),
@@ -738,11 +755,27 @@ object Dedup {
       cap: Int = 100, budgetPerDoc: Long = 512L, hotShare: Double = 0.5,
       hotPostingsShare: Double = 0.2): (String, DataFrame) = {
     val sh = shingleRel(df, textCol, idCol, n).persist()
-    val p = ngramProbeFromSh(sh, df.count(), cap)
+    // ONE df aggregation feeds probe AND (if dispatched capped) the hot-key
+    // filter — the probe's groupBy is exactly the capped branch's, so
+    // repeating it doubled the postings shuffle at the dispatcher's target
+    // scale. The persisted relation is one (key, count) row per DISTINCT
+    // shingle (map-side combined, disk-backed), strictly smaller than the
+    // second shuffle it replaces; released before the strategy runs.
+    val dfRel = sh.select(col("s")).groupBy(col("s"))
+      .agg(count(lit(1)).as("df")).persist()
+    val p = probeStatsFromDfRel(dfRel, df.count(), cap)
     dispatchOf(p, budgetPerDoc, hotShare, hotPostingsShare) match {
-      case "uncapped" => ("uncapped", ngramJaccardPairsFromSh(sh, threshold, None))
-      case "capped" => ("capped", ngramJaccardPairsFromSh(sh, threshold, Some(cap)))
-      case _ => ("prefix", ngramJaccardPairsPrefixFromSh(sh, threshold))
+      case "uncapped" =>
+        dfRel.unpersist(blocking = false)
+        ("uncapped", ngramJaccardPairsFromSh(sh, threshold, None))
+      case "capped" =>
+        val hot = dfRel.where(col("df") > cap).select(col("s")).persist()
+        hot.count() // materialize off the cached df relation, then drop it
+        dfRel.unpersist(blocking = false)
+        ("capped", ngramJaccardPairsFromSh(sh, threshold, Some(cap), Some(hot)))
+      case _ =>
+        dfRel.unpersist(blocking = false)
+        ("prefix", ngramJaccardPairsPrefixFromSh(sh, threshold))
     }
   }
 
@@ -1432,7 +1465,7 @@ object Dedup {
     * on the SURVIVING set — identical capped sets imply identical capped
     * candidacy and counts. */
   private def winnowPairsFromArr(docArr0: DataFrame, minShared: Int,
-      maxDf: Option[Int]): DataFrame = {
+      maxDf: Option[Int], precomputedHot: Option[DataFrame] = None): DataFrame = {
     val spark = docArr0.sparkSession
     import spark.implicits._
     val docArr = docArr0.persist()
@@ -1456,15 +1489,26 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
     // capped postings + per-doc arrays over the SURVIVING hashes (only the
-    // capped branch pays the array re-aggregation shuffle)
+    // capped branch pays the array re-aggregation shuffle). The cap is
+    // applied as a broadcast ANTI join against the df > cap key set — tiny
+    // by the boilerplate-regime definition (the ngramJaccardPairsFromSh
+    // hotKeys pattern), so the postings relation is never shuffled for the
+    // filter; the earlier keep-set SEMI join shuffled all postings against
+    // an almost-corpus-sized keep relation. `precomputedHot`, when given,
+    // is persisted+materialized by the auto dispatcher from its probe's df
+    // aggregation — the capped branch then runs zero df groupBys of its own.
     val (capFp, arrs, extraCaches) = maxDf match {
       case Some(cap) =>
-        val keep = fp.groupBy(col("gh")).agg(count(lit(1)).as("__df"))
-          .where(col("__df") <= cap).select(col("gh"))
-        val cfp = fp.join(keep, "gh").persist()
-        val ca = cfp.groupBy(col("id"))
-          .agg(sort_array(collect_list(col("gh"))).as("ghs")).persist()
-        (cfp, ca, Seq(cfp, ca))
+        val hot = precomputedHot.getOrElse(
+          fp.groupBy(col("gh")).agg(count(lit(1)).as("__df"))
+            .where(col("__df") > cap).select(col("gh")).persist())
+        if (hot.count() == 0) (fp, docArr, Seq(hot)) // cap excludes nothing
+        else {
+          val cfp = fp.join(broadcast(hot), Seq("gh"), "left_anti").persist()
+          val ca = cfp.groupBy(col("id"))
+            .agg(sort_array(collect_list(col("gh"))).as("ghs")).persist()
+          (cfp, ca, Seq(hot, cfp, ca))
+        }
       case None => (fp, docArr, Seq.empty[DataFrame])
     }
     val nAll = arrs.agg(count(lit(1)).as("n"),
@@ -1549,12 +1593,21 @@ object Dedup {
       hotPostingsShare: Double = 0.2): (String, DataFrame) = {
     require(k >= 1 && w >= 1 && minShared >= 1, "k, w, minShared must be >= 1")
     val docArr = winnowDocArr(df, textCol, idCol, k, w).persist()
-    val p = ngramProbeFromSh(docArr.select(explode(col("ghs")).as("s")),
-      docArr.count(), cap)
+    // ONE fingerprint-df aggregation feeds probe AND (if dispatched capped)
+    // the hot-key filter — see ngramJaccardAutoWithStrategy; the repeated
+    // groupBy was +36% wall / +2.2× shuffle on the ×30 boilerplate cell.
+    val dfRel = docArr.select(explode(col("ghs")).as("gh"))
+      .groupBy(col("gh")).agg(count(lit(1)).as("df")).persist()
+    val p = probeStatsFromDfRel(dfRel, docArr.count(), cap)
     winnowDispatch(p, budgetPerDoc, hotShare, hotPostingsShare) match {
       case "capped" =>
-        ("capped", winnowPairsFromArr(docArr, minShared, Some(cap)))
-      case _ => ("uncapped", winnowPairsFromArr(docArr, minShared, None))
+        val hot = dfRel.where(col("df") > cap).select(col("gh")).persist()
+        hot.count() // materialize off the cached df relation, then drop it
+        dfRel.unpersist(blocking = false)
+        ("capped", winnowPairsFromArr(docArr, minShared, Some(cap), Some(hot)))
+      case _ =>
+        dfRel.unpersist(blocking = false)
+        ("uncapped", winnowPairsFromArr(docArr, minShared, None))
     }
   }
 
