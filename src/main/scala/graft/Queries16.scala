@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sixteenth bank (round 11): delta dedup against the written MinHash
+  * index — the production ingest shape (dedup the arriving batch against
+  * the indexed corpus, never re-dedup the corpus; the dedup analogue of
+  * q_seismic_incremental / q_ann_ivf_incremental).
+  *
+  * The oracle is DERIVED from q_dedup_minhash's SQL by one mechanical
+  * insertion (the Queries15 anti-drift protocol): the same seeded
+  * signature/band/verification pipeline over the WHOLE corpus, with the
+  * candidate join restricted to pairs touching the delta split — exactly
+  * [[graft.dedup.MinhashIndex.deltaPairs]]'s contract (old×old pairs were
+  * the base index's own dedup problem, old×new and new×new are this
+  * call's). A shape assert fails loud if the base oracle's candidate
+  * clause ever drifts. */
+object Queries16 {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // arriving batch = the held-out tenth of documents; the index over the
+    // other nine tenths is an ingest artifact (SparkEntry memo, built in
+    // Bench's warmup pass) — the timed query is the DELTA search: one
+    // postings scan + one sketches scan, both broadcast-joined against
+    // delta-sized relations, zero index shuffles.
+    "q_dedup_minhash_delta" -> ((s, dir) =>
+      graft.dedup.MinhashIndex.deltaPairs(
+        s, SparkEntry.minhashIndexPath(s, dir),
+        t(s, dir, "documents").where(col("doc_id") % 10 === 7),
+        threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))))
+
+  private val CandAnchor =
+    "ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id"
+
+  def oracleSql: Map[String, String] = Map(
+    "q_dedup_minhash_delta" -> {
+      val base = QueriesExtra.oracleSql("q_dedup_minhash")
+      require(base.sliding(CandAnchor.length).count(_ == CandAnchor) == 1,
+        "q_dedup_minhash oracle candidate clause drifted — repin the " +
+          "q_dedup_minhash_delta derivation anchor")
+      base.replace(CandAnchor,
+        CandAnchor + "\n   AND (a.doc_id % 10 = 7 OR b.doc_id % 10 = 7)")
+    })
+}

@@ -152,6 +152,23 @@ object SparkEntry {
       SparseRetrieval.loadPostingsIndex(s, path)
     })
 
+  /** Written minhash-dedup index memo — built once per (session, dir) over
+    * the BASE split of the documents corpus (doc_id % 10 ≠ 7; the held-out
+    * tenth is the gate's arriving delta). Same pid/session-scoped tmp path
+    * + shutdown cleanup as [[ivfIndex]]; the memo holds only the path (the
+    * relations are read per [[graft.dedup.MinhashIndex.deltaPairs]] call —
+    * scans, never resident). */
+  private val minhashIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  private[graft] def minhashIndexPath(spark: SparkSession, dir: String): String =
+    minhashIndexCache.computeIfAbsent((spark, dir), { case (s, d) =>
+      val path = s"$ivfTmpRoot/s${System.identityHashCode(s).toHexString}/minhash_" +
+        d.replaceAll("[^A-Za-z0-9._-]", "_")
+      graft.dedup.MinhashIndex.write(
+        t(s, d, "documents").where(col("doc_id") % 10 =!= 7), path)
+      path
+    })
+
   private[graft] def ivfIndex(spark: SparkSession, dir: String): (DataFrame, Array[Array[Float]]) =
     ivfIndexCache.computeIfAbsent((spark, dir), { case (s, d) =>
       import graft.ann.Ann
@@ -267,7 +284,7 @@ object SparkEntry {
   // ---------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    coreQueries ++ QueriesExtra.queries ++ Queries3.queries ++ Queries4.queries ++ Queries5.queries ++ Queries6.queries ++ Queries7.queries ++ Queries8.queries ++ Queries9.queries ++ Queries10.queries ++ Queries11.queries ++ Queries12.queries ++ Queries13.queries ++ Queries14.queries ++ Queries15.queries
+    coreQueries ++ QueriesExtra.queries ++ Queries3.queries ++ Queries4.queries ++ Queries5.queries ++ Queries6.queries ++ Queries7.queries ++ Queries8.queries ++ Queries9.queries ++ Queries10.queries ++ Queries11.queries ++ Queries12.queries ++ Queries13.queries ++ Queries14.queries ++ Queries15.queries ++ Queries16.queries
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- relational skeleton (scan/filter/agg/join/window/topk) --------------
@@ -394,7 +411,7 @@ object SparkEntry {
   // ------------------------------------------------------------- oracle SQL
 
   def oracleSql: Map[String, String] =
-    coreOracleSql ++ QueriesExtra.oracleSql ++ Queries3.oracleSql ++ Queries4.oracleSql ++ Queries5.oracleSql ++ Queries6.oracleSql ++ Queries7.oracleSql ++ Queries8.oracleSql ++ Queries9.oracleSql ++ Queries10.oracleSql ++ Queries11.oracleSql ++ Queries12.oracleSql ++ Queries13.oracleSql ++ Queries14.oracleSql ++ Queries15.oracleSql
+    coreOracleSql ++ QueriesExtra.oracleSql ++ Queries3.oracleSql ++ Queries4.oracleSql ++ Queries5.oracleSql ++ Queries6.oracleSql ++ Queries7.oracleSql ++ Queries8.oracleSql ++ Queries9.oracleSql ++ Queries10.oracleSql ++ Queries11.oracleSql ++ Queries12.oracleSql ++ Queries13.oracleSql ++ Queries14.oracleSql ++ Queries15.oracleSql ++ Queries16.oracleSql
 
   private def coreOracleSql: Map[String, String] = Map(
     "q1_agg" ->

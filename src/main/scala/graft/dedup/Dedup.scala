@@ -227,7 +227,7 @@ object Dedup {
     * the candidate pipeline's runtime broadcast-join conversions revert to
     * sort-merge joins (measured 25 s vs 6 s on the prefix-dedup ×1 curve).
     * persist + count executes the normal AQE plan. */
-  private def finishReleasing(out: DataFrame, caches: DataFrame*): DataFrame = {
+  private[dedup] def finishReleasing(out: DataFrame, caches: DataFrame*): DataFrame = {
     val r = out.persist()
     r.count()
     caches.foreach(_.unpersist(blocking = false))
@@ -825,7 +825,7 @@ object Dedup {
     * replication (4.2M candidates × two ~52-element arrays) that
     * conversion alone measured 17 s of the 23 s prefix pipeline — the
     * whole disjoint scaling slope lived here, not in the joins. */
-  private def sortedInter(a: Column, b: Column): Column =
+  private[dedup] def sortedInter(a: Column, b: Column): Column =
     VectorExpressions.sorted_intersect_count(a, b)
 
   /** Exact-verify candidate pairs against full shingle arrays: length

@@ -1,0 +1,196 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Written MinHash-LSH dedup index + delta dedup — the production shape of
+  * near-duplicate detection at corpus scale.
+  *
+  * [[Dedup.minhashLsh]] re-dedups a WHOLE corpus per call. A 100 TB ingest
+  * pipeline doesn't do that: the base corpus is dedup'd once, its band
+  * postings and verification sketches are written out, and every arriving
+  * batch is dedup'd AGAINST the index (old×new + new×new pairs only),
+  * then appended. This module is that flow — the dedup analogue of the
+  * segment/flush maintenance in [[graft.streaming.IndexMaintenance]]
+  * (reference: the engine's index-time processors run per flush, e.g.
+  * `processor/TextEmbeddingProcessor.java:79` executes per indexed batch,
+  * never corpus-wide).
+  *
+  * Layout under `path` (local-file meta like IndexMaintenance's VERSION;
+  * a cluster deployment swaps in the Hadoop FS equivalents):
+  *   - `MINHASH_META`   — shingleSize/numHashes/bands/seed, written by
+  *     [[write]] and read back by [[deltaPairs]]/[[append]] so a delta can
+  *     never be sketched with different parameters than the index.
+  *   - `postings/`      — (band, bucket, id): one row per doc per band,
+  *     bucket = hash of the band's signature slice (identical expression
+  *     to minhashLsh, so buckets are comparable across base and delta).
+  *   - `sketches/`      — (id, sh): sorted distinct 64-bit shingle hashes,
+  *     the exact-Jaccard verification payload (the allocation-free merge
+  *     form — [[graft.functions.VectorExpressions.SortedIntersectCount]]).
+  *
+  * Scale shape of [[deltaPairs]] (|delta| ≪ |index|, the whole point):
+  * the delta's banded relation and candidate set are BROADCAST — the
+  * index is never shuffled. Total cost = one `postings/` scan (broadcast
+  * hash join on (band, bucket)) + one `sketches/` scan (broadcast semi
+  * join on candidate ids) + delta-local work. Zero exchanges of
+  * index-sized relations at any corpus size; growing the base corpus
+  * only lengthens the two scans.
+  *
+  * Jaccard semantics match [[Dedup.minhashLsh]]: candidates share ≥ 1
+  * band signature; verification is exact Jaccard over full shingle sets
+  * (hash-set form here — same accepted ~2⁻⁶⁴ collision odds as every
+  * hashed join key in this package), `round(j, 4) ≥ threshold`, and two
+  * empty-shingle docs count as exact duplicates (j = 1.0). */
+object MinhashIndex {
+
+  final case class Meta(shingleSize: Int, numHashes: Int, bands: Int, seed: Long) {
+    def rows: Int = numHashes / bands
+  }
+
+  private def metaFile(path: String) = new java.io.File(path, "MINHASH_META")
+
+  private def writeMeta(path: String, m: Meta): Unit = {
+    new java.io.File(path).mkdirs()
+    val tmp = new java.io.File(path, ".MINHASH_META.tmp")
+    java.nio.file.Files.write(tmp.toPath,
+      s"${m.shingleSize} ${m.numHashes} ${m.bands} ${m.seed}".getBytes)
+    java.nio.file.Files.move(tmp.toPath, metaFile(path).toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  def readMeta(path: String): Meta = {
+    val parts = new String(java.nio.file.Files.readAllBytes(metaFile(path).toPath))
+      .trim.split("\\s+")
+    Meta(parts(0).toInt, parts(1).toInt, parts(2).toInt, parts(3).toLong)
+  }
+
+  private def postingsDir(path: String) = s"$path/postings"
+  private def sketchesDir(path: String) = s"$path/sketches"
+
+  /** (sketches, postings) of one corpus under `m` — the SAME signature and
+    * band-bucket expressions as [[Dedup.minhashLsh]], so index and ad-hoc
+    * buckets are interchangeable. One row-local pass: no shuffle. */
+  private def sketchAndBand(df: DataFrame, textCol: String, idCol: String,
+      m: Meta): (DataFrame, DataFrame) = {
+    val params = Dedup.hashParams(m.numHashes, m.seed)
+    val sigUdf = udf((sh: Seq[String]) => Dedup.minhashSignature(sh.toSet, params))
+    val withSh = df.select(col(idCol).cast("long").as("id"),
+      Dedup.shingleColPublic(col(textCol), m.shingleSize).as("shArr"))
+    val sketches = withSh.select(col("id"),
+      sort_array(array_distinct(transform(col("shArr"), s => xxhash64(s)))).as("sh"))
+    val rows = m.rows
+    val postings = withSh
+      .select(col("id"), sigUdf(col("shArr")).as("sig"))
+      .select(
+        col("id"),
+        posexplode(transform(sequence(lit(0), lit(m.bands - 1)), b =>
+          xxhash64(lit("band"), b, slice(col("sig"), b * lit(rows) + 1, lit(rows)))))
+          .as(Seq("band", "bucket")))
+      .select(col("band"), col("bucket"), col("id"))
+    (sketches, postings)
+  }
+
+  /** Build the index from the (already dedup'd) base corpus. */
+  def write(df: DataFrame, path: String, textCol: String = "text",
+      idCol: String = "doc_id", shingleSize: Int = 3, numHashes: Int = 32,
+      bands: Int = 8, seed: Long = 42L): Unit = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val m = Meta(shingleSize, numHashes, bands, seed)
+    val (sketches, postings) = sketchAndBand(df, textCol, idCol, m)
+    sketches.write.mode("overwrite").parquet(sketchesDir(path))
+    postings.write.mode("overwrite").parquet(postingsDir(path))
+    writeMeta(path, m)
+  }
+
+  /** Fold a (dedup'd) delta into the index so the NEXT delta is checked
+    * against it — the incremental-maintenance leg. Plain parquet appends;
+    * a crash between the two writes leaves the sketch/posting dirs
+    * momentarily inconsistent (re-run the append — duplicate postings only
+    * add candidate rows, which verification dedups/filters). */
+  def append(delta: DataFrame, path: String, textCol: String = "text",
+      idCol: String = "doc_id"): Unit = {
+    val (sketches, postings) = sketchAndBand(delta, textCol, idCol, readMeta(path))
+    sketches.write.mode("append").parquet(sketchesDir(path))
+    postings.write.mode("append").parquet(postingsDir(path))
+  }
+
+  /** Near-duplicate pairs (id_a < id_b, jaccard) touching the delta:
+    * old×new from the index postings join, new×new from the delta's own
+    * buckets — never old×old (the base was dedup'd when it was indexed).
+    * Output equals `minhashLsh(base ∪ delta)` restricted to pairs with a
+    * delta side (spec-pinned), including under `maxBucket`, whose
+    * population is counted over base + delta members per bucket exactly
+    * like the whole-corpus form. */
+  def deltaPairs(spark: SparkSession, path: String, delta: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      threshold: Double = 0.7, maxBucket: Option[Int] = None): DataFrame = {
+    val m = readMeta(path)
+    val postings = spark.read.parquet(postingsDir(path))
+    val sketches = spark.read.parquet(sketchesDir(path))
+    val (dSketches0, dPostings0) = sketchAndBand(delta, textCol, idCol, m)
+    val dSketches = dSketches0.persist()
+    val dPostings = dPostings0.persist()
+    dPostings.count() // the sig UDF runs once, not per consumer below
+
+    // old×new candidates: index postings ⨝ broadcast(delta buckets).
+    // The matched relation holds the ENTIRE index membership of every
+    // delta-touched bucket (the join key IS the bucket), so the combined
+    // bucket population for maxBucket is computable from matched + delta
+    // rows alone — no extra index pass.
+    val matched = postings.join(
+        broadcast(dPostings.select(col("band"), col("bucket")).distinct()),
+        Seq("band", "bucket"))
+      .persist()
+
+    val (oldSide, dKept, hotCache) = maxBucket match {
+      case Some(cap) =>
+        // distinct members per bucket over base + delta = the whole-corpus
+        // population minhashLsh's bucketPairs caps on
+        val pop = matched.select(col("band"), col("bucket"), col("id"))
+          .unionByName(dPostings)
+          .groupBy(col("band"), col("bucket"))
+          .agg(countDistinct(col("id")).as("__n"))
+        val hot = pop.where(col("__n") > cap)
+          .select(col("band"), col("bucket")).persist()
+        hot.count()
+        (matched.join(broadcast(hot), Seq("band", "bucket"), "left_anti"),
+          dPostings.join(broadcast(hot), Seq("band", "bucket"), "left_anti"),
+          Seq(hot))
+      case None => (matched, dPostings, Seq.empty[DataFrame])
+    }
+
+    val oldNew = oldSide.select(col("band"), col("bucket"), col("id").as("id_old"))
+      .join(broadcast(dKept.select(col("band"), col("bucket"), col("id").as("id_new"))),
+        Seq("band", "bucket"))
+      .where(col("id_old") =!= col("id_new"))
+      .select(least(col("id_old"), col("id_new")).as("id_a"),
+        greatest(col("id_old"), col("id_new")).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val newNew = Dedup.bucketPairsPublic(dKept, Seq("band", "bucket"))
+    val cand = oldNew.unionByName(newNew).dropDuplicates("id_a", "id_b").persist()
+    cand.count() // bound before the sketch scan fans out below
+
+    // ONE sketches scan: broadcast-semi-reduce to candidate ids (LSH keeps
+    // the candidate set small by construction), then verify against the
+    // small persisted slice — the index side is scanned, never shuffled.
+    val candIds = cand.select(col("id_a").as("id"))
+      .unionByName(cand.select(col("id_b").as("id"))).distinct()
+    val rel = sketches.unionByName(dSketches)
+      .join(broadcast(candIds), Seq("id"), "left_semi")
+      .persist()
+    val verified = cand
+      .join(rel.select(col("id").as("id_a"), col("sh").as("ha")), "id_a")
+      .join(rel.select(col("id").as("id_b"), col("sh").as("hb")), "id_b")
+      .withColumn("__i", Dedup.sortedInter(col("ha"), col("hb")))
+      .withColumn("__u",
+        size(col("ha")).cast("long") + size(col("hb")).cast("long") - col("__i"))
+      .withColumn("jaccard",
+        when(col("__u") === 0L, lit(1.0))
+          .otherwise(round(col("__i").cast("double") / col("__u"), 4)))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    Dedup.finishReleasing(verified,
+      Seq(dSketches, dPostings, matched, cand, rel) ++ hotCache: _*)
+  }
+}
