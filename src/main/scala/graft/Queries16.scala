@@ -32,7 +32,25 @@ object Queries16 {
         s, SparkEntry.minhashIndexPath(s, dir),
         t(s, dir, "documents").where(col("doc_id") % 10 === 7),
         threshold = 0.5)
-        .orderBy(col("id_a"), col("id_b"))))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // streaming near-dup ingest: the corpus streams through
+    // foreachBatch(deltaPairs + append) from an EMPTY index — the emitted
+    // pair union is batching-invariant and equals whole-corpus minhashLsh,
+    // so this gate rides q_dedup_minhash's oracle verbatim (fresh index +
+    // checkpoint per invocation: the stream must start empty every run)
+    "q_stream_dedup_minhash" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("mh_stream").toFile
+      root.deleteOnExit()
+      val idx = s"${root.getAbsolutePath}/index"
+      val out = s"${root.getAbsolutePath}/pairs"
+      val docs = t(s, dir, "documents")
+      graft.dedup.MinhashIndex.write(docs.limit(0), idx)
+      graft.dedup.MinhashIndex.ingestStream(
+        Queries6.streamOf(s, dir, "documents"), idx, out, threshold = 0.5)
+      s.read.parquet(out).dropDuplicates("id_a", "id_b")
+        .orderBy(col("id_a"), col("id_b"))
+    }))
 
   private val CandAnchor =
     "ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id"
@@ -45,5 +63,7 @@ object Queries16 {
           "q_dedup_minhash_delta derivation anchor")
       base.replace(CandAnchor,
         CandAnchor + "\n   AND (a.doc_id % 10 = 7 OR b.doc_id % 10 = 7)")
-    })
+    },
+    // streaming-from-empty reproduces the whole-corpus relation exactly
+    "q_stream_dedup_minhash" -> QueriesExtra.oracleSql("q_dedup_minhash"))
 }

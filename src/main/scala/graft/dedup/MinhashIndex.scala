@@ -193,4 +193,36 @@ object MinhashIndex {
     Dedup.finishReleasing(verified,
       Seq(dSketches, dPostings, matched, cand, rel) ++ hotCache: _*)
   }
+
+  /** Streaming near-dup ingest: every micro-batch is dedup'd against the
+    * index ([[deltaPairs]]), its pairs appended under `outDir`, and the
+    * batch folded in ([[append]]) — the foreachBatch form of the
+    * [[graft.streaming.IndexMaintenance]] flush loop, applied to dedup.
+    *
+    * The emitted pair set is BATCHING-INVARIANT: a pair surfaces exactly
+    * when its later side arrives (earlier side from the index, same-batch
+    * sides from the batch's own buckets), so streaming a whole corpus
+    * from an empty index reproduces `minhashLsh(corpus)` regardless of
+    * how the stream is chopped (spec-pinned; the q_stream_dedup_minhash
+    * gate rides q_dedup_minhash's oracle verbatim on this property).
+    * foreachBatch is at-least-once — a replayed batch can append duplicate
+    * pair rows and postings; read `outDir` with dropDuplicates(id_a, id_b)
+    * (pair jaccards are deterministic, so duplicates agree). */
+  def ingestStream(stream: DataFrame, path: String, outDir: String,
+      textCol: String = "text", idCol: String = "doc_id",
+      threshold: Double = 0.7, maxBucket: Option[Int] = None): Unit = {
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.persist()
+        deltaPairs(b.sparkSession, path, b, textCol, idCol, threshold, maxBucket)
+          .write.mode("append").parquet(outDir)
+        append(b, path, textCol, idCol)
+        b.unpersist(blocking = false)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$path/_checkpoint")
+      .start()
+    q.awaitTermination()
+  }
 }

@@ -89,6 +89,28 @@ class MinhashIndexSpec extends SparkSpec {
     assert(out.count() == 0)
   }
 
+  test("ingestStream from an empty index == whole-corpus minhashLsh (batching-invariant)") {
+    val docs = corpus(30).persist()
+    // stage the corpus as 3 parquet files + maxFilesPerTrigger=1 so the
+    // stream runs as 3 genuine micro-batches, not one degenerate batch
+    val srcDir = tmpPath("src")
+    docs.repartition(3).write.mode("overwrite").parquet(srcDir)
+    val root = tmpPath("stream")
+    val idx = s"$root/index"
+    val out = s"$root/pairs"
+    MinhashIndex.write(docs.limit(0), idx)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    MinhashIndex.ingestStream(stream, idx, out, threshold = 0.5)
+    val nBatches = new java.io.File(s"$idx/postings").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(nBatches >= 3) // the appends really arrived batch by batch
+    val got = asSet(spark.read.parquet(out).dropDuplicates("id_a", "id_b"))
+    assert(got == asSet(Dedup.minhashLsh(docs, threshold = 0.5)))
+    assert(got.nonEmpty)
+    docs.unpersist()
+  }
+
   test("meta round-trips and deltaPairs refuses a missing index") {
     val path = tmpPath("meta")
     MinhashIndex.write(corpus(6), path, shingleSize = 2, numHashes = 16,
