@@ -165,4 +165,29 @@ class PlansSpec extends SparkSpec {
         s"bench winnow fingerprints not broadcast on the hash-key join:\n$plan")
     }
   }
+
+  test("minhash deltaPairs: index relations join broadcast, never sort-merge") {
+    withoutAqe {
+      import org.apache.spark.sql.functions.col
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val d = java.nio.file.Files.createTempDirectory("mhidx_plan").toFile
+      d.deleteOnExit()
+      graft.dedup.MinhashIndex.write(
+        docs.where(col("doc_id") % 10 =!= 7), d.getAbsolutePath)
+      val out = graft.dedup.MinhashIndex.deltaPairs(
+        spark, d.getAbsolutePath, docs.where(col("doc_id") % 10 === 7),
+        threshold = 0.5)
+      // finishReleasing persisted the result; the printed tree includes the
+      // cached child plan. The scale contract: every join touching an
+      // index-sized scan (postings candidate join, sketches verification
+      // joins) is a broadcast hash join — the only sort-merge-eligible
+      // shuffles are delta-bounded aggregations, so NO SortMergeJoin may
+      // appear anywhere in the pipeline.
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.contains("SortMergeJoin"),
+        s"index-sized relation entered a sort-merge join:\n$plan")
+      assert(plan.contains("BroadcastHashJoin"),
+        s"expected broadcast joins on the index scans:\n$plan")
+    }
+  }
 }
