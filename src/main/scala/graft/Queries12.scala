@@ -25,10 +25,10 @@ object Queries12 {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  private val WinnowK = 4 // tokens per gram
-  private val WinnowW = 4 // winnow window, in grams
-  private val WinnowMinShared = 2
-  private val WinnowCap = 2 // maxDf for the capped variant (binds at sf0.01: df reaches 4)
+  private[graft] val WinnowK = 4 // tokens per gram
+  private[graft] val WinnowW = 4 // winnow window, in grams
+  private[graft] val WinnowMinShared = 2
+  private[graft] val WinnowCap = 2 // maxDf for the capped variant (binds at sf0.01: df reaches 4)
 
   private val MixAlpha = 0.5
   private val MixFrac = 0.25

@@ -39,6 +39,17 @@ object Queries16 {
     // pair union is batching-invariant and equals whole-corpus minhashLsh,
     // so this gate rides q_dedup_minhash's oracle verbatim (fresh index +
     // checkpoint per invocation: the stream must start empty every run)
+    // delta overlap detection against the written winnow-fingerprint
+    // index: the exact substring-level sibling of q_dedup_minhash_delta
+    // (same base/delta split; n_shared is the postings-join match count,
+    // no verification payload) — parameters match q_dedup_winnow
+    "q_dedup_winnow_delta" -> ((s, dir) =>
+      graft.dedup.WinnowIndex.deltaPairs(
+        s, SparkEntry.winnowIndexPath(s, dir),
+        t(s, dir, "documents").where(col("doc_id") % 10 === 7),
+        minShared = Queries12.WinnowMinShared)
+        .orderBy(col("id_a"), col("id_b"))),
+
     "q_stream_dedup_minhash" -> ((s, dir) => {
       val root = java.nio.file.Files.createTempDirectory("mh_stream").toFile
       root.deleteOnExit()
@@ -65,5 +76,16 @@ object Queries16 {
         CandAnchor + "\n   AND (a.doc_id % 10 = 7 OR b.doc_id % 10 = 7)")
     },
     // streaming-from-empty reproduces the whole-corpus relation exactly
-    "q_stream_dedup_minhash" -> QueriesExtra.oracleSql("q_dedup_minhash"))
+    "q_stream_dedup_minhash" -> QueriesExtra.oracleSql("q_dedup_minhash"),
+
+    "q_dedup_winnow_delta" -> {
+      val base = Queries12.oracleSql("q_dedup_winnow")
+      require(base.sliding(WinnowAnchor.length).count(_ == WinnowAnchor) == 1,
+        "q_dedup_winnow oracle join clause drifted — repin the " +
+          "q_dedup_winnow_delta derivation anchor")
+      base.replace(WinnowAnchor,
+        WinnowAnchor + "\n             AND (a.doc_id % 10 = 7 OR b.doc_id % 10 = 7)")
+    })
+
+  private val WinnowAnchor = "ON a.gh = b.gh AND a.doc_id < b.doc_id"
 }

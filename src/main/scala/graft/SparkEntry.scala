@@ -169,6 +169,20 @@ object SparkEntry {
       path
     })
 
+  /** Written winnow-fingerprint index memo — same base split and hygiene
+    * as [[minhashIndexPath]]; parameters match the q_dedup_winnow gates. */
+  private val winnowIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  private[graft] def winnowIndexPath(spark: SparkSession, dir: String): String =
+    winnowIndexCache.computeIfAbsent((spark, dir), { case (s, d) =>
+      val path = s"$ivfTmpRoot/s${System.identityHashCode(s).toHexString}/winnow_" +
+        d.replaceAll("[^A-Za-z0-9._-]", "_")
+      graft.dedup.WinnowIndex.write(
+        t(s, d, "documents").where(col("doc_id") % 10 =!= 7), path,
+        k = Queries12.WinnowK, w = Queries12.WinnowW)
+      path
+    })
+
   private[graft] def ivfIndex(spark: SparkSession, dir: String): (DataFrame, Array[Array[Float]]) =
     ivfIndexCache.computeIfAbsent((spark, dir), { case (s, d) =>
       import graft.ann.Ann

@@ -1464,7 +1464,7 @@ object Dedup {
     * document frequency (the oracle's semantics) and the collapse groups
     * on the SURVIVING set — identical capped sets imply identical capped
     * candidacy and counts. */
-  private def winnowPairsFromArr(docArr0: DataFrame, minShared: Int,
+  private[dedup] def winnowPairsFromArr(docArr0: DataFrame, minShared: Int,
       maxDf: Option[Int], precomputedHot: Option[DataFrame] = None): DataFrame = {
     val spark = docArr0.sparkSession
     import spark.implicits._

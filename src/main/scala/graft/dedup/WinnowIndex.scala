@@ -1,0 +1,126 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Written winnowing-fingerprint index + delta overlap detection — the
+  * incremental form of [[Dedup.winnowPairs]] (substring-level verbatim
+  * overlap, the Lee et al. substring-dedup / quoted-passage
+  * decontamination regime), the [[MinhashIndex]] pattern applied to the
+  * fingerprint side.
+  *
+  * The production question this answers per arriving batch: "does any new
+  * document share a verbatim run of ≥ w+k−1 tokens with anything already
+  * indexed (or with another new document)?" — without ever re-scanning
+  * the indexed corpus's text. Winnowed fingerprints are the RIGHT granule
+  * for a delta index: selection keeps ~1/w of grams (sparse, like MinHash
+  * bands — not raw shingle postings, whose delta join would inherit the
+  * uncapped n-gram join's corpus-hot blowup), and `n_shared` needs no
+  * verification payload at all — it IS the per-pair match count of the
+  * postings join, so the index stores ONE relation.
+  *
+  * Layout under `path`: `WINNOW_META` (k, w — a delta can never be
+  * fingerprinted with different parameters than the index) and
+  * `postings/` — (gh, id), one row per distinct selected fingerprint per
+  * doc.
+  *
+  * Scale shape of [[deltaPairs]] (|delta| ≪ |index|): the delta postings
+  * broadcast into one `postings/` scan; per-pair counts aggregate the
+  * (delta-bounded) match stream. The index is scanned, never shuffled —
+  * the [[MinhashIndex.deltaPairs]] contract. Under `maxDf` the cap is
+  * evaluated on the COMBINED (index + delta) document frequency, exactly
+  * the full-corpus cap semantics; the hot-key set is regime-tiny and
+  * broadcasts into both candidate paths. */
+object WinnowIndex {
+
+  final case class Meta(k: Int, w: Int)
+
+  private def metaFile(path: String) = new java.io.File(path, "WINNOW_META")
+
+  private def writeMeta(path: String, m: Meta): Unit = {
+    new java.io.File(path).mkdirs()
+    val tmp = new java.io.File(path, ".WINNOW_META.tmp")
+    java.nio.file.Files.write(tmp.toPath, s"${m.k} ${m.w}".getBytes)
+    java.nio.file.Files.move(tmp.toPath, metaFile(path).toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  def readMeta(path: String): Meta = {
+    val parts = new String(java.nio.file.Files.readAllBytes(metaFile(path).toPath))
+      .trim.split("\\s+")
+    Meta(parts(0).toInt, parts(1).toInt)
+  }
+
+  private def postingsDir(path: String) = s"$path/postings"
+
+  private def postingsOf(df: DataFrame, textCol: String, idCol: String,
+      m: Meta): DataFrame =
+    Dedup.winnowDocArr(df, textCol, idCol, m.k, m.w)
+      .select(explode(col("ghs")).as("gh"), col("id"))
+
+  /** Build the index from the (already dedup'd) base corpus. */
+  def write(df: DataFrame, path: String, textCol: String = "text",
+      idCol: String = "doc_id", k: Int = 4, w: Int = 4): Unit = {
+    require(k >= 1 && w >= 1, "k and w must be >= 1")
+    val m = Meta(k, w)
+    postingsOf(df, textCol, idCol, m).write.mode("overwrite")
+      .parquet(postingsDir(path))
+    writeMeta(path, m)
+  }
+
+  /** Fold a (checked) delta in so the next delta sees it. */
+  def append(delta: DataFrame, path: String, textCol: String = "text",
+      idCol: String = "doc_id"): Unit =
+    postingsOf(delta, textCol, idCol, readMeta(path)).write.mode("append")
+      .parquet(postingsDir(path))
+
+  /** Winnow pairs (id_a < id_b, n_shared ≥ minShared) touching the delta:
+    * old×new from the index postings join, new×new from
+    * [[Dedup.winnowPairsFromArr]] over the delta alone (duplicate-set
+    * collapse included) — never old×old. Output equals
+    * `winnowPairs(base ∪ delta)` restricted to pairs with a delta side
+    * (spec-pinned), including under `maxDf`. */
+  def deltaPairs(spark: SparkSession, path: String, delta: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      minShared: Int = 1, maxDf: Option[Int] = None): DataFrame = {
+    require(minShared >= 1, "minShared must be >= 1")
+    val m = readMeta(path)
+    val postings = spark.read.parquet(postingsDir(path))
+    val dArr = Dedup.winnowDocArr(delta, textCol, idCol, m.k, m.w).persist()
+    val dPost = dArr.select(explode(col("ghs")).as("gh"), col("id")).persist()
+    dPost.count() // fingerprint once, not per consumer
+
+    // every index posting on a delta-shared fingerprint, via ONE scan +
+    // broadcast hash join; holds the full index membership of each shared
+    // key, so combined df is computable from matched + delta rows alone
+    val matched = postings.join(broadcast(dPost.select(col("gh")).distinct()),
+      Seq("gh")).persist()
+
+    val (oldSide, dKept, hotOpt) = maxDf match {
+      case Some(cap) =>
+        val dfRel = matched.groupBy(col("gh")).agg(countDistinct(col("id")).as("__di"))
+          .join(dPost.groupBy(col("gh")).agg(count(lit(1)).as("__dd")),
+            Seq("gh"), "full_outer")
+          .select(col("gh"),
+            (coalesce(col("__di"), lit(0L)) + coalesce(col("__dd"), lit(0L))).as("__df"))
+        val hot = dfRel.where(col("__df") > cap).select(col("gh")).persist()
+        hot.count()
+        (matched.join(broadcast(hot), Seq("gh"), "left_anti"),
+          dPost.join(broadcast(hot), Seq("gh"), "left_anti"),
+          Some(hot))
+      case None => (matched, dPost, None)
+    }
+
+    val oldNew = oldSide.select(col("gh"), col("id").as("id_old"))
+      .join(broadcast(dKept.select(col("gh"), col("id").as("id_new"))), Seq("gh"))
+      .where(col("id_old") =!= col("id_new"))
+      .groupBy(least(col("id_old"), col("id_new")).as("id_a"),
+        greatest(col("id_old"), col("id_new")).as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+    val newNew = Dedup.winnowPairsFromArr(dArr, minShared, maxDf, hotOpt)
+    Dedup.finishReleasing(oldNew.unionByName(newNew),
+      Seq(dArr, dPost, matched) ++ hotOpt: _*)
+  }
+}
