@@ -34,6 +34,32 @@ object Queries16 {
         threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // incremental cluster maintenance: base-base pairs are resolved FIRST
+    // (yesterday's assignment), then only the delta-touching pairs fold in
+    // via resolveClustersIncremental (star edges + new pairs) — the
+    // union-find path-compression identity CC(star(CC(E1)) u E2) =
+    // CC(E1 u E2) makes the output the batch q_dedup_clusters relation,
+    // so this gate rides its oracle verbatim
+    "q_dedup_clusters_delta" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = graft.dedup.Dedup
+        .ngramJaccardPairs(docs, threshold = 0.5)
+        .select(col("id_a"), col("id_b")).persist()
+      pairs.count() // one ngram join feeds both splits
+      val isD = (c: org.apache.spark.sql.Column) => c % 10 === 7
+      val prev = graft.dedup.Dedup.resolveClusters(
+        pairs.where(!isD(col("id_a")) && !isD(col("id_b"))),
+        docs.where(col("doc_id") % 10 =!= 7).select(col("doc_id").as("id")))
+      val out = graft.dedup.Dedup.resolveClustersIncremental(
+        prev, pairs.where(isD(col("id_a")) || isD(col("id_b"))),
+        docs.select(col("doc_id").as("id")))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"))
+        .where(col("cluster_size") > 1)
+        .orderBy(col("cluster_id"))
+      graft.dedup.Dedup.finishReleasingPublic(out, pairs)
+    }),
+
     // streaming near-dup ingest: the corpus streams through
     // foreachBatch(deltaPairs + append) from an EMPTY index — the emitted
     // pair union is batching-invariant and equals whole-corpus minhashLsh,
@@ -77,6 +103,9 @@ object Queries16 {
     },
     // streaming-from-empty reproduces the whole-corpus relation exactly
     "q_stream_dedup_minhash" -> QueriesExtra.oracleSql("q_dedup_minhash"),
+
+    // the incremental path is output-equivalent to batch CC over all pairs
+    "q_dedup_clusters_delta" -> Queries4.oracleSql("q_dedup_clusters"),
 
     "q_dedup_winnow_delta" -> {
       val base = Queries12.oracleSql("q_dedup_winnow")

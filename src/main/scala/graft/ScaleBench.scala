@@ -51,11 +51,12 @@ object ScaleBench {
     "q_dedup_winnow", "q_mix_temperature", "q_corpus_filter", "q_vocab_top",
     "q_dedup_substring", "q_dedup_excise", "q_embedding_outliers",
     "q_split_assign", "q_token_commonness", "q_source_stats",
-    // round-11: delta dedup against the written minhash index — the
-    // incremental-ingest contrast to full-corpus q_dedup_minhash (index
-    // build is an ingest memo, the timed cell is the delta search: two
-    // index scans broadcast-joined against delta-sized relations)
-    "q_dedup_minhash_delta")
+    // round-11: delta dedup against the written minhash/winnow indexes —
+    // the incremental-ingest contrast to full-corpus q_dedup_minhash /
+    // q_dedup_winnow (index build is an ingest memo, the timed cell is the
+    // delta search: index scans broadcast-joined against delta-sized
+    // relations, never shuffled)
+    "q_dedup_minhash_delta", "q_dedup_winnow_delta")
 
   // minhash + embedding_lsh ride along in the skewed regimes too: band/
   // hyperplane buckets are exactly where shared-vocab and boilerplate skew
@@ -245,6 +246,8 @@ object ScaleBench {
           SparkEntry.postingsIndex(spark, dir) // written postings buckets
         if (queries.contains("q_dedup_minhash_delta"))
           SparkEntry.minhashIndexPath(spark, dir) // written dedup index
+        if (queries.contains("q_dedup_winnow_delta"))
+          SparkEntry.winnowIndexPath(spark, dir) // written winnow index
         ()
       } catch { case e: Throwable => System.err.println(s"[scale] memo x$f: ${e.getMessage}") }
       // Intra-query persists (shingle tables, rep groups, rare splits, …)

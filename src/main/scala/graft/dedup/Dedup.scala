@@ -234,6 +234,8 @@ object Dedup {
     r
   }
   private[graft] def shingleColPublic(textCol: Column, n: Int): Column = shingleCol(textCol, n)
+  private[graft] def finishReleasingPublic(out: DataFrame, caches: DataFrame*): DataFrame =
+    finishReleasing(out, caches: _*)
   private[graft] def verifyPairsPublic(pairs: DataFrame, arrs: DataFrame, threshold: Double): DataFrame =
     verifyPairs(pairs, arrs, threshold)
 
@@ -1255,6 +1257,29 @@ object Dedup {
     val out = labels.union(singletons)
     edges.unpersist(); base.unpersist()
     out
+  }
+
+  /** Fold freshly-discovered pairs into an existing cluster assignment
+    * WITHOUT replaying historical pair generation: the previous assignment
+    * collapses to one star edge per non-root member (id → cluster_id) and
+    * re-resolves together with the new pairs —
+    * CC(star(CC(E₁)) ∪ E₂) = CC(E₁ ∪ E₂), union-find path compression as
+    * a relation. This closes the incremental ingest loop
+    * ([[MinhashIndex.deltaPairs]] / [[WinnowIndex.deltaPairs]] →
+    * this → updated keep-set): per-batch cluster maintenance is bounded by
+    * |previous assignment| + |new pairs|, never by the historical pair
+    * stream, and new pairs may merge any number of existing clusters (the
+    * smaller min propagates through the stars). `prevAssign` is a
+    * [[resolveClusters]]-shaped (id, cluster_id) relation — singleton rows
+    * are allowed and carry no edge; `allIds` is the updated id universe
+    * (base + arrived docs) for singleton backfill. */
+  def resolveClustersIncremental(prevAssign: DataFrame, newPairs: DataFrame,
+      allIds: DataFrame, maxIterations: Int = 20,
+      driverCutoff: Long = 1000000L): DataFrame = {
+    val stars = prevAssign.where(col("id") =!= col("cluster_id"))
+      .select(col("id").as("id_a"), col("cluster_id").as("id_b"))
+    resolveClusters(stars.unionByName(newPairs.select(col("id_a"), col("id_b"))),
+      allIds, maxIterations, driverCutoff)
   }
 
   /** Driver union-find with path compression for small verified pair sets;

@@ -241,4 +241,33 @@ class Round11Spec extends SparkSpec {
       .orderBy(col("vec_id")).collect() // ceil(12/4) = 3
     assert(auto.toSeq == manual.toSeq)
   }
+
+  test("resolveClustersIncremental == batch CC for arbitrary pair splits") {
+    // adversarial component shapes: a long chain (merged only by late
+    // pairs), a star, cross-split merges of two previously-separate
+    // clusters, and singletons
+    val allPairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), // chain
+      (10L, 11L), (10L, 12L), (10L, 13L),     // star
+      (20L, 21L), (22L, 23L), (21L, 22L),     // two clusters merged by (21,22)
+      (30L, 31L))
+    val ids = (1L to 5L) ++ Seq(10L, 11L, 12L, 13L, 20L, 21L, 22L, 23L, 30L, 31L, 40L)
+    val allIds = ids.toDF("id")
+    val batch = Dedup.resolveClusters(allPairs.toDF("id_a", "id_b"), allIds)
+      .orderBy(col("id")).as[(Long, Long)].collect().toSeq
+    // every 2^10 bitmask split of the pair set must reproduce the batch
+    // assignment through the incremental path (sampled: all 16 splits of
+    // the first 4 pairs x 3 fixed masks of the rest keeps runtime sane)
+    val masks = Seq(0, 0x155, 0x3ff).flatMap(hi => (0 until 16).map(lo => (hi & ~0xf) | lo))
+    masks.distinct.foreach { m =>
+      val (e2, e1) = allPairs.zipWithIndex.partition { case (_, i) => ((m >> i) & 1) == 1 }
+      val prevIds = ids.toSet -- e2.flatMap(p => Seq(p._1._1, p._1._2))
+      val prev = Dedup.resolveClusters(e1.map(_._1).toDF("id_a", "id_b"),
+        prevIds.toSeq.toDF("id"))
+      val inc = Dedup.resolveClustersIncremental(prev,
+        e2.map(_._1).toDF("id_a", "id_b"), allIds)
+        .orderBy(col("id")).as[(Long, Long)].collect().toSeq
+      assert(inc == batch, s"split mask $m diverged")
+    }
+  }
 }
