@@ -125,23 +125,41 @@ object MinhashIndex {
   def deltaPairs(spark: SparkSession, path: String, delta: DataFrame,
       textCol: String = "text", idCol: String = "doc_id",
       threshold: Double = 0.7, maxBucket: Option[Int] = None): DataFrame = {
-    val m = readMeta(path)
-    val postings = spark.read.parquet(postingsDir(path))
-    val sketches = spark.read.parquet(sketchesDir(path))
-    val (dSketches0, dPostings0) = sketchAndBand(delta, textCol, idCol, m)
+    val (dSketches0, dPostings0) =
+      sketchAndBand(delta, textCol, idCol, readMeta(path))
     val dSketches = dSketches0.persist()
     val dPostings = dPostings0.persist()
     dPostings.count() // the sig UDF runs once, not per consumer below
+    val out = deltaPairsSketched(spark, path, dSketches, dPostings,
+      threshold, maxBucket)
+    dSketches.unpersist(blocking = false)
+    dPostings.unpersist(blocking = false)
+    out
+  }
+
+  /** [[deltaPairs]] over a pre-sketched delta — the streaming ingest loop
+    * fingerprints each batch ONCE and feeds both the pair search and the
+    * index append (the un-shared form ran the signature UDF twice per
+    * batch). Inputs must arrive persisted + materialized; the caller
+    * releases them (the returned relation is materialized before return,
+    * so release is safe immediately). */
+  private def deltaPairsSketched(spark: SparkSession, path: String,
+      dSketches: DataFrame, dPostings: DataFrame,
+      threshold: Double, maxBucket: Option[Int]): DataFrame = {
+    val postings = spark.read.parquet(postingsDir(path))
+    val sketches = spark.read.parquet(sketchesDir(path))
 
     // old×new candidates: index postings ⨝ broadcast(delta buckets).
     // The matched relation holds the ENTIRE index membership of every
     // delta-touched bucket (the join key IS the bucket), so the combined
     // bucket population for maxBucket is computable from matched + delta
-    // rows alone — no extra index pass.
-    val matched = postings.join(
+    // rows alone — no extra index pass. Persisted ONLY under maxBucket:
+    // the uncapped path consumes it exactly once, where caching an
+    // index-sized stream is pure storage overhead.
+    val matched0 = postings.join(
         broadcast(dPostings.select(col("band"), col("bucket")).distinct()),
         Seq("band", "bucket"))
-      .persist()
+    val matched = if (maxBucket.isDefined) matched0.persist() else matched0
 
     val (oldSide, dKept, hotCache) = maxBucket match {
       case Some(cap) =>
@@ -191,7 +209,8 @@ object MinhashIndex {
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
     Dedup.finishReleasing(verified,
-      Seq(dSketches, dPostings, matched, cand, rel) ++ hotCache: _*)
+      Seq(cand, rel) ++ (if (maxBucket.isDefined) Seq(matched) else Nil)
+        ++ hotCache: _*)
   }
 
   /** Streaming near-dup ingest: every micro-batch is dedup'd against the
@@ -213,11 +232,19 @@ object MinhashIndex {
       threshold: Double = 0.7, maxBucket: Option[Int] = None): Unit = {
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val b = batch.persist()
-        deltaPairs(b.sparkSession, path, b, textCol, idCol, threshold, maxBucket)
+        // fingerprint the batch ONCE: the same persisted sketch/posting
+        // relations feed the pair search AND the index append
+        val (dSk0, dPo0) = sketchAndBand(batch, textCol, idCol, readMeta(path))
+        val dSk = dSk0.persist()
+        val dPo = dPo0.persist()
+        dPo.count()
+        deltaPairsSketched(batch.sparkSession, path, dSk, dPo,
+          threshold, maxBucket)
           .write.mode("append").parquet(outDir)
-        append(b, path, textCol, idCol)
-        b.unpersist(blocking = false)
+        dSk.write.mode("append").parquet(sketchesDir(path))
+        dPo.write.mode("append").parquet(postingsDir(path))
+        dSk.unpersist(blocking = false)
+        dPo.unpersist(blocking = false)
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -93,9 +93,13 @@ object WinnowIndex {
 
     // every index posting on a delta-shared fingerprint, via ONE scan +
     // broadcast hash join; holds the full index membership of each shared
-    // key, so combined df is computable from matched + delta rows alone
-    val matched = postings.join(broadcast(dPost.select(col("gh")).distinct()),
-      Seq("gh")).persist()
+    // key, so combined df is computable from matched + delta rows alone.
+    // Persisted ONLY under maxDf — the uncapped path consumes it exactly
+    // once, where caching is pure storage overhead on an index-sized
+    // stream (measured ~15% of the ×30 delta cell).
+    val matched0 = postings.join(broadcast(dPost.select(col("gh")).distinct()),
+      Seq("gh"))
+    val matched = if (maxDf.isDefined) matched0.persist() else matched0
 
     val (oldSide, dKept, hotOpt) = maxDf match {
       case Some(cap) =>
@@ -121,6 +125,7 @@ object WinnowIndex {
       .where(col("n_shared") >= minShared)
     val newNew = Dedup.winnowPairsFromArr(dArr, minShared, maxDf, hotOpt)
     Dedup.finishReleasing(oldNew.unionByName(newNew),
-      Seq(dArr, dPost, matched) ++ hotOpt: _*)
+      Seq(dArr, dPost) ++ (if (maxDf.isDefined) Seq(matched) else Nil)
+        ++ hotOpt: _*)
   }
 }
