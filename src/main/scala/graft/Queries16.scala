@@ -34,6 +34,16 @@ object Queries16 {
         threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // semantic leg of the delta-index family: arriving vectors checked for
+    // cosine near-dups against the indexed corpus via the same seeded
+    // hyperplane buckets as q_dedup_embedding_lsh (parameters match)
+    "q_dedup_embedding_delta" -> ((s, dir) =>
+      graft.dedup.EmbeddingIndex.deltaPairs(
+        s, SparkEntry.embeddingIndexPath(s, dir),
+        t(s, dir, "embeddings").where(col("vec_id") % 10 === 7),
+        threshold = 0.45)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // incremental cluster maintenance: base-base pairs are resolved FIRST
     // (yesterday's assignment), then only the delta-touching pairs fold in
     // via resolveClustersIncremental (star edges + new pairs) — the
@@ -107,6 +117,15 @@ object Queries16 {
     // the incremental path is output-equivalent to batch CC over all pairs
     "q_dedup_clusters_delta" -> Queries4.oracleSql("q_dedup_clusters"),
 
+    "q_dedup_embedding_delta" -> {
+      val base = QueriesExtra.oracleSql("q_dedup_embedding_lsh")
+      require(base.sliding(EmbAnchor.length).count(_ == EmbAnchor) == 1,
+        "q_dedup_embedding_lsh oracle candidate clause drifted — repin the " +
+          "q_dedup_embedding_delta derivation anchor")
+      base.replace(EmbAnchor,
+        EmbAnchor + "\n   AND (a.vec_id % 10 = 7 OR b.vec_id % 10 = 7)")
+    },
+
     "q_dedup_winnow_delta" -> {
       val base = Queries12.oracleSql("q_dedup_winnow")
       require(base.sliding(WinnowAnchor.length).count(_ == WinnowAnchor) == 1,
@@ -117,4 +136,5 @@ object Queries16 {
     })
 
   private val WinnowAnchor = "ON a.gh = b.gh AND a.doc_id < b.doc_id"
+  private val EmbAnchor = "ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id"
 }

@@ -56,7 +56,7 @@ object ScaleBench {
     // q_dedup_winnow (index build is an ingest memo, the timed cell is the
     // delta search: index scans broadcast-joined against delta-sized
     // relations, never shuffled)
-    "q_dedup_minhash_delta", "q_dedup_winnow_delta")
+    "q_dedup_minhash_delta", "q_dedup_winnow_delta", "q_dedup_embedding_delta")
 
   // minhash + embedding_lsh ride along in the skewed regimes too: band/
   // hyperplane buckets are exactly where shared-vocab and boilerplate skew
@@ -248,6 +248,8 @@ object ScaleBench {
           SparkEntry.minhashIndexPath(spark, dir) // written dedup index
         if (queries.contains("q_dedup_winnow_delta"))
           SparkEntry.winnowIndexPath(spark, dir) // written winnow index
+        if (queries.contains("q_dedup_embedding_delta"))
+          SparkEntry.embeddingIndexPath(spark, dir) // written embedding index
         ()
       } catch { case e: Throwable => System.err.println(s"[scale] memo x$f: ${e.getMessage}") }
       // Intra-query persists (shingle tables, rep groups, rare splits, …)

@@ -169,6 +169,20 @@ object SparkEntry {
       path
     })
 
+  /** Written embedding near-dup index memo — base split of the embeddings
+    * corpus (vec_id % 10 ≠ 7); parameters match q_dedup_embedding_lsh. */
+  private val embeddingIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  private[graft] def embeddingIndexPath(spark: SparkSession, dir: String): String =
+    embeddingIndexCache.computeIfAbsent((spark, dir), { case (s, d) =>
+      val path = s"$ivfTmpRoot/s${System.identityHashCode(s).toHexString}/embidx_" +
+        d.replaceAll("[^A-Za-z0-9._-]", "_")
+      graft.dedup.EmbeddingIndex.write(
+        t(s, d, "embeddings").where(col("vec_id") % 10 =!= 7), path,
+        dim = 64, nbits = 4, tables = 8)
+      path
+    })
+
   /** Written winnow-fingerprint index memo — same base split and hygiene
     * as [[minhashIndexPath]]; parameters match the q_dedup_winnow gates. */
   private val winnowIndexCache =
