@@ -3,19 +3,29 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Sixteenth bank (round 11): delta dedup against the written MinHash
-  * index — the production ingest shape (dedup the arriving batch against
-  * the indexed corpus, never re-dedup the corpus; the dedup analogue of
-  * q_seismic_incremental / q_ann_ivf_incremental).
+/** Sixteenth bank (round 11): the incremental-ingest dedup family — the
+  * production shape (dedup the arriving batch against the indexed corpus,
+  * never re-dedup the corpus; the dedup analogue of q_seismic_incremental
+  * / q_ann_ivf_incremental):
+  *   - q_dedup_minhash_delta: token-level approximate near-dups vs the
+  *     written MinHash index ([[graft.dedup.MinhashIndex.deltaPairs]]);
+  *   - q_dedup_winnow_delta: substring-level verbatim overlap vs the
+  *     written winnow-fingerprint index ([[graft.dedup.WinnowIndex]]);
+  *   - q_dedup_embedding_delta: semantic cosine near-dups vs the written
+  *     hyperplane-bucket embedding index ([[graft.dedup.EmbeddingIndex]]);
+  *   - q_dedup_clusters_delta: yesterday's cluster assignment + only the
+  *     delta's pairs → today's assignment
+  *     ([[graft.dedup.Dedup.resolveClustersIncremental]], the keep-set leg);
+  *   - q_stream_dedup_minhash: the foreachBatch flush loop
+  *     ([[graft.dedup.MinhashIndex.ingestStream]]) from an empty index.
   *
-  * The oracle is DERIVED from q_dedup_minhash's SQL by one mechanical
-  * insertion (the Queries15 anti-drift protocol): the same seeded
-  * signature/band/verification pipeline over the WHOLE corpus, with the
-  * candidate join restricted to pairs touching the delta split — exactly
-  * [[graft.dedup.MinhashIndex.deltaPairs]]'s contract (old×old pairs were
-  * the base index's own dedup problem, old×new and new×new are this
-  * call's). A shape assert fails loud if the base oracle's candidate
-  * clause ever drifts. */
+  * Oracles are DERIVED, never re-written (the Queries15 anti-drift
+  * protocol): each delta gate inserts one candidate-restriction clause
+  * into its batch sibling's SQL behind a shape assert that fails loud on
+  * drift; the stream and clusters gates are batching-invariant /
+  * path-compression-invariant, so they ride their batch oracles VERBATIM
+  * (old×old pairs were the base index's own dedup problem — old×new and
+  * new×new are the delta call's contract). */
 object Queries16 {
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =

@@ -782,7 +782,7 @@ object Dedup {
   }
 
   /** All C(m,2) ordered pairs within one sorted member array. */
-  private val withinPairsUdf = udf((ms: Seq[Long]) => {
+  private[dedup] val withinPairsUdf = udf((ms: Seq[Long]) => {
     val out = Seq.newBuilder[(Long, Long)]
     var i = 0
     while (i < ms.length) {
@@ -794,7 +794,7 @@ object Dedup {
   })
 
   /** All ordered cross pairs between two (disjoint) member arrays. */
-  private val crossPairsUdf = udf((ma: Seq[Long], mb: Seq[Long]) => {
+  private[dedup] val crossPairsUdf = udf((ma: Seq[Long], mb: Seq[Long]) => {
     val out = Seq.newBuilder[(Long, Long)]
     var i = 0
     while (i < ma.length) {
