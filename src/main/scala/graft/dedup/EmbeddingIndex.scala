@@ -158,12 +158,12 @@ object EmbeddingIndex {
     val gidSet = candGid.select(col("g_a").as("gid"))
       .unionByName(candGid.select(col("g_b").as("gid")))
       .unionByName(dSk.select(col("gid"))).distinct()
+    // consumed exactly once (the groups join below) — no persist
     val oldRel = sketches
       .join(broadcast(gidSet), Seq("gid"), "left_semi")
       .groupBy(col("gid"))
       .agg(first(col("v")).as("v"),
         sort_array(flatten(collect_list(col("members")))).as("old_members"))
-      .persist()
     // per-gid (v, old members, new members) — either side may be absent
     val groups = oldRel
       .join(dSk.select(col("gid"), col("v").as("v_new"),
@@ -173,8 +173,7 @@ object EmbeddingIndex {
         coalesce(col("new_members"), array().cast("array<long>")).as("nm"))
       .withColumn("nrm", sqrt(VectorExpressions.dense_dot(col("v"), col("v"))))
       .persist()
-    groups.count()
-    oldRel.unpersist(blocking = false)
+    groups.count() // materialize before the within/cross fan-out below
 
     def cosine(va: Column, na: Column, vb: Column, nb: Column): Column =
       round(when(na === 0.0 || nb === 0.0, lit(0.0))
