@@ -44,6 +44,17 @@ object Queries16 {
         threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // the boilerplate-regime lever on the delta path: band buckets over
+    // 100 members (counted over base + delta, the whole-corpus semantics)
+    // emit no candidates — measured 273 -> 15 MB shuffle at x30
+    // boilerplate (bench/scale_r11i_boilerplate.json)
+    "q_dedup_minhash_delta_capped" -> ((s, dir) =>
+      graft.dedup.MinhashIndex.deltaPairs(
+        s, SparkEntry.minhashIndexPath(s, dir),
+        t(s, dir, "documents").where(col("doc_id") % 10 === 7),
+        threshold = 0.5, maxBucket = Some(100))
+        .orderBy(col("id_a"), col("id_b"))),
+
     // semantic leg of the delta-index family: arriving vectors checked for
     // cosine near-dups against the indexed corpus via the same seeded
     // hyperplane buckets as q_dedup_embedding_lsh (parameters match)
@@ -123,6 +134,17 @@ object Queries16 {
     },
     // streaming-from-empty reproduces the whole-corpus relation exactly
     "q_stream_dedup_minhash" -> QueriesExtra.oracleSql("q_dedup_minhash"),
+
+    // the capped oracle (Queries15's derived bucket-population filter)
+    // with the same delta restriction as the uncapped gate
+    "q_dedup_minhash_delta_capped" -> {
+      val base = Queries15.oracleSql("q_dedup_minhash_capped")
+      require(base.sliding(CandAnchor.length).count(_ == CandAnchor) == 1,
+        "q_dedup_minhash_capped oracle candidate clause drifted — repin " +
+          "the q_dedup_minhash_delta_capped derivation anchor")
+      base.replace(CandAnchor,
+        CandAnchor + "\n   AND (a.doc_id % 10 = 7 OR b.doc_id % 10 = 7)")
+    },
 
     // the incremental path is output-equivalent to batch CC over all pairs
     "q_dedup_clusters_delta" -> Queries4.oracleSql("q_dedup_clusters"),

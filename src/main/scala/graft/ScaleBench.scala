@@ -244,7 +244,7 @@ object ScaleBench {
           SparkEntry.ivfIndex(spark, dir) // ingest-time index write, once per dir
         if (queries.contains("q_sparse_batch_pruned"))
           SparkEntry.postingsIndex(spark, dir) // written postings buckets
-        if (queries.contains("q_dedup_minhash_delta"))
+        if (queries.exists(_.startsWith("q_dedup_minhash_delta")))
           SparkEntry.minhashIndexPath(spark, dir) // written dedup index
         if (queries.contains("q_dedup_winnow_delta"))
           SparkEntry.winnowIndexPath(spark, dir) // written winnow index
