@@ -42,6 +42,10 @@ object QsetBench {
     val nqs = argOf("nqs", "10,100,1000").split(",").map(_.trim.toInt).toSeq
     val passes = argOf("passes", "3").toInt
     val unionCap = argOf("unionCap", "100").toInt
+    // chunks=500,1000,2000 adds a hybrid_rel variant per chunkSize — the
+    // r11 verdict's ask: the 1000 default was asserted, not swept
+    val chunks = argOf("chunks", "").split(",")
+      .map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -107,7 +111,14 @@ object QsetBench {
           HybridPipeline.scoreBatchSparse(postings, hybridSubs(nq)), 2,
           NormalizationSpec.MinMax(), CombinationSpec.ArithmeticMean(),
           paginationDepth = Some(100), size = 10))
-    ) ++ (if (nq > unionCap) Seq.empty else Seq(
+    ) ++ chunks.map { cs =>
+      s"hybrid_rel_c$cs" -> (() =>
+        HybridPipeline.run(
+          HybridPipeline.scoreBatchSparse(postings, hybridSubs(nq),
+            chunkSize = cs), 2,
+          NormalizationSpec.MinMax(), CombinationSpec.ArithmeticMean(),
+          paginationDepth = Some(100), size = 10))
+    } ++ (if (nq > unionCap) Seq.empty else Seq(
       "hybrid_union" -> (() => {
         val subs = hybridSubs(nq)
         val scored = subs.toSeq.sortBy(_._1).map { case (qid, ss) =>

@@ -108,10 +108,9 @@ object Queries16 {
         .orderBy(col("id_a"), col("id_b"))),
 
     "q_stream_dedup_minhash" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("mh_stream").toFile
-      root.deleteOnExit()
-      val idx = s"${root.getAbsolutePath}/index"
-      val out = s"${root.getAbsolutePath}/pairs"
+      val root = SparkEntry.streamScratchDir("mh_stream")
+      val idx = s"$root/index"
+      val out = s"$root/pairs"
       val docs = t(s, dir, "documents")
       graft.dedup.MinhashIndex.write(docs.limit(0), idx)
       graft.dedup.MinhashIndex.ingestStream(

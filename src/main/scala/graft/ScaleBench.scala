@@ -26,6 +26,15 @@ import org.apache.spark.sql.functions._
   *     corpus-hot shingles feed the uncapped inverted-index join a
   *     corpus-quadratic number of FALSE candidates that the maxDf cap
   *     removes from candidate generation.
+  *   - `vecrand` (fixed-nbits embedding-LSH demo): documents replicate
+  *     disjoint-style, but replica EMBEDDINGS are fresh seeded-random unit
+  *     vectors — DISTINCT vectors, so the group-keyed duplicate collapse
+  *     cannot absorb them (every other mode replicates vectors verbatim,
+  *     which hides the regime). At fixed nbits the per-table collision
+  *     probability of unrelated vectors is constant, so bucket populations
+  *     and the delta candidate join grow linearly with the corpus; the
+  *     probe-scaled index (q_dedup_embedding_delta_scaled) and the
+  *     population cap (_capped) are the levers this mode measures.
   *
   * Usage: runMain graft.ScaleBench [factors=1,3,10] [passes=3] [mode=disjoint]
   * Writes /tmp/graftscale/scale_results_<mode>.json.
@@ -106,9 +115,24 @@ object ScaleBench {
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
     val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
     val nVecs = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
+    // vecrand: replica vectors are fresh seeded-random unit vectors —
+    // DISTINCT embeddings (every other mode replicates verbatim, which the
+    // group-keyed collapse absorbs, hiding the fixed-nbits bucket-growth
+    // regime this mode exists to measure)
+    val randVecUdf = udf((vid: Long, rep: Int, dim: Int) => {
+      val rnd = new scala.util.Random(vid * 1000003L + rep)
+      val v = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      v.map(x => if (n > 0) (x / n).toFloat else x).toSeq
+    })
+    val embCol =
+      if (mode == "vecrand")
+        when(col("rep") === 0, col("embedding"))
+          .otherwise(randVecUdf(col("vec_id"), col("rep"), size(col("embedding"))))
+      else col("embedding")
     emb.crossJoin(reps)
       .select((col("vec_id") + col("rep").cast("long") * nVecs).as("vec_id"),
-        col("embedding"), col("label"))
+        embCol.as("embedding"), col("label"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
     new java.io.File(fs, "_DONE").createNewFile()
@@ -248,8 +272,10 @@ object ScaleBench {
           SparkEntry.minhashIndexPath(spark, dir) // written dedup index
         if (queries.contains("q_dedup_winnow_delta"))
           SparkEntry.winnowIndexPath(spark, dir) // written winnow index
-        if (queries.contains("q_dedup_embedding_delta"))
+        if (queries.exists(_.startsWith("q_dedup_embedding_delta")))
           SparkEntry.embeddingIndexPath(spark, dir) // written embedding index
+        if (queries.contains("q_dedup_embedding_delta_scaled"))
+          SparkEntry.embeddingScaledIndexPath(spark, dir) // probe-scaled index
         ()
       } catch { case e: Throwable => System.err.println(s"[scale] memo x$f: ${e.getMessage}") }
       // Intra-query persists (shingle tables, rep groups, rare splits, …)

@@ -134,6 +134,34 @@ object SparkEntry {
     }))
     root
   }
+  /** Fresh scratch directory under the pid-scoped [[ivfTmpRoot]] — the
+    * streaming dedup gates need a NEW index + checkpoint per invocation
+    * (the stream must start empty every run), and parking them here puts
+    * them under the root's recursive shutdown-hook cleanup.
+    * `deleteOnExit()` on a non-empty directory never deletes it, so the
+    * old per-invocation `createTempDirectory` scratch accumulated
+    * full-corpus postings and checkpoints in /tmp across bench passes
+    * (ADVICE r11). */
+  private[graft] def streamScratchDir(prefix: String): String = {
+    val root = new java.io.File(s"$ivfTmpRoot/scratch")
+    // purge the PREVIOUS invocation's scratch for this prefix too: Bench
+    // runs each stream gate 4× per process, and four full-corpus
+    // postings+checkpoint trees are pure disk/page-cache pressure (the
+    // caller contract: a gate's returned relation is fully consumed before
+    // the gate runs again — true for Bench's noop sink and Verify's write)
+    Option(root.listFiles()).foreach(_.filter(_.getName.startsWith(prefix + "_"))
+      .foreach { f =>
+        def rm(x: java.io.File): Unit = {
+          Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
+        }
+        rm(f)
+      })
+    val d = new java.io.File(
+      s"$root/${prefix}_${java.util.UUID.randomUUID().toString.take(12)}")
+    d.mkdirs()
+    d.getAbsolutePath
+  }
+
   /** Written-postings-index memo — the PERSISTED form of the sparse batch
     * path: postings written `partitionBy(bucket)` (token-hash buckets) so
     * a query batch's token set prunes the scan to its buckets — Parquet
@@ -180,6 +208,25 @@ object SparkEntry {
       graft.dedup.EmbeddingIndex.write(
         t(s, d, "embeddings").where(col("vec_id") % 10 =!= 7), path,
         dim = 64, nbits = 4, tables = 8)
+      path
+    })
+
+  /** Probe-scaled embedding index memo ([[graft.dedup.EmbeddingIndex
+    * .writeScaled]]): one count() picks nbits so expected bucket population
+    * stays ~[[Queries17.ScaledTarget]] per table — the production
+    * configuration; the fixed-nbits memo above is kept as the deliberate
+    * contrast (the semanticDedupAuto protocol). */
+  private val embeddingScaledIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  private[graft] def embeddingScaledIndexPath(spark: SparkSession, dir: String): String =
+    embeddingScaledIndexCache.computeIfAbsent((spark, dir), { case (s, d) =>
+      val path = s"$ivfTmpRoot/s${System.identityHashCode(s).toHexString}/embsidx_" +
+        d.replaceAll("[^A-Za-z0-9._-]", "_")
+      graft.dedup.EmbeddingIndex.writeScaled(
+        t(s, d, "embeddings").where(col("vec_id") % 10 =!= 7), path,
+        dim = Queries17.ScaledDim, targetBucket = Queries17.ScaledTarget.toInt,
+        minNbits = Queries17.ScaledMinNbits, maxNbits = Queries17.ScaledMaxNbits,
+        tables = Queries17.ScaledTables, seed = Queries17.ScaledSeed)
       path
     })
 
@@ -312,7 +359,7 @@ object SparkEntry {
   // ---------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    coreQueries ++ QueriesExtra.queries ++ Queries3.queries ++ Queries4.queries ++ Queries5.queries ++ Queries6.queries ++ Queries7.queries ++ Queries8.queries ++ Queries9.queries ++ Queries10.queries ++ Queries11.queries ++ Queries12.queries ++ Queries13.queries ++ Queries14.queries ++ Queries15.queries ++ Queries16.queries
+    coreQueries ++ QueriesExtra.queries ++ Queries3.queries ++ Queries4.queries ++ Queries5.queries ++ Queries6.queries ++ Queries7.queries ++ Queries8.queries ++ Queries9.queries ++ Queries10.queries ++ Queries11.queries ++ Queries12.queries ++ Queries13.queries ++ Queries14.queries ++ Queries15.queries ++ Queries16.queries ++ Queries17.queries
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- relational skeleton (scan/filter/agg/join/window/topk) --------------
@@ -439,7 +486,7 @@ object SparkEntry {
   // ------------------------------------------------------------- oracle SQL
 
   def oracleSql: Map[String, String] =
-    coreOracleSql ++ QueriesExtra.oracleSql ++ Queries3.oracleSql ++ Queries4.oracleSql ++ Queries5.oracleSql ++ Queries6.oracleSql ++ Queries7.oracleSql ++ Queries8.oracleSql ++ Queries9.oracleSql ++ Queries10.oracleSql ++ Queries11.oracleSql ++ Queries12.oracleSql ++ Queries13.oracleSql ++ Queries14.oracleSql ++ Queries15.oracleSql ++ Queries16.oracleSql
+    coreOracleSql ++ QueriesExtra.oracleSql ++ Queries3.oracleSql ++ Queries4.oracleSql ++ Queries5.oracleSql ++ Queries6.oracleSql ++ Queries7.oracleSql ++ Queries8.oracleSql ++ Queries9.oracleSql ++ Queries10.oracleSql ++ Queries11.oracleSql ++ Queries12.oracleSql ++ Queries13.oracleSql ++ Queries14.oracleSql ++ Queries15.oracleSql ++ Queries16.oracleSql ++ Queries17.oracleSql
 
   private def coreOracleSql: Map[String, String] = Map(
     "q1_agg" ->

@@ -942,6 +942,24 @@ object Dedup {
     Array.fill(tables, nbits, dim)(rnd.nextGaussian().toFloat)
   }
 
+  /** [[lshPlanes]], PREFIX-STABLE in nbits: each table draws from its own
+    * seeded stream, so table t's first b planes are identical for every
+    * nbits ≥ b. This is what lets a resolution-scaled index
+    * ([[graft.dedup.EmbeddingIndex]] auto nbits — the semanticNlist
+    * pattern) share ONE inlined plane set with its oracle: the SQL inlines
+    * maxNbits planes per table and keeps only the probe-picked prefix of
+    * bits, exactly like the semantic gate's centroid prefix. (The default
+    * single-stream family above re-deals every table's planes whenever
+    * nbits changes, so a SQL literal set could never cover two
+    * resolutions; it stays as-is because every fixed-nbits gate's recall
+    * on the committed fixtures is tuned to it.) */
+  private[graft] def lshPlanesStable(tables: Int, nbits: Int, dim: Int,
+      seed: Long): Array[Array[Array[Float]]] =
+    Array.tabulate(tables) { t =>
+      val rnd = new scala.util.Random(seed + 0x9E3779B97F4A7C15L * (t + 1))
+      Array.fill(nbits, dim)(rnd.nextGaussian().toFloat)
+    }
+
   /** Per-table random-hyperplane signature longs for one vector (one long
     * per table; bit b = sign of v·plane(t)(b)). Shared by the dedup and
     * decontamination LSH paths so both bucket identically. */
@@ -967,10 +985,24 @@ object Dedup {
     })
   }
 
+  /** `maxBucket`: hyperplane buckets holding more than `maxBucket` DISTINCT
+    * ids (members of identical-vector groups each count — the id-level
+    * population a flat non-grouped index would see) emit NO candidate
+    * pairs. This is [[minhashLsh]]'s band-bucket cap on the embedding leg:
+    * at fixed nbits the per-table collision probability of unrelated
+    * vectors is CONSTANT in corpus size, so bucket populations — and the
+    * candidate join's output — grow linearly with the corpus; the cap
+    * bounds the blowup at the cost of recall only inside corpus-hot
+    * buckets (where the pairwise-cosine yield is lowest by construction).
+    * `stablePlanes` picks the per-table-seeded [[lshPlanesStable]] family
+    * (the resolution-scaled index's family) instead of the default. */
   def embeddingNearDupLsh(df: DataFrame, dim: Int, vecCol: String = "embedding",
       idCol: String = "vec_id", threshold: Double = 0.95,
-      nbits: Int = 8, tables: Int = 4, seed: Long = 42L): DataFrame = {
-    val planes = lshPlanes(tables, nbits, dim, seed)
+      nbits: Int = 8, tables: Int = 4, seed: Long = 42L,
+      maxBucket: Option[Int] = None, stablePlanes: Boolean = false): DataFrame = {
+    val planes =
+      if (stablePlanes) lshPlanesStable(tables, nbits, dim, seed)
+      else lshPlanes(tables, nbits, dim, seed)
     val bucketUdf = lshBucketUdf(planes)
     val keyed = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
     def cosine(va: Column, na: Column, vb: Column, nb: Column): Column =
@@ -985,12 +1017,13 @@ object Dedup {
     val nAll = keyed.agg(
       count(lit(1)).as("n"), countDistinct(xxhash64(col("v"))).as("nd")).head()
     if (nAll.getLong(1) == nAll.getLong(0)) {
-      // no duplicate vectors: bucket/verify directly over the corpus
+      // no duplicate vectors: bucket/verify directly over the corpus —
+      // bucketPairs' population check IS the id-level maxBucket semantics
       val vecs = keyed
         .withColumn("nrm", sqrt(VectorExpressions.dense_dot(col("v"), col("v"))))
       val bucketed = keyed
         .select(col("id"), posexplode(bucketUdf(col("v"))).as(Seq("table", "bucket")))
-      return bucketPairs(bucketed, Seq("table", "bucket"))
+      return bucketPairs(bucketed, Seq("table", "bucket"), maxBucket)
         .join(vecs.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a")), "id_a")
         .join(vecs.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b")), "id_b")
         .withColumn("cosine", cosine(col("v_a"), col("n_a"), col("v_b"), col("n_b")))
@@ -1014,8 +1047,29 @@ object Dedup {
       sqrt(VectorExpressions.dense_dot(col("v"), col("v"))).as("nrm"))
     // only (table, bucket, rid) flows through pair generation; vectors join
     // back after dedup (narrow shuffle — see SCALE.md)
-    val bucketed = reps
+    val bucketed0 = reps
       .select(col("rid").as("id"), posexplode(bucketUdf(col("v"))).as(Seq("table", "bucket")))
+    // maxBucket under the collapse: population must stay the ID-LEVEL
+    // distinct-member count (the oracle's semantics), so hot buckets are
+    // found by SUMMING group sizes per bucket (each rid appears once per
+    // bucket) and anti-joined out of group-pair generation; a group whose
+    // EVERY bucket is hot also loses its within-group pairs — identical
+    // vectors share all buckets, so that is exactly when the id-level form
+    // would have dropped them everywhere.
+    val (bucketed, hotCaches) = maxBucket match {
+      case Some(cap) =>
+        val hot = reps
+          .select(size(col("members")).cast("long").as("__w"),
+            posexplode(bucketUdf(col("v"))).as(Seq("table", "bucket")))
+          .groupBy(col("table"), col("bucket"))
+          .agg(sum(col("__w")).as("__pop"))
+          .where(col("__pop") > cap)
+          .select(col("table"), col("bucket")).persist()
+        hot.count()
+        (bucketed0.join(broadcast(hot), Seq("table", "bucket"), "left_anti"),
+          Seq(hot))
+      case None => (bucketed0, Seq.empty[DataFrame])
+    }
     val repPairs = bucketPairs(bucketed, Seq("table", "bucket"))
       .join(repVecs.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a")), "id_a")
       .join(repVecs.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b")), "id_b")
@@ -1025,7 +1079,13 @@ object Dedup {
     // within-group pairs: cosine computed from the SAME expression with
     // both sides the group vector (≡ what the pair path would emit —
     // round-6 float arithmetic, zero-norm groups score 0.0 and drop out)
-    val within = reps.where(size(col("members")) > 1)
+    val within0 = reps.where(size(col("members")) > 1)
+    val within1 =
+      if (maxBucket.isDefined)
+        within0.join(bucketed.select(col("id").as("rid")).distinct(),
+          Seq("rid"), "left_semi")
+      else within0
+    val within = within1
       .withColumn("nrm", sqrt(VectorExpressions.dense_dot(col("v"), col("v"))))
       .withColumn("cosine", cosine(col("v"), col("nrm"), col("v"), col("nrm")))
       .where(col("cosine") >= threshold)
@@ -1036,7 +1096,7 @@ object Dedup {
       .join(reps.select(col("rid").as("id_b"), col("members").as("__mb")), "id_b")
       .select(explode(crossPairsUdf(col("__ma"), col("__mb"))).as("p"), col("cosine"))
       .select(col("p._1").as("id_a"), col("p._2").as("id_b"), col("cosine"))
-    finishReleasing(within.unionByName(cross), reps)
+    finishReleasing(within.unionByName(cross), reps +: hotCaches: _*)
   }
 
   // -------------------------------------------------------- semantic dedup
@@ -1527,12 +1587,17 @@ object Dedup {
         val hot = precomputedHot.getOrElse(
           fp.groupBy(col("gh")).agg(count(lit(1)).as("__df"))
             .where(col("__df") > cap).select(col("gh")).persist())
-        if (hot.count() == 0) (fp, docArr, Seq(hot)) // cap excludes nothing
+        // a caller-provided hot set is NOT released here: the caller may
+        // still be broadcasting it into relations that materialize after
+        // this call returns (WinnowIndex.deltaPairs' old×new anti-joins) —
+        // releasing a cache this function did not create was ADVICE r11
+        val ownedHot = if (precomputedHot.isDefined) Nil else Seq(hot)
+        if (hot.count() == 0) (fp, docArr, ownedHot) // cap excludes nothing
         else {
           val cfp = fp.join(broadcast(hot), Seq("gh"), "left_anti").persist()
           val ca = cfp.groupBy(col("id"))
             .agg(sort_array(collect_list(col("gh"))).as("ghs")).persist()
-          (cfp, ca, Seq(hot, cfp, ca))
+          (cfp, ca, ownedHot ++ Seq(cfp, ca))
         }
       case None => (fp, docArr, Seq.empty[DataFrame])
     }
@@ -1583,11 +1648,16 @@ object Dedup {
       idCol: String = "doc_id", k: Int = 4, w: Int = 4, cap: Int = 100,
       budgetPerDoc: Long = 512L, hotShare: Double = 0.5,
       hotPostingsShare: Double = 0.2): String = {
-    val docArr = winnowDocArr(df, textCol, idCol, k, w)
-    winnowDispatch(
+    // persisted: count() and the df probe are two actions over the same
+    // relation — unpersisted, the winnow fingerprint UDF ran twice per
+    // strategy call (ADVICE r11)
+    val docArr = winnowDocArr(df, textCol, idCol, k, w).persist()
+    val out = winnowDispatch(
       ngramProbeFromSh(docArr.select(explode(col("ghs")).as("s")),
         docArr.count(), cap),
       budgetPerDoc, hotShare, hotPostingsShare)
+    docArr.unpersist(blocking = false)
+    out
   }
 
   private def winnowDispatch(p: NgramProbeStats, budgetPerDoc: Long,
@@ -1629,7 +1699,12 @@ object Dedup {
         val hot = dfRel.where(col("df") > cap).select(col("gh")).persist()
         hot.count() // materialize off the cached df relation, then drop it
         dfRel.unpersist(blocking = false)
-        ("capped", winnowPairsFromArr(docArr, minShared, Some(cap), Some(hot)))
+        val out = winnowPairsFromArr(docArr, minShared, Some(cap), Some(hot))
+        // the callee no longer releases caller-owned hot sets (ADVICE r11
+        // ownership rule); its result is materialized on return, so the
+        // broadcast hot set has no remaining consumer here
+        hot.unpersist(blocking = false)
+        ("capped", out)
       case _ =>
         dfRel.unpersist(blocking = false)
         ("uncapped", winnowPairsFromArr(docArr, minShared, None))

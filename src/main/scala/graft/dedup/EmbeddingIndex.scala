@@ -36,79 +36,101 @@ import graft.functions.VectorExpressions
   * contract, now on group-level relations. */
 object EmbeddingIndex {
 
-  final case class Meta(dim: Int, nbits: Int, tables: Int, seed: Long)
+  /** `stablePlanes`: resolution-scaled indexes ([[writeScaled]]) use the
+    * prefix-stable per-table plane family ([[Dedup.lshPlanesStable]]) so
+    * one inlined oracle plane set covers every probe-picked nbits; the
+    * flag lives in the meta because a delta sketched with the WRONG family
+    * would bucket nothing correctly. */
+  final case class Meta(dim: Int, nbits: Int, tables: Int, seed: Long,
+      stablePlanes: Boolean = false)
 
-  private def metaFile(path: String) = new java.io.File(path, "EMB_META")
-
-  private def writeMeta(path: String, m: Meta): Unit = {
-    new java.io.File(path).mkdirs()
-    val tmp = new java.io.File(path, ".EMB_META.tmp")
-    java.nio.file.Files.write(tmp.toPath,
-      s"${m.dim} ${m.nbits} ${m.tables} ${m.seed}".getBytes)
-    java.nio.file.Files.move(tmp.toPath, metaFile(path).toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-  }
+  private def writeMeta(path: String, m: Meta): Unit =
+    IndexMeta.write(path, "EMB_META",
+      Seq(m.dim, m.nbits, m.tables, m.seed, if (m.stablePlanes) 1 else 0))
 
   def readMeta(path: String): Meta = {
-    val parts = new String(java.nio.file.Files.readAllBytes(metaFile(path).toPath))
-      .trim.split("\\s+")
-    Meta(parts(0).toInt, parts(1).toInt, parts(2).toInt, parts(3).toLong)
+    val parts = IndexMeta.read(path, "EMB_META")
+    Meta(parts(0).toInt, parts(1).toInt, parts(2).toInt, parts(3).toLong,
+      parts.length > 4 && parts(4) == "1")
+  }
+
+  private def planesOf(m: Meta): Array[Array[Array[Float]]] =
+    if (m.stablePlanes) Dedup.lshPlanesStable(m.tables, m.nbits, m.dim, m.seed)
+    else Dedup.lshPlanes(m.tables, m.nbits, m.dim, m.seed)
+
+  /** Probe-scaled signature resolution (the semanticNlist pattern): the
+    * smallest nbits ≥ minNbits with n ≤ targetBucket · 2^nbits, clamped at
+    * maxNbits — expected bucket population stays ≤ targetBucket per table
+    * at any corpus size, so the candidate join's output stays bounded
+    * where a fixed nbits lets it grow linearly with the corpus (constant
+    * collision probability × growing population). Integer-exact, so the
+    * SQL oracle's CASE chain over the same thresholds can never disagree
+    * on a boundary the way float log2 could. */
+  def scaledNbits(n: Long, targetBucket: Int = 16, minNbits: Int = 4,
+      maxNbits: Int = 12): Int = {
+    require(targetBucket >= 1 && minNbits >= 1 && maxNbits >= minNbits &&
+      maxNbits <= 62, "bad scaledNbits bounds")
+    var b = minNbits
+    while (b < maxNbits && n > targetBucket.toLong * (1L << b)) b += 1
+    b
   }
 
   private def postingsDir(path: String) = s"$path/postings"
   private def sketchesDir(path: String) = s"$path/sketches"
 
-  /** Group-keyed (sketches, postings) of one corpus — the batch collapse
-    * applied at index time. One groupBy shuffle (ingest cost, paid once);
-    * the bucket UDF runs once per DISTINCT vector. */
-  private def sketchAndBucket(df: DataFrame, vecCol: String, idCol: String,
-      m: Meta): (DataFrame, DataFrame) = {
-    val planes = Dedup.lshPlanes(m.tables, m.nbits, m.dim, m.seed)
-    val sketches = df
-      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+  /** Group-keyed sketches of one corpus — the batch collapse applied at
+    * index time. One groupBy shuffle (ingest cost, paid once). */
+  private def sketchesOf(df: DataFrame, vecCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .withColumn("gid", xxhash64(col("v")))
       .groupBy(col("gid"))
       .agg(first(col("v")).as("v"), sort_array(collect_list(col("id"))).as("members"))
-    val postings = sketches
-      .select(col("gid"),
-        posexplode(Dedup.lshBucketCol(col("v"), planes)).as(Seq("table", "bucket")))
-      .select(col("table"), col("bucket"), col("gid"))
-    (sketches, postings)
-  }
+
+  /** (table, bucket, gid, nm): the bucket UDF runs once per DISTINCT
+    * vector; nm carries the group's member count so maxBucket's ID-LEVEL
+    * bucket population (Σ nm) is computable from postings alone — no
+    * sketches join at cap time. */
+  private def postingsOf(sketches: DataFrame, m: Meta): DataFrame =
+    sketches
+      .select(col("gid"), size(col("members")).cast("long").as("nm"),
+        posexplode(Dedup.lshBucketCol(col("v"), planesOf(m))).as(Seq("table", "bucket")))
+      .select(col("table"), col("bucket"), col("gid"), col("nm"))
 
   def write(df: DataFrame, path: String, vecCol: String = "embedding",
       idCol: String = "vec_id", dim: Int = 64, nbits: Int = 8,
-      tables: Int = 4, seed: Long = 42L): Unit = {
-    val m = Meta(dim, nbits, tables, seed)
-    val (sketches0, _) = sketchAndBucket(df, vecCol, idCol, m)
-    val sketches = sketches0.persist()
+      tables: Int = 4, seed: Long = 42L, stablePlanes: Boolean = false): Unit = {
+    val m = Meta(dim, nbits, tables, seed, stablePlanes)
+    val sketches = sketchesOf(df, vecCol, idCol).persist()
     sketches.write.mode("overwrite").parquet(sketchesDir(path))
-    val planes = Dedup.lshPlanes(m.tables, m.nbits, m.dim, m.seed)
-    sketches
-      .select(col("gid"),
-        posexplode(Dedup.lshBucketCol(col("v"), planes)).as(Seq("table", "bucket")))
-      .select(col("table"), col("bucket"), col("gid"))
-      .write.mode("overwrite").parquet(postingsDir(path))
+    postingsOf(sketches, m).write.mode("overwrite").parquet(postingsDir(path))
     sketches.unpersist(blocking = false)
     writeMeta(path, m)
   }
 
+  /** [[write]] with probe-scaled resolution: ONE count() picks
+    * nbits = [[scaledNbits]](n) and the prefix-stable plane family is
+    * locked into the meta — the fixed-nbits write lets bucket populations
+    * (and the delta candidate join) grow linearly with the corpus, this
+    * keeps expected population ≤ targetBucket per table at any size (the
+    * semanticDedupAuto protocol applied to the written index). */
+  def writeScaled(df: DataFrame, path: String, vecCol: String = "embedding",
+      idCol: String = "vec_id", dim: Int = 64, targetBucket: Int = 16,
+      minNbits: Int = 4, maxNbits: Int = 12, tables: Int = 4,
+      seed: Long = 42L): Unit = {
+    val nbits = scaledNbits(df.count(), targetBucket, minNbits, maxNbits)
+    write(df, path, vecCol, idCol, dim, nbits, tables, seed, stablePlanes = true)
+  }
+
   /** Fold a (checked) batch in. A gid already present gains a SECOND
-    * sketches row (member lists merge at read for candidate gids) and
-    * duplicate postings rows (candidate dedup absorbs them). */
+    * sketches row (member lists merge — distinct — at read for candidate
+    * gids) and duplicate postings rows (candidate dedup absorbs them;
+    * population sums see each (gid, nm) row once). */
   def append(delta: DataFrame, path: String, vecCol: String = "embedding",
       idCol: String = "vec_id"): Unit = {
-    val (sketches0, _) = sketchAndBucket(delta, vecCol, idCol, readMeta(path))
-    val m = readMeta(path)
-    val sketches = sketches0.persist()
+    val m = readMeta(path) // read ONCE — both uses below share it (ADVICE r11)
+    val sketches = sketchesOf(delta, vecCol, idCol).persist()
     sketches.write.mode("append").parquet(sketchesDir(path))
-    val planes = Dedup.lshPlanes(m.tables, m.nbits, m.dim, m.seed)
-    sketches
-      .select(col("gid"),
-        posexplode(Dedup.lshBucketCol(col("v"), planes)).as(Seq("table", "bucket")))
-      .select(col("table"), col("bucket"), col("gid"))
-      .write.mode("append").parquet(postingsDir(path))
+    postingsOf(sketches, m).write.mode("append").parquet(postingsDir(path))
     sketches.unpersist(blocking = false)
   }
 
@@ -121,40 +143,91 @@ object EmbeddingIndex {
     * rounded value). */
   def deltaPairs(spark: SparkSession, path: String, delta: DataFrame,
       vecCol: String = "embedding", idCol: String = "vec_id",
-      threshold: Double = 0.95): DataFrame = {
+      threshold: Double = 0.95, maxBucket: Option[Int] = None): DataFrame = {
     val m = readMeta(path)
+    val dSk = sketchesOf(delta, vecCol, idCol).persist()
+    // persisted: three parallel broadcast builds consume dPost (the bucket
+    // UDF would race-recompute); ONE count fills dSk and dPost together —
+    // the delta groupBy and the bucket UDF each run exactly once
+    val dPost = postingsOf(dSk, m).persist()
+    dPost.count()
+    val out = deltaPairsSketched(spark, path, dSk, dPost, threshold, maxBucket)
+    dSk.unpersist(blocking = false)
+    dPost.unpersist(blocking = false)
+    out
+  }
+
+  /** [[deltaPairs]] over a pre-sketched delta — the streaming ingest loop
+    * sketches each batch ONCE and feeds both the pair search and the index
+    * append. Inputs arrive persisted + materialized; the caller releases
+    * them (the returned relation is materialized before return). */
+  private def deltaPairsSketched(spark: SparkSession, path: String,
+      dSk: DataFrame, dPost: DataFrame,
+      threshold: Double, maxBucket: Option[Int]): DataFrame = {
     val postings = spark.read.parquet(postingsDir(path))
     val sketches = spark.read.parquet(sketchesDir(path))
-    val (dSk0, _) = sketchAndBucket(delta, vecCol, idCol, m)
-    val dSk = dSk0.persist()
-    dSk.count() // one delta groupBy feeds buckets, vectors, and members
-    val planes = Dedup.lshPlanes(m.tables, m.nbits, m.dim, m.seed)
-    val dPost = dSk.select(col("gid"),
-      posexplode(Dedup.lshBucketCol(col("v"), planes)).as(Seq("table", "bucket")))
 
-    // candidate GROUP pairs: ≥1 shared bucket, ≥1 delta side — group-level
-    // volume, immune to the duplication factor
-    val crossGid = postings
-      .join(broadcast(dPost.select(col("table"), col("bucket")).distinct()),
-        Seq("table", "bucket"))
+    // every index posting in a delta-touched bucket, via ONE scan +
+    // broadcast hash join; under maxBucket it holds the full index
+    // membership of each such bucket, so the combined ID-LEVEL population
+    // (Σ group member counts over base + delta — the whole-corpus cap
+    // semantics) is computable from matched + delta rows alone. Persisted
+    // ONLY under maxBucket — the uncapped path consumes it exactly once.
+    val matched0 = postings.join(
+      broadcast(dPost.select(col("table"), col("bucket")).distinct()),
+      Seq("table", "bucket"))
+    val matched = if (maxBucket.isDefined) matched0.persist() else matched0
+
+    val (oldSide, dKept, hotCache) = maxBucket match {
+      case Some(cap) =>
+        // dropDuplicates before the sum: replayed appends re-emit a gid's
+        // (nm) row — identical rows collapse, while a gid legitimately
+        // appended twice (disjoint member batches, distinct nm rows) sums
+        // to its true merged member count
+        val pop = matched
+          .dropDuplicates("table", "bucket", "gid", "nm")
+          .select(col("table"), col("bucket"), col("nm"))
+          .unionByName(dPost.select(col("table"), col("bucket"), col("nm")))
+          .groupBy(col("table"), col("bucket"))
+          .agg(sum(col("nm")).as("__pop"))
+        val hot = pop.where(col("__pop") > cap)
+          .select(col("table"), col("bucket")).persist()
+        hot.count()
+        (matched.join(broadcast(hot), Seq("table", "bucket"), "left_anti"),
+          dPost.join(broadcast(hot), Seq("table", "bucket"), "left_anti"),
+          Seq(hot))
+      case None => (matched, dPost, Seq.empty[DataFrame])
+    }
+
+    // candidate GROUP pairs: ≥1 shared (surviving) bucket, ≥1 delta side —
+    // group-level volume, immune to the duplication factor
+    val crossGid = oldSide
       .select(col("table"), col("bucket"), col("gid").as("g_old"))
-      .join(broadcast(dPost.select(col("table"), col("bucket"), col("gid").as("g_new"))),
+      .join(broadcast(dKept.select(col("table"), col("bucket"), col("gid").as("g_new"))),
         Seq("table", "bucket"))
       .where(col("g_old") =!= col("g_new"))
       .select(least(col("g_old"), col("g_new")).as("g_a"),
         greatest(col("g_old"), col("g_new")).as("g_b"))
       .dropDuplicates("g_a", "g_b")
     val newNewGid = Dedup.bucketPairsPublic(
-      dPost.select(col("table"), col("bucket"), col("gid").as("id")),
+      dKept.select(col("table"), col("bucket"), col("gid").as("id")),
       Seq("table", "bucket"))
       .select(col("id_a").as("g_a"), col("id_b").as("g_b"))
+    // persisted but NOT separately counted: the broadcast build of gidSet
+    // inside groups.count() below is the first consumer and materializes
+    // the cache before the cross join reads it again — folding what was a
+    // separate candGid.count() action into the group materialization
+    // (the delta path's fixed-action floor, VERDICT r11 #4)
     val candGid = crossGid.unionByName(newNewGid)
       .dropDuplicates("g_a", "g_b").persist()
-    candGid.count()
 
     // ONE sketches scan, semi-reduced to the gids that matter (candidates
     // + every delta gid, whose index members feed within-group pairs);
-    // member lists merge across append batches here, for this slice only
+    // member lists merge across append batches here, for this slice only.
+    // array_distinct: a replayed append (crash-rerun; any at-least-once
+    // writer) leaves duplicate member ids across sketch rows of one gid,
+    // which would otherwise duplicate every pair emission for that group —
+    // replayed-append ≡ once-appended, spec-pinned.
     val gidSet = candGid.select(col("g_a").as("gid"))
       .unionByName(candGid.select(col("g_b").as("gid")))
       .unionByName(dSk.select(col("gid"))).distinct()
@@ -163,7 +236,8 @@ object EmbeddingIndex {
       .join(broadcast(gidSet), Seq("gid"), "left_semi")
       .groupBy(col("gid"))
       .agg(first(col("v")).as("v"),
-        sort_array(flatten(collect_list(col("members")))).as("old_members"))
+        sort_array(array_distinct(flatten(collect_list(col("members")))))
+          .as("old_members"))
     // per-gid (v, old members, new members) — either side may be absent
     val groups = oldRel
       .join(dSk.select(col("gid"), col("v").as("v_new"),
@@ -180,8 +254,17 @@ object EmbeddingIndex {
         .otherwise(VectorExpressions.dense_dot(va, vb) / (na * nb)), 6)
 
     // within-group: self-cosine gates (zero-norm groups drop, matching the
-    // batch form); old×old member pairs are NEVER emitted
-    val within = groups
+    // batch form); old×old member pairs are NEVER emitted. Under maxBucket
+    // a group whose EVERY bucket is hot loses its within pairs too —
+    // identical vectors share all buckets, so that is exactly when the
+    // id-level capped form drops them everywhere (delta gids all appear in
+    // dPost, so dKept's gid set IS the survivors).
+    val groupsForWithin =
+      if (maxBucket.isDefined)
+        groups.join(broadcast(dKept.select(col("gid")).distinct()),
+          Seq("gid"), "left_semi")
+      else groups
+    val within = groupsForWithin
       .where(size(col("nm")) > 0 &&
         (size(col("om")) > 0 || size(col("nm")) > 1))
       .withColumn("cosine", cosine(col("v"), col("nrm"), col("v"), col("nrm")))
@@ -205,8 +288,51 @@ object EmbeddingIndex {
           Dedup.crossPairsUdf(col("om_a"), col("nm_b")))).as("p"),
         col("cosine"))
       .select(col("p._1").as("id_a"), col("p._2").as("id_b"), col("cosine"))
-    val out = Dedup.finishReleasing(within.unionByName(cross), candGid, groups)
-    dSk.unpersist(blocking = false)
-    out
+    // dSk/dPost are caller-owned and released by the wrapper/stream loop
+    Dedup.finishReleasing(within.unionByName(cross),
+      Seq(candGid, groups)
+        ++ (if (maxBucket.isDefined) Seq(matched) else Nil)
+        ++ hotCache: _*)
+  }
+
+  /** Streaming semantic-dedup ingest: every micro-batch is checked against
+    * the index ([[deltaPairs]]), its pairs appended under `outDir`, and the
+    * batch folded in — [[MinhashIndex.ingestStream]] on the embedding leg.
+    * BATCHING-INVARIANT: a pair surfaces exactly when its later side
+    * arrives (cross-batch members merge through the group-keyed sketches),
+    * and cosine is deterministic, so streaming a corpus from an empty
+    * index reproduces `embeddingNearDupLsh(corpus)` however the stream is
+    * chopped (spec-pinned; the q_stream_dedup_embedding gate rides
+    * q_dedup_embedding_lsh's oracle verbatim on this property). A
+    * maxBucket cap would not be batching-invariant (populations evolve),
+    * so it is intentionally not exposed here. foreachBatch is
+    * at-least-once: replayed sketches/postings are absorbed by the
+    * read-side member dedup and candidate dedup, and replayed pair rows
+    * agree — read `outDir` with dropDuplicates(id_a, id_b). */
+  def ingestStream(stream: DataFrame, path: String, outDir: String,
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      threshold: Double = 0.95): Unit = {
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // sketch the batch ONCE: the cached group relation feeds the pair
+        // search AND both index appends
+        val m = readMeta(path)
+        val dSk = sketchesOf(batch, vecCol, idCol).persist()
+        val dPost = postingsOf(dSk, m).persist()
+        dPost.count()
+        deltaPairsSketched(batch.sparkSession, path, dSk, dPost,
+          threshold, None)
+          .write.mode("append").parquet(outDir)
+        dSk.write.mode("append").parquet(sketchesDir(path))
+        dPost.select(col("table"), col("bucket"), col("gid"), col("nm"))
+          .write.mode("append").parquet(postingsDir(path))
+        dSk.unpersist(blocking = false)
+        dPost.unpersist(blocking = false)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$path/_checkpoint")
+      .start()
+    q.awaitTermination()
   }
 }

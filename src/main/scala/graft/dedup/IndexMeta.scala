@@ -1,0 +1,49 @@
+package graft.dedup
+
+/** Shared metadata plumbing for the written dedup indexes
+  * ([[MinhashIndex]] / [[WinnowIndex]] / [[EmbeddingIndex]]): one tiny
+  * whitespace-separated parameter file per index directory, written
+  * atomically so a reader can never observe a half-written file.
+  *
+  * Implemented on the Hadoop FileSystem API — the path's scheme picks the
+  * filesystem (`/tmp/...` → local, `hdfs://...`/`s3a://...` → cluster
+  * stores), so the cluster deployment needs no swap at all. The atomic
+  * publish is write-to-dot-tmp + `FileContext.rename(OVERWRITE)`, which is
+  * atomic on both the local FS and HDFS (object stores without atomic
+  * rename degrade to last-writer-wins on a tiny immutable file — the same
+  * contract Spark's own `_SUCCESS` markers accept). */
+private[dedup] object IndexMeta {
+  import org.apache.hadoop.conf.Configuration
+  import org.apache.hadoop.fs.{FileContext, Options, Path}
+
+  private def conf = new Configuration()
+
+  /** Publish `fields` (space-joined) as `<dir>/<name>`, atomically. */
+  def write(dir: String, name: String, fields: Seq[Any]): Unit = {
+    val d = new Path(dir)
+    val fc = FileContext.getFileContext(d.toUri, conf)
+    fc.mkdir(d, null, true)
+    val tmp = new Path(d, s".$name.tmp")
+    val out = fc.create(tmp,
+      java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+        org.apache.hadoop.fs.CreateFlag.OVERWRITE))
+    try out.write(fields.mkString(" ").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fc.rename(tmp, new Path(d, name), Options.Rename.OVERWRITE)
+  }
+
+  /** Read `<dir>/<name>` back as its whitespace-separated fields. */
+  def read(dir: String, name: String): Array[String] = {
+    val p = new Path(new Path(dir), name)
+    val fc = FileContext.getFileContext(p.toUri, conf)
+    val in = fc.open(p)
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+        .trim.split("\\s+")
+    } finally in.close()
+  }
+}

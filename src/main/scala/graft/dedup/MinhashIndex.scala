@@ -47,40 +47,41 @@ object MinhashIndex {
     def rows: Int = numHashes / bands
   }
 
-  private def metaFile(path: String) = new java.io.File(path, "MINHASH_META")
-
-  private def writeMeta(path: String, m: Meta): Unit = {
-    new java.io.File(path).mkdirs()
-    val tmp = new java.io.File(path, ".MINHASH_META.tmp")
-    java.nio.file.Files.write(tmp.toPath,
-      s"${m.shingleSize} ${m.numHashes} ${m.bands} ${m.seed}".getBytes)
-    java.nio.file.Files.move(tmp.toPath, metaFile(path).toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-  }
+  private def writeMeta(path: String, m: Meta): Unit =
+    IndexMeta.write(path, "MINHASH_META",
+      Seq(m.shingleSize, m.numHashes, m.bands, m.seed))
 
   def readMeta(path: String): Meta = {
-    val parts = new String(java.nio.file.Files.readAllBytes(metaFile(path).toPath))
-      .trim.split("\\s+")
+    val parts = IndexMeta.read(path, "MINHASH_META")
     Meta(parts(0).toInt, parts(1).toInt, parts(2).toInt, parts(3).toLong)
   }
 
   private def postingsDir(path: String) = s"$path/postings"
   private def sketchesDir(path: String) = s"$path/sketches"
 
-  /** (sketches, postings) of one corpus under `m` — the SAME signature and
-    * band-bucket expressions as [[Dedup.minhashLsh]], so index and ad-hoc
-    * buckets are interchangeable. One row-local pass: no shuffle. */
-  private def sketchAndBand(df: DataFrame, textCol: String, idCol: String,
-      m: Meta): (DataFrame, DataFrame) = {
+  /** Per-doc shingle arrays — the ONE expensive row-local pass every
+    * derived relation ([[sketchesOf]], [[postingsOf]]) reads. Callers
+    * persist this when they consume more than one derivation, so the
+    * corpus is shingled exactly once per write/append/delta call. */
+  private def shingled(df: DataFrame, textCol: String, idCol: String,
+      m: Meta): DataFrame =
+    df.select(col(idCol).cast("long").as("id"),
+      Dedup.shingleColPublic(col(textCol), m.shingleSize).as("shArr"))
+
+  /** (id, sh): sorted distinct 64-bit shingle hashes per doc — the exact
+    * Jaccard verification payload. */
+  private def sketchesOf(withSh: DataFrame): DataFrame =
+    withSh.select(col("id"),
+      sort_array(array_distinct(transform(col("shArr"), s => xxhash64(s)))).as("sh"))
+
+  /** (band, bucket, id): the SAME signature and band-bucket expressions as
+    * [[Dedup.minhashLsh]], so index and ad-hoc buckets are
+    * interchangeable. */
+  private def postingsOf(withSh: DataFrame, m: Meta): DataFrame = {
     val params = Dedup.hashParams(m.numHashes, m.seed)
     val sigUdf = udf((sh: Seq[String]) => Dedup.minhashSignature(sh.toSet, params))
-    val withSh = df.select(col(idCol).cast("long").as("id"),
-      Dedup.shingleColPublic(col(textCol), m.shingleSize).as("shArr"))
-    val sketches = withSh.select(col("id"),
-      sort_array(array_distinct(transform(col("shArr"), s => xxhash64(s)))).as("sh"))
     val rows = m.rows
-    val postings = withSh
+    withSh
       .select(col("id"), sigUdf(col("shArr")).as("sig"))
       .select(
         col("id"),
@@ -88,31 +89,37 @@ object MinhashIndex {
           xxhash64(lit("band"), b, slice(col("sig"), b * lit(rows) + 1, lit(rows)))))
           .as(Seq("band", "bucket")))
       .select(col("band"), col("bucket"), col("id"))
-    (sketches, postings)
   }
 
-  /** Build the index from the (already dedup'd) base corpus. */
+  /** Build the index from the (already dedup'd) base corpus. The shingle
+    * relation is persisted across the two writes — without it the corpus
+    * is re-shingled for the postings output (ADVICE round 11). */
   def write(df: DataFrame, path: String, textCol: String = "text",
       idCol: String = "doc_id", shingleSize: Int = 3, numHashes: Int = 32,
       bands: Int = 8, seed: Long = 42L): Unit = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val m = Meta(shingleSize, numHashes, bands, seed)
-    val (sketches, postings) = sketchAndBand(df, textCol, idCol, m)
-    sketches.write.mode("overwrite").parquet(sketchesDir(path))
-    postings.write.mode("overwrite").parquet(postingsDir(path))
+    val withSh = shingled(df, textCol, idCol, m).persist()
+    sketchesOf(withSh).write.mode("overwrite").parquet(sketchesDir(path))
+    postingsOf(withSh, m).write.mode("overwrite").parquet(postingsDir(path))
+    withSh.unpersist(blocking = false)
     writeMeta(path, m)
   }
 
   /** Fold a (dedup'd) delta into the index so the NEXT delta is checked
     * against it — the incremental-maintenance leg. Plain parquet appends;
     * a crash between the two writes leaves the sketch/posting dirs
-    * momentarily inconsistent (re-run the append — duplicate postings only
-    * add candidate rows, which verification dedups/filters). */
+    * momentarily inconsistent — re-run the append: replayed sketch rows
+    * collapse in [[deltaPairs]]'s read-side id-dedup and replayed postings
+    * only add candidate rows, which candidate dedup absorbs (spec-pinned:
+    * replayed-append ≡ once-appended). */
   def append(delta: DataFrame, path: String, textCol: String = "text",
       idCol: String = "doc_id"): Unit = {
-    val (sketches, postings) = sketchAndBand(delta, textCol, idCol, readMeta(path))
-    sketches.write.mode("append").parquet(sketchesDir(path))
-    postings.write.mode("append").parquet(postingsDir(path))
+    val m = readMeta(path)
+    val withSh = shingled(delta, textCol, idCol, m).persist()
+    sketchesOf(withSh).write.mode("append").parquet(sketchesDir(path))
+    postingsOf(withSh, m).write.mode("append").parquet(postingsDir(path))
+    withSh.unpersist(blocking = false)
   }
 
   /** Near-duplicate pairs (id_a < id_b, jaccard) touching the delta:
@@ -125,14 +132,17 @@ object MinhashIndex {
   def deltaPairs(spark: SparkSession, path: String, delta: DataFrame,
       textCol: String = "text", idCol: String = "doc_id",
       threshold: Double = 0.7, maxBucket: Option[Int] = None): DataFrame = {
-    val (dSketches0, dPostings0) =
-      sketchAndBand(delta, textCol, idCol, readMeta(path))
-    val dSketches = dSketches0.persist()
-    val dPostings = dPostings0.persist()
-    dPostings.count() // the sig UDF runs once, not per consumer below
-    val out = deltaPairsSketched(spark, path, dSketches, dPostings,
+    val m = readMeta(path)
+    // shingle the delta ONCE; postings are additionally persisted because
+    // several parallel broadcast builds consume them (the sig UDF would
+    // race-recompute), while the sketch derivation off the cached shingles
+    // is a cheap transform its single consumer can re-derive
+    val withSh = shingled(delta, textCol, idCol, m).persist()
+    val dPostings = postingsOf(withSh, m).persist()
+    dPostings.count() // one job fills both caches; the sig UDF runs once
+    val out = deltaPairsSketched(spark, path, sketchesOf(withSh), dPostings,
       threshold, maxBucket)
-    dSketches.unpersist(blocking = false)
+    withSh.unpersist(blocking = false)
     dPostings.unpersist(blocking = false)
     out
   }
@@ -140,9 +150,10 @@ object MinhashIndex {
   /** [[deltaPairs]] over a pre-sketched delta — the streaming ingest loop
     * fingerprints each batch ONCE and feeds both the pair search and the
     * index append (the un-shared form ran the signature UDF twice per
-    * batch). Inputs must arrive persisted + materialized; the caller
-    * releases them (the returned relation is materialized before return,
-    * so release is safe immediately). */
+    * batch). `dPostings` must arrive persisted + materialized (several
+    * broadcast builds consume it); `dSketches` may be a cheap derivation
+    * off a cached parent. The caller releases both (the returned relation
+    * is materialized before return, so release is safe immediately). */
   private def deltaPairsSketched(spark: SparkSession, path: String,
       dSketches: DataFrame, dPostings: DataFrame,
       threshold: Double, maxBucket: Option[Int]): DataFrame = {
@@ -186,16 +197,25 @@ object MinhashIndex {
         greatest(col("id_old"), col("id_new")).as("id_b"))
       .dropDuplicates("id_a", "id_b")
     val newNew = Dedup.bucketPairsPublic(dKept, Seq("band", "bucket"))
+    // persisted but NOT separately counted: the broadcast build of candIds
+    // below is the first (and only) pre-verification consumer, and it must
+    // complete before the verification stage reads cand again — so the one
+    // final action materializes everything (was a separate cand.count()
+    // per call; the delta path's fixed-action floor, VERDICT r11 #4)
     val cand = oldNew.unionByName(newNew).dropDuplicates("id_a", "id_b").persist()
-    cand.count() // bound before the sketch scan fans out below
 
     // ONE sketches scan: broadcast-semi-reduce to candidate ids (LSH keeps
     // the candidate set small by construction), then verify against the
     // small persisted slice — the index side is scanned, never shuffled.
+    // dropDuplicates(id): a replayed append leaves N identical sketch rows
+    // per replayed doc, which would otherwise fan the verification join out
+    // N× (sketch rows are deterministic per id, so any survivor is THE
+    // sketch) — replayed-append ≡ once-appended, spec-pinned.
     val candIds = cand.select(col("id_a").as("id"))
       .unionByName(cand.select(col("id_b").as("id"))).distinct()
     val rel = sketches.unionByName(dSketches)
       .join(broadcast(candIds), Seq("id"), "left_semi")
+      .dropDuplicates("id")
       .persist()
     val verified = cand
       .join(rel.select(col("id").as("id_a"), col("sh").as("ha")), "id_a")
@@ -232,18 +252,18 @@ object MinhashIndex {
       threshold: Double = 0.7, maxBucket: Option[Int] = None): Unit = {
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // fingerprint the batch ONCE: the same persisted sketch/posting
-        // relations feed the pair search AND the index append
-        val (dSk0, dPo0) = sketchAndBand(batch, textCol, idCol, readMeta(path))
-        val dSk = dSk0.persist()
-        val dPo = dPo0.persist()
+        // shingle the batch ONCE: the same cached shingle/posting relations
+        // feed the pair search AND the index append
+        val m = readMeta(path)
+        val withSh = shingled(batch, textCol, idCol, m).persist()
+        val dPo = postingsOf(withSh, m).persist()
         dPo.count()
-        deltaPairsSketched(batch.sparkSession, path, dSk, dPo,
+        deltaPairsSketched(batch.sparkSession, path, sketchesOf(withSh), dPo,
           threshold, maxBucket)
           .write.mode("append").parquet(outDir)
-        dSk.write.mode("append").parquet(sketchesDir(path))
+        sketchesOf(withSh).write.mode("append").parquet(sketchesDir(path))
         dPo.write.mode("append").parquet(postingsDir(path))
-        dSk.unpersist(blocking = false)
+        withSh.unpersist(blocking = false)
         dPo.unpersist(blocking = false)
         ()
       }

@@ -35,20 +35,11 @@ object WinnowIndex {
 
   final case class Meta(k: Int, w: Int)
 
-  private def metaFile(path: String) = new java.io.File(path, "WINNOW_META")
-
-  private def writeMeta(path: String, m: Meta): Unit = {
-    new java.io.File(path).mkdirs()
-    val tmp = new java.io.File(path, ".WINNOW_META.tmp")
-    java.nio.file.Files.write(tmp.toPath, s"${m.k} ${m.w}".getBytes)
-    java.nio.file.Files.move(tmp.toPath, metaFile(path).toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-  }
+  private def writeMeta(path: String, m: Meta): Unit =
+    IndexMeta.write(path, "WINNOW_META", Seq(m.k, m.w))
 
   def readMeta(path: String): Meta = {
-    val parts = new String(java.nio.file.Files.readAllBytes(metaFile(path).toPath))
-      .trim.split("\\s+")
+    val parts = IndexMeta.read(path, "WINNOW_META")
     Meta(parts(0).toInt, parts(1).toInt)
   }
 
@@ -84,21 +75,39 @@ object WinnowIndex {
   def deltaPairs(spark: SparkSession, path: String, delta: DataFrame,
       textCol: String = "text", idCol: String = "doc_id",
       minShared: Int = 1, maxDf: Option[Int] = None): DataFrame = {
-    require(minShared >= 1, "minShared must be >= 1")
     val m = readMeta(path)
-    val postings = spark.read.parquet(postingsDir(path))
     val dArr = Dedup.winnowDocArr(delta, textCol, idCol, m.k, m.w).persist()
     val dPost = dArr.select(explode(col("ghs")).as("gh"), col("id")).persist()
     dPost.count() // fingerprint once, not per consumer
+    val out = deltaPairsPrepared(spark, path, dArr, dPost, minShared, maxDf)
+    dArr.unpersist(blocking = false)
+    dPost.unpersist(blocking = false)
+    out
+  }
+
+  /** [[deltaPairs]] over a pre-fingerprinted delta — the streaming ingest
+    * loop fingerprints each batch ONCE and feeds both the pair search and
+    * the index append. Inputs arrive persisted + materialized; the caller
+    * releases them (the returned relation is materialized before return). */
+  private def deltaPairsPrepared(spark: SparkSession, path: String,
+      dArr: DataFrame, dPost: DataFrame,
+      minShared: Int, maxDf: Option[Int]): DataFrame = {
+    require(minShared >= 1, "minShared must be >= 1")
+    val postings = spark.read.parquet(postingsDir(path))
 
     // every index posting on a delta-shared fingerprint, via ONE scan +
     // broadcast hash join; holds the full index membership of each shared
     // key, so combined df is computable from matched + delta rows alone.
-    // Persisted ONLY under maxDf — the uncapped path consumes it exactly
-    // once, where caching is pure storage overhead on an index-sized
-    // stream (measured ~15% of the ×30 delta cell).
+    // dropDuplicates(gh, id): n_shared IS the per-pair match count of this
+    // stream, so a replayed append (crash-rerun; any at-least-once writer)
+    // would double-count every fingerprint of the replayed docs and inflate
+    // n_shared past minShared for false pairs — dedup on the delta-bounded
+    // slice is one cheap aggregate (replayed-append ≡ once-appended,
+    // spec-pinned). Persisted ONLY under maxDf — the uncapped path
+    // consumes it exactly once, where caching is pure storage overhead on
+    // an index-sized stream (measured ~15% of the ×30 delta cell).
     val matched0 = postings.join(broadcast(dPost.select(col("gh")).distinct()),
-      Seq("gh"))
+      Seq("gh")).dropDuplicates("gh", "id")
     val matched = if (maxDf.isDefined) matched0.persist() else matched0
 
     val (oldSide, dKept, hotOpt) = maxDf match {
@@ -123,9 +132,56 @@ object WinnowIndex {
         greatest(col("id_old"), col("id_new")).as("id_b"))
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
+    // winnowPairsFromArr does NOT release precomputedHot (it must outlive
+    // the inner call: oldNew's anti-joins above broadcast it and only
+    // materialize in the outer action below) — ownership stays here, and
+    // hotOpt is released once, after the union materializes. newNew comes
+    // back persisted (the inner finishReleasing's result cache); the outer
+    // union is the call's single surviving result cache, so newNew joins
+    // the release list. dArr/dPost are caller-owned and NOT released here
+    // (the same ownership rule).
     val newNew = Dedup.winnowPairsFromArr(dArr, minShared, maxDf, hotOpt)
     Dedup.finishReleasing(oldNew.unionByName(newNew),
-      Seq(dArr, dPost) ++ (if (maxDf.isDefined) Seq(matched) else Nil)
+      Seq(newNew) ++ (if (maxDf.isDefined) Seq(matched) else Nil)
         ++ hotOpt: _*)
+  }
+
+  /** Streaming overlap ingest: every micro-batch is checked against the
+    * index ([[deltaPairs]]), its pairs appended under `outDir`, and the
+    * batch's postings folded in — [[MinhashIndex.ingestStream]] on the
+    * winnow leg. With `maxDf = None` (the default) the emitted pair set is
+    * BATCHING-INVARIANT: n_shared is the size of the two docs' fingerprint
+    * intersection regardless of when each side arrived, so streaming a
+    * whole corpus from an empty index reproduces `winnowPairs(corpus)`
+    * however the stream is chopped (spec-pinned; the q_stream_dedup_winnow
+    * gate rides q_dedup_winnow's oracle verbatim on this property). A
+    * maxDf cap would NOT be batching-invariant — document frequencies
+    * evolve as batches land — so it is intentionally not exposed here.
+    * foreachBatch is at-least-once: replayed postings are absorbed by the
+    * read-side dedup, and replayed pair rows agree (deterministic
+    * n_shared) — read `outDir` with dropDuplicates(id_a, id_b). */
+  def ingestStream(stream: DataFrame, path: String, outDir: String,
+      textCol: String = "text", idCol: String = "doc_id",
+      minShared: Int = 1): Unit = {
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // fingerprint the batch ONCE: the cached relations feed the pair
+        // search AND the index append
+        val m = readMeta(path)
+        val dArr = Dedup.winnowDocArr(batch, textCol, idCol, m.k, m.w).persist()
+        val dPost = dArr.select(explode(col("ghs")).as("gh"), col("id")).persist()
+        dPost.count()
+        deltaPairsPrepared(batch.sparkSession, path, dArr, dPost,
+          minShared, None)
+          .write.mode("append").parquet(outDir)
+        dPost.write.mode("append").parquet(postingsDir(path))
+        dArr.unpersist(blocking = false)
+        dPost.unpersist(blocking = false)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$path/_checkpoint")
+      .start()
+    q.awaitTermination()
   }
 }
