@@ -135,6 +135,14 @@ object ScaleBench {
         embCol.as("embedding"), col("label"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    // events are copied VERBATIM (never replicated): event-time queries
+    // have no replication semantics here, but carrying the table lets the
+    // x1 cell isolate any bench query (the r12 drift pass lost its
+    // q_stream_windowed cell to a missing events.parquet)
+    try spark.read.parquet(s"$srcDir/events.parquet")
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    catch { case e: Throwable =>
+      System.err.println(s"[scale] events copy skipped: ${e.getMessage}") }
     new java.io.File(fs, "_DONE").createNewFile()
   }
 

@@ -59,30 +59,37 @@ object MinhashIndex {
   private def postingsDir(path: String) = s"$path/postings"
   private def sketchesDir(path: String) = s"$path/sketches"
 
-  /** Per-doc shingle arrays — the ONE expensive row-local pass every
-    * derived relation ([[sketchesOf]], [[postingsOf]]) reads. Callers
-    * persist this when they consume more than one derivation, so the
-    * corpus is shingled exactly once per write/append/delta call. */
-  private def shingled(df: DataFrame, textCol: String, idCol: String,
-      m: Meta): DataFrame =
+  /** (id, sh, sig) per doc in ONE row-local pass over the text: the raw
+    * shingle array exists only inside the projection (whole-stage codegen
+    * computes it once per row and both derived columns read it), so a
+    * caller persisting THIS relation caches compact hash/signature arrays
+    * — never the shingle strings. Round 12: the first shared-shingle form
+    * cached the raw string arrays (delta-sized × avg-doc-shingles × bytes
+    * per shingle — a 30× delta measured ~2.8× the r11 wall from cache
+    * churn alone); the r11 form re-shingled once per derived output. This
+    * is the shape that does neither. */
+  private def keyed(df: DataFrame, textCol: String, idCol: String,
+      m: Meta): DataFrame = {
+    val params = Dedup.hashParams(m.numHashes, m.seed)
+    val sigUdf = udf((sh: Seq[String]) => Dedup.minhashSignature(sh.toSet, params))
     df.select(col(idCol).cast("long").as("id"),
-      Dedup.shingleColPublic(col(textCol), m.shingleSize).as("shArr"))
+        Dedup.shingleColPublic(col(textCol), m.shingleSize).as("shArr"))
+      .select(col("id"),
+        sort_array(array_distinct(transform(col("shArr"), s => xxhash64(s)))).as("sh"),
+        sigUdf(col("shArr")).as("sig"))
+  }
 
   /** (id, sh): sorted distinct 64-bit shingle hashes per doc — the exact
     * Jaccard verification payload. */
-  private def sketchesOf(withSh: DataFrame): DataFrame =
-    withSh.select(col("id"),
-      sort_array(array_distinct(transform(col("shArr"), s => xxhash64(s)))).as("sh"))
+  private def sketchesOf(keyedRel: DataFrame): DataFrame =
+    keyedRel.select(col("id"), col("sh"))
 
   /** (band, bucket, id): the SAME signature and band-bucket expressions as
     * [[Dedup.minhashLsh]], so index and ad-hoc buckets are
-    * interchangeable. */
-  private def postingsOf(withSh: DataFrame, m: Meta): DataFrame = {
-    val params = Dedup.hashParams(m.numHashes, m.seed)
-    val sigUdf = udf((sh: Seq[String]) => Dedup.minhashSignature(sh.toSet, params))
+    * interchangeable. Row-local off the signature column. */
+  private def postingsOf(keyedRel: DataFrame, m: Meta): DataFrame = {
     val rows = m.rows
-    withSh
-      .select(col("id"), sigUdf(col("shArr")).as("sig"))
+    keyedRel
       .select(
         col("id"),
         posexplode(transform(sequence(lit(0), lit(m.bands - 1)), b =>
@@ -91,18 +98,18 @@ object MinhashIndex {
       .select(col("band"), col("bucket"), col("id"))
   }
 
-  /** Build the index from the (already dedup'd) base corpus. The shingle
-    * relation is persisted across the two writes — without it the corpus
-    * is re-shingled for the postings output (ADVICE round 11). */
+  /** Build the index from the (already dedup'd) base corpus. The compact
+    * (sh, sig) relation is persisted across the two writes — without it
+    * the corpus is re-shingled for the postings output (ADVICE round 11). */
   def write(df: DataFrame, path: String, textCol: String = "text",
       idCol: String = "doc_id", shingleSize: Int = 3, numHashes: Int = 32,
       bands: Int = 8, seed: Long = 42L): Unit = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val m = Meta(shingleSize, numHashes, bands, seed)
-    val withSh = shingled(df, textCol, idCol, m).persist()
-    sketchesOf(withSh).write.mode("overwrite").parquet(sketchesDir(path))
-    postingsOf(withSh, m).write.mode("overwrite").parquet(postingsDir(path))
-    withSh.unpersist(blocking = false)
+    val k = keyed(df, textCol, idCol, m).persist()
+    sketchesOf(k).write.mode("overwrite").parquet(sketchesDir(path))
+    postingsOf(k, m).write.mode("overwrite").parquet(postingsDir(path))
+    k.unpersist(blocking = false)
     writeMeta(path, m)
   }
 
@@ -116,10 +123,10 @@ object MinhashIndex {
   def append(delta: DataFrame, path: String, textCol: String = "text",
       idCol: String = "doc_id"): Unit = {
     val m = readMeta(path)
-    val withSh = shingled(delta, textCol, idCol, m).persist()
-    sketchesOf(withSh).write.mode("append").parquet(sketchesDir(path))
-    postingsOf(withSh, m).write.mode("append").parquet(postingsDir(path))
-    withSh.unpersist(blocking = false)
+    val k = keyed(delta, textCol, idCol, m).persist()
+    sketchesOf(k).write.mode("append").parquet(sketchesDir(path))
+    postingsOf(k, m).write.mode("append").parquet(postingsDir(path))
+    k.unpersist(blocking = false)
   }
 
   /** Near-duplicate pairs (id_a < id_b, jaccard) touching the delta:
@@ -133,16 +140,16 @@ object MinhashIndex {
       textCol: String = "text", idCol: String = "doc_id",
       threshold: Double = 0.7, maxBucket: Option[Int] = None): DataFrame = {
     val m = readMeta(path)
-    // shingle the delta ONCE; postings are additionally persisted because
-    // several parallel broadcast builds consume them (the sig UDF would
-    // race-recompute), while the sketch derivation off the cached shingles
-    // is a cheap transform its single consumer can re-derive
-    val withSh = shingled(delta, textCol, idCol, m).persist()
-    val dPostings = postingsOf(withSh, m).persist()
-    dPostings.count() // one job fills both caches; the sig UDF runs once
-    val out = deltaPairsSketched(spark, path, sketchesOf(withSh), dPostings,
+    // shingle + sign the delta ONCE into the compact cache; postings are
+    // additionally persisted because several parallel broadcast builds
+    // consume them (the band explode would race-recompute), while the
+    // sketch projection off the cached relation is a column select
+    val k = keyed(delta, textCol, idCol, m).persist()
+    val dPostings = postingsOf(k, m).persist()
+    dPostings.count() // one job fills both caches; the UDFs run once
+    val out = deltaPairsSketched(spark, path, sketchesOf(k), dPostings,
       threshold, maxBucket)
-    withSh.unpersist(blocking = false)
+    k.unpersist(blocking = false)
     dPostings.unpersist(blocking = false)
     out
   }
@@ -252,18 +259,18 @@ object MinhashIndex {
       threshold: Double = 0.7, maxBucket: Option[Int] = None): Unit = {
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // shingle the batch ONCE: the same cached shingle/posting relations
-        // feed the pair search AND the index append
+        // shingle + sign the batch ONCE: the compact cached relations feed
+        // the pair search AND the index append
         val m = readMeta(path)
-        val withSh = shingled(batch, textCol, idCol, m).persist()
-        val dPo = postingsOf(withSh, m).persist()
+        val k = keyed(batch, textCol, idCol, m).persist()
+        val dPo = postingsOf(k, m).persist()
         dPo.count()
-        deltaPairsSketched(batch.sparkSession, path, sketchesOf(withSh), dPo,
+        deltaPairsSketched(batch.sparkSession, path, sketchesOf(k), dPo,
           threshold, maxBucket)
           .write.mode("append").parquet(outDir)
-        sketchesOf(withSh).write.mode("append").parquet(sketchesDir(path))
+        sketchesOf(k).write.mode("append").parquet(sketchesDir(path))
         dPo.write.mode("append").parquet(postingsDir(path))
-        withSh.unpersist(blocking = false)
+        k.unpersist(blocking = false)
         dPo.unpersist(blocking = false)
         ()
       }

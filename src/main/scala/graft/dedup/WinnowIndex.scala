@@ -98,16 +98,11 @@ object WinnowIndex {
     // every index posting on a delta-shared fingerprint, via ONE scan +
     // broadcast hash join; holds the full index membership of each shared
     // key, so combined df is computable from matched + delta rows alone.
-    // dropDuplicates(gh, id): n_shared IS the per-pair match count of this
-    // stream, so a replayed append (crash-rerun; any at-least-once writer)
-    // would double-count every fingerprint of the replayed docs and inflate
-    // n_shared past minShared for false pairs — dedup on the delta-bounded
-    // slice is one cheap aggregate (replayed-append ≡ once-appended,
-    // spec-pinned). Persisted ONLY under maxDf — the uncapped path
-    // consumes it exactly once, where caching is pure storage overhead on
-    // an index-sized stream (measured ~15% of the ×30 delta cell).
+    // Persisted ONLY under maxDf — the uncapped path consumes it exactly
+    // once, where caching is pure storage overhead on an index-sized
+    // stream (measured ~15% of the ×30 delta cell).
     val matched0 = postings.join(broadcast(dPost.select(col("gh")).distinct()),
-      Seq("gh")).dropDuplicates("gh", "id")
+      Seq("gh"))
     val matched = if (maxDf.isDefined) matched0.persist() else matched0
 
     val (oldSide, dKept, hotOpt) = maxDf match {
@@ -125,12 +120,20 @@ object WinnowIndex {
       case None => (matched, dPost, None)
     }
 
+    // countDistinct, not count: n_shared is the DISTINCT shared-fingerprint
+    // count, so a replayed append (crash-rerun; any at-least-once writer) —
+    // which duplicates every (gh, id) posting of the replayed docs — cannot
+    // inflate n_shared past minShared for false pairs (replayed-append ≡
+    // once-appended, spec-pinned). Riding the dedup inside the aggregation
+    // the pair stream already pays is free; a dropDuplicates on the matched
+    // stream would be one extra full shuffle of the slice. Delta-side
+    // duplicates cannot exist (winnowDocArr emits distinct hashes per doc).
     val oldNew = oldSide.select(col("gh"), col("id").as("id_old"))
       .join(broadcast(dKept.select(col("gh"), col("id").as("id_new"))), Seq("gh"))
       .where(col("id_old") =!= col("id_new"))
       .groupBy(least(col("id_old"), col("id_new")).as("id_a"),
         greatest(col("id_old"), col("id_new")).as("id_b"))
-      .agg(count(lit(1)).as("n_shared"))
+      .agg(countDistinct(col("gh")).as("n_shared"))
       .where(col("n_shared") >= minShared)
     // winnowPairsFromArr does NOT release precomputedHot (it must outlive
     // the inner call: oldNew's anti-joins above broadcast it and only
