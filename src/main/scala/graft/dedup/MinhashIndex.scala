@@ -205,13 +205,14 @@ object MinhashIndex {
       .dropDuplicates("id_a", "id_b")
     val newNew = Dedup.bucketPairsPublic(dKept, Seq("band", "bucket"))
     val cand = oldNew.unionByName(newNew).dropDuplicates("id_a", "id_b").persist()
-    // LOAD-BEARING count (re-measured r12): candIds below reads cand TWICE
-    // through a union whose legs are CONCURRENT tasks of one stage — drop
-    // this materialization and both legs race the unfilled cache, running
-    // the whole candidate pipeline (postings join + bucket pair kernel)
-    // twice (narrowed ×30 disjoint: 11.6 s without vs ~6 s with). The
-    // fixed-action floor stays one count lower than r11 via the shared
-    // keyed/postings fill above.
+    // Materialize-first (the package convention): candIds below reads cand
+    // TWICE through a union whose legs are concurrent tasks of one stage,
+    // so an unfilled cache can be race-computed per leg. A same-session
+    // ×30 A/B measured parity here (12.5 s with vs 11.6 without — the
+    // candidate pipeline is cheap next to the sketch UDFs), so this count
+    // is kept for the convention and the race guard, not a measured win;
+    // the real r12 action saving is the single shared keyed/postings fill
+    // above (one job, was two).
     cand.count()
 
     // ONE sketches scan: broadcast-semi-reduce to candidate ids (LSH keeps

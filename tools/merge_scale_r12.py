@@ -11,8 +11,8 @@ def load(p):
     with open(p) as f:
         return json.load(f)
 
-mw = load(f'{LOGS}/r12b_disjoint_mw.json')
-emb = load(f'{LOGS}/r12b_disjoint_emb.json')
+mw = load(f'{LOGS}/r12c_disjoint_mw.json')
+emb = load(f'{LOGS}/r12c_disjoint_emb.json')
 assert mw['mode'] == emb['mode'] == 'disjoint'
 merged = {
     'mode': 'disjoint', 'src': mw['src'],
@@ -36,8 +36,8 @@ copies = {
     f'{LOGS}/r12_semantic.json': 'bench/scale_r12_semantic_contrast.json',
     f'{LOGS}/r12_qset.json': 'bench/scale_r12_qset.json',
     f'{LOGS}/r12_drift_x1.json': 'bench/drift_r12_isolated.json',
-    f'{LOGS}/r12_bench_sf01.json': 'bench/bench_r12_sf01_prefix_fixcut.json',
-    f'{LOGS}/r12b_bench_sf01.json': 'bench/bench_r12_sf01.json',
+    f'{LOGS}/r12_bench_sf01.json': 'bench/bench_r12_sf01_pass1.json',
+    f'{LOGS}/r12c_bench_sf01.json': 'bench/bench_r12_sf01.json',
 }
 for src, dst in copies.items():
     if os.path.exists(src):
