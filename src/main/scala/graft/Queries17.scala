@@ -104,6 +104,45 @@ object Queries17 {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // batch sibling pinning the minhash-pair cluster closure: connected
+    // components over the q_dedup_minhash pair relation (the cluster
+    // oracle's recursive closure, driven by the minhash SQL instead of the
+    // ngram SQL) — exists so the streaming pipeline below has a
+    // whole-corpus relation to be provably equal to
+    "q_dedup_clusters_minhash" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.resolveClusters(
+        Dedup.minhashLsh(docs, threshold = 0.5).select(col("id_a"), col("id_b")),
+        docs.select(col("doc_id").as("id")))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"))
+        .where(col("cluster_size") > 1)
+        .orderBy(col("cluster_id"))
+    }),
+
+    // THE full streaming dedup pipeline: per micro-batch — dedup against
+    // the index, fold the batch in, and incrementally maintain the
+    // cluster assignment (star edges + the batch's pairs; work bounded by
+    // |batch| + |assignment| + |new pairs|, the corpus text never
+    // re-scanned). Streaming from an EMPTY index, the published
+    // assignment equals whole-corpus resolveClusters(minhashLsh(corpus))
+    // by the per-batch CC identity — so this gate rides the batch
+    // sibling's oracle verbatim
+    "q_stream_dedup_clusters" -> ((s, dir) => {
+      val root = SparkEntry.streamScratchDir("cl_stream")
+      val idx = s"$root/index"
+      val cl = s"$root/clusters"
+      val docs = t(s, dir, "documents")
+      graft.dedup.MinhashIndex.write(docs.limit(0), idx)
+      graft.dedup.MinhashIndex.ingestStreamClustered(
+        Queries6.streamOf(s, dir, "documents"), idx, cl, threshold = 0.5)
+      graft.dedup.MinhashIndex.currentClusters(s, cl)
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"))
+        .where(col("cluster_size") > 1)
+        .orderBy(col("cluster_id"))
+    }),
+
     // the probe-scaled written index: ONE count() at write time picks
     // nbits = min{b >= 4 : n <= 16 * 2^b} (<= 12), so expected bucket
     // population stays ~16 per table at any corpus size — at sf0.01 the
@@ -192,8 +231,42 @@ object Queries17 {
        |WHERE cosine >= 0.45 ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Connected-components closure over the MINHASH pair relation: the
+    * q_dedup_clusters oracle's recursive closure with its pair CTE swapped
+    * for the ENTIRE q_dedup_minhash oracle, nested as a CTE body (DuckDB
+    * allows a WITH inside a CTE) — a mechanical derivation, so the hash
+    * family and closure semantics can never drift from their siblings. */
+  private[graft] lazy val minhashClustersSql: String = {
+    val mh = QueriesExtra.oracleSql("q_dedup_minhash")
+    val tail = "ORDER BY c.id_a, c.id_b"
+    require(mh.trim.endsWith(tail),
+      "q_dedup_minhash oracle tail drifted — repin the " +
+        "q_dedup_clusters_minhash derivation anchor")
+    val body = mh.trim.stripSuffix(tail).trim
+    s"""WITH RECURSIVE pr AS (
+       |$body
+       |), edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pr
+       |  UNION ALL SELECT id_b, id_a FROM pr
+       |), reach(src, dst) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+       |), labels AS (
+       |  SELECT src AS id, min(dst) AS cluster_id FROM reach GROUP BY src
+       |)
+       |SELECT cluster_id, count(*) AS cluster_size
+       |FROM labels GROUP BY cluster_id HAVING count(*) > 1
+       |ORDER BY cluster_id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_dedup_embedding_lsh_capped" -> embeddingCappedSql,
+
+    "q_dedup_clusters_minhash" -> minhashClustersSql,
+    // streaming-from-empty equals the whole-corpus closure (per-batch CC
+    // identity — batching-invariant by induction)
+    "q_stream_dedup_clusters" -> minhashClustersSql,
 
     // streaming-from-empty reproduces the whole-corpus relations exactly
     // (batching-invariance, the q_stream_dedup_minhash protocol)

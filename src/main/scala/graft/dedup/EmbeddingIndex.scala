@@ -322,14 +322,15 @@ object EmbeddingIndex {
         val dSk = sketchesOf(batch, vecCol, idCol).persist()
         val dPost = postingsOf(dSk, m).persist()
         dPost.count()
-        deltaPairsSketched(batch.sparkSession, path, dSk, dPost,
+        val pairs = deltaPairsSketched(batch.sparkSession, path, dSk, dPost,
           threshold, None)
-          .write.mode("append").parquet(outDir)
+        pairs.write.mode("append").parquet(outDir)
         dSk.write.mode("append").parquet(sketchesDir(path))
         dPost.select(col("table"), col("bucket"), col("gid"), col("nm"))
           .write.mode("append").parquet(postingsDir(path))
         dSk.unpersist(blocking = false)
         dPost.unpersist(blocking = false)
+        pairs.unpersist(blocking = false) // the per-batch result cache
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -258,6 +258,82 @@ object MinhashIndex {
     * foreachBatch is at-least-once — a replayed batch can append duplicate
     * pair rows and postings; read `outDir` with dropDuplicates(id_a, id_b)
     * (pair jaccards are deterministic, so duplicates agree). */
+  /** The FULL streaming dedup pipeline: every micro-batch is dedup'd
+    * against the index ([[deltaPairs]]), folded in ([[append]]), AND the
+    * cluster assignment is incrementally maintained
+    * ([[Dedup.resolveClustersIncremental]] — star edges from the prior
+    * assignment + only this batch's pairs), so at every point in the
+    * stream `clustersDir` holds the same (id, cluster_id) relation a
+    * whole-corpus `resolveClusters(minhashLsh(seen))` would produce (the
+    * CC identity CC(star(CC(E₁)) ∪ E₂) = CC(E₁ ∪ E₂), applied per batch —
+    * batching-invariant by induction, spec-pinned). This is the complete
+    * production ingest shape: per batch, work is bounded by
+    * |batch| + |assignment| + |new pairs|; the corpus text is never
+    * re-scanned.
+    *
+    * Assignment storage: versioned parquet dirs under `clustersDir` with
+    * a CURRENT pointer published via the same atomic-rename meta file as
+    * the index parameters ([[IndexMeta]]); [[currentClusters]] reads the
+    * pointed-at version. At-least-once safe: a replayed batch recomputes
+    * the same pairs (index append replays are absorbed — see [[append]])
+    * and re-folding them is idempotent (CC(star(CC(E ∪ P)) ∪ P) =
+    * CC(E ∪ P)); a crash between the assignment publish and the index
+    * append replays into the same fixed point. */
+  def ingestStreamClustered(stream: DataFrame, path: String,
+      clustersDir: String, textCol: String = "text", idCol: String = "doc_id",
+      threshold: Double = 0.7): Unit = {
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val spark = batch.sparkSession
+        val m = readMeta(path)
+        val k = keyed(batch, textCol, idCol, m).persist()
+        val dPo = postingsOf(k, m).persist()
+        dPo.count()
+        val pairs = deltaPairsSketched(spark, path, sketchesOf(k), dPo,
+          threshold, None)
+        val batchIds = batch.select(col(idCol).cast("long").as("id")).distinct()
+        val (prev, allIds) = currentVersion(clustersDir) match {
+          case Some(v) =>
+            val p = spark.read.parquet(s"$clustersDir/$v")
+            (p, p.select(col("id")).unionByName(batchIds).distinct())
+          case None =>
+            (spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("id",
+                  org.apache.spark.sql.types.LongType),
+                org.apache.spark.sql.types.StructField("cluster_id",
+                  org.apache.spark.sql.types.LongType)))),
+              batchIds)
+        }
+        val next = Dedup.resolveClustersIncremental(
+          prev, pairs.select(col("id_a"), col("id_b")), allIds)
+        next.write.mode("overwrite").parquet(s"$clustersDir/v$epoch")
+        IndexMeta.write(clustersDir, "CURRENT", Seq(s"v$epoch"))
+        sketchesOf(k).write.mode("append").parquet(sketchesDir(path))
+        dPo.write.mode("append").parquet(postingsDir(path))
+        k.unpersist(blocking = false)
+        dPo.unpersist(blocking = false)
+        pairs.unpersist(blocking = false) // deltaPairsSketched's result cache
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$path/_checkpoint")
+      .start()
+    q.awaitTermination()
+  }
+
+  private def currentVersion(clustersDir: String): Option[String] =
+    try Some(IndexMeta.read(clustersDir, "CURRENT")(0))
+    catch { case _: Exception => None }
+
+  /** The live (id, cluster_id) assignment maintained by
+    * [[ingestStreamClustered]] — equals whole-corpus
+    * `resolveClusters(minhashLsh(seen corpus))` at every publish point. */
+  def currentClusters(spark: SparkSession, clustersDir: String): DataFrame =
+    spark.read.parquet(s"$clustersDir/${currentVersion(clustersDir).getOrElse(
+      throw new IllegalStateException(s"no published assignment under $clustersDir"))}")
+
   def ingestStream(stream: DataFrame, path: String, outDir: String,
       textCol: String = "text", idCol: String = "doc_id",
       threshold: Double = 0.7, maxBucket: Option[Int] = None): Unit = {
@@ -269,13 +345,14 @@ object MinhashIndex {
         val k = keyed(batch, textCol, idCol, m).persist()
         val dPo = postingsOf(k, m).persist()
         dPo.count()
-        deltaPairsSketched(batch.sparkSession, path, sketchesOf(k), dPo,
-          threshold, maxBucket)
-          .write.mode("append").parquet(outDir)
+        val pairs = deltaPairsSketched(batch.sparkSession, path,
+          sketchesOf(k), dPo, threshold, maxBucket)
+        pairs.write.mode("append").parquet(outDir)
         sketchesOf(k).write.mode("append").parquet(sketchesDir(path))
         dPo.write.mode("append").parquet(postingsDir(path))
         k.unpersist(blocking = false)
         dPo.unpersist(blocking = false)
+        pairs.unpersist(blocking = false) // the per-batch result cache
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -174,12 +174,13 @@ object WinnowIndex {
         val dArr = Dedup.winnowDocArr(batch, textCol, idCol, m.k, m.w).persist()
         val dPost = dArr.select(explode(col("ghs")).as("gh"), col("id")).persist()
         dPost.count()
-        deltaPairsPrepared(batch.sparkSession, path, dArr, dPost,
+        val pairs = deltaPairsPrepared(batch.sparkSession, path, dArr, dPost,
           minShared, None)
-          .write.mode("append").parquet(outDir)
+        pairs.write.mode("append").parquet(outDir)
         dPost.write.mode("append").parquet(postingsDir(path))
         dArr.unpersist(blocking = false)
         dPost.unpersist(blocking = false)
+        pairs.unpersist(blocking = false) // the per-batch result cache
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -243,6 +243,43 @@ class Round12Spec extends SparkSpec {
     all.unpersist()
   }
 
+  test("ingestStreamClustered: live assignment == whole-corpus resolveClusters(minhashLsh)") {
+    val all = docs(30).persist()
+    val srcDir = tmpPath("cl_src")
+    all.repartition(3).write.mode("overwrite").parquet(srcDir)
+    val root = tmpPath("cl_stream")
+    val idx = s"$root/index"; val cl = s"$root/clusters"
+    MinhashIndex.write(all.limit(0), idx)
+    val stream = spark.readStream.schema(all.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    MinhashIndex.ingestStreamClustered(stream, idx, cl, threshold = 0.5)
+    assert(new java.io.File(s"$idx/postings").listFiles()
+      .count(_.getName.endsWith(".parquet")) >= 3) // genuine micro-batches
+    val got = MinhashIndex.currentClusters(spark, cl)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = Dedup.resolveClusters(
+      Dedup.minhashLsh(all, threshold = 0.5).select(col("id_a"), col("id_b")),
+      all.select(col("doc_id").as("id")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == batch)
+    assert(got.groupBy(_._2).exists(_._2.size > 1)) // real multi-clusters
+    all.unpersist()
+  }
+
+  test("resolveClustersIncremental is idempotent under pair replay (at-least-once fold)") {
+    import spark.implicits._
+    val ids = (0L to 9L).toDF("id")
+    val prev = Dedup.resolveClusters(
+      Seq((0L, 1L), (2L, 3L)).toDF("id_a", "id_b"), ids)
+    val p = Seq((1L, 4L), (5L, 6L)).toDF("id_a", "id_b")
+    val once = Dedup.resolveClustersIncremental(prev, p, ids)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val twice = Dedup.resolveClustersIncremental(
+      Dedup.resolveClustersIncremental(prev, p, ids), p, ids)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(once == twice) // CC(star(CC(E ∪ P)) ∪ P) = CC(E ∪ P)
+  }
+
   test("winnow capped delta: caller-owned hot set survives the inner call (no stale recompute)") {
     // boilerplate corpus drives fingerprints over the cap; the capped delta
     // path passes its hot set into winnowPairsFromArr AND broadcasts it
