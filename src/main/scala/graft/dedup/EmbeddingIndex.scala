@@ -86,15 +86,22 @@ object EmbeddingIndex {
       .groupBy(col("gid"))
       .agg(first(col("v")).as("v"), sort_array(collect_list(col("id"))).as("members"))
 
-  /** (table, bucket, gid, nm): the bucket UDF runs once per DISTINCT
+  /** (table, bucket, gid, nm, bid): the bucket UDF runs once per DISTINCT
     * vector; nm carries the group's member count so maxBucket's ID-LEVEL
     * bucket population (Σ nm) is computable from postings alone — no
-    * sketches join at cap time. */
+    * sketches join at cap time. bid = xxhash64 of the append's member
+    * list, the append-batch identity the population dedup keys on: a
+    * REPLAYED append re-emits byte-identical members → identical bid →
+    * collapses, while two legitimate disjoint appends of the same gid
+    * stay distinct even when their member COUNTS are equal (the nm-only
+    * heuristic wrongly collapsed that case — ADVICE r12; same accepted
+    * ~2⁻⁶⁴ collision odds as gid itself). */
   private def postingsOf(sketches: DataFrame, m: Meta): DataFrame =
     sketches
       .select(col("gid"), size(col("members")).cast("long").as("nm"),
+        xxhash64(col("members")).as("bid"),
         posexplode(Dedup.lshBucketCol(col("v"), planesOf(m))).as(Seq("table", "bucket")))
-      .select(col("table"), col("bucket"), col("gid"), col("nm"))
+      .select(col("table"), col("bucket"), col("gid"), col("nm"), col("bid"))
 
   def write(df: DataFrame, path: String, vecCol: String = "embedding",
       idCol: String = "vec_id", dim: Int = 64, nbits: Int = 8,
@@ -180,12 +187,13 @@ object EmbeddingIndex {
 
     val (oldSide, dKept, hotCache) = maxBucket match {
       case Some(cap) =>
-        // dropDuplicates before the sum: replayed appends re-emit a gid's
-        // (nm) row — identical rows collapse, while a gid legitimately
-        // appended twice (disjoint member batches, distinct nm rows) sums
-        // to its true merged member count
+        // dropDuplicates on the append-batch id before the sum: replayed
+        // appends re-emit a gid's row with an IDENTICAL bid (same member
+        // list) — those collapse — while a gid legitimately appended twice
+        // (disjoint member batches → distinct bids, even at equal member
+        // counts) sums to its true merged member count
         val pop = matched
-          .dropDuplicates("table", "bucket", "gid", "nm")
+          .dropDuplicates("table", "bucket", "gid", "bid")
           .select(col("table"), col("bucket"), col("nm"))
           .unionByName(dPost.select(col("table"), col("bucket"), col("nm")))
           .groupBy(col("table"), col("bucket"))
@@ -326,8 +334,7 @@ object EmbeddingIndex {
           threshold, None)
         pairs.write.mode("append").parquet(outDir)
         dSk.write.mode("append").parquet(sketchesDir(path))
-        dPost.select(col("table"), col("bucket"), col("gid"), col("nm"))
-          .write.mode("append").parquet(postingsDir(path))
+        dPost.write.mode("append").parquet(postingsDir(path))
         dSk.unpersist(blocking = false)
         dPost.unpersist(blocking = false)
         pairs.unpersist(blocking = false) // the per-batch result cache
@@ -338,4 +345,44 @@ object EmbeddingIndex {
       .start()
     q.awaitTermination()
   }
+
+  /** The full streaming semantic-dedup pipeline: per micro-batch, the
+    * arriving vectors are checked against the index ([[deltaPairs]]), the
+    * batch folded in, AND the cluster assignment incrementally maintained
+    * — [[MinhashIndex.ingestStreamClustered]] on the embedding leg, via
+    * the same leg-agnostic [[ClusterFold]]. The pair stream is
+    * batching-invariant (cross-batch members merge through the
+    * group-keyed sketches, cosine is deterministic), so streaming a
+    * corpus from an empty index publishes the same assignment
+    * whole-corpus `resolveClusters(embeddingNearDupLsh(corpus))` produces
+    * (per-batch CC identity, induction over batches — spec-pinned). */
+  def ingestStreamClustered(stream: DataFrame, path: String,
+      clustersDir: String, vecCol: String = "embedding",
+      idCol: String = "vec_id", threshold: Double = 0.95): Unit = {
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val m = readMeta(path)
+        val dSk = sketchesOf(batch, vecCol, idCol).persist()
+        val dPost = postingsOf(dSk, m).persist()
+        dPost.count()
+        val pairs = deltaPairsSketched(batch.sparkSession, path, dSk, dPost,
+          threshold, None)
+        ClusterFold.foldBatch(batch.sparkSession, clustersDir, epoch, pairs,
+          batch.select(col(idCol).cast("long").as("id")).distinct())
+        dSk.write.mode("append").parquet(sketchesDir(path))
+        dPost.write.mode("append").parquet(postingsDir(path))
+        dSk.unpersist(blocking = false)
+        dPost.unpersist(blocking = false)
+        pairs.unpersist(blocking = false)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$path/_checkpoint")
+      .start()
+    q.awaitTermination()
+  }
+
+  /** The live assignment maintained by [[ingestStreamClustered]]. */
+  def currentClusters(spark: SparkSession, clustersDir: String): DataFrame =
+    ClusterFold.currentClusters(spark, clustersDir)
 }

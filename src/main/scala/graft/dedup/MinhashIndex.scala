@@ -271,14 +271,14 @@ object MinhashIndex {
     * |batch| + |assignment| + |new pairs|; the corpus text is never
     * re-scanned.
     *
-    * Assignment storage: versioned parquet dirs under `clustersDir` with
-    * a CURRENT pointer published via the same atomic-rename meta file as
-    * the index parameters ([[IndexMeta]]); [[currentClusters]] reads the
-    * pointed-at version. At-least-once safe: a replayed batch recomputes
-    * the same pairs (index append replays are absorbed — see [[append]])
-    * and re-folding them is idempotent (CC(star(CC(E ∪ P)) ∪ P) =
-    * CC(E ∪ P)); a crash between the assignment publish and the index
-    * append replays into the same fixed point. */
+    * Assignment storage and at-least-once hardening live in
+    * [[ClusterFold]] (versioned snapshots + atomic CURRENT pointer,
+    * replayed-epoch skip, strict pointer reads, superseded-version GC —
+    * shared verbatim by the winnow and embedding legs): a replayed batch
+    * recomputes the same pairs (index append replays are absorbed — see
+    * [[append]]) and the fold skips its already-published epoch, so a
+    * crash anywhere between the assignment publish and the index append
+    * replays into the same fixed point. */
   def ingestStreamClustered(stream: DataFrame, path: String,
       clustersDir: String, textCol: String = "text", idCol: String = "doc_id",
       threshold: Double = 0.7): Unit = {
@@ -291,25 +291,8 @@ object MinhashIndex {
         dPo.count()
         val pairs = deltaPairsSketched(spark, path, sketchesOf(k), dPo,
           threshold, None)
-        val batchIds = batch.select(col(idCol).cast("long").as("id")).distinct()
-        val (prev, allIds) = currentVersion(clustersDir) match {
-          case Some(v) =>
-            val p = spark.read.parquet(s"$clustersDir/$v")
-            (p, p.select(col("id")).unionByName(batchIds).distinct())
-          case None =>
-            (spark.createDataFrame(
-              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              org.apache.spark.sql.types.StructType(Seq(
-                org.apache.spark.sql.types.StructField("id",
-                  org.apache.spark.sql.types.LongType),
-                org.apache.spark.sql.types.StructField("cluster_id",
-                  org.apache.spark.sql.types.LongType)))),
-              batchIds)
-        }
-        val next = Dedup.resolveClustersIncremental(
-          prev, pairs.select(col("id_a"), col("id_b")), allIds)
-        next.write.mode("overwrite").parquet(s"$clustersDir/v$epoch")
-        IndexMeta.write(clustersDir, "CURRENT", Seq(s"v$epoch"))
+        ClusterFold.foldBatch(spark, clustersDir, epoch, pairs,
+          batch.select(col(idCol).cast("long").as("id")).distinct())
         sketchesOf(k).write.mode("append").parquet(sketchesDir(path))
         dPo.write.mode("append").parquet(postingsDir(path))
         k.unpersist(blocking = false)
@@ -323,16 +306,11 @@ object MinhashIndex {
     q.awaitTermination()
   }
 
-  private def currentVersion(clustersDir: String): Option[String] =
-    try Some(IndexMeta.read(clustersDir, "CURRENT")(0))
-    catch { case _: Exception => None }
-
   /** The live (id, cluster_id) assignment maintained by
     * [[ingestStreamClustered]] — equals whole-corpus
     * `resolveClusters(minhashLsh(seen corpus))` at every publish point. */
   def currentClusters(spark: SparkSession, clustersDir: String): DataFrame =
-    spark.read.parquet(s"$clustersDir/${currentVersion(clustersDir).getOrElse(
-      throw new IllegalStateException(s"no published assignment under $clustersDir"))}")
+    ClusterFold.currentClusters(spark, clustersDir)
 
   def ingestStream(stream: DataFrame, path: String, outDir: String,
       textCol: String = "text", idCol: String = "doc_id",

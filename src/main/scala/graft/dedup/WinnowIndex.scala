@@ -163,6 +163,46 @@ object WinnowIndex {
     * foreachBatch is at-least-once: replayed postings are absorbed by the
     * read-side dedup, and replayed pair rows agree (deterministic
     * n_shared) — read `outDir` with dropDuplicates(id_a, id_b). */
+  /** The full streaming substring-dedup pipeline: per micro-batch, the
+    * arriving docs are checked against the index ([[deltaPairs]]), the
+    * batch's postings folded in, AND the cluster assignment incrementally
+    * maintained — [[MinhashIndex.ingestStreamClustered]] on the winnow
+    * leg. The fold ([[ClusterFold]]) is leg-agnostic (it consumes pairs),
+    * and the pair stream here is batching-invariant (n_shared is the two
+    * docs' fingerprint-intersection size regardless of arrival order), so
+    * streaming a corpus from an empty index publishes the same assignment
+    * whole-corpus `resolveClusters(winnowPairs(corpus))` produces — the
+    * per-batch CC identity CC(star(CC(E₁)) ∪ E₂) = CC(E₁ ∪ E₂), by
+    * induction over batches (spec-pinned). */
+  def ingestStreamClustered(stream: DataFrame, path: String,
+      clustersDir: String, textCol: String = "text", idCol: String = "doc_id",
+      minShared: Int = 1): Unit = {
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val m = readMeta(path)
+        val dArr = Dedup.winnowDocArr(batch, textCol, idCol, m.k, m.w).persist()
+        val dPost = dArr.select(explode(col("ghs")).as("gh"), col("id")).persist()
+        dPost.count()
+        val pairs = deltaPairsPrepared(batch.sparkSession, path, dArr, dPost,
+          minShared, None)
+        ClusterFold.foldBatch(batch.sparkSession, clustersDir, epoch, pairs,
+          batch.select(col(idCol).cast("long").as("id")).distinct())
+        dPost.write.mode("append").parquet(postingsDir(path))
+        dArr.unpersist(blocking = false)
+        dPost.unpersist(blocking = false)
+        pairs.unpersist(blocking = false)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$path/_checkpoint")
+      .start()
+    q.awaitTermination()
+  }
+
+  /** The live assignment maintained by [[ingestStreamClustered]]. */
+  def currentClusters(spark: SparkSession, clustersDir: String): DataFrame =
+    ClusterFold.currentClusters(spark, clustersDir)
+
   def ingestStream(stream: DataFrame, path: String, outDir: String,
       textCol: String = "text", idCol: String = "doc_id",
       minShared: Int = 1): Unit = {
