@@ -42,16 +42,18 @@ object EmbeddingIndex {
     * flag lives in the meta because a delta sketched with the WRONG family
     * would bucket nothing correctly. */
   final case class Meta(dim: Int, nbits: Int, tables: Int, seed: Long,
-      stablePlanes: Boolean = false)
+      stablePlanes: Boolean = false, nPart: Int = 0)
 
   private def writeMeta(path: String, m: Meta): Unit =
     IndexMeta.write(path, "EMB_META",
-      Seq(m.dim, m.nbits, m.tables, m.seed, if (m.stablePlanes) 1 else 0))
+      Seq(m.dim, m.nbits, m.tables, m.seed, if (m.stablePlanes) 1 else 0,
+        m.nPart))
 
   def readMeta(path: String): Meta = {
     val parts = IndexMeta.read(path, "EMB_META")
     Meta(parts(0).toInt, parts(1).toInt, parts(2).toInt, parts(3).toLong,
-      parts.length > 4 && parts(4) == "1")
+      parts.length > 4 && parts(4) == "1",
+      if (parts.length > 5) parts(5).toInt else 0)
   }
 
   private def planesOf(m: Meta): Array[Array[Array[Float]]] =
@@ -77,6 +79,67 @@ object EmbeddingIndex {
 
   private def postingsDir(path: String) = s"$path/postings"
   private def sketchesDir(path: String) = s"$path/sketches"
+
+  // hash-partitioned layout (the SparseRetrieval.writePostingsIndex
+  // protocol — VERDICT r12 task #1): postings partition on the
+  // (table, bucket) key hash, sketches on the gid hash (gid is already a
+  // 64-bit vector hash); nPart = 0 reads a legacy unpartitioned layout
+  private def pbCol(m: Meta) =
+    pmod(xxhash64(col("table"), col("bucket")), lit(m.nPart.toLong))
+      .cast("int").as("pb")
+  private def sbCol(m: Meta) =
+    pmod(col("gid"), lit(m.nPart.toLong)).cast("int").as("sb")
+
+  /** Bounds output files at nPart per write; overwrites anchor the layout
+    * schema so an EMPTY base index (zero data files) still reads — see
+    * [[MinhashIndex]]'s writer note. */
+  private def writePostings(df: DataFrame, path: String, m: Meta,
+      mode: String): Unit = {
+    val out = df.withColumn("pb", pbCol(m))
+    if (mode == "overwrite")
+      IndexMeta.write(path, "POSTINGS_SCHEMA", Seq(out.schema.json))
+    out.repartition(col("pb"))
+      .write.mode(mode).partitionBy("pb").parquet(postingsDir(path))
+  }
+
+  private def writeSketches(df: DataFrame, path: String, m: Meta,
+      mode: String): Unit = {
+    val out = df.withColumn("sb", sbCol(m))
+    if (mode == "overwrite")
+      IndexMeta.write(path, "SKETCHES_SCHEMA", Seq(out.schema.json))
+    out.repartition(col("sb"))
+      .write.mode(mode).partitionBy("sb").parquet(sketchesDir(path))
+  }
+
+  private def anchoredRead(spark: SparkSession, path: String, name: String,
+      dir: String): DataFrame =
+    spark.read.schema(org.apache.spark.sql.types.DataType
+        .fromJson(IndexMeta.read(path, name)(0))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      .parquet(dir)
+
+  /** Postings scan pruned to the delta's touched partition values
+    * (PartitionFilters at the Parquet scan — plan-pinned in PlansSpec). */
+  private def readPostingsPruned(spark: SparkSession, path: String, m: Meta,
+      dPost: DataFrame): DataFrame =
+    if (m.nPart <= 0) spark.read.parquet(postingsDir(path))
+    else {
+      val pbs = dPost.select(pbCol(m)).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      anchoredRead(spark, path, "POSTINGS_SCHEMA", postingsDir(path))
+        .where(col("pb").isin(pbs: _*)).drop("pb")
+    }
+
+  /** Sketches scan pruned to the needed gids' partition values. */
+  private def readSketchesPruned(spark: SparkSession, path: String, m: Meta,
+      gids: DataFrame): DataFrame =
+    if (m.nPart <= 0) spark.read.parquet(sketchesDir(path))
+    else {
+      val sbs = gids.select(sbCol(m)).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      anchoredRead(spark, path, "SKETCHES_SCHEMA", sketchesDir(path))
+        .where(col("sb").isin(sbs: _*)).drop("sb")
+    }
 
   /** Group-keyed sketches of one corpus — the batch collapse applied at
     * index time. One groupBy shuffle (ingest cost, paid once). */
@@ -105,11 +168,12 @@ object EmbeddingIndex {
 
   def write(df: DataFrame, path: String, vecCol: String = "embedding",
       idCol: String = "vec_id", dim: Int = 64, nbits: Int = 8,
-      tables: Int = 4, seed: Long = 42L, stablePlanes: Boolean = false): Unit = {
-    val m = Meta(dim, nbits, tables, seed, stablePlanes)
+      tables: Int = 4, seed: Long = 42L, stablePlanes: Boolean = false,
+      nPart: Int = 64): Unit = {
+    val m = Meta(dim, nbits, tables, seed, stablePlanes, nPart)
     val sketches = sketchesOf(df, vecCol, idCol).persist()
-    sketches.write.mode("overwrite").parquet(sketchesDir(path))
-    postingsOf(sketches, m).write.mode("overwrite").parquet(postingsDir(path))
+    writeSketches(sketches, path, m, "overwrite")
+    writePostings(postingsOf(sketches, m), path, m, "overwrite")
     sketches.unpersist(blocking = false)
     writeMeta(path, m)
   }
@@ -125,7 +189,8 @@ object EmbeddingIndex {
       minNbits: Int = 4, maxNbits: Int = 12, tables: Int = 4,
       seed: Long = 42L): Unit = {
     val nbits = scaledNbits(df.count(), targetBucket, minNbits, maxNbits)
-    write(df, path, vecCol, idCol, dim, nbits, tables, seed, stablePlanes = true)
+    write(df, path, vecCol, idCol, dim, nbits, tables, seed,
+      stablePlanes = true)
   }
 
   /** Fold a (checked) batch in. A gid already present gains a SECOND
@@ -136,8 +201,8 @@ object EmbeddingIndex {
       idCol: String = "vec_id"): Unit = {
     val m = readMeta(path) // read ONCE — both uses below share it (ADVICE r11)
     val sketches = sketchesOf(delta, vecCol, idCol).persist()
-    sketches.write.mode("append").parquet(sketchesDir(path))
-    postingsOf(sketches, m).write.mode("append").parquet(postingsDir(path))
+    writeSketches(sketches, path, m, "append")
+    writePostings(postingsOf(sketches, m), path, m, "append")
     sketches.unpersist(blocking = false)
   }
 
@@ -158,7 +223,8 @@ object EmbeddingIndex {
     // the delta groupBy and the bucket UDF each run exactly once
     val dPost = postingsOf(dSk, m).persist()
     dPost.count()
-    val out = deltaPairsSketched(spark, path, dSk, dPost, threshold, maxBucket)
+    val out = deltaPairsSketched(spark, path, m, dSk, dPost, threshold,
+      maxBucket)
     dSk.unpersist(blocking = false)
     dPost.unpersist(blocking = false)
     out
@@ -168,11 +234,11 @@ object EmbeddingIndex {
     * sketches each batch ONCE and feeds both the pair search and the index
     * append. Inputs arrive persisted + materialized; the caller releases
     * them (the returned relation is materialized before return). */
-  private def deltaPairsSketched(spark: SparkSession, path: String,
+  private def deltaPairsSketched(spark: SparkSession, path: String, m: Meta,
       dSk: DataFrame, dPost: DataFrame,
       threshold: Double, maxBucket: Option[Int]): DataFrame = {
-    val postings = spark.read.parquet(postingsDir(path))
-    val sketches = spark.read.parquet(sketchesDir(path))
+    // partition-pruned index scan: only the delta-touched buckets' files
+    val postings = readPostingsPruned(spark, path, m, dPost)
 
     // every index posting in a delta-touched bucket, via ONE scan +
     // broadcast hash join; under maxBucket it holds the full index
@@ -231,30 +297,48 @@ object EmbeddingIndex {
     // stays one count lower than r11 via the shared dSk/dPost fill above.
     candGid.count()
 
-    // ONE sketches scan, semi-reduced to the gids that matter (candidates
-    // + every delta gid, whose index members feed within-group pairs);
-    // member lists merge across append batches here, for this slice only.
-    // array_distinct: a replayed append (crash-rerun; any at-least-once
-    // writer) leaves duplicate member ids across sketch rows of one gid,
-    // which would otherwise duplicate every pair emission for that group —
-    // replayed-append ≡ once-appended, spec-pinned.
-    val gidSet = candGid.select(col("g_a").as("gid"))
+    // index gids whose sketches the merge actually NEEDS: candidate-pair
+    // sides + delta gids already present in the index (their members must
+    // merge). Both are bounded by the delta-touched postings slice —
+    // identical vectors share identical buckets, so an index-resident
+    // delta gid necessarily appears in `matched` — and that slice is
+    // partition-pruned, so this membership probe re-reads only the touched
+    // buckets (under maxBucket `matched` is already cached). When the
+    // probe comes back EMPTY the batch is INDEX-DISJOINT: the sketches
+    // scan and the full_outer merge are identity ops and are SKIPPED —
+    // the r12 residual where a disjoint delta paid a second full index
+    // read it could not use.
+    val wantGids = candGid.select(col("g_a").as("gid"))
       .unionByName(candGid.select(col("g_b").as("gid")))
       .unionByName(dSk.select(col("gid"))).distinct()
-    // consumed exactly once (the groups join below) — no persist
-    val oldRel = sketches
-      .join(broadcast(gidSet), Seq("gid"), "left_semi")
-      .groupBy(col("gid"))
-      .agg(first(col("v")).as("v"),
-        sort_array(array_distinct(flatten(collect_list(col("members")))))
-          .as("old_members"))
-    // per-gid (v, old members, new members) — either side may be absent
-    val groups = oldRel
-      .join(dSk.select(col("gid"), col("v").as("v_new"),
-        col("members").as("new_members")), Seq("gid"), "full_outer")
-      .select(col("gid"), coalesce(col("v"), col("v_new")).as("v"),
-        coalesce(col("old_members"), array().cast("array<long>")).as("om"),
-        coalesce(col("new_members"), array().cast("array<long>")).as("nm"))
+    val needIdx = matched.select(col("gid"))
+      .join(broadcast(wantGids), Seq("gid"), "left_semi")
+      .distinct().persist()
+    val groups = (if (needIdx.count() == 0L) {
+      dSk.select(col("gid"), col("v"),
+        array().cast("array<long>").as("om"), col("members").as("nm"))
+    } else {
+      // ONE sketches scan, partition-pruned to the needed gids' buckets
+      // and semi-reduced to exactly those gids; member lists merge across
+      // append batches here, for this slice only. array_distinct: a
+      // replayed append (crash-rerun; any at-least-once writer) leaves
+      // duplicate member ids across sketch rows of one gid, which would
+      // otherwise duplicate every pair emission for that group —
+      // replayed-append ≡ once-appended, spec-pinned.
+      val oldRel = readSketchesPruned(spark, path, m, needIdx)
+        .join(broadcast(needIdx), Seq("gid"), "left_semi")
+        .groupBy(col("gid"))
+        .agg(first(col("v")).as("v"),
+          sort_array(array_distinct(flatten(collect_list(col("members")))))
+            .as("old_members"))
+      // per-gid (v, old members, new members) — either side may be absent
+      oldRel
+        .join(dSk.select(col("gid"), col("v").as("v_new"),
+          col("members").as("new_members")), Seq("gid"), "full_outer")
+        .select(col("gid"), coalesce(col("v"), col("v_new")).as("v"),
+          coalesce(col("old_members"), array().cast("array<long>")).as("om"),
+          coalesce(col("new_members"), array().cast("array<long>")).as("nm"))
+    })
       .withColumn("nrm", sqrt(VectorExpressions.dense_dot(col("v"), col("v"))))
       .persist()
     groups.count() // materialize before the within/cross fan-out below
@@ -300,7 +384,7 @@ object EmbeddingIndex {
       .select(col("p._1").as("id_a"), col("p._2").as("id_b"), col("cosine"))
     // dSk/dPost are caller-owned and released by the wrapper/stream loop
     Dedup.finishReleasing(within.unionByName(cross),
-      Seq(candGid, groups)
+      Seq(candGid, needIdx, groups)
         ++ (if (maxBucket.isDefined) Seq(matched) else Nil)
         ++ hotCache: _*)
   }
@@ -330,11 +414,11 @@ object EmbeddingIndex {
         val dSk = sketchesOf(batch, vecCol, idCol).persist()
         val dPost = postingsOf(dSk, m).persist()
         dPost.count()
-        val pairs = deltaPairsSketched(batch.sparkSession, path, dSk, dPost,
-          threshold, None)
+        val pairs = deltaPairsSketched(batch.sparkSession, path, m, dSk,
+          dPost, threshold, None)
         pairs.write.mode("append").parquet(outDir)
-        dSk.write.mode("append").parquet(sketchesDir(path))
-        dPost.write.mode("append").parquet(postingsDir(path))
+        writeSketches(dSk, path, m, "append")
+        writePostings(dPost, path, m, "append")
         dSk.unpersist(blocking = false)
         dPost.unpersist(blocking = false)
         pairs.unpersist(blocking = false) // the per-batch result cache
@@ -365,12 +449,12 @@ object EmbeddingIndex {
         val dSk = sketchesOf(batch, vecCol, idCol).persist()
         val dPost = postingsOf(dSk, m).persist()
         dPost.count()
-        val pairs = deltaPairsSketched(batch.sparkSession, path, dSk, dPost,
-          threshold, None)
+        val pairs = deltaPairsSketched(batch.sparkSession, path, m, dSk,
+          dPost, threshold, None)
         ClusterFold.foldBatch(batch.sparkSession, clustersDir, epoch, pairs,
           batch.select(col(idCol).cast("long").as("id")).distinct())
-        dSk.write.mode("append").parquet(sketchesDir(path))
-        dPost.write.mode("append").parquet(postingsDir(path))
+        writeSketches(dSk, path, m, "append")
+        writePostings(dPost, path, m, "append")
         dSk.unpersist(blocking = false)
         dPost.unpersist(blocking = false)
         pairs.unpersist(blocking = false)

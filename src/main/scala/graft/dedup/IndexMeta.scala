@@ -12,7 +12,7 @@ package graft.dedup
   * atomic on both the local FS and HDFS (object stores without atomic
   * rename degrade to last-writer-wins on a tiny immutable file — the same
   * contract Spark's own `_SUCCESS` markers accept). */
-private[dedup] object IndexMeta {
+private[graft] object IndexMeta {
   import org.apache.hadoop.conf.Configuration
   import org.apache.hadoop.fs.{FileContext, Options, Path}
 

@@ -33,17 +33,55 @@ import org.apache.spark.sql.functions._
   * broadcasts into both candidate paths. */
 object WinnowIndex {
 
-  final case class Meta(k: Int, w: Int)
+  /** `nPart`: hash-partition count of the written layout — postings
+    * partition on `pb = pmod(gh, nPart)` (gh is already a 64-bit
+    * fingerprint hash), so the delta's fingerprint set resolves to
+    * partition values on the driver and the per-batch index scan becomes
+    * Parquet PARTITION PRUNING instead of a full postings read (the
+    * [[graft.sparse.SparseRetrieval.writePostingsIndex]] protocol —
+    * VERDICT r12 task #1). 0 = legacy unpartitioned layout. */
+  final case class Meta(k: Int, w: Int, nPart: Int = 0)
 
   private def writeMeta(path: String, m: Meta): Unit =
-    IndexMeta.write(path, "WINNOW_META", Seq(m.k, m.w))
+    IndexMeta.write(path, "WINNOW_META", Seq(m.k, m.w, m.nPart))
 
   def readMeta(path: String): Meta = {
     val parts = IndexMeta.read(path, "WINNOW_META")
-    Meta(parts(0).toInt, parts(1).toInt)
+    Meta(parts(0).toInt, parts(1).toInt,
+      if (parts.length > 2) parts(2).toInt else 0)
   }
 
   private def postingsDir(path: String) = s"$path/postings"
+
+  private def pbCol(m: Meta) =
+    pmod(col("gh"), lit(m.nPart.toLong)).cast("int").as("pb")
+
+  /** Bounds output files at nPart per write; overwrites anchor the layout
+    * schema so an EMPTY base index (zero data files) still reads — see
+    * [[MinhashIndex]]'s writer note. */
+  private def writePostings(df: DataFrame, path: String, m: Meta,
+      mode: String): Unit = {
+    val out = df.withColumn("pb", pbCol(m))
+    if (mode == "overwrite")
+      IndexMeta.write(path, "POSTINGS_SCHEMA", Seq(out.schema.json))
+    out.repartition(col("pb"))
+      .write.mode(mode).partitionBy("pb").parquet(postingsDir(path))
+  }
+
+  /** Postings scan pruned to the delta's touched partition values
+    * (PartitionFilters at the Parquet scan — plan-pinned in PlansSpec). */
+  private def readPostingsPruned(spark: SparkSession, path: String, m: Meta,
+      dPost: DataFrame): DataFrame =
+    if (m.nPart <= 0) spark.read.parquet(postingsDir(path))
+    else {
+      val pbs = dPost.select(pbCol(m)).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      spark.read.schema(org.apache.spark.sql.types.DataType
+          .fromJson(IndexMeta.read(path, "POSTINGS_SCHEMA")(0))
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+        .parquet(postingsDir(path))
+        .where(col("pb").isin(pbs: _*)).drop("pb")
+    }
 
   private def postingsOf(df: DataFrame, textCol: String, idCol: String,
       m: Meta): DataFrame =
@@ -52,19 +90,20 @@ object WinnowIndex {
 
   /** Build the index from the (already dedup'd) base corpus. */
   def write(df: DataFrame, path: String, textCol: String = "text",
-      idCol: String = "doc_id", k: Int = 4, w: Int = 4): Unit = {
+      idCol: String = "doc_id", k: Int = 4, w: Int = 4,
+      nPart: Int = 64): Unit = {
     require(k >= 1 && w >= 1, "k and w must be >= 1")
-    val m = Meta(k, w)
-    postingsOf(df, textCol, idCol, m).write.mode("overwrite")
-      .parquet(postingsDir(path))
+    val m = Meta(k, w, nPart)
+    writePostings(postingsOf(df, textCol, idCol, m), path, m, "overwrite")
     writeMeta(path, m)
   }
 
   /** Fold a (checked) delta in so the next delta sees it. */
   def append(delta: DataFrame, path: String, textCol: String = "text",
-      idCol: String = "doc_id"): Unit =
-    postingsOf(delta, textCol, idCol, readMeta(path)).write.mode("append")
-      .parquet(postingsDir(path))
+      idCol: String = "doc_id"): Unit = {
+    val m = readMeta(path)
+    writePostings(postingsOf(delta, textCol, idCol, m), path, m, "append")
+  }
 
   /** Winnow pairs (id_a < id_b, n_shared ≥ minShared) touching the delta:
     * old×new from the index postings join, new×new from
@@ -79,7 +118,7 @@ object WinnowIndex {
     val dArr = Dedup.winnowDocArr(delta, textCol, idCol, m.k, m.w).persist()
     val dPost = dArr.select(explode(col("ghs")).as("gh"), col("id")).persist()
     dPost.count() // fingerprint once, not per consumer
-    val out = deltaPairsPrepared(spark, path, dArr, dPost, minShared, maxDf)
+    val out = deltaPairsPrepared(spark, path, m, dArr, dPost, minShared, maxDf)
     dArr.unpersist(blocking = false)
     dPost.unpersist(blocking = false)
     out
@@ -89,11 +128,12 @@ object WinnowIndex {
     * loop fingerprints each batch ONCE and feeds both the pair search and
     * the index append. Inputs arrive persisted + materialized; the caller
     * releases them (the returned relation is materialized before return). */
-  private def deltaPairsPrepared(spark: SparkSession, path: String,
+  private def deltaPairsPrepared(spark: SparkSession, path: String, m: Meta,
       dArr: DataFrame, dPost: DataFrame,
       minShared: Int, maxDf: Option[Int]): DataFrame = {
     require(minShared >= 1, "minShared must be >= 1")
-    val postings = spark.read.parquet(postingsDir(path))
+    // partition-pruned index scan: only the delta-touched buckets' files
+    val postings = readPostingsPruned(spark, path, m, dPost)
 
     // every index posting on a delta-shared fingerprint, via ONE scan +
     // broadcast hash join; holds the full index membership of each shared
@@ -183,11 +223,11 @@ object WinnowIndex {
         val dArr = Dedup.winnowDocArr(batch, textCol, idCol, m.k, m.w).persist()
         val dPost = dArr.select(explode(col("ghs")).as("gh"), col("id")).persist()
         dPost.count()
-        val pairs = deltaPairsPrepared(batch.sparkSession, path, dArr, dPost,
-          minShared, None)
+        val pairs = deltaPairsPrepared(batch.sparkSession, path, m, dArr,
+          dPost, minShared, None)
         ClusterFold.foldBatch(batch.sparkSession, clustersDir, epoch, pairs,
           batch.select(col(idCol).cast("long").as("id")).distinct())
-        dPost.write.mode("append").parquet(postingsDir(path))
+        writePostings(dPost, path, m, "append")
         dArr.unpersist(blocking = false)
         dPost.unpersist(blocking = false)
         pairs.unpersist(blocking = false)
@@ -214,10 +254,10 @@ object WinnowIndex {
         val dArr = Dedup.winnowDocArr(batch, textCol, idCol, m.k, m.w).persist()
         val dPost = dArr.select(explode(col("ghs")).as("gh"), col("id")).persist()
         dPost.count()
-        val pairs = deltaPairsPrepared(batch.sparkSession, path, dArr, dPost,
-          minShared, None)
+        val pairs = deltaPairsPrepared(batch.sparkSession, path, m, dArr,
+          dPost, minShared, None)
         pairs.write.mode("append").parquet(outDir)
-        dPost.write.mode("append").parquet(postingsDir(path))
+        writePostings(dPost, path, m, "append")
         dArr.unpersist(blocking = false)
         dPost.unpersist(blocking = false)
         pairs.unpersist(blocking = false) // the per-batch result cache

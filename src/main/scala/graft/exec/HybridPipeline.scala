@@ -61,15 +61,26 @@ object HybridPipeline {
     * batches should hand in a PERSISTED (or written, partition-prunable)
     * postings relation so per-chunk scans hit cache/pruned files — both
     * bench memos already do. */
+  /** Sweep-fit auto chunk: clamp(|batch| / 5, 500, 4000). The r12 qset
+    * sweep proved no CONSTANT wins both scales (c500 best at 1k queries —
+    * 8.1 vs 14.9 s; c2000 best at 10k — 82.9 vs 106.7 s; SCALE.md qset
+    * table), because smaller chunks bound the per-join hot-token fan-out
+    * while fewer chunks amortize the corpus side. batch/5 passes through
+    * BOTH measured winners exactly, and any chunking is exact (chunks
+    * never interact — spec-pinned chunked ≡ single-join). */
+  def autoChunkSize(nQueries: Int): Int =
+    math.min(4000, math.max(500, nQueries / 5))
+
   def scoreBatchSparse(postings: DataFrame,
       queries: Map[Long, Seq[Map[String, Float]]],
-      roundTo: Int = 6, chunkSize: Int = 1000): DataFrame = {
-    require(chunkSize > 0, "chunkSize must be positive")
+      roundTo: Int = 6, chunkSize: Int = 0): DataFrame = {
+    require(chunkSize >= 0, "chunkSize must be positive (0 = auto)")
     require(queries.nonEmpty && queries.values.forall(_.nonEmpty),
       "at least one query with at least one subquery required")
-    if (queries.size > chunkSize)
-      return queries.toSeq.sortBy(_._1).grouped(chunkSize)
-        .map(ch => scoreBatchSparse(postings, ch.toMap, roundTo, chunkSize))
+    val cs = if (chunkSize == 0) autoChunkSize(queries.size) else chunkSize
+    if (queries.size > cs)
+      return queries.toSeq.sortBy(_._1).grouped(cs)
+        .map(ch => scoreBatchSparse(postings, ch.toMap, roundTo, cs))
         .reduce(_.unionByName(_))
     val spark = postings.sparkSession
     import spark.implicits._

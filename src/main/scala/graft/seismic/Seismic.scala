@@ -53,9 +53,15 @@ object Seismic {
   }
   def dequantize(q: Int, ceil: Float): Float = q * ceil / 255f
 
+  /** `tokenBuckets`: Some(n) when the tables came from a WRITTEN index
+    * partitioned on the token-hash bucket ([[write]]) — search then prunes
+    * both scans to the query cut's buckets (Parquet partition pruning);
+    * None for in-memory built tables (nothing to prune — they are already
+    * resident). */
   case class SeismicIndex(
       clusters: DataFrame, // (token, cluster_id, doc_id)
-      summaries: DataFrame // (token, cluster_id, summary: Map[String, Float] dequantized)
+      summaries: DataFrame, // (token, cluster_id, summary: Map[String, Float] dequantized)
+      tokenBuckets: Option[Int] = None
   )
 
   /** Build the derived tables from a corpus carrying a `tokens` map column.
@@ -180,24 +186,53 @@ object Seismic {
   /** Persist the index as Parquet — the durable analogue of the reference's
     * custom codec files (sparse/codec/SparsePostingsConsumer.java writes
     * clustered postings + summaries at segment flush; here they are plain
-    * columnar tables). Repartitioned by token so cluster membership and
-    * summaries for one token land in one file split — search joins on
-    * token stay co-located at read time. */
-  def write(index: SeismicIndex, path: String): Unit = {
-    index.clusters.repartition(col("token"))
-      .write.mode("overwrite").parquet(s"$path/clusters")
-    index.summaries.repartition(col("token"))
-      .write.mode("overwrite").parquet(s"$path/summaries")
+    * columnar tables). PARTITIONED by token-hash bucket (the
+    * [[graft.sparse.SparseRetrieval.writePostingsIndex]] protocol —
+    * VERDICT r12 task #8; previously only repartitioned/co-located): a
+    * query cut's tokens resolve to bucket values on the DRIVER, so
+    * [[search]]/[[searchBatch]] over a loaded index prune clusters and
+    * summaries to the cut's directories instead of scanning the whole
+    * index (PartitionFilters — plan-pinned in IndexPersistenceSpec). The
+    * bucket expression matches [[graft.sparse.SparseRetrieval
+    * .tokenBucket]] exactly, and nBuckets rides a meta file so a reader
+    * can never probe with a different modulus than the writer. */
+  def write(index: SeismicIndex, path: String, nBuckets: Int = 64): Unit = {
+    def tb = pmod(xxhash64(col("token")), lit(nBuckets.toLong)).cast("int")
+    index.clusters.withColumn("tb", tb).repartition(col("tb"))
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$path/clusters")
+    index.summaries.withColumn("tb", tb).repartition(col("tb"))
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$path/summaries")
+    graft.dedup.IndexMeta.write(path, "SEISMIC_META", Seq(nBuckets))
   }
 
   /** Load a previously-written index. The loaded tables ARE the index —
     * search composes the same joins whether the DataFrames come from the
     * build memo or from storage (the reference similarly reads its codec
-    * files back through SparseTermsLuceneReader at segment open). */
+    * files back through SparseTermsLuceneReader at segment open). A
+    * legacy unpartitioned layout (no meta file) loads with
+    * tokenBuckets = None and searches unpruned. */
   def load(spark: org.apache.spark.sql.SparkSession, path: String): SeismicIndex =
     SeismicIndex(
       clusters = spark.read.parquet(s"$path/clusters"),
-      summaries = spark.read.parquet(s"$path/summaries"))
+      summaries = spark.read.parquet(s"$path/summaries"),
+      tokenBuckets =
+        try Some(graft.dedup.IndexMeta.read(path, "SEISMIC_META")(0).toInt)
+        catch { case _: java.io.FileNotFoundException => None })
+
+  /** Restrict a loaded index to the buckets a query cut's tokens hash
+    * into — the isin on the partition column reaches both Parquet scans
+    * as PartitionFilters. Identity for in-memory indexes. */
+  private def pruneToTokens(index: SeismicIndex,
+      tokens: Iterable[String]): SeismicIndex =
+    index.tokenBuckets match {
+      case Some(nb) =>
+        val tbs = tokens.map(
+          graft.sparse.SparseRetrieval.tokenBucket(_, nb)).toSeq.distinct
+        SeismicIndex(
+          index.clusters.where(col("tb").isin(tbs: _*)).drop("tb"),
+          index.summaries.where(col("tb").isin(tbs: _*)).drop("tb"))
+      case None => index
+    }
 
   /** Pruned search. `corpus` supplies exact vectors for final rescoring. */
   def search(
@@ -212,8 +247,10 @@ object Seismic {
     val spark = corpus.sparkSession
     import spark.implicits._
 
-    // 1. query cut: top_n tokens by weight (tie: token asc)
+    // 1. query cut: top_n tokens by weight (tie: token asc) — and prune a
+    // written index to the cut's token-hash buckets (partition pruning)
     val cut = qTokens.toSeq.sortBy { case (t, w) => (-w, t) }.take(topN).toMap
+    val idx = pruneToTokens(index, cut.keys)
     // summary scoring sees the query through the SEARCH-side byte quantizer
     // (reference SeismicBaseScorer dots a CeilSearch-quantized query against
     // the quantized summaries) — pruning decisions carry that precision
@@ -237,7 +274,7 @@ object Seismic {
     // round-6 before any compare/rank on the summary score: the pruning
     // threshold comparison and the per-token seed pick must be reproducible
     // across engines (sum order varies; see the oracle determinism protocol)
-    val sumScores = index.summaries
+    val sumScores = idx.summaries
       .join(qDf, "token")
       .withColumn("sscore", round(
         graft.functions.VectorExpressions.sparse_dot(col("summary"), typedLit(cutQuantized)), 6))
@@ -247,7 +284,7 @@ object Seismic {
     val wTok = Window.partitionBy(col("token")).orderBy(col("sscore").desc, col("cluster_id").asc)
     val seedClusters = sumScores.withColumn("__r", row_number().over(wTok))
       .where(col("__r") <= 1).select(col("token"), col("cluster_id"))
-    val seedDocs = index.clusters.join(seedClusters, Seq("token", "cluster_id"))
+    val seedDocs = idx.clusters.join(seedClusters, Seq("token", "cluster_id"))
       .select(col("doc_id")).distinct()
     val seedScored = exactScores(seedDocs)
     val theta: Double = {
@@ -267,7 +304,7 @@ object Seismic {
     // union, a corpus whose α-pruned summaries all fall below θ/heapFactor
     // returned EMPTY instead of the seed heap (caught by
     // IndexPersistenceSpec's synthetic corpus).
-    val candDocs = index.clusters.join(kept, Seq("token", "cluster_id"))
+    val candDocs = idx.clusters.join(kept, Seq("token", "cluster_id"))
       .select(col("doc_id")).union(seedDocs).distinct()
     exactScores(candDocs)
       .where(col("score") > 0.0)
@@ -314,6 +351,8 @@ object Seismic {
     val cutsQuantized = cuts.map { case (qid, c) =>
       qid -> c.map { case (t, w) => t -> dequantize(quantize(w, CeilSearch), CeilSearch) }
     }
+    // prune a written index to the BATCH's cut-token buckets once
+    val idx = pruneToTokens(index, cuts.values.flatMap(_.keys))
     val qDf = broadcast(
       cuts.toSeq.flatMap { case (qid, c) => c.keys.map(t => (qid, t)) }
         .toDF("query_id", "token"))
@@ -344,7 +383,7 @@ object Seismic {
         .select(cands("query_id"), cands("doc_id"),
           round(exactDot(cands("query_id"), corpus(tokens)), 6).as("score"))
 
-    val sumScores = index.summaries
+    val sumScores = idx.summaries
       .join(qDf, "token")
       .withColumn("sscore", round(sumDot(col("query_id"), col("summary")), 6))
       .persist()
@@ -354,7 +393,7 @@ object Seismic {
       .orderBy(col("sscore").desc, col("cluster_id").asc)
     val seedClusters = sumScores.withColumn("__r", row_number().over(wTok))
       .where(col("__r") <= 1).select(col("query_id"), col("token"), col("cluster_id"))
-    val seedDocs = index.clusters.join(seedClusters, Seq("token", "cluster_id"))
+    val seedDocs = idx.clusters.join(seedClusters, Seq("token", "cluster_id"))
       .select(col("query_id"), col("doc_id")).distinct()
     val seedScored = exactScores(seedDocs)
     val wQ = Window.partitionBy(col("query_id"))
@@ -372,7 +411,7 @@ object Seismic {
       .where(if (noBound) lit(true)
         else col("sscore") >= col("theta") / heapFactor.toDouble)
       .select(col("query_id"), col("token"), col("cluster_id"))
-    val candDocs = index.clusters.join(kept, Seq("token", "cluster_id"))
+    val candDocs = idx.clusters.join(kept, Seq("token", "cluster_id"))
       .select(col("query_id"), col("doc_id"))
       .union(seedDocs).distinct()
     val wRank = Window.partitionBy(col("query_id"))

@@ -33,10 +33,36 @@ class IndexPersistenceSpec extends SparkSpec {
     val path = tmpDir("seismic_idx")
     Seismic.write(idx, path)
     val loaded = Seismic.load(spark, path)
-    val fromDisk = Seismic.search(loaded, docs, q, k = 10, topN = 4, heapFactor = 2.0f)
+    val searched = Seismic.search(loaded, docs, q, k = 10, topN = 4,
+      heapFactor = 2.0f)
+    // r13: the query cut's token-hash buckets must reach the written
+    // clusters/summaries scans as PARTITION filters (directory pruning) —
+    // a search over a loaded index reads only the cut's buckets
+    val plan = searched.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[tb#\\d+".r.findFirstIn(plan).nonEmpty,
+      s"seismic scans are not partition-pruned:\n$plan")
+    val fromDisk = searched
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(fromDisk == inMem)
     assert(inMem.nonEmpty)
+  }
+
+  test("SEISMIC batch search over a loaded index equals the per-query loop") {
+    val idx = Seismic.build(docs, nPostings = 16)
+    val path = tmpDir("seismic_idx_batch")
+    Seismic.write(idx, path)
+    val loaded = Seismic.load(spark, path)
+    val qs = Map(
+      1L -> HashEmbedder.encode("spark join topic word"),
+      2L -> HashEmbedder.encode("scan sort agg doc"))
+    val batch = Seismic.searchBatch(loaded, docs, qs, k = 5, topN = 4,
+      heapFactor = 2.0f)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val loop = qs.toSeq.flatMap { case (qid, q) =>
+      Seismic.search(loaded, docs, q, k = 5, topN = 4, heapFactor = 2.0f)
+        .collect().map(r => (qid, r.getLong(0), r.getDouble(1))).toSeq
+    }.toSet
+    assert(batch == loop && batch.nonEmpty)
   }
 
   test("IVF: write → load → probe equals the in-memory index, via partition pruning") {

@@ -10,6 +10,14 @@ import graft.dedup.{Dedup, MinhashIndex}
 class MinhashIndexSpec extends SparkSpec {
   import spark.implicits._
 
+  // partitioned layouts nest files under pb=*/ dirs — count recursively
+  private def parquetFiles(dir: String): Int = {
+    def walk(f: java.io.File): Int =
+      if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0)
+      else if (f.getName.endsWith(".parquet")) 1 else 0
+    walk(new java.io.File(dir))
+  }
+
   /** Corpus with near-dup pairs crossing every split boundary: clusters of
     * verbatim-ish copies whose members land in base (id % 3 != 0) and
     * delta (id % 3 == 0), plus unique chaff. */
@@ -102,8 +110,7 @@ class MinhashIndexSpec extends SparkSpec {
     val stream = spark.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
     MinhashIndex.ingestStream(stream, idx, out, threshold = 0.5)
-    val nBatches = new java.io.File(s"$idx/postings").listFiles()
-      .count(_.getName.endsWith(".parquet"))
+    val nBatches = parquetFiles(s"$idx/postings")
     assert(nBatches >= 3) // the appends really arrived batch by batch
     val got = asSet(spark.read.parquet(out).dropDuplicates("id_a", "id_b"))
     assert(got == asSet(Dedup.minhashLsh(docs, threshold = 0.5)))
@@ -115,7 +122,7 @@ class MinhashIndexSpec extends SparkSpec {
     val path = tmpPath("meta")
     MinhashIndex.write(corpus(6), path, shingleSize = 2, numHashes = 16,
       bands = 4, seed = 7L)
-    assert(MinhashIndex.readMeta(path) == MinhashIndex.Meta(2, 16, 4, 7L))
+    assert(MinhashIndex.readMeta(path) == MinhashIndex.Meta(2, 16, 4, 7L, nPart = 64))
     assertThrows[Exception](
       MinhashIndex.deltaPairs(spark, tmpPath("nothere"), corpus(3)))
   }

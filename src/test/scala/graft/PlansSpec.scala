@@ -188,6 +188,51 @@ class PlansSpec extends SparkSpec {
         s"index-sized relation entered a sort-merge join:\n$plan")
       assert(plan.contains("BroadcastHashJoin"),
         s"expected broadcast joins on the index scans:\n$plan")
+      // r13: the index scans PRUNE — the delta's touched buckets and the
+      // candidate ids' buckets reach the postings/sketches Parquet scans
+      // as partition filters (the writePostingsIndex protocol applied to
+      // the dedup index; a micro-batch must not pay O(index) reads)
+      assert("PartitionFilters: \\[pb#\\d+".r.findFirstIn(plan).nonEmpty,
+        s"postings scan is not partition-pruned:\n$plan")
+      assert("PartitionFilters: \\[sb#\\d+".r.findFirstIn(plan).nonEmpty,
+        s"sketches scan is not partition-pruned:\n$plan")
+    }
+  }
+
+  test("winnow deltaPairs: index postings scan is partition-pruned") {
+    withoutAqe {
+      import org.apache.spark.sql.functions.col
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val d = java.nio.file.Files.createTempDirectory("wnidx_plan").toFile
+      d.deleteOnExit()
+      graft.dedup.WinnowIndex.write(
+        docs.where(col("doc_id") % 10 =!= 7), d.getAbsolutePath, k = 4, w = 4)
+      val out = graft.dedup.WinnowIndex.deltaPairs(
+        spark, d.getAbsolutePath, docs.where(col("doc_id") % 10 === 7),
+        minShared = 2)
+      val plan = out.queryExecution.executedPlan.toString
+      assert("PartitionFilters: \\[pb#\\d+".r.findFirstIn(plan).nonEmpty,
+        s"winnow postings scan is not partition-pruned:\n$plan")
+    }
+  }
+
+  test("embedding deltaPairs: postings AND sketches scans are partition-pruned") {
+    withoutAqe {
+      import org.apache.spark.sql.functions.col
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val d = java.nio.file.Files.createTempDirectory("emidx_plan").toFile
+      d.deleteOnExit()
+      graft.dedup.EmbeddingIndex.write(
+        emb.where(col("vec_id") % 10 =!= 7), d.getAbsolutePath,
+        dim = 64, nbits = 4, tables = 8)
+      val out = graft.dedup.EmbeddingIndex.deltaPairs(
+        spark, d.getAbsolutePath, emb.where(col("vec_id") % 10 === 7),
+        threshold = 0.45)
+      val plan = out.queryExecution.executedPlan.toString
+      assert("PartitionFilters: \\[pb#\\d+".r.findFirstIn(plan).nonEmpty,
+        s"embedding postings scan is not partition-pruned:\n$plan")
+      assert("PartitionFilters: \\[sb#\\d+".r.findFirstIn(plan).nonEmpty,
+        s"embedding sketches scan is not partition-pruned:\n$plan")
     }
   }
 }

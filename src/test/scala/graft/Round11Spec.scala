@@ -133,8 +133,13 @@ class Round11Spec extends SparkSpec {
     assert(rows(HybridPipeline.scoreBatchSparse(postings, queries, chunkSize = 2)) == full)
     // chunkSize 1 degenerates to per-query joins; still identical
     assert(rows(HybridPipeline.scoreBatchSparse(postings, queries, chunkSize = 1)) == full)
+    // 0 = auto (sweep-fit clamp(batch/5, 500, 4000)); negatives reject
+    assert(rows(HybridPipeline.scoreBatchSparse(postings, queries, chunkSize = 0)) == full)
+    assert(HybridPipeline.autoChunkSize(1000) == 500 &&
+      HybridPipeline.autoChunkSize(10000) == 2000 &&
+      HybridPipeline.autoChunkSize(100000) == 4000)
     assertThrows[IllegalArgumentException](
-      HybridPipeline.scoreBatchSparse(postings, queries, chunkSize = 0))
+      HybridPipeline.scoreBatchSparse(postings, queries, chunkSize = -1))
   }
 
   // ------------------------------------------- winnow collapse + auto

@@ -16,6 +16,14 @@ import graft.dedup.{Dedup, EmbeddingIndex, MinhashIndex, WinnowIndex}
 class Round12Spec extends SparkSpec {
   import spark.implicits._
 
+  // partitioned layouts nest files under pb=*/ dirs — count recursively
+  private def parquetFiles(dir: String): Int = {
+    def walk(f: java.io.File): Int =
+      if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0)
+      else if (f.getName.endsWith(".parquet")) 1 else 0
+    walk(new java.io.File(dir))
+  }
+
   private def tmpPath(tag: String): String = {
     val d = java.nio.file.Files.createTempDirectory(s"r12_$tag").toFile
     d.deleteOnExit(); d.getAbsolutePath
@@ -205,8 +213,7 @@ class Round12Spec extends SparkSpec {
     val stream = spark.readStream.schema(all.schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
     WinnowIndex.ingestStream(stream, idx, out, minShared = 2)
-    val nBatches = new java.io.File(s"$idx/postings").listFiles()
-      .count(_.getName.endsWith(".parquet"))
+    val nBatches = parquetFiles(s"$idx/postings")
     assert(nBatches >= 3) // genuinely arrived batch by batch
     val got = spark.read.parquet(out).dropDuplicates("id_a", "id_b")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
@@ -229,8 +236,7 @@ class Round12Spec extends SparkSpec {
     val stream = spark.readStream.schema(all.schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
     EmbeddingIndex.ingestStream(stream, idx, out, threshold = 0.9)
-    val nBatches = new java.io.File(s"$idx/postings").listFiles()
-      .count(_.getName.endsWith(".parquet"))
+    val nBatches = parquetFiles(s"$idx/postings")
     assert(nBatches >= 3)
     val got = spark.read.parquet(out).dropDuplicates("id_a", "id_b")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
@@ -253,8 +259,7 @@ class Round12Spec extends SparkSpec {
     val stream = spark.readStream.schema(all.schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
     MinhashIndex.ingestStreamClustered(stream, idx, cl, threshold = 0.5)
-    assert(new java.io.File(s"$idx/postings").listFiles()
-      .count(_.getName.endsWith(".parquet")) >= 3) // genuine micro-batches
+    assert(parquetFiles(s"$idx/postings") >= 3) // genuine micro-batches
     val got = MinhashIndex.currentClusters(spark, cl)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val batch = Dedup.resolveClusters(
