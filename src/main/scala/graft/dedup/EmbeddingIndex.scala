@@ -187,10 +187,10 @@ object EmbeddingIndex {
   def writeScaled(df: DataFrame, path: String, vecCol: String = "embedding",
       idCol: String = "vec_id", dim: Int = 64, targetBucket: Int = 16,
       minNbits: Int = 4, maxNbits: Int = 12, tables: Int = 4,
-      seed: Long = 42L): Unit = {
+      seed: Long = 42L, nPart: Int = 64): Unit = {
     val nbits = scaledNbits(df.count(), targetBucket, minNbits, maxNbits)
     write(df, path, vecCol, idCol, dim, nbits, tables, seed,
-      stablePlanes = true)
+      stablePlanes = true, nPart = nPart)
   }
 
   /** Fold a (checked) batch in. A gid already present gains a SECOND
