@@ -166,12 +166,16 @@ object EmbeddingIndex {
         posexplode(Dedup.lshBucketCol(col("v"), planesOf(m))).as(Seq("table", "bucket")))
       .select(col("table"), col("bucket"), col("gid"), col("nm"), col("bid"))
 
+  /** nPart = 0 (default) scales the partition count to the written
+    * postings ([[IndexMeta.autoParts]]); pass an explicit count to pin. */
   def write(df: DataFrame, path: String, vecCol: String = "embedding",
       idCol: String = "vec_id", dim: Int = 64, nbits: Int = 8,
       tables: Int = 4, seed: Long = 42L, stablePlanes: Boolean = false,
-      nPart: Int = 64): Unit = {
-    val m = Meta(dim, nbits, tables, seed, stablePlanes, nPart)
+      nPart: Int = 0): Unit = {
     val sketches = sketchesOf(df, vecCol, idCol).persist()
+    val m = Meta(dim, nbits, tables, seed, stablePlanes,
+      if (nPart > 0) nPart
+      else IndexMeta.autoParts(sketches.count() * tables))
     writeSketches(sketches, path, m, "overwrite")
     writePostings(postingsOf(sketches, m), path, m, "overwrite")
     sketches.unpersist(blocking = false)
@@ -187,7 +191,7 @@ object EmbeddingIndex {
   def writeScaled(df: DataFrame, path: String, vecCol: String = "embedding",
       idCol: String = "vec_id", dim: Int = 64, targetBucket: Int = 16,
       minNbits: Int = 4, maxNbits: Int = 12, tables: Int = 4,
-      seed: Long = 42L, nPart: Int = 64): Unit = {
+      seed: Long = 42L, nPart: Int = 0): Unit = {
     val nbits = scaledNbits(df.count(), targetBucket, minNbits, maxNbits)
     write(df, path, vecCol, idCol, dim, nbits, tables, seed,
       stablePlanes = true, nPart = nPart)

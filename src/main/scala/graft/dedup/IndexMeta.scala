@@ -16,6 +16,17 @@ private[graft] object IndexMeta {
   import org.apache.hadoop.conf.Configuration
   import org.apache.hadoop.fs.{FileContext, Options, Path}
 
+  /** Partition count for a written index relation, scaled to its size —
+    * the production posture: partition SIZE stays ~constant as the corpus
+    * grows (clamp(rows / 256k, 8, 4096)), so a micro-batch's pruned read
+    * touches a bounded byte volume at any index size, while a small-SF
+    * index pays only 8 directories of write/list overhead instead of a
+    * fixed large fan-out (measured r13: a flat nPart=64 cost the sf0.1
+    * delta/stream bench family ~+24% in pure small-file pressure while
+    * pruning saved nothing at that size). */
+  def autoParts(nRows: Long, targetRows: Long = 262144L): Int =
+    math.min(4096L, math.max(8L, nRows / targetRows)).toInt
+
   private def conf = new Configuration()
 
   /** Publish `fields` (space-joined) as `<dir>/<name>`, atomically. */

@@ -177,12 +177,17 @@ object MinhashIndex {
   /** Build the index from the (already dedup'd) base corpus. The compact
     * (sh, sig) relation is persisted across the two writes — without it
     * the corpus is re-shingled for the postings output (ADVICE round 11). */
+  /** nPart = 0 (default) scales the partition count to the written
+    * postings ([[IndexMeta.autoParts]] — constant partition size at any
+    * corpus); pass an explicit count to pin it. */
   def write(df: DataFrame, path: String, textCol: String = "text",
       idCol: String = "doc_id", shingleSize: Int = 3, numHashes: Int = 32,
-      bands: Int = 8, seed: Long = 42L, nPart: Int = 64): Unit = {
+      bands: Int = 8, seed: Long = 42L, nPart: Int = 0): Unit = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val m = Meta(shingleSize, numHashes, bands, seed, nPart)
-    val k = keyed(df, textCol, idCol, m).persist()
+    val m0 = Meta(shingleSize, numHashes, bands, seed)
+    val k = keyed(df, textCol, idCol, m0).persist()
+    val m = m0.copy(nPart =
+      if (nPart > 0) nPart else IndexMeta.autoParts(k.count() * bands))
     writeSketches(sketchesOf(k), path, m, "overwrite")
     writePostings(postingsOf(k, m), path, m, "overwrite")
     k.unpersist(blocking = false)

@@ -88,13 +88,19 @@ object WinnowIndex {
     Dedup.winnowDocArr(df, textCol, idCol, m.k, m.w)
       .select(explode(col("ghs")).as("gh"), col("id"))
 
-  /** Build the index from the (already dedup'd) base corpus. */
+  /** Build the index from the (already dedup'd) base corpus. nPart = 0
+    * (default) scales the partition count to the written postings
+    * ([[IndexMeta.autoParts]]); pass an explicit count to pin it. */
   def write(df: DataFrame, path: String, textCol: String = "text",
       idCol: String = "doc_id", k: Int = 4, w: Int = 4,
-      nPart: Int = 64): Unit = {
+      nPart: Int = 0): Unit = {
     require(k >= 1 && w >= 1, "k and w must be >= 1")
-    val m = Meta(k, w, nPart)
-    writePostings(postingsOf(df, textCol, idCol, m), path, m, "overwrite")
+    val m0 = Meta(k, w)
+    val postings0 = postingsOf(df, textCol, idCol, m0).persist()
+    val m = m0.copy(nPart =
+      if (nPart > 0) nPart else IndexMeta.autoParts(postings0.count()))
+    writePostings(postings0, path, m, "overwrite")
+    postings0.unpersist(blocking = false)
     writeMeta(path, m)
   }
 

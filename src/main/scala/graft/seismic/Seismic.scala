@@ -196,13 +196,17 @@ object Seismic {
     * bucket expression matches [[graft.sparse.SparseRetrieval
     * .tokenBucket]] exactly, and nBuckets rides a meta file so a reader
     * can never probe with a different modulus than the writer. */
-  def write(index: SeismicIndex, path: String, nBuckets: Int = 64): Unit = {
-    def tb = pmod(xxhash64(col("token")), lit(nBuckets.toLong)).cast("int")
+  def write(index: SeismicIndex, path: String, nBuckets: Int = 0): Unit = {
+    // 0 = auto: partition count scales with the written relation, so
+    // partition size stays ~constant at any corpus (IndexMeta.autoParts)
+    val nb = if (nBuckets > 0) nBuckets
+      else graft.dedup.IndexMeta.autoParts(index.clusters.count())
+    def tb = pmod(xxhash64(col("token")), lit(nb.toLong)).cast("int")
     index.clusters.withColumn("tb", tb).repartition(col("tb"))
       .write.mode("overwrite").partitionBy("tb").parquet(s"$path/clusters")
     index.summaries.withColumn("tb", tb).repartition(col("tb"))
       .write.mode("overwrite").partitionBy("tb").parquet(s"$path/summaries")
-    graft.dedup.IndexMeta.write(path, "SEISMIC_META", Seq(nBuckets))
+    graft.dedup.IndexMeta.write(path, "SEISMIC_META", Seq(nb))
   }
 
   /** Load a previously-written index. The loaded tables ARE the index —

@@ -71,7 +71,7 @@ class EmbeddingIndexSpec extends SparkSpec {
       nbits = 4, tables = 8)
       .where(col("id_a") % 3 === 0 || col("id_b") % 3 === 0)
     assert(got == asSet(full))
-    assert(EmbeddingIndex.readMeta(path) == EmbeddingIndex.Meta(16, 4, 8, 42L, nPart = 64))
+    assert(EmbeddingIndex.readMeta(path) == EmbeddingIndex.Meta(16, 4, 8, 42L, nPart = 8))
     all.unpersist()
   }
 }

@@ -122,7 +122,7 @@ class MinhashIndexSpec extends SparkSpec {
     val path = tmpPath("meta")
     MinhashIndex.write(corpus(6), path, shingleSize = 2, numHashes = 16,
       bands = 4, seed = 7L)
-    assert(MinhashIndex.readMeta(path) == MinhashIndex.Meta(2, 16, 4, 7L, nPart = 64))
+    assert(MinhashIndex.readMeta(path) == MinhashIndex.Meta(2, 16, 4, 7L, nPart = 8))
     assertThrows[Exception](
       MinhashIndex.deltaPairs(spark, tmpPath("nothere"), corpus(3)))
   }

@@ -73,7 +73,7 @@ class WinnowIndexSpec extends SparkSpec {
     val full = Dedup.winnowPairs(docs, k = 4, w = 4, minShared = 2)
       .where(col("id_a") % 3 === 0 || col("id_b") % 3 === 0)
     assert(got == asSet(full))
-    assert(WinnowIndex.readMeta(path) == WinnowIndex.Meta(4, 4, nPart = 64))
+    assert(WinnowIndex.readMeta(path) == WinnowIndex.Meta(4, 4, nPart = 8))
     docs.unpersist()
   }
 }

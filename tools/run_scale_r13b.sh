@@ -1,0 +1,52 @@
+#!/bin/bash
+# Round-13 measurement pass B — relaunched after the auto-nPart fix (the
+# first pass's sf0.1 bench measured the flat nPart=64 layout costing the
+# delta/stream family ~+24% in small-file pressure; partition counts now
+# scale with the written relation). Same ONE-sequential-session protocol;
+# trimmed factors on the demo curves to fit the round's wall budget.
+cd /root/repo
+mkdir -p target/scale_logs
+export SPARK_DRIVER_MEM=24g SPARK_GRAFT_ROUND=13
+rm -f target/scale_logs/status13b.txt
+
+run() { # mode factors passes queries out_name
+  sbt -batch "runMain graft.ScaleBench factors=$2 passes=$3 mode=$1 queries=$4" \
+    > target/scale_logs/$5.log 2>&1
+  echo "$5 exit=$?" >> target/scale_logs/status13b.txt
+  cp /tmp/graftscale/scale_results_$1.json target/scale_logs/$5.json 2>/dev/null
+}
+
+# 1. full sf0.1 bench on auto-nPart code (the regression check)
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_BENCH_OUT=target/scale_logs/r13b_bench_sf01.json \
+  sbt -batch "runMain graft.Bench" > target/scale_logs/r13b_bench.log 2>&1
+echo "r13b_bench exit=$?" >> target/scale_logs/status13b.txt
+
+# 2. disjoint delta set (r12c comparison set, full factor ladder)
+run disjoint 1,3,10,30 3 "q_dedup_minhash_delta,q_dedup_winnow_delta,q_dedup_embedding_delta,q_dedup_embedding_delta_scaled,q_dedup_embedding_lsh" r13_disjoint
+
+# 3. fixed-micro-batch deltas vs factor-scaled-partition indexes
+run disjoint 1,10,30 3 "q_dedup_minhash_delta_fixedbatch,q_dedup_winnow_delta_fixedbatch,q_dedup_embedding_delta_fixedbatch" r13_fixedbatch
+
+# 4. vecrand: the AQE-flip counter pin (scaled to x30) + capped contrast
+run vecrand 1,10,30 3 "q_dedup_embedding_delta_capped,q_dedup_embedding_delta_scaled,q_dedup_embedding_lsh_capped" r13_vecrand
+
+# 5. textrand: distinct random content on the text delta legs
+run textrand 1,10,30 3 "q_dedup_minhash_delta,q_dedup_winnow_delta" r13_textrand
+
+# 6. semantic contrast + argmax-shape counter cells (reads disjoint dirs)
+sbt -batch "runMain graft.ProfileSemantic factors=1,3,10,30 passes=3" \
+  > target/scale_logs/r13_semantic.log 2>&1
+echo "r13_semantic exit=$?" >> target/scale_logs/status13b.txt
+cp /tmp/graftscale/scale_results_semantic.json target/scale_logs/r13_semantic.json 2>/dev/null
+
+# 7. qset axis + chunk sweep (hybrid_rel = the auto default)
+sbt -batch "runMain graft.QsetBench nqs=1000,10000 passes=3 unionCap=100 chunks=500,1000,2000" \
+  > target/scale_logs/r13_qset.log 2>&1
+echo "r13_qset exit=$?" >> target/scale_logs/status13b.txt
+cp /tmp/graftscale/scale_results_qset.json target/scale_logs/r13_qset.json 2>/dev/null
+
+# 8. regime refreshes (optional tail — droppable if the wall runs out)
+run shared 1,3,10,30 3 "q_dedup_winnow,q_dedup_embedding_lsh" r13_shared
+run boilerplate 1,3,10,30 3 "q_dedup_ngram_capped,q_dedup_ngram_auto,q_dedup_ngram_prefix" r13_boilerplate
+
+echo ALL_DONE >> target/scale_logs/status13b.txt
