@@ -111,12 +111,10 @@ object EmbeddingIndex {
       .write.mode(mode).partitionBy("sb").parquet(sketchesDir(path))
   }
 
-  private def anchoredRead(spark: SparkSession, path: String, name: String,
-      dir: String): DataFrame =
-    spark.read.schema(org.apache.spark.sql.types.DataType
-        .fromJson(IndexMeta.read(path, name)(0))
-        .asInstanceOf[org.apache.spark.sql.types.StructType])
-      .parquet(dir)
+  private def anchoredSchema(path: String, name: String) =
+    org.apache.spark.sql.types.DataType
+      .fromJson(IndexMeta.read(path, name)(0))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
 
   /** Postings scan pruned to the delta's touched partition values
     * (PartitionFilters at the Parquet scan — plan-pinned in PlansSpec). */
@@ -126,7 +124,8 @@ object EmbeddingIndex {
     else {
       val pbs = dPost.select(pbCol(m)).distinct()
         .collect().map(_.getInt(0)).toSeq
-      anchoredRead(spark, path, "POSTINGS_SCHEMA", postingsDir(path))
+      MinhashIndex.prunedPartitionRead(spark, postingsDir(path),
+        anchoredSchema(path, "POSTINGS_SCHEMA"), "pb", pbs)
         .where(col("pb").isin(pbs: _*)).drop("pb")
     }
 
@@ -137,7 +136,8 @@ object EmbeddingIndex {
     else {
       val sbs = gids.select(sbCol(m)).distinct()
         .collect().map(_.getInt(0)).toSeq
-      anchoredRead(spark, path, "SKETCHES_SCHEMA", sketchesDir(path))
+      MinhashIndex.prunedPartitionRead(spark, sketchesDir(path),
+        anchoredSchema(path, "SKETCHES_SCHEMA"), "sb", sbs)
         .where(col("sb").isin(sbs: _*)).drop("sb")
     }
 

@@ -100,12 +100,35 @@ object MinhashIndex {
       .write.mode(mode).partitionBy("sb").parquet(sketchesDir(path))
   }
 
-  private def anchoredRead(spark: SparkSession, path: String, name: String,
-      dir: String): DataFrame =
-    spark.read.schema(org.apache.spark.sql.types.DataType
-        .fromJson(IndexMeta.read(path, name)(0))
-        .asInstanceOf[org.apache.spark.sql.types.StructType])
-      .parquet(dir)
+  /** Read ONLY the touched partition directories: `spark.read.parquet`
+    * on the index ROOT builds its file index over the whole partition
+    * tree before pruning — a listing that grows with the index, not the
+    * batch (measured: the ×30 fixedbatch walls grew ~4× on flat read
+    * bytes from listing alone). Selecting the `<part>=<v>` subdirs under
+    * an explicit basePath bounds BOTH the listing and the read by the
+    * touched-partition count; existence comes from ONE root listStatus
+    * (partition dirs only, never files). The anchored schema covers the
+    * empty-selection case. */
+  private[dedup] def prunedPartitionRead(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType, part: String,
+      values: Seq[Int]): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existing = fs.listStatus(root).iterator
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith(part + "=")).toSet
+    val dirs = values.map(v => s"$part=$v").filter(existing).map(n => s"$dir/$n")
+    if (dirs.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else
+      spark.read.schema(schema).option("basePath", dir).parquet(dirs: _*)
+  }
+
+  private def anchoredSchema(path: String, name: String) =
+    org.apache.spark.sql.types.DataType
+      .fromJson(IndexMeta.read(path, name)(0))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
 
   /** Postings scan PRUNED to the delta's touched partition values: the
     * delta's (tiny, cached) postings resolve to ≤ nPart ints on the
@@ -118,7 +141,8 @@ object MinhashIndex {
     else {
       val pbs = dPostings.select(pbCol(m)).distinct()
         .collect().map(_.getInt(0)).toSeq
-      anchoredRead(spark, path, "POSTINGS_SCHEMA", postingsDir(path))
+      prunedPartitionRead(spark, postingsDir(path),
+        anchoredSchema(path, "POSTINGS_SCHEMA"), "pb", pbs)
         .where(col("pb").isin(pbs: _*)).drop("pb")
     }
 
@@ -131,7 +155,8 @@ object MinhashIndex {
     else {
       val sbs = candIds.select(sbCol(m)).distinct()
         .collect().map(_.getInt(0)).toSeq
-      anchoredRead(spark, path, "SKETCHES_SCHEMA", sketchesDir(path))
+      prunedPartitionRead(spark, sketchesDir(path),
+        anchoredSchema(path, "SKETCHES_SCHEMA"), "sb", sbs)
         .where(col("sb").isin(sbs: _*)).drop("sb")
     }
 

@@ -76,10 +76,10 @@ object WinnowIndex {
     else {
       val pbs = dPost.select(pbCol(m)).distinct()
         .collect().map(_.getInt(0)).toSeq
-      spark.read.schema(org.apache.spark.sql.types.DataType
+      MinhashIndex.prunedPartitionRead(spark, postingsDir(path),
+        org.apache.spark.sql.types.DataType
           .fromJson(IndexMeta.read(path, "POSTINGS_SCHEMA")(0))
-          .asInstanceOf[org.apache.spark.sql.types.StructType])
-        .parquet(postingsDir(path))
+          .asInstanceOf[org.apache.spark.sql.types.StructType], "pb", pbs)
         .where(col("pb").isin(pbs: _*)).drop("pb")
     }
 
