@@ -94,22 +94,28 @@ object EmbeddingIndex {
     * schema so an EMPTY base index (zero data files) still reads — see
     * [[MinhashIndex]]'s writer note. */
   private def writePostings(df: DataFrame, path: String, m: Meta,
-      mode: String): Unit = {
-    val out = df.withColumn("pb", pbCol(m))
-    if (mode == "overwrite")
-      IndexMeta.write(path, "POSTINGS_SCHEMA", Seq(out.schema.json))
-    out.repartition(col("pb"))
-      .write.mode(mode).partitionBy("pb").parquet(postingsDir(path))
-  }
+      mode: String): Unit =
+    // nPart <= 0 = legacy unpartitioned layout: plain append (pmod by 0
+    // would fail under ANSI mode — ADVICE r13)
+    if (m.nPart <= 0) df.write.mode(mode).parquet(postingsDir(path))
+    else {
+      val out = df.withColumn("pb", pbCol(m))
+      if (mode == "overwrite")
+        IndexMeta.write(path, "POSTINGS_SCHEMA", Seq(out.schema.json))
+      out.repartition(col("pb"))
+        .write.mode(mode).partitionBy("pb").parquet(postingsDir(path))
+    }
 
   private def writeSketches(df: DataFrame, path: String, m: Meta,
-      mode: String): Unit = {
-    val out = df.withColumn("sb", sbCol(m))
-    if (mode == "overwrite")
-      IndexMeta.write(path, "SKETCHES_SCHEMA", Seq(out.schema.json))
-    out.repartition(col("sb"))
-      .write.mode(mode).partitionBy("sb").parquet(sketchesDir(path))
-  }
+      mode: String): Unit =
+    if (m.nPart <= 0) df.write.mode(mode).parquet(sketchesDir(path))
+    else {
+      val out = df.withColumn("sb", sbCol(m))
+      if (mode == "overwrite")
+        IndexMeta.write(path, "SKETCHES_SCHEMA", Seq(out.schema.json))
+      out.repartition(col("sb"))
+        .write.mode(mode).partitionBy("sb").parquet(sketchesDir(path))
+    }
 
   private def anchoredSchema(path: String, name: String) =
     org.apache.spark.sql.types.DataType
@@ -120,8 +126,16 @@ object EmbeddingIndex {
     * (PartitionFilters at the Parquet scan — plan-pinned in PlansSpec). */
   private def readPostingsPruned(spark: SparkSession, path: String, m: Meta,
       dPost: DataFrame): DataFrame =
-    if (m.nPart <= 0) spark.read.parquet(postingsDir(path))
-    else {
+    if (m.nPart <= 0) {
+      // legacy pre-partitioned layouts predate the bid append-batch column
+      // the capped population dedup keys on (ADVICE r13) — synthesize a
+      // deterministic stand-in off (gid, nm): legacy appends of one gid with
+      // equal member counts collapse (the old nm-only heuristic, the best a
+      // bid-less layout can express), instead of failing the dropDuplicates
+      val raw = spark.read.parquet(postingsDir(path))
+      if (raw.columns.contains("bid")) raw
+      else raw.withColumn("bid", xxhash64(col("gid"), col("nm")))
+    } else {
       val pbs = dPost.select(pbCol(m)).distinct()
         .collect().map(_.getInt(0)).toSeq
       MinhashIndex.prunedPartitionRead(spark, postingsDir(path),

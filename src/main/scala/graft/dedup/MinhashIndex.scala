@@ -84,21 +84,28 @@ object MinhashIndex {
     * (the valid "start from nothing, stream everything" shape) emits zero
     * data files, so readers take the schema from the anchor instead of
     * inference. */
-  private def writePostings(df: DataFrame, path: String, m: Meta, mode: String): Unit = {
-    val out = df.withColumn("pb", pbCol(m))
-    if (mode == "overwrite")
-      IndexMeta.write(path, "POSTINGS_SCHEMA", Seq(out.schema.json))
-    out.repartition(col("pb"))
-      .write.mode(mode).partitionBy("pb").parquet(postingsDir(path))
-  }
+  private def writePostings(df: DataFrame, path: String, m: Meta, mode: String): Unit =
+    // nPart <= 0 is the legacy unpartitioned layout: keep the plain append
+    // (pmod by 0 would fail under ANSI mode — ADVICE r13) so a pre-existing
+    // index stays readable and appendable with its own layout
+    if (m.nPart <= 0) df.write.mode(mode).parquet(postingsDir(path))
+    else {
+      val out = df.withColumn("pb", pbCol(m))
+      if (mode == "overwrite")
+        IndexMeta.write(path, "POSTINGS_SCHEMA", Seq(out.schema.json))
+      out.repartition(col("pb"))
+        .write.mode(mode).partitionBy("pb").parquet(postingsDir(path))
+    }
 
-  private def writeSketches(df: DataFrame, path: String, m: Meta, mode: String): Unit = {
-    val out = df.withColumn("sb", sbCol(m))
-    if (mode == "overwrite")
-      IndexMeta.write(path, "SKETCHES_SCHEMA", Seq(out.schema.json))
-    out.repartition(col("sb"))
-      .write.mode(mode).partitionBy("sb").parquet(sketchesDir(path))
-  }
+  private def writeSketches(df: DataFrame, path: String, m: Meta, mode: String): Unit =
+    if (m.nPart <= 0) df.write.mode(mode).parquet(sketchesDir(path))
+    else {
+      val out = df.withColumn("sb", sbCol(m))
+      if (mode == "overwrite")
+        IndexMeta.write(path, "SKETCHES_SCHEMA", Seq(out.schema.json))
+      out.repartition(col("sb"))
+        .write.mode(mode).partitionBy("sb").parquet(sketchesDir(path))
+    }
 
   /** Read ONLY the touched partition directories: `spark.read.parquet`
     * on the index ROOT builds its file index over the whole partition

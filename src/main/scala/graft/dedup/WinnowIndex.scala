@@ -60,13 +60,17 @@ object WinnowIndex {
     * schema so an EMPTY base index (zero data files) still reads — see
     * [[MinhashIndex]]'s writer note. */
   private def writePostings(df: DataFrame, path: String, m: Meta,
-      mode: String): Unit = {
-    val out = df.withColumn("pb", pbCol(m))
-    if (mode == "overwrite")
-      IndexMeta.write(path, "POSTINGS_SCHEMA", Seq(out.schema.json))
-    out.repartition(col("pb"))
-      .write.mode(mode).partitionBy("pb").parquet(postingsDir(path))
-  }
+      mode: String): Unit =
+    // nPart <= 0 = legacy unpartitioned layout: plain append (pmod by 0
+    // would fail under ANSI mode — ADVICE r13)
+    if (m.nPart <= 0) df.write.mode(mode).parquet(postingsDir(path))
+    else {
+      val out = df.withColumn("pb", pbCol(m))
+      if (mode == "overwrite")
+        IndexMeta.write(path, "POSTINGS_SCHEMA", Seq(out.schema.json))
+      out.repartition(col("pb"))
+        .write.mode(mode).partitionBy("pb").parquet(postingsDir(path))
+    }
 
   /** Postings scan pruned to the delta's touched partition values
     * (PartitionFilters at the Parquet scan — plan-pinned in PlansSpec). */

@@ -198,14 +198,20 @@ object Seismic {
     * can never probe with a different modulus than the writer. */
   def write(index: SeismicIndex, path: String, nBuckets: Int = 0): Unit = {
     // 0 = auto: partition count scales with the written relation, so
-    // partition size stays ~constant at any corpus (IndexMeta.autoParts)
+    // partition size stays ~constant at any corpus (IndexMeta.autoParts).
+    // The auto path evaluates clusters twice (count + write) — persist
+    // around both so an in-memory build() index does not recompute its
+    // clustering pipeline (ADVICE r13; the WinnowIndex.write pattern)
+    val needCount = nBuckets <= 0
+    val cl = if (needCount) index.clusters.persist() else index.clusters
     val nb = if (nBuckets > 0) nBuckets
-      else graft.dedup.IndexMeta.autoParts(index.clusters.count())
+      else graft.dedup.IndexMeta.autoParts(cl.count())
     def tb = pmod(xxhash64(col("token")), lit(nb.toLong)).cast("int")
-    index.clusters.withColumn("tb", tb).repartition(col("tb"))
+    cl.withColumn("tb", tb).repartition(col("tb"))
       .write.mode("overwrite").partitionBy("tb").parquet(s"$path/clusters")
     index.summaries.withColumn("tb", tb).repartition(col("tb"))
       .write.mode("overwrite").partitionBy("tb").parquet(s"$path/summaries")
+    if (needCount) cl.unpersist(blocking = false)
     graft.dedup.IndexMeta.write(path, "SEISMIC_META", Seq(nb))
   }
 
