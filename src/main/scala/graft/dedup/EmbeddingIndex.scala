@@ -123,10 +123,14 @@ object EmbeddingIndex {
       .asInstanceOf[org.apache.spark.sql.types.StructType]
 
   /** Postings scan pruned to the delta's touched partition values
-    * (PartitionFilters at the Parquet scan — plan-pinned in PlansSpec). */
+    * (PartitionFilters at the Parquet scan — plan-pinned in PlansSpec).
+    * The pbs collect doubles as the materializing action for the
+    * caller-persisted delta caches — callers do not count (VERDICT r13
+    * task #2, the [[MinhashIndex]] note). */
   private def readPostingsPruned(spark: SparkSession, path: String, m: Meta,
       dPost: DataFrame): DataFrame =
     if (m.nPart <= 0) {
+      dPost.count() // legacy: no partition values — plain materialize
       // legacy pre-partitioned layouts predate the bid append-batch column
       // the capped population dedup keys on (ADVICE r13) — synthesize a
       // deterministic stand-in off (gid, nm): legacy appends of one gid with
@@ -143,17 +147,16 @@ object EmbeddingIndex {
         .where(col("pb").isin(pbs: _*)).drop("pb")
     }
 
-  /** Sketches scan pruned to the needed gids' partition values. */
+  /** Sketches scan pruned to the needed gids' partition values — the
+    * values arrive precomputed (the needIdx materializing action yields
+    * them, VERDICT r13 task #2); ignored on a legacy layout. */
   private def readSketchesPruned(spark: SparkSession, path: String, m: Meta,
-      gids: DataFrame): DataFrame =
+      sbs: Seq[Int]): DataFrame =
     if (m.nPart <= 0) spark.read.parquet(sketchesDir(path))
-    else {
-      val sbs = gids.select(sbCol(m)).distinct()
-        .collect().map(_.getInt(0)).toSeq
+    else
       MinhashIndex.prunedPartitionRead(spark, sketchesDir(path),
         anchoredSchema(path, "SKETCHES_SCHEMA"), "sb", sbs)
         .where(col("sb").isin(sbs: _*)).drop("sb")
-    }
 
   /** Group-keyed sketches of one corpus — the batch collapse applied at
     * index time. One groupBy shuffle (ingest cost, paid once). */
@@ -237,10 +240,10 @@ object EmbeddingIndex {
     val m = readMeta(path)
     val dSk = sketchesOf(delta, vecCol, idCol).persist()
     // persisted: three parallel broadcast builds consume dPost (the bucket
-    // UDF would race-recompute); ONE count fills dSk and dPost together —
+    // UDF would race-recompute); both caches fill inside
+    // deltaPairsSketched's first action (the pruned read's pbs collect) —
     // the delta groupBy and the bucket UDF each run exactly once
     val dPost = postingsOf(dSk, m).persist()
-    dPost.count()
     val out = deltaPairsSketched(spark, path, m, dSk, dPost, threshold,
       maxBucket)
     dSk.unpersist(blocking = false)
@@ -250,8 +253,9 @@ object EmbeddingIndex {
 
   /** [[deltaPairs]] over a pre-sketched delta — the streaming ingest loop
     * sketches each batch ONCE and feeds both the pair search and the index
-    * append. Inputs arrive persisted + materialized; the caller releases
-    * them (the returned relation is materialized before return). */
+    * append. Inputs arrive PERSISTED and fill inside the first action here
+    * (the pruned read's pbs collect); the caller releases them (the
+    * returned relation is materialized before return). */
   private def deltaPairsSketched(spark: SparkSession, path: String, m: Meta,
       dSk: DataFrame, dPost: DataFrame,
       threshold: Double, maxBucket: Option[Int]): DataFrame = {
@@ -262,12 +266,15 @@ object EmbeddingIndex {
     // broadcast hash join; under maxBucket it holds the full index
     // membership of each such bucket, so the combined ID-LEVEL population
     // (Σ group member counts over base + delta — the whole-corpus cap
-    // semantics) is computable from matched + delta rows alone. Persisted
-    // ONLY under maxBucket — the uncapped path consumes it exactly once.
-    val matched0 = postings.join(
+    // semantics) is computable from matched + delta rows alone. ALWAYS
+    // persisted since r13 added the needIdx membership probe — the
+    // uncapped path has TWO consumers now (oldSide → crossGid, needIdx),
+    // and the relation is the delta-touched bucket slice, small by
+    // construction, so caching it replaces a second pruned postings scan
+    // (VERDICT r13 task #2).
+    val matched = postings.join(
       broadcast(dPost.select(col("table"), col("bucket")).distinct()),
-      Seq("table", "bucket"))
-    val matched = if (maxBucket.isDefined) matched0.persist() else matched0
+      Seq("table", "bucket")).persist()
 
     val (oldSide, dKept, hotCache) = maxBucket match {
       case Some(cap) =>
@@ -332,7 +339,17 @@ object EmbeddingIndex {
     val needIdx = matched.select(col("gid"))
       .join(broadcast(wantGids), Seq("gid"), "left_semi")
       .distinct().persist()
-    val groups = (if (needIdx.count() == 0L) {
+    // ONE action fills the needIdx cache AND yields the pruned sketches
+    // read's partition values; the index-disjoint-batch signal (empty
+    // needIdx → skip the sketches scan + merge outright) rides the same
+    // result — r13 paid a count plus a separate sb collect (VERDICT r13
+    // task #2). Legacy layouts have no partition values; count instead.
+    val sbs: Seq[Int] =
+      if (m.nPart <= 0) Seq.empty
+      else needIdx.select(sbCol(m)).distinct().collect().map(_.getInt(0)).toSeq
+    val idxDisjoint =
+      if (m.nPart <= 0) needIdx.count() == 0L else sbs.isEmpty
+    val groups = (if (idxDisjoint) {
       dSk.select(col("gid"), col("v"),
         array().cast("array<long>").as("om"), col("members").as("nm"))
     } else {
@@ -343,7 +360,7 @@ object EmbeddingIndex {
       // duplicate member ids across sketch rows of one gid, which would
       // otherwise duplicate every pair emission for that group —
       // replayed-append ≡ once-appended, spec-pinned.
-      val oldRel = readSketchesPruned(spark, path, m, needIdx)
+      val oldRel = readSketchesPruned(spark, path, m, sbs)
         .join(broadcast(needIdx), Seq("gid"), "left_semi")
         .groupBy(col("gid"))
         .agg(first(col("v")).as("v"),
@@ -402,9 +419,7 @@ object EmbeddingIndex {
       .select(col("p._1").as("id_a"), col("p._2").as("id_b"), col("cosine"))
     // dSk/dPost are caller-owned and released by the wrapper/stream loop
     Dedup.finishReleasing(within.unionByName(cross),
-      Seq(candGid, needIdx, groups)
-        ++ (if (maxBucket.isDefined) Seq(matched) else Nil)
-        ++ hotCache: _*)
+      Seq(candGid, needIdx, groups, matched) ++ hotCache: _*)
   }
 
   /** Streaming semantic-dedup ingest: every micro-batch is checked against
@@ -430,8 +445,7 @@ object EmbeddingIndex {
         // search AND both index appends
         val m = readMeta(path)
         val dSk = sketchesOf(batch, vecCol, idCol).persist()
-        val dPost = postingsOf(dSk, m).persist()
-        dPost.count()
+        val dPost = postingsOf(dSk, m).persist() // fills in the pruned read
         val pairs = deltaPairsSketched(batch.sparkSession, path, m, dSk,
           dPost, threshold, None)
         pairs.write.mode("append").parquet(outDir)
@@ -465,8 +479,7 @@ object EmbeddingIndex {
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         val m = readMeta(path)
         val dSk = sketchesOf(batch, vecCol, idCol).persist()
-        val dPost = postingsOf(dSk, m).persist()
-        dPost.count()
+        val dPost = postingsOf(dSk, m).persist() // fills in the pruned read
         val pairs = deltaPairsSketched(batch.sparkSession, path, m, dSk,
           dPost, threshold, None)
         ClusterFold.foldBatch(batch.sparkSession, clustersDir, epoch, pairs,

@@ -141,11 +141,19 @@ object MinhashIndex {
     * delta's (tiny, cached) postings resolve to ≤ nPart ints on the
     * driver, and the isin filter on the partition column reaches the scan
     * as PartitionFilters (plan-pinned in PlansSpec) — only the touched
-    * buckets' directories are listed and read. */
+    * buckets' directories are listed and read.
+    *
+    * The pbs collect DOUBLES as the materializing action for the
+    * caller-persisted delta caches (it scans dPostings fully), so the
+    * callers' separate dPost.count() is gone — r13 paid count + collect
+    * per call, a fixed driver-action floor the small-batch streaming loop
+    * felt directly (VERDICT r13 task #2). */
   private def readPostingsPruned(spark: SparkSession, path: String, m: Meta,
       dPostings: DataFrame): DataFrame =
-    if (m.nPart <= 0) spark.read.parquet(postingsDir(path))
-    else {
+    if (m.nPart <= 0) { // legacy: no partition values — plain materialize
+      dPostings.count()
+      spark.read.parquet(postingsDir(path))
+    } else {
       val pbs = dPostings.select(pbCol(m)).distinct()
         .collect().map(_.getInt(0)).toSeq
       prunedPartitionRead(spark, postingsDir(path),
@@ -155,10 +163,16 @@ object MinhashIndex {
 
   /** Sketches scan pruned to the candidate ids' partition values — the
     * candidate set is broadcast-small by LSH construction, so its bucket
-    * set is a driver-side derivation off the already-cached pairs. */
+    * set is a driver-side derivation off the already-cached pairs. Like
+    * [[readPostingsPruned]], the sbs collect IS the materializing action
+    * for the caller-persisted cand cache (replacing r13's cand.count();
+    * the two union legs of candIds may race-compute the unfilled cand
+    * cache inside this one job, which a same-session ×30 A/B measured at
+    * parity — 11.6 s racing vs 12.5 s with the extra count — because the
+    * candidate pipeline is cheap next to the sketch UDFs). */
   private def readSketchesPruned(spark: SparkSession, path: String, m: Meta,
       candIds: DataFrame): DataFrame =
-    if (m.nPart <= 0) spark.read.parquet(sketchesDir(path))
+    if (m.nPart <= 0) { candIds.count(); spark.read.parquet(sketchesDir(path)) }
     else {
       val sbs = candIds.select(sbCol(m)).distinct()
         .collect().map(_.getInt(0)).toSeq
@@ -256,10 +270,11 @@ object MinhashIndex {
     // shingle + sign the delta ONCE into the compact cache; postings are
     // additionally persisted because several parallel broadcast builds
     // consume them (the band explode would race-recompute), while the
-    // sketch projection off the cached relation is a column select
+    // sketch projection off the cached relation is a column select. The
+    // caches fill inside deltaPairsSketched's first action (the pruned
+    // read's pbs collect) — no separate count (VERDICT r13 task #2).
     val k = keyed(delta, textCol, idCol, m).persist()
     val dPostings = postingsOf(k, m).persist()
-    dPostings.count() // one job fills both caches; the UDFs run once
     val out = deltaPairsSketched(spark, path, m, sketchesOf(k), dPostings,
       threshold, maxBucket)
     k.unpersist(blocking = false)
@@ -270,10 +285,12 @@ object MinhashIndex {
   /** [[deltaPairs]] over a pre-sketched delta — the streaming ingest loop
     * fingerprints each batch ONCE and feeds both the pair search and the
     * index append (the un-shared form ran the signature UDF twice per
-    * batch). `dPostings` must arrive persisted + materialized (several
-    * broadcast builds consume it); `dSketches` may be a cheap derivation
-    * off a cached parent. The caller releases both (the returned relation
-    * is materialized before return, so release is safe immediately). */
+    * batch). `dPostings` must arrive PERSISTED (several broadcast builds
+    * consume it); the first action here — the pruned read's pbs collect —
+    * fills it, so callers do not count. `dSketches` may be a cheap
+    * derivation off a cached parent. The caller releases both (the
+    * returned relation is materialized before return, so release is safe
+    * immediately). */
   private def deltaPairsSketched(spark: SparkSession, path: String, m: Meta,
       dSketches: DataFrame, dPostings: DataFrame,
       threshold: Double, maxBucket: Option[Int]): DataFrame = {
@@ -318,15 +335,9 @@ object MinhashIndex {
       .dropDuplicates("id_a", "id_b")
     val newNew = Dedup.bucketPairsPublic(dKept, Seq("band", "bucket"))
     val cand = oldNew.unionByName(newNew).dropDuplicates("id_a", "id_b").persist()
-    // Materialize-first (the package convention): candIds below reads cand
-    // TWICE through a union whose legs are concurrent tasks of one stage,
-    // so an unfilled cache can be race-computed per leg. A same-session
-    // ×30 A/B measured parity here (12.5 s with vs 11.6 without — the
-    // candidate pipeline is cheap next to the sketch UDFs), so this count
-    // is kept for the convention and the race guard, not a measured win;
-    // the real r12 action saving is the single shared keyed/postings fill
-    // above (one job, was two).
-    cand.count()
+    // cand materializes inside readSketchesPruned's sbs collect below —
+    // the r13 standalone cand.count() (kept then only as a race guard the
+    // A/B had measured at parity) is folded away (VERDICT r13 task #2).
 
     // ONE sketches scan: broadcast-semi-reduce to candidate ids (LSH keeps
     // the candidate set small by construction), then verify against the
@@ -402,8 +413,7 @@ object MinhashIndex {
         val spark = batch.sparkSession
         val m = readMeta(path)
         val k = keyed(batch, textCol, idCol, m).persist()
-        val dPo = postingsOf(k, m).persist()
-        dPo.count()
+        val dPo = postingsOf(k, m).persist() // fills in the pruned read
         val pairs = deltaPairsSketched(spark, path, m, sketchesOf(k), dPo,
           threshold, None)
         ClusterFold.foldBatch(spark, clustersDir, epoch, pairs,
@@ -436,8 +446,7 @@ object MinhashIndex {
         // the pair search AND the index append
         val m = readMeta(path)
         val k = keyed(batch, textCol, idCol, m).persist()
-        val dPo = postingsOf(k, m).persist()
-        dPo.count()
+        val dPo = postingsOf(k, m).persist() // fills in the pruned read
         val pairs = deltaPairsSketched(batch.sparkSession, path, m,
           sketchesOf(k), dPo, threshold, maxBucket)
         pairs.write.mode("append").parquet(outDir)

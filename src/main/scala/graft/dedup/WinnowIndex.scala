@@ -73,10 +73,13 @@ object WinnowIndex {
     }
 
   /** Postings scan pruned to the delta's touched partition values
-    * (PartitionFilters at the Parquet scan — plan-pinned in PlansSpec). */
+    * (PartitionFilters at the Parquet scan — plan-pinned in PlansSpec).
+    * The pbs collect doubles as the materializing action for the
+    * caller-persisted delta caches — callers do not count (VERDICT r13
+    * task #2, the [[MinhashIndex]] note). */
   private def readPostingsPruned(spark: SparkSession, path: String, m: Meta,
       dPost: DataFrame): DataFrame =
-    if (m.nPart <= 0) spark.read.parquet(postingsDir(path))
+    if (m.nPart <= 0) { dPost.count(); spark.read.parquet(postingsDir(path)) }
     else {
       val pbs = dPost.select(pbCol(m)).distinct()
         .collect().map(_.getInt(0)).toSeq
@@ -125,9 +128,10 @@ object WinnowIndex {
       textCol: String = "text", idCol: String = "doc_id",
       minShared: Int = 1, maxDf: Option[Int] = None): DataFrame = {
     val m = readMeta(path)
+    // fingerprint once, not per consumer — the caches fill inside
+    // deltaPairsPrepared's first action (the pruned read's pbs collect)
     val dArr = Dedup.winnowDocArr(delta, textCol, idCol, m.k, m.w).persist()
     val dPost = dArr.select(explode(col("ghs")).as("gh"), col("id")).persist()
-    dPost.count() // fingerprint once, not per consumer
     val out = deltaPairsPrepared(spark, path, m, dArr, dPost, minShared, maxDf)
     dArr.unpersist(blocking = false)
     dPost.unpersist(blocking = false)
@@ -136,8 +140,9 @@ object WinnowIndex {
 
   /** [[deltaPairs]] over a pre-fingerprinted delta — the streaming ingest
     * loop fingerprints each batch ONCE and feeds both the pair search and
-    * the index append. Inputs arrive persisted + materialized; the caller
-    * releases them (the returned relation is materialized before return). */
+    * the index append. Inputs arrive PERSISTED and fill inside the first
+    * action here (the pruned read's pbs collect); the caller releases them
+    * (the returned relation is materialized before return). */
   private def deltaPairsPrepared(spark: SparkSession, path: String, m: Meta,
       dArr: DataFrame, dPost: DataFrame,
       minShared: Int, maxDf: Option[Int]): DataFrame = {
@@ -232,7 +237,6 @@ object WinnowIndex {
         val m = readMeta(path)
         val dArr = Dedup.winnowDocArr(batch, textCol, idCol, m.k, m.w).persist()
         val dPost = dArr.select(explode(col("ghs")).as("gh"), col("id")).persist()
-        dPost.count()
         val pairs = deltaPairsPrepared(batch.sparkSession, path, m, dArr,
           dPost, minShared, None)
         ClusterFold.foldBatch(batch.sparkSession, clustersDir, epoch, pairs,
@@ -263,7 +267,6 @@ object WinnowIndex {
         val m = readMeta(path)
         val dArr = Dedup.winnowDocArr(batch, textCol, idCol, m.k, m.w).persist()
         val dPost = dArr.select(explode(col("ghs")).as("gh"), col("id")).persist()
-        dPost.count()
         val pairs = deltaPairsPrepared(batch.sparkSession, path, m, dArr,
           dPost, minShared, None)
         pairs.write.mode("append").parquet(outDir)
