@@ -173,7 +173,7 @@ object ScaleBench {
     * snapshot(); listener delivery is async, so snapshot() polls until the
     * counters go quiet instead of racing the bus. */
   private[graft] final class MetricsListener extends org.apache.spark.scheduler.SparkListener {
-    private val sr, sw, ms, ds, ir = new java.util.concurrent.atomic.AtomicLong()
+    private val sr, sw, ms, ds, ir, ow = new java.util.concurrent.atomic.AtomicLong()
     override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
       val m = te.taskMetrics
       if (m != null) {
@@ -184,10 +184,13 @@ object ScaleBench {
         ir.addAndGet(m.inputMetrics.bytesRead) // source-scan bytes: the
         // partition-pruning counter (a pruned written index reads ONLY its
         // probed buckets' files)
+        ow.addAndGet(m.outputMetrics.bytesWritten) // sink bytes: the
+        // O(touched)-publish counter (a by-reference cluster publish
+        // writes ONLY the touched partitions)
         ()
       }
     }
-    def reset(): Unit = Seq(sr, sw, ms, ds, ir).foreach(_.set(0L))
+    def reset(): Unit = Seq(sr, sw, ms, ds, ir, ow).foreach(_.set(0L))
     def snapshot(): Map[String, Long] = {
       // Require TWO consecutive quiet 100 ms reads before trusting the
       // counters: one quiet interval can be a bus scheduling gap on a
@@ -201,7 +204,7 @@ object ScaleBench {
       var prev = -1L
       val deadline = System.nanoTime() + 30_000_000_000L
       while (quiet < 2 && System.nanoTime() < deadline) {
-        val cur = sr.get + sw.get + ms.get + ds.get + ir.get
+        val cur = sr.get + sw.get + ms.get + ds.get + ir.get + ow.get
         if (cur == prev) quiet += 1 else quiet = 0
         prev = cur
         if (quiet < 2) Thread.sleep(100)
@@ -212,7 +215,10 @@ object ScaleBench {
           "this cell may be truncated")
       Map("shuffle_read_mb" -> sr.get / (1 << 20), "shuffle_write_mb" -> sw.get / (1 << 20),
         "spill_mem_mb" -> ms.get / (1 << 20), "spill_disk_mb" -> ds.get / (1 << 20),
-        "input_read_mb" -> ir.get / (1 << 20))
+        "input_read_mb" -> ir.get / (1 << 20), "output_write_mb" -> ow.get / (1 << 20),
+        // KB precision for the micro-batch cells, where a whole fold can
+        // be smaller than one MB and the MB counters round to zero
+        "input_read_kb" -> ir.get / 1024, "output_write_kb" -> ow.get / 1024)
     }
   }
 

@@ -1,0 +1,257 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.{ClusterFold, Dedup, EmbeddingIndex, MinhashIndex, WinnowIndex}
+
+/** Streaming dedup-to-clusters scale cells (VERDICT r13 tasks #1/#3/#5):
+  * measure the `ingestStreamClustered` loop — per-batch wall and
+  * read/write bytes — as the SEEN CORPUS grows, on all three legs.
+  *
+  * Three cell families:
+  *
+  *  - `probe` (task #1's done-criterion): pre-seed the index AND the
+  *    cluster assignment from a ×f corpus (disjoint replication for the
+  *    text legs — near-dup density preserved, assignment grows ~×f;
+  *    vecrand for the embedding leg — distinct vectors, the fixed-nbits
+  *    regime), then stream a FIXED 4-batch probe of fresh-id near-dup
+  *    docs and record per-epoch wall + total input/output bytes. The r13
+  *    layout rewrote the whole assignment per epoch (bytes grow ×f); the
+  *    r14 partitioned fold reads/writes only touched partitions (bytes
+  *    ~flat in f).
+  *  - `aging` (task #5): stream the ×1 corpus from an EMPTY index in
+  *    fixed-size micro-batches and log wall per epoch — the within-run
+  *    corpus-age curve (an O(corpus-age) publish shows as a linear ramp;
+  *    O(touched) stays flat apart from cluster-density noise).
+  *  - `gatevar` (task #3): run the q_stream_dedup_clusters_embedding GATE
+  *    verbatim N times in one process, logging wall + per-epoch durations
+  *    + phys counters, to bound the same-code spread the r13 verdict
+  *    flagged (6.8 s builder vs 10.6 s driver).
+  *
+  * Usage: runMain graft.StreamCurve [cells=probe,aging,gatevar]
+  *   [legs=minhash,winnow,embedding] [factors=1,10,30] [batches=20]
+  *   [gatevar_n=3]
+  * Writes /tmp/graftscale/stream_curve.json.
+  */
+object StreamCurve {
+
+  private final class BatchDurations
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    override def onQueryStarted(
+        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+    override def onQueryProgress(
+        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+      buf.add((e.progress.batchId, e.progress.batchDuration)); ()
+    }
+    override def onQueryTerminated(
+        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    def drain(): Seq[(Long, Long)] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var v = buf.poll()
+      while (v != null) { out += v; v = buf.poll() }
+      out.toSeq.sortBy(_._1)
+    }
+  }
+
+  private def rmrf(p: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(p))
+  }
+
+  private def jnum(d: Double): String = f"$d%.2f"
+
+  def main(args: Array[String]): Unit = {
+    val argMap = args.flatMap { a =>
+      a.split("=", 2) match { case Array(k, v) => Some(k -> v); case _ => None }
+    }.toMap
+    val cells = argMap.getOrElse("cells", "probe,aging,gatevar").split(",").toSeq
+    val legs = argMap.getOrElse("legs", "minhash,winnow,embedding").split(",").toSeq
+    val factors = argMap.getOrElse("factors", "1,10,30").split(",").map(_.toInt).toSeq
+    val agingBatches = argMap.getOrElse("batches", "20").toInt
+    val gatevarN = argMap.getOrElse("gatevar_n", "3").toInt
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val metrics = new ScaleBench.MetricsListener
+    spark.sparkContext.addSparkListener(metrics)
+    val durations = new BatchDurations
+    spark.streams.addListener(durations)
+
+    val docsAll = spark.read.parquet(s"$srcDir/documents.parquet")
+    val nSrcDocs = docsAll.agg(max(col("doc_id"))).head().getLong(0) + 1
+    val embAll = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    val nSrcVecs = embAll.agg(max(col("vec_id"))).head().getLong(0) + 1
+
+    val out = new StringBuilder
+    out.append("{\n")
+    val sections = scala.collection.mutable.ArrayBuffer.empty[String]
+
+    /** One probe/aging run: seed (optional), write probe files, stream,
+      * return (wall, perBatchMs, phys, assignmentRows). */
+    def runStream(leg: String, root: String, probeDir: String,
+        schema: org.apache.spark.sql.types.StructType): (Double, Seq[Long], Map[String, Long]) = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(probeDir)
+      durations.drain()
+      metrics.reset()
+      val t0 = System.nanoTime()
+      leg match {
+        case "minhash" => MinhashIndex.ingestStreamClustered(
+          stream, s"$root/index", s"$root/clusters", threshold = 0.5)
+        case "winnow" => WinnowIndex.ingestStreamClustered(
+          stream, s"$root/index", s"$root/clusters",
+          minShared = Queries12.WinnowMinShared)
+        case "embedding" => EmbeddingIndex.ingestStreamClustered(
+          stream, s"$root/index", s"$root/clusters", threshold = 0.45)
+      }
+      val wall = (System.nanoTime() - t0) / 1e9
+      val phys = metrics.snapshot()
+      (wall, durations.drain().map(_._2), phys)
+    }
+
+    // ------------------------------------------------------------- probe
+    if (cells.contains("probe")) {
+      val rows = scala.collection.mutable.ArrayBuffer.empty[String]
+      for (leg <- legs; f <- factors) {
+        val mode = if (leg == "embedding") "vecrand" else "disjoint"
+        val dir = s"/tmp/graftscale/$mode/x$f"
+        ScaleBench.replicate(spark, srcDir, dir, f, mode)
+        val root = s"/tmp/graftstream/probe_${leg}_x$f"
+        rmrf(root); new java.io.File(root).mkdirs()
+        val nPart = math.min(64 * f, 2048)
+        val cl = s"$root/clusters"
+        // seed index + assignment from the full x-f corpus (untimed)
+        val probeDir = s"$root/probe"
+        val (schema, seedRows) = leg match {
+          case "embedding" =>
+            val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+            EmbeddingIndex.write(emb, s"$root/index", dim = 64, nbits = 4,
+              tables = 8, nPart = nPart)
+            val pairs = Dedup.embeddingNearDupLsh(emb, dim = 64,
+              threshold = 0.45, nbits = 4, tables = 8)
+              .select(col("id_a"), col("id_b"))
+            ClusterFold.foldBatch(spark, cl, 0L, pairs,
+              emb.select(col("vec_id").as("id")))
+            (0 until 4).foreach { j =>
+              emb.where(col("vec_id") % 100 === j && col("vec_id") < nSrcVecs)
+                .withColumn("vec_id",
+                  col("vec_id") + lit(2000000000L) + lit(j.toLong) * 100000L)
+                .repartition(1).write.mode("append").parquet(probeDir)
+            }
+            (emb.schema, ClusterFold.readManifest(cl).get.rows)
+          case _ =>
+            val docs = spark.read.parquet(s"$dir/documents.parquet")
+            val pairs = leg match {
+              case "minhash" =>
+                MinhashIndex.write(docs, s"$root/index", nPart = nPart)
+                Dedup.minhashLsh(docs, threshold = 0.5)
+                  .select(col("id_a"), col("id_b"))
+              case "winnow" =>
+                WinnowIndex.write(docs, s"$root/index",
+                  k = Queries12.WinnowK, w = Queries12.WinnowW, nPart = nPart)
+                Dedup.winnowPairs(docs, k = Queries12.WinnowK,
+                  w = Queries12.WinnowW, minShared = Queries12.WinnowMinShared)
+                  .select(col("id_a"), col("id_b"))
+            }
+            ClusterFold.foldBatch(spark, cl, 0L, pairs,
+              docs.select(col("doc_id").as("id")))
+            (0 until 4).foreach { j =>
+              docs.where(col("doc_id") % 100 === j && col("doc_id") < nSrcDocs)
+                .withColumn("doc_id",
+                  col("doc_id") + lit(2000000000L) + lit(j.toLong) * 100000L)
+                .repartition(1).write.mode("append").parquet(probeDir)
+            }
+            (docs.schema, ClusterFold.readManifest(cl).get.rows)
+        }
+        val (wall, perBatch, phys) = runStream(leg, root, probeDir, schema)
+        val row = s"""{"leg":"$leg","factor":$f,"seed_assignment_rows":$seedRows,""" +
+          s""""wall_s":${jnum(wall)},"per_batch_ms":[${perBatch.mkString(",")}],""" +
+          s""""phys":{${phys.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }.mkString(",")}}}"""
+        rows += row
+        println(s"[streamcurve] probe $row")
+        rmrf(root)
+      }
+      sections += s""""probe": [${rows.mkString(",\n  ")}]"""
+    }
+
+    // ------------------------------------------------------------- aging
+    if (cells.contains("aging")) {
+      val rows = scala.collection.mutable.ArrayBuffer.empty[String]
+      for (leg <- legs) {
+        val root = s"/tmp/graftstream/aging_$leg"
+        rmrf(root); new java.io.File(root).mkdirs()
+        val probeDir = s"$root/probe"
+        val schema = leg match {
+          case "embedding" =>
+            EmbeddingIndex.write(embAll.limit(0), s"$root/index",
+              dim = 64, nbits = 4, tables = 8)
+            (0 until agingBatches).foreach { j =>
+              embAll.where(pmod(col("vec_id"), lit(agingBatches)) === j)
+                .repartition(1).write.mode("append").parquet(probeDir)
+            }
+            embAll.schema
+          case _ =>
+            if (leg == "minhash")
+              MinhashIndex.write(docsAll.limit(0), s"$root/index")
+            else WinnowIndex.write(docsAll.limit(0), s"$root/index",
+              k = Queries12.WinnowK, w = Queries12.WinnowW)
+            (0 until agingBatches).foreach { j =>
+              docsAll.where(pmod(col("doc_id"), lit(agingBatches)) === j)
+                .repartition(1).write.mode("append").parquet(probeDir)
+            }
+            docsAll.schema
+        }
+        val (wall, perBatch, phys) = runStream(leg, root, probeDir, schema)
+        val row = s"""{"leg":"$leg","batches":$agingBatches,""" +
+          s""""wall_s":${jnum(wall)},"per_batch_ms":[${perBatch.mkString(",")}],""" +
+          s""""phys":{${phys.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }.mkString(",")}}}"""
+        rows += row
+        println(s"[streamcurve] aging $row")
+        rmrf(root)
+      }
+      sections += s""""aging": [${rows.mkString(",\n  ")}]"""
+    }
+
+    // ----------------------------------------------------------- gatevar
+    if (cells.contains("gatevar")) {
+      val rows = scala.collection.mutable.ArrayBuffer.empty[String]
+      (1 to gatevarN).foreach { i =>
+        durations.drain()
+        metrics.reset()
+        val t0 = System.nanoTime()
+        SparkEntry.queries("q_stream_dedup_clusters_embedding")(spark, srcDir)
+          .write.format("noop").mode("overwrite").save()
+        val wall = (System.nanoTime() - t0) / 1e9
+        val phys = metrics.snapshot()
+        val perBatch = durations.drain().map(_._2)
+        val row = s"""{"run":$i,"wall_s":${jnum(wall)},""" +
+          s""""per_batch_ms":[${perBatch.mkString(",")}],""" +
+          s""""phys":{${phys.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }.mkString(",")}}}"""
+        rows += row
+        println(s"[streamcurve] gatevar $row")
+      }
+      sections += s""""gatevar": [${rows.mkString(",\n  ")}]"""
+    }
+
+    out.append(sections.mkString(",\n"))
+    out.append("\n}\n")
+    new java.io.File("/tmp/graftscale").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("/tmp/graftscale/stream_curve.json"),
+      out.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"[streamcurve] wrote /tmp/graftscale/stream_curve.json")
+    spark.stop()
+  }
+}

@@ -11,44 +11,114 @@ import org.apache.spark.sql.functions._
   * fingerprint produced the match, e.g.
   * processor/TextEmbeddingProcessor.java:79 runs per indexed batch).
   *
-  * Storage: versioned parquet snapshots `v<epoch>` under `clustersDir`
-  * with a CURRENT pointer published via the atomic-rename meta file
-  * ([[IndexMeta]]); [[currentClusters]] reads the pointed-at version.
+  * == Partitioned snapshot, O(touched) publish ==
   *
-  * At-least-once hardening (ADVICE round 12, all three findings):
+  * The assignment is stored as TWO mirrored (id, cluster_id) relations
+  * holding ONLY members of multi-member clusters — singletons are
+  * implicit (an id absent from the snapshot is its own cluster), so the
+  * snapshot is the near-duplicate residue of the corpus, never the corpus:
+  *
+  *  - `byid`   — hash-partitioned by pmod(id, nPart): serves the
+  *               endpoint → root lookup with a pruned read;
+  *  - `byroot` — the same rows partitioned by pmod(cluster_id, nPart):
+  *               serves the root → prior-members expansion.
+  *
+  * Data lives in per-epoch directories `e<epoch>/<rel>/pb=<k>`; the
+  * CURRENT pointer ([[IndexMeta]], atomic rename) is a MANIFEST:
+  * `v<epoch> <nPart> <rows> <rel>/<k>=<epochDir> ...` — a partition
+  * absent from the manifest is empty. A fold touches only the clusters a
+  * pair endpoint lands in: it reads the endpoints' byid partitions (their
+  * roots), those roots' byroot partitions (their prior members), re-runs
+  * connected components over `star(members) ∪ pairs`, REWRITES only the
+  * partitions containing touched ids/roots into the new epoch dir, and
+  * publishes every untouched partition BY REFERENCE (its old manifest
+  * entry carries over). A batch with no pairs publishes with ZERO data IO
+  * (manifest version bump only). Per-batch cost is O(touched components),
+  * not O(corpus) — the same posture the written indexes' pruned reads
+  * reached in round 13, applied to the publish side.
+  *
+  * When the snapshot outgrows its partition grid (rows > 2 × target ×
+  * nPart), the fold compacts: a full rewrite re-derives nPart from
+  * [[IndexMeta.autoParts]], keeping partition SIZE ~constant as the
+  * corpus ages (amortized O(1) per row — geometric growth). A pre-r14
+  * single-directory snapshot (legacy `v<N>` flat layout) is migrated the
+  * same way on its first fold.
+  *
+  * == At-least-once hardening (ADVICE round 12, carried) ==
   *
   *  - REPLAYED EPOCH: if CURRENT already names `v<epoch>`, the publish is
   *    skipped outright — the fold is idempotent (CC(star(CC(E ∪ P)) ∪ P)
-  *    = CC(E ∪ P)), and recomputing would build a write plan whose INPUT
-  *    path (prev = the pointed-at version) equals its OUTPUT path, which
-  *    Spark rejects ("Cannot overwrite a path that is also being read
-  *    from") — wedging the stream permanently. The caller still redoes
-  *    its index appends, which the read-side dedups absorb.
+  *    = CC(E ∪ P)). The caller still redoes its index appends, which the
+  *    read-side dedups absorb.
   *  - POINTER READ FAILURES: only FileNotFoundException (pointer
   *    genuinely absent — first epoch) maps to "no assignment yet". Any
   *    other IO error RETHROWS so the batch fails and the checkpoint
   *    retries, instead of silently folding against an empty prev and
   *    publishing a truncated assignment that discards all prior state.
-  *  - VERSION GC: after a publish, snapshots other than the new CURRENT
-  *    and its immediate predecessor are deleted (the predecessor stays
-  *    for in-flight readers that resolved the pointer just before the
-  *    flip) — a long-running stream holds ≤ 2 snapshots, not
-  *    O(epochs × corpus) unbounded growth.
+  *  - EPOCH-DIR COLLISION: a restarted stream with a fresh checkpoint
+  *    replays epoch numbers; if `e<epoch>` is still referenced by the
+  *    live manifest the fold writes to `e<epoch>r<k>` instead of
+  *    overwriting data in use.
+  *  - GC: after a publish, every partition directory referenced by
+  *    neither the new manifest nor its immediate predecessor is deleted
+  *    (the predecessor stays for in-flight readers that resolved the
+  *    pointer just before the flip) — a long-running stream holds at most
+  *    one superseded copy of each partition, not O(epochs) growth.
   */
 private[graft] object ClusterFold {
+
+  /** Target rows per snapshot partition (matches [[IndexMeta.autoParts]]);
+    * a fold compacts when rows exceed 2 × target × nPart. */
+  private val TargetRows = 262144L
+
+  /** Parsed CURRENT manifest. `nPart <= 0` marks a legacy (pre-r14,
+    * single flat directory) snapshot that migrates on its next fold. */
+  private[graft] final case class Manifest(version: String, nPart: Int,
+      rows: Long, entries: Map[(String, Int), String]) {
+    def dirsReferenced: Set[String] = entries.values.toSet
+  }
 
   /** The version CURRENT names, None ONLY when the pointer file is
     * genuinely absent. Transient filesystem errors propagate (see class
     * doc — mapping them to None would truncate the assignment). */
   def currentVersion(clustersDir: String): Option[String] =
-    try Some(IndexMeta.read(clustersDir, "CURRENT")(0))
-    catch { case _: java.io.FileNotFoundException => None }
+    readManifest(clustersDir).map(_.version)
 
-  /** The live (id, cluster_id) assignment — equals whole-corpus
-    * `resolveClusters(pairs(seen corpus))` at every publish point. */
-  def currentClusters(spark: SparkSession, clustersDir: String): DataFrame =
-    spark.read.parquet(s"$clustersDir/${currentVersion(clustersDir).getOrElse(
-      throw new IllegalStateException(s"no published assignment under $clustersDir"))}")
+  private[graft] def readManifest(dir: String): Option[Manifest] =
+    try {
+      val f = IndexMeta.read(dir, "CURRENT")
+      if (f.length < 3) Some(Manifest(f(0), 0, -1L, Map.empty)) // legacy
+      else Some(Manifest(f(0), f(1).toInt, f(2).toLong,
+        f.drop(3).map { tok =>
+          val Array(kp, e) = tok.split("=", 2)
+          val Array(rel, k) = kp.split("/", 2)
+          ((rel, k.toInt), e)
+        }.toMap))
+    } catch { case _: java.io.FileNotFoundException => None }
+
+  /** The live assignment's STORED rows — every member of every
+    * multi-member cluster (root self-rows included). Singletons are
+    * implicit: an id with no row is its own cluster. Use
+    * [[currentClustersFull]] to materialize them against an id universe. */
+  def currentClusters(spark: SparkSession, clustersDir: String): DataFrame = {
+    val m = readManifest(clustersDir).getOrElse(throw new IllegalStateException(
+      s"no published assignment under $clustersDir"))
+    if (m.nPart <= 0) spark.read.parquet(s"$clustersDir/${m.version}")
+    else readParts(spark, clustersDir, m, "byid",
+      m.entries.keysIterator.collect { case ("byid", k) => k }.toSeq)
+  }
+
+  /** The full (id, cluster_id) relation over `allIds` — stored members
+    * plus the implicit singletons (absent id → own cluster). Equals
+    * whole-corpus `resolveClusters(pairs(seen))` at every publish point. */
+  def currentClustersFull(spark: SparkSession, clustersDir: String,
+      allIds: DataFrame): DataFrame = {
+    val stored = currentClusters(spark, clustersDir)
+    val singletons = allIds.select(col("id"))
+      .join(stored.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("cluster_id"))
+    stored.select(col("id"), col("cluster_id")).unionByName(singletons)
+  }
 
   private def emptyAssignment(spark: SparkSession): DataFrame =
     spark.createDataFrame(
@@ -59,41 +129,218 @@ private[graft] object ClusterFold {
         org.apache.spark.sql.types.StructField("cluster_id",
           org.apache.spark.sql.types.LongType))))
 
-  /** Fold one batch's verified pairs into the versioned assignment:
-    * star edges from the prior snapshot + the batch's pairs →
-    * [[Dedup.resolveClustersIncremental]] → publish `v<epoch>` and flip
-    * CURRENT atomically — per-batch work is bounded by
-    * |batch| + |assignment| + |new pairs|. No-op on a replayed epoch. */
-  def foldBatch(spark: SparkSession, clustersDir: String, epoch: Long,
-      pairs: DataFrame, batchIds: DataFrame): Unit = {
-    val vNew = s"v$epoch"
-    val cur = currentVersion(clustersDir)
-    if (cur.contains(vNew)) return // replayed epoch — already published
-    val (prev, allIds) = cur match {
-      case Some(v) =>
-        val p = spark.read.parquet(s"$clustersDir/$v")
-        (p, p.select(col("id")).unionByName(batchIds).distinct())
-      case None => (emptyAssignment(spark), batchIds)
-    }
-    val next = Dedup.resolveClustersIncremental(
-      prev, pairs.select(col("id_a"), col("id_b")), allIds)
-    next.write.mode("overwrite").parquet(s"$clustersDir/$vNew")
-    IndexMeta.write(clustersDir, "CURRENT", Seq(vNew))
-    gc(clustersDir, keep = Set(vNew) ++ cur)
+  private def pmodOf(v: Long, nPart: Int): Int =
+    (((v % nPart) + nPart) % nPart).toInt
+
+  /** Union of the manifest-referenced leaf dirs for `parts` of `rel` —
+    * the PRUNED read: only the named partitions are listed or scanned. */
+  private def readParts(spark: SparkSession, dir: String, m: Manifest,
+      rel: String, parts: Seq[Int]): DataFrame = {
+    val paths = parts.distinct.flatMap(k =>
+      m.entries.get((rel, k)).map(e => s"$dir/$e/$rel/pb=$k"))
+    if (paths.isEmpty) emptyAssignment(spark)
+    else spark.read.parquet(paths: _*).select(col("id"), col("cluster_id"))
   }
 
-  /** Delete superseded snapshot dirs (everything `v<digits>` not in
-    * `keep`). Runs on the Hadoop FS API like [[IndexMeta]], so the same
-    * code GCs local dirs and cluster stores. */
-  private def gc(clustersDir: String, keep: Set[String]): Unit = {
+  /** Write `rows` into `<dir>/<eDir>/<rel>/pb=<pmod(partCol)>` (one file
+    * per partition) and return the partition values actually written —
+    * a touched partition whose new content is empty simply gets no dir
+    * (and loses its manifest entry). */
+  private def writeRel(rows: DataFrame, dir: String, eDir: String,
+      rel: String, partCol: String, nPart: Int): Set[Int] = {
+    rows.select(col("id"), col("cluster_id"),
+      pmod(col(partCol), lit(nPart)).as("pb"))
+      .repartition(col("pb"))
+      .write.mode("overwrite").partitionBy("pb")
+      .parquet(s"$dir/$eDir/$rel")
+    val out = new org.apache.hadoop.fs.Path(s"$dir/$eDir/$rel")
+    val fs = out.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    fs.listStatus(out).iterator.map(_.getPath.getName)
+      .filter(_.startsWith("pb=")).map(_.stripPrefix("pb=").toInt).toSet
+  }
+
+  /** An epoch-dir name not referenced by the live manifest (a restarted
+    * stream can replay epoch numbers a previous incarnation published). */
+  private def freshDirName(epoch: Long, cur: Option[Manifest]): String = {
+    val used = cur.map(_.dirsReferenced).getOrElse(Set.empty)
+    val base = s"e$epoch"
+    if (!used.contains(base)) base
+    else Iterator.from(1).map(k => s"${base}r$k").find(!used.contains(_)).get
+  }
+
+  /** Fold one batch's verified pairs into the partitioned assignment —
+    * see the class doc for the layout and the O(touched) publish
+    * protocol. `batchIds` is accepted for signature stability but no
+    * longer enumerated: singletons are implicit, so ids that pair with
+    * nothing cost nothing. No-op on a replayed epoch. */
+  def foldBatch(spark: SparkSession, clustersDir: String, epoch: Long,
+      pairs: DataFrame, batchIds: DataFrame,
+      targetRows: Long = TargetRows): Unit = {
+    val vNew = s"v$epoch"
+    val cur = readManifest(clustersDir)
+    if (cur.exists(_.version == vNew)) return // replayed epoch — published
+
+    val eIds: Array[Long] = pairs.select(col("id_a").as("id"))
+      .unionByName(pairs.select(col("id_b").as("id")))
+      .distinct().collect().map(_.getLong(0))
+
+    val legacy = cur.exists(_.nPart <= 0)
+    if (eIds.isEmpty && !legacy) {
+      // zero data IO: nothing touched — bump the version, carry every
+      // partition by reference
+      val m = cur.getOrElse(Manifest(vNew, IndexMeta.autoParts(0), 0L, Map.empty))
+      publish(clustersDir, m.copy(version = vNew), cur)
+      return
+    }
+
+    import spark.implicits._
+    // ---- prior touched slice (pruned reads; legacy reads everything once)
+    val (prevTouched, prevRowsTotal) = cur match {
+      case None => (emptyAssignment(spark), 0L)
+      case Some(m) if m.nPart <= 0 =>
+        // legacy flat snapshot stored singletons too — keep only
+        // multi-member clusters, then migrate via the full-rewrite path
+        val flat = spark.read.parquet(s"$clustersDir/${m.version}")
+        val multi = flat.groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("__n")).where(col("__n") > 1)
+          .select(col("cluster_id"))
+        (flat.join(multi, Seq("cluster_id")).select(col("id"), col("cluster_id")),
+          -1L) // rows unknown — recounted by the forced compaction below
+      case Some(m) =>
+        val eDf = broadcast(eIds.toSeq.toDF("id"))
+        val found = readParts(spark, clustersDir, m, "byid",
+          eIds.map(pmodOf(_, m.nPart)).toSeq)
+          .join(eDf, Seq("id")).collect().map(r => (r.getLong(0), r.getLong(1)))
+        val roots = (found.map(_._2) ++
+          (eIds.toSet -- found.map(_._1)).toSeq).distinct
+        val rDf = broadcast(roots.toSeq.toDF("cluster_id"))
+        (readParts(spark, clustersDir, m, "byroot",
+          roots.map(pmodOf(_, m.nPart)).toSeq)
+          .join(rDf, Seq("cluster_id")).select(col("id"), col("cluster_id")),
+          m.rows)
+    }
+    prevTouched.persist()
+    val prevTouchedCnt = prevTouched.count()
+
+    // ---- CC over star(touched members) + the batch's pairs. Every node
+    // lands in a >=2 cluster, so no singleton fill is needed (or wanted).
+    val stars = prevTouched.where(col("id") =!= col("cluster_id"))
+      .select(col("id").as("id_a"), col("cluster_id").as("id_b"))
+    val newAssign = Dedup.resolveClusters(
+      stars.unionByName(pairs.select(col("id_a"), col("id_b"))),
+      emptyAssignment(spark).select(col("id"))).persist()
+
+    // one aggregate: new row count + the touched partition sets of BOTH
+    // relations (bounded by nPart ints each — never row-scale)
+    val nPartOld = cur.map(_.nPart).filter(_ > 0)
+      .getOrElse(IndexMeta.autoParts(0))
+    val st = newAssign.agg(
+      count(lit(1)),
+      collect_set(pmod(col("id"), lit(nPartOld))),
+      collect_set(pmod(col("cluster_id"), lit(nPartOld)))).head()
+    val newCnt = st.getLong(0)
+    val newRows =
+      if (prevRowsTotal < 0) -1L // legacy — compaction recounts
+      else prevRowsTotal - prevTouchedCnt + newCnt
+
+    val eDir = freshDirName(epoch, cur)
+    val mustCompact = legacy || cur.isEmpty ||
+      newRows > 2L * targetRows * nPartOld
+
+    val published: Manifest = if (mustCompact) {
+      // full rewrite: re-derive the grid so partition size stays constant.
+      // For a first publish or a legacy migration prevTouched already
+      // covered the WHOLE prior relation, so newAssign is complete and
+      // untouched is empty by construction.
+      val untouched = cur.filter(_.nPart > 0).map { m =>
+        readParts(spark, clustersDir, m, "byid",
+          m.entries.keysIterator.collect { case ("byid", k) => k }.toSeq)
+          .join(broadcast(newAssign.select(col("id"))), Seq("id"), "left_anti")
+      }.getOrElse(emptyAssignment(spark))
+      val full = untouched.unionByName(newAssign).persist()
+      val totalRows = full.count()
+      val nPartNew = IndexMeta.autoParts(totalRows)
+      val wId = writeRel(full, clustersDir, eDir, "byid", "id", nPartNew)
+      val wRt = writeRel(full, clustersDir, eDir, "byroot", "cluster_id", nPartNew)
+      full.unpersist(blocking = false)
+      Manifest(vNew, nPartNew, totalRows,
+        (wId.map(k => (("byid", k), eDir)) ++
+          wRt.map(k => (("byroot", k), eDir))).toMap)
+    } else {
+      val m = cur.get
+      // touched partitions: new rows' pmods + (byroot) the old roots'
+      // pmods, whose rows move out even if nothing moves back in
+      val idParts = st.getSeq[Long](1).map(_.toInt).toSet
+      val oldRoots = prevTouched.select(col("cluster_id")).distinct()
+        .collect().map(_.getLong(0))
+      val rootParts = st.getSeq[Long](2).map(_.toInt).toSet ++
+        oldRoots.map(pmodOf(_, m.nPart))
+      val keepIds = readParts(spark, clustersDir, m, "byid", idParts.toSeq)
+        .join(broadcast(newAssign.select(col("id"))), Seq("id"), "left_anti")
+      val wId = writeRel(keepIds.unionByName(newAssign),
+        clustersDir, eDir, "byid", "id", m.nPart)
+      val rootsDf = broadcast(oldRoots.toSeq.toDF("cluster_id"))
+      val keepRoots = readParts(spark, clustersDir, m, "byroot", rootParts.toSeq)
+        .join(rootsDf, Seq("cluster_id"), "left_anti")
+      val wRt = writeRel(keepRoots.unionByName(newAssign),
+        clustersDir, eDir, "byroot", "cluster_id", m.nPart)
+      val entries = m.entries --
+        idParts.map(("byid", _)) -- rootParts.map(("byroot", _)) ++
+        wId.map(k => (("byid", k), eDir)) ++
+        wRt.map(k => (("byroot", k), eDir))
+      Manifest(vNew, m.nPart, newRows, entries)
+    }
+
+    prevTouched.unpersist(blocking = false)
+    newAssign.unpersist(blocking = false)
+    publish(clustersDir, published, cur)
+  }
+
+  /** Flip CURRENT to `next` atomically, then GC every partition directory
+    * referenced by neither `next` nor the immediately-superseded manifest
+    * (kept one flip for in-flight readers). */
+  private def publish(clustersDir: String, next: Manifest,
+      prev: Option[Manifest]): Unit = {
+    IndexMeta.write(clustersDir, "CURRENT",
+      Seq(next.version, next.nPart, next.rows) ++
+        next.entries.toSeq.sortBy(e => (e._1._1, e._1._2))
+          .map { case ((rel, k), e) => s"$rel/$k=$e" })
+    gc(clustersDir, next, prev)
+  }
+
+  /** Delete unreferenced partition leaves and epoch dirs left empty; a
+    * legacy `v<digits>` flat dir survives only while it is the
+    * predecessor version. Runs on the Hadoop FS API like [[IndexMeta]],
+    * so the same code GCs local dirs and cluster stores. */
+  private def gc(clustersDir: String, next: Manifest,
+      prev: Option[Manifest]): Unit = {
+    val live: Set[(String, Int, String)] =
+      (next.entries.iterator ++ prev.iterator.flatMap(_.entries.iterator))
+        .map { case ((rel, k), e) => (rel, k, e) }.toSet
+    val keepLegacy: Set[String] =
+      prev.filter(_.nPart <= 0).map(_.version).toSet
     val d = new org.apache.hadoop.fs.Path(clustersDir)
     val fs = d.getFileSystem(new org.apache.hadoop.conf.Configuration())
     if (!fs.exists(d)) return
     fs.listStatus(d).foreach { st =>
       val n = st.getPath.getName
-      if (st.isDirectory && n.matches("v\\d+") && !keep.contains(n)) {
-        fs.delete(st.getPath, true)
-        ()
+      if (st.isDirectory && n.matches("v\\d+") && !keepLegacy.contains(n)) {
+        fs.delete(st.getPath, true); ()
+      } else if (st.isDirectory && n.matches("e\\d+(r\\d+)?")) {
+        var leavesLeft = 0
+        fs.listStatus(st.getPath).foreach { rel =>
+          if (rel.isDirectory) {
+            fs.listStatus(rel.getPath).foreach { leaf =>
+              val ln = leaf.getPath.getName
+              if (ln.startsWith("pb=")) {
+                val k = ln.stripPrefix("pb=").toInt
+                if (live.contains((rel.getPath.getName, k, n))) leavesLeft += 1
+                else { fs.delete(leaf.getPath, true); () }
+              }
+            }
+          }
+        }
+        if (leavesLeft == 0) { fs.delete(st.getPath, true); () }
       }
     }
   }

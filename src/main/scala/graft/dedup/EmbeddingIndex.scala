@@ -227,6 +227,12 @@ object EmbeddingIndex {
     sketches.unpersist(blocking = false)
   }
 
+  /** Offline maintenance: merge partition leaves that accumulated more
+    * than `maxFiles` append files ([[IndexCompaction]]). */
+  def compact(spark: SparkSession, path: String, maxFiles: Int = 8): Int =
+    IndexCompaction.compactDir(spark, postingsDir(path), maxFiles) +
+      IndexCompaction.compactDir(spark, sketchesDir(path), maxFiles)
+
   /** Cosine near-dup pairs (id_a < id_b, cosine ≥ threshold) touching the
     * delta — never old×old, even INSIDE a duplicate group (expansion emits
     * old×new and new×new member pairs only). Output equals

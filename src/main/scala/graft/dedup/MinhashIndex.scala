@@ -256,6 +256,14 @@ object MinhashIndex {
     k.unpersist(blocking = false)
   }
 
+  /** Offline maintenance: merge partition leaves that accumulated more
+    * than `maxFiles` append files ([[IndexCompaction]] — run between
+    * ingest batches; preserves [[deltaPairs]] output exactly,
+    * spec-pinned). Returns the number of leaves rewritten. */
+  def compact(spark: SparkSession, path: String, maxFiles: Int = 8): Int =
+    IndexCompaction.compactDir(spark, postingsDir(path), maxFiles) +
+      IndexCompaction.compactDir(spark, sketchesDir(path), maxFiles)
+
   /** Near-duplicate pairs (id_a < id_b, jaccard) touching the delta:
     * old×new from the index postings join, new×new from the delta's own
     * buckets — never old×old (the base was dedup'd when it was indexed).

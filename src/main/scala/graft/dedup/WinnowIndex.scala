@@ -118,6 +118,11 @@ object WinnowIndex {
     writePostings(postingsOf(delta, textCol, idCol, m), path, m, "append")
   }
 
+  /** Offline maintenance: merge partition leaves that accumulated more
+    * than `maxFiles` append files ([[IndexCompaction]]). */
+  def compact(spark: SparkSession, path: String, maxFiles: Int = 8): Int =
+    IndexCompaction.compactDir(spark, postingsDir(path), maxFiles)
+
   /** Winnow pairs (id_a < id_b, n_shared ≥ minShared) touching the delta:
     * old×new from the index postings join, new×new from
     * [[Dedup.winnowPairsFromArr]] over the delta alone (duplicate-set

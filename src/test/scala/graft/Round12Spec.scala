@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.dedup.{Dedup, EmbeddingIndex, MinhashIndex, WinnowIndex}
+import graft.dedup.{ClusterFold, Dedup, EmbeddingIndex, MinhashIndex, WinnowIndex}
 
 /** Round-12 hardening pins for the written dedup indexes.
   *
@@ -260,7 +260,10 @@ class Round12Spec extends SparkSpec {
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
     MinhashIndex.ingestStreamClustered(stream, idx, cl, threshold = 0.5)
     assert(parquetFiles(s"$idx/postings") >= 3) // genuine micro-batches
-    val got = MinhashIndex.currentClusters(spark, cl)
+    // full materialization: stored members + implicit singletons over the
+    // corpus ids (the r14 partitioned snapshot stores only >=2 clusters)
+    val got = ClusterFold.currentClustersFull(spark, cl,
+      all.select(col("doc_id").as("id")))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val batch = Dedup.resolveClusters(
       Dedup.minhashLsh(all, threshold = 0.5).select(col("id_a"), col("id_b")),

@@ -41,17 +41,27 @@ class Round13Spec extends SparkSpec {
     val stream = spark.readStream.schema(all.schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
     WinnowIndex.ingestStreamClustered(stream, idx, cl, minShared = 2)
-    val got = assignSet(WinnowIndex.currentClusters(spark, cl))
+    // full materialization: stored >=2-cluster members + implicit
+    // singletons over the corpus ids (r14 partitioned snapshot)
+    val got = assignSet(ClusterFold.currentClustersFull(spark, cl,
+      all.select(col("doc_id").as("id"))))
     val batch = assignSet(Dedup.resolveClusters(
       Dedup.winnowPairs(all, k = 4, w = 4, minShared = 2)
         .select(col("id_a"), col("id_b")),
       all.select(col("doc_id").as("id"))))
     assert(got == batch)
     assert(got.groupBy(_._2).exists(_._2.size > 1)) // real multi-clusters
-    // GC pin (ADVICE r12): >= 3 epochs published, <= 2 snapshots survive
-    val versions = new java.io.File(cl).listFiles()
-      .count(f => f.isDirectory && f.getName.matches("v\\d+"))
-    assert(versions <= 2, s"version GC left $versions snapshots")
+    // GC pin (ADVICE r12, r14 layout): one no-op publish aligns prev ==
+    // current, after which every epoch dir on disk must be manifest-
+    // referenced — a long stream leaks no superseded partitions
+    ClusterFold.foldBatch(spark, cl, 999999L,
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"),
+      Seq.empty[Long].toDF("id"))
+    val refs = ClusterFold.readManifest(cl).get.dirsReferenced
+    val onDisk = new java.io.File(cl).listFiles()
+      .filter(f => f.isDirectory && f.getName.matches("[ev]\\d+.*"))
+      .map(_.getName).toSet
+    assert(onDisk == refs, s"GC left unreferenced dirs: ${onDisk -- refs}")
     all.unpersist()
   }
 
@@ -68,7 +78,8 @@ class Round13Spec extends SparkSpec {
     val stream = spark.readStream.schema(all.schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
     EmbeddingIndex.ingestStreamClustered(stream, idx, cl, threshold = 0.9)
-    val got = assignSet(EmbeddingIndex.currentClusters(spark, cl))
+    val got = assignSet(ClusterFold.currentClustersFull(spark, cl,
+      all.select(col("vec_id").as("id"))))
     val batch = assignSet(Dedup.resolveClusters(
       Dedup.embeddingNearDupLsh(all, dim = 16, threshold = 0.9,
         nbits = 4, tables = 8).select(col("id_a"), col("id_b")),
@@ -92,25 +103,99 @@ class Round13Spec extends SparkSpec {
     assert(ClusterFold.currentVersion(cl).contains("v0"))
     // a LATER epoch still folds normally on top
     ClusterFold.foldBatch(spark, cl, 1L, Seq((1L, 2L)).toDF("id_a", "id_b"), ids)
-    val after1 = assignSet(ClusterFold.currentClusters(spark, cl))
+    val after1 = assignSet(ClusterFold.currentClustersFull(spark, cl, ids))
     assert(after1 == assignSet(Dedup.resolveClusters(
       Seq((0L, 1L), (1L, 2L)).toDF("id_a", "id_b"), ids)))
   }
 
-  test("ClusterFold: superseded snapshots are GC'd, predecessor retained") {
+  test("ClusterFold: superseded partitions are GC'd, predecessor retained") {
     val cl = tmpPath("fold_gc")
     val ids = (0L to 5L).toDF("id")
     (0L to 3L).foreach { e =>
       ClusterFold.foldBatch(spark, cl, e, Seq((e, e + 1)).toDF("id_a", "id_b"), ids)
     }
+    // every fold grows the SAME cluster, so each epoch rewrites all its
+    // partitions: the manifest references only e3, the predecessor e2
+    // survives one flip for in-flight readers, everything older is gone
     val names = new java.io.File(cl).listFiles()
-      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .filter(f => f.isDirectory && f.getName.matches("[ev]\\d+.*"))
       .map(_.getName).toSet
-    assert(names == Set("v2", "v3"), s"expected {v2,v3}, got $names")
+    assert(names == Set("e2", "e3"), s"expected {e2,e3}, got $names")
     assert(ClusterFold.currentVersion(cl).contains("v3"))
     // absent pointer maps to None (FileNotFoundException path) — any other
     // IO failure propagates per the ADVICE fix
     assert(ClusterFold.currentVersion(tmpPath("fold_absent")).isEmpty)
+  }
+
+  test("ClusterFold: zero-pair epoch publishes by reference (zero data IO)") {
+    val cl = tmpPath("fold_zeroio")
+    val ids = (0L to 5L).toDF("id")
+    ClusterFold.foldBatch(spark, cl, 0L, Seq((0L, 1L)).toDF("id_a", "id_b"), ids)
+    val before = assignSet(ClusterFold.currentClusters(spark, cl))
+    val dirsBefore = new java.io.File(cl).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    ClusterFold.foldBatch(spark, cl, 1L,
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"), ids)
+    // version bumped (replay protocol advances) but NO new epoch dir was
+    // written — every partition carried over by manifest reference
+    assert(ClusterFold.currentVersion(cl).contains("v1"))
+    val dirsAfter = new java.io.File(cl).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirsAfter == dirsBefore, s"zero-pair epoch wrote: ${dirsAfter -- dirsBefore}")
+    assert(assignSet(ClusterFold.currentClusters(spark, cl)) == before)
+  }
+
+  test("ClusterFold: untouched clusters publish by reference, not rewrite") {
+    val cl = tmpPath("fold_touch")
+    val ids = (0L to 8L).toDF("id")
+    // two disjoint clusters in distinct pmod partitions (nPart = 8)
+    ClusterFold.foldBatch(spark, cl, 0L,
+      Seq((0L, 1L), (2L, 3L)).toDF("id_a", "id_b"), ids)
+    // this pair touches ONLY the {0,1} component
+    ClusterFold.foldBatch(spark, cl, 1L, Seq((0L, 4L)).toDF("id_a", "id_b"), ids)
+    val m = ClusterFold.readManifest(cl).get
+    assert(m.entries(("byid", 2)) == "e0",
+      "untouched cluster's partition was rewritten instead of referenced")
+    assert(m.entries(("byid", 0)) == "e1") // touched partition moved
+    assert(m.entries(("byroot", 2)) == "e0")
+    // correctness unaffected: full relation equals the whole-pair closure
+    assert(assignSet(ClusterFold.currentClustersFull(spark, cl, ids)) ==
+      assignSet(Dedup.resolveClusters(
+        Seq((0L, 1L), (2L, 3L), (0L, 4L)).toDF("id_a", "id_b"), ids)))
+    // the two mirrored relations hold identical rows
+    val byid = assignSet(ClusterFold.currentClusters(spark, cl))
+    val m2 = ClusterFold.readManifest(cl).get
+    val rootParts = m2.entries.keysIterator.collect { case ("byroot", k) => k }.toSeq
+    val byroot = spark.read.parquet(rootParts.flatMap(k =>
+      m2.entries.get(("byroot", k)).map(e => s"$cl/$e/byroot/pb=$k")): _*)
+      .collect().map(r => (r.getLong(r.fieldIndex("id")),
+        r.getLong(r.fieldIndex("cluster_id")))).toSet
+    assert(byid == byroot, "byid/byroot mirrors diverged")
+  }
+
+  test("ClusterFold: legacy flat snapshot migrates on its first fold") {
+    val cl = tmpPath("fold_legacy")
+    val ids = (0L to 6L).toDF("id")
+    // pre-r14 layout: one flat dir with the FULL relation (singletons
+    // included), CURRENT naming just the version
+    Dedup.resolveClusters(Seq((0L, 1L), (3L, 4L)).toDF("id_a", "id_b"), ids)
+      .write.mode("overwrite").parquet(s"$cl/v0")
+    graft.dedup.IndexMeta.write(cl, "CURRENT", Seq("v0"))
+    ClusterFold.foldBatch(spark, cl, 1L, Seq((1L, 2L)).toDF("id_a", "id_b"), ids)
+    val m = ClusterFold.readManifest(cl).get
+    assert(m.nPart > 0, "legacy snapshot did not migrate to the partitioned layout")
+    assert(assignSet(ClusterFold.currentClustersFull(spark, cl, ids)) ==
+      assignSet(Dedup.resolveClusters(
+        Seq((0L, 1L), (3L, 4L), (1L, 2L)).toDF("id_a", "id_b"), ids)))
+    // stored rows exclude singletons (implicit-absent contract)
+    assert(assignSet(ClusterFold.currentClusters(spark, cl)) ==
+      Set((0L, 0L), (1L, 0L), (2L, 0L), (3L, 3L), (4L, 3L)))
+    // one more fold retires the legacy dir (predecessor retention is one flip)
+    ClusterFold.foldBatch(spark, cl, 2L,
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"), ids)
+    ClusterFold.foldBatch(spark, cl, 3L,
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"), ids)
+    assert(!new java.io.File(s"$cl/v0").exists(), "legacy flat dir leaked past GC")
   }
 
   test("EmbeddingIndex capped delta: equal-count disjoint appends both count (bid fix)") {

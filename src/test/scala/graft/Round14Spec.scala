@@ -2,12 +2,11 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.dedup.{Dedup, EmbeddingIndex, IndexMeta, MinhashIndex, WinnowIndex}
+import graft.dedup.{ClusterFold, Dedup, IndexCompaction, MinhashIndex, WinnowIndex}
 
-/** Round-14 pins, part 1 (ADVICE r13): legacy (nPart = 0, pre-partitioned
-  * layout) indexes must stay readable AND appendable — the partitioned
-  * writers would otherwise compute pmod(key, 0) (an ANSI-mode error), and
-  * the embedding capped path would fail on the missing bid column. */
+/** Round-14 pins: file-count compaction for the written dedup indexes
+  * (VERDICT r13 task #4) and the partitioned cluster snapshot's forced
+  * compaction / grid re-derivation (task #1's amortized path). */
 class Round14Spec extends SparkSpec {
   import spark.implicits._
 
@@ -16,78 +15,103 @@ class Round14Spec extends SparkSpec {
     d.deleteOnExit(); d.getAbsolutePath
   }
 
-  /** Rewrite a freshly-written partitioned index as the legacy layout:
-    * unpartitioned relation dirs + a meta whose nPart field is 0. */
-  private def legacyOf(src: String, dst: String, metaName: String,
-      rels: Seq[String], dropCols: Seq[String] = Nil): Unit = {
-    rels.foreach { rel =>
-      val raw = spark.read.parquet(s"$src/$rel")
-      val cols = raw.columns.filterNot(c =>
-        c == "pb" || c == "sb" || dropCols.contains(c))
-      raw.select(cols.map(col): _*)
-        .coalesce(1).write.mode("overwrite").parquet(s"$dst/$rel")
-    }
-    val fields = IndexMeta.read(src, metaName).toSeq
-    IndexMeta.write(dst, metaName, fields.init :+ "0") // nPart is last
-  }
-
-  private def docs(n: Int) = (0 until n).map { i =>
-    (i.toLong, s"the quick brown fox number ${i / 2} jumps over the lazy " +
-      s"dog and walks ${if (i % 2 == 1) "slowly" else "quickly"} home")
+  private def docs(range: Range) = range.map { i =>
+    val cluster = i / 3
+    (i.toLong, s"the quick brown fox number $cluster jumps over the lazy dog " +
+      s"and then walks around the block ${if (i % 3 == 2) "slowly today" else "quickly"}")
   }.toDF("doc_id", "text")
 
-  test("MinhashIndex legacy layout: append + deltaPairs still work (no pmod-by-0)") {
-    val part = tmpPath("mh_part"); val leg = tmpPath("mh_leg")
-    MinhashIndex.write(docs(6), part)
-    legacyOf(part, leg, "MINHASH_META", Seq("postings", "sketches"))
-    val delta = Seq((100L, "the quick brown fox number 0 jumps over the lazy " +
-      "dog and walks quickly home")).toDF("doc_id", "text")
-    val before = MinhashIndex.deltaPairs(spark, leg, delta, threshold = 0.5)
+  private def dataFiles(dir: String): Int = {
+    def walk(f: java.io.File): Int =
+      if (f.isDirectory) f.listFiles().map(walk).sum
+      else if (f.getName.endsWith(".parquet")) 1 else 0
+    walk(new java.io.File(dir))
+  }
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("id_a"), col("id_b"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("MinhashIndex.compact merges append debris; deltaPairs unchanged") {
+    val path = tmpPath("mh_compact")
+    MinhashIndex.write(docs(0 until 12), path)
+    // many small appends: one file lands per touched partition per append
+    (1 to 6).foreach { i =>
+      MinhashIndex.append(docs(12 + 3 * i until 15 + 3 * i), path)
+    }
+    val probe = docs(200 until 206)
+      .withColumn("text", concat(col("text"), lit(" fox number 1 jumps")))
+    val before = pairSet(MinhashIndex.deltaPairs(spark, path,
+      docs(0 until 3).unionByName(probe), threshold = 0.5))
     assert(before.nonEmpty)
-    // the ADVICE failure: any append on a legacy index computed pmod(_, 0)
-    MinhashIndex.append(delta, leg)
-    val delta2 = Seq((200L, "the quick brown fox number 0 jumps over the " +
-      "lazy dog and walks quickly home")).toDF("doc_id", "text")
-    val after = MinhashIndex.deltaPairs(spark, leg, delta2, threshold = 0.5)
-    // the appended doc 100 is now indexed and pairs with 200
-    assert(after.where(col("id_a") === 100L && col("id_b") === 200L).count() == 1)
+    val filesBefore = dataFiles(s"$path/postings")
+    val done = MinhashIndex.compact(spark, path, maxFiles = 2)
+    assert(done > 0, "nothing compacted — the appends did not fragment?")
+    val filesAfter = dataFiles(s"$path/postings")
+    assert(filesAfter < filesBefore,
+      s"compaction did not reduce files: $filesBefore -> $filesAfter")
+    val after = pairSet(MinhashIndex.deltaPairs(spark, path,
+      docs(0 until 3).unionByName(probe), threshold = 0.5))
+    assert(after == before, "compaction changed deltaPairs output")
+    // idempotent: a second run finds nothing over-threshold at maxFiles=64
+    assert(MinhashIndex.compact(spark, path, maxFiles = 64) == 0)
   }
 
-  test("WinnowIndex legacy layout: append + deltaPairs still work") {
-    val part = tmpPath("wn_part"); val leg = tmpPath("wn_leg")
-    WinnowIndex.write(docs(6), part, k = 4, w = 4)
-    legacyOf(part, leg, "WINNOW_META", Seq("postings"))
-    val delta = docs(6).where(col("doc_id") === 0L)
-      .withColumn("doc_id", lit(100L))
-    WinnowIndex.append(delta, leg)
-    val delta2 = docs(6).where(col("doc_id") === 0L)
-      .withColumn("doc_id", lit(200L))
-    val after = WinnowIndex.deltaPairs(spark, leg, delta2, minShared = 2)
-    assert(after.where(col("id_a") === 100L && col("id_b") === 200L).count() == 1)
+  test("WinnowIndex.compact preserves deltaPairs under minShared") {
+    val path = tmpPath("wn_compact")
+    WinnowIndex.write(docs(0 until 9), path, k = 4, w = 4)
+    (1 to 5).foreach { i =>
+      WinnowIndex.append(docs(9 + 3 * i until 12 + 3 * i), path)
+    }
+    val delta = docs(0 until 6).withColumn("doc_id", col("doc_id") + 500)
+    val before = pairSet(WinnowIndex.deltaPairs(spark, path, delta, minShared = 2))
+    assert(WinnowIndex.compact(spark, path, maxFiles = 2) > 0)
+    val after = pairSet(WinnowIndex.deltaPairs(spark, path, delta, minShared = 2))
+    assert(after == before && after.nonEmpty)
   }
 
-  test("EmbeddingIndex legacy layout without bid: capped deltaPairs reads and appends") {
-    def sameVec(ids: Seq[Long]) =
-      ids.map(i => (i, Seq.fill(8)(0.5f))).toDF("vec_id", "embedding")
-    val part = tmpPath("em_part"); val leg = tmpPath("em_leg")
-    EmbeddingIndex.write(sameVec(Seq(0L, 1L, 2L)), part,
-      dim = 8, nbits = 4, tables = 2)
-    // legacy layout: pre-r13 postings had no bid column at all
-    legacyOf(part, leg, "EMB_META", Seq("postings", "sketches"),
-      dropCols = Seq("bid"))
-    // capped path must not throw on the missing column (ADVICE r13); with
-    // a synthesized bid the single base batch counts once → pop 3 + 1
-    val capped = EmbeddingIndex.deltaPairs(spark, leg, sameVec(Seq(100L)),
-      threshold = 0.9, maxBucket = Some(3))
-    assert(capped.isEmpty) // pop 4 > 3 → hot everywhere → no pairs
-    val loose = EmbeddingIndex.deltaPairs(spark, leg, sameVec(Seq(100L)),
-      threshold = 0.9, maxBucket = Some(4))
-    assert(loose.count() == 3L) // 100 × {0,1,2}
-    // append on the legacy layout must not compute pmod(_, 0) either
-    EmbeddingIndex.append(sameVec(Seq(100L)), leg)
-    val after = EmbeddingIndex.deltaPairs(spark, leg, sameVec(Seq(200L)),
-      threshold = 0.9)
-    assert(after.count() == 4L) // 200 × {0,1,2,100}
+  test("IndexCompaction repairs crash debris before compacting") {
+    val path = tmpPath("mh_crash")
+    MinhashIndex.write(docs(0 until 12), path)
+    (1 to 3).foreach { i =>
+      MinhashIndex.append(docs(12 + 3 * i until 15 + 3 * i), path)
+    }
+    val postings = new java.io.File(s"$path/postings")
+    val leaves = postings.listFiles().filter(f =>
+      f.isDirectory && f.getName.startsWith("pb="))
+    assert(leaves.nonEmpty)
+    // simulate a crash between the two swap renames: live leaf gone,
+    // retired copy present
+    val victim = leaves.head
+    val retired = new java.io.File(postings, s".retired_${victim.getName}")
+    assert(victim.renameTo(retired))
+    // and stale pre-swap debris for another leaf
+    val junk = new java.io.File(postings, s".compact_pb=99999")
+    assert(junk.mkdir())
+    IndexCompaction.compactDir(spark, s"$path/postings", maxFiles = 1000)
+    assert(new java.io.File(postings, victim.getName).exists(),
+      "retired leaf was not restored")
+    assert(!retired.exists() && !junk.exists(), "debris survived")
+  }
+
+  test("ClusterFold forced compaction re-derives the grid, correctness intact") {
+    val cl = tmpPath("fold_compact")
+    val ids = (0L to 40L).toDF("id")
+    val p0 = (0 until 10).map(i => (i * 4L, i * 4L + 1)).toDF("id_a", "id_b")
+    ClusterFold.foldBatch(spark, cl, 0L, p0, ids)
+    // targetRows = 0 forces the compaction branch: everything rewritten
+    // into the new epoch dir, every manifest entry re-referenced
+    ClusterFold.foldBatch(spark, cl, 1L, Seq((0L, 2L)).toDF("id_a", "id_b"),
+      ids, targetRows = 0L)
+    val m = ClusterFold.readManifest(cl).get
+    assert(m.entries.values.toSet == Set("e1"),
+      s"compaction left stale references: ${m.entries.values.toSet}")
+    assert(m.rows == 21L) // 10 pairs + {0,1,2} merged = 20 - 2 + 3
+    val got = ClusterFold.currentClustersFull(spark, cl, ids)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Dedup.resolveClusters(
+      p0.unionByName(Seq((0L, 2L)).toDF("id_a", "id_b")), ids)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
   }
 }
