@@ -136,11 +136,19 @@ object StreamCurve {
         val probeDir = s"$root/probe"
         val (schema, seedRows) = leg match {
           case "embedding" =>
-            val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-            EmbeddingIndex.write(emb, s"$root/index", dim = 64, nbits = 4,
+            val emb = spark.read.parquet(s"$dir/embeddings.parquet").persist()
+            val nVec = emb.count()
+            // PROBE-SCALED resolution (the production lever): a fixed
+            // nbits=4 grid holds 16 buckets/table at ANY corpus size, so a
+            // x30 vecrand corpus makes every bucket quadratically hot —
+            // the first r14 probe cut used the gate's nbits=4 and spilled
+            // the disk at x30. writeScaled bounds bucket populations; the
+            // seed pair op uses the same scaled nbits.
+            EmbeddingIndex.writeScaled(emb, s"$root/index", dim = 64,
               tables = 8, nPart = nPart)
             val pairs = Dedup.embeddingNearDupLsh(emb, dim = 64,
-              threshold = 0.45, nbits = 4, tables = 8)
+              threshold = 0.45, nbits = EmbeddingIndex.scaledNbits(nVec),
+              tables = 8)
               .select(col("id_a"), col("id_b"))
             ClusterFold.foldBatch(spark, cl, 0L, pairs,
               emb.select(col("vec_id").as("id")))
@@ -150,6 +158,7 @@ object StreamCurve {
                   col("vec_id") + lit(2000000000L) + lit(j.toLong) * 100000L)
                 .repartition(1).write.mode("append").parquet(probeDir)
             }
+            emb.unpersist(blocking = false)
             (emb.schema, ClusterFold.readManifest(cl).get.rows)
           case _ =>
             val docs = spark.read.parquet(s"$dir/documents.parquet")
@@ -222,6 +231,55 @@ object StreamCurve {
         rmrf(root)
       }
       sections += s""""aging": [${rows.mkString(",\n  ")}]"""
+    }
+
+    // ----------------------------------------------------------- compact
+    // task #4's done-criterion: after many small appends the pruned
+    // delta read pays per-file open/list cost inside each touched pb dir;
+    // the WITH-compaction arm merges leaves every 10 appends and the
+    // probe wall/file-count stays flat while the no-compaction arm grows.
+    if (cells.contains("compact")) {
+      val rows = scala.collection.mutable.ArrayBuffer.empty[String]
+      def dataFiles(dir: String): Int = {
+        def walk(f: java.io.File): Int =
+          if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0)
+          else if (f.getName.endsWith(".parquet")) 1 else 0
+        walk(new java.io.File(dir))
+      }
+      val nAppends = argMap.getOrElse("appends", "100").toInt
+      val probe = docsAll.where(col("doc_id") % 100 === 7)
+        .withColumn("doc_id", col("doc_id") + lit(3000000000L)).persist()
+      probe.count()
+      for (arm <- Seq("nocompact", "compact")) {
+        val root = s"/tmp/graftstream/compact_$arm"
+        rmrf(root); new java.io.File(root).mkdirs()
+        val idx = s"$root/index"
+        MinhashIndex.write(docsAll, idx)
+        (1 to nAppends).foreach { i =>
+          MinhashIndex.append(
+            docsAll.where(col("doc_id") % 500 === (i % 500))
+              .withColumn("doc_id", col("doc_id") + lit(4000000000L) + lit(i.toLong) * 1000000L),
+            idx)
+          if (arm == "compact" && i % 10 == 0)
+            MinhashIndex.compact(spark, idx, maxFiles = 8)
+          if (i % 20 == 0 || i == nAppends) {
+            metrics.reset()
+            val t0 = System.nanoTime()
+            MinhashIndex.deltaPairs(spark, idx, probe, threshold = 0.5)
+              .write.format("noop").mode("overwrite").save()
+            val wall = (System.nanoTime() - t0) / 1e9
+            val phys = metrics.snapshot()
+            val row = s"""{"arm":"$arm","appends":$i,"probe_wall_s":${jnum(wall)},""" +
+              s""""postings_files":${dataFiles(s"$idx/postings")},""" +
+              s""""input_read_kb":${phys("input_read_kb")}}"""
+            rows += row
+            println(s"[streamcurve] compact $row")
+          }
+        }
+        rmrf(root)
+      }
+      probe.unpersist()
+      sections += s""""compact": [${rows.mkString(",\n  ")}]"""
     }
 
     // ----------------------------------------------------------- gatevar

@@ -195,8 +195,8 @@ private[graft] object ClusterFold {
 
     import spark.implicits._
     // ---- prior touched slice (pruned reads; legacy reads everything once)
-    val (prevTouched, prevRowsTotal) = cur match {
-      case None => (emptyAssignment(spark), 0L)
+    val (prevTouched, prevRowsTotal, touchedRoots) = cur match {
+      case None => (emptyAssignment(spark), 0L, Array.empty[Long])
       case Some(m) if m.nPart <= 0 =>
         // legacy flat snapshot stored singletons too — keep only
         // multi-member clusters, then migrate via the full-rewrite path
@@ -205,7 +205,8 @@ private[graft] object ClusterFold {
           .agg(count(lit(1)).as("__n")).where(col("__n") > 1)
           .select(col("cluster_id"))
         (flat.join(multi, Seq("cluster_id")).select(col("id"), col("cluster_id")),
-          -1L) // rows unknown — recounted by the forced compaction below
+          -1L, // rows unknown — recounted by the forced compaction below
+          Array.empty[Long])
       case Some(m) =>
         val eDf = broadcast(eIds.toSeq.toDF("id"))
         val found = readParts(spark, clustersDir, m, "byid",
@@ -217,7 +218,7 @@ private[graft] object ClusterFold {
         (readParts(spark, clustersDir, m, "byroot",
           roots.map(pmodOf(_, m.nPart)).toSeq)
           .join(rDf, Seq("cluster_id")).select(col("id"), col("cluster_id")),
-          m.rows)
+          m.rows, roots.toArray)
     }
     prevTouched.persist()
     val prevTouchedCnt = prevTouched.count()
@@ -271,15 +272,18 @@ private[graft] object ClusterFold {
       // touched partitions: new rows' pmods + (byroot) the old roots'
       // pmods, whose rows move out even if nothing moves back in
       val idParts = st.getSeq[Long](1).map(_.toInt).toSet
-      val oldRoots = prevTouched.select(col("cluster_id")).distinct()
-        .collect().map(_.getLong(0))
+      // touchedRoots is the endpoint-root SUPERSET collected during the
+      // byid lookup (prior roots ∪ endpoints absent from the index): the
+      // true old roots are a subset, and the extras match nothing in the
+      // anti-join below — reusing it saves one driver action per epoch
+      // over re-collecting prevTouched's distinct cluster_ids
       val rootParts = st.getSeq[Long](2).map(_.toInt).toSet ++
-        oldRoots.map(pmodOf(_, m.nPart))
+        touchedRoots.map(pmodOf(_, m.nPart))
       val keepIds = readParts(spark, clustersDir, m, "byid", idParts.toSeq)
         .join(broadcast(newAssign.select(col("id"))), Seq("id"), "left_anti")
       val wId = writeRel(keepIds.unionByName(newAssign),
         clustersDir, eDir, "byid", "id", m.nPart)
-      val rootsDf = broadcast(oldRoots.toSeq.toDF("cluster_id"))
+      val rootsDf = broadcast(touchedRoots.toSeq.toDF("cluster_id"))
       val keepRoots = readParts(spark, clustersDir, m, "byroot", rootParts.toSeq)
         .join(rootsDf, Seq("cluster_id"), "left_anti")
       val wRt = writeRel(keepRoots.unionByName(newAssign),

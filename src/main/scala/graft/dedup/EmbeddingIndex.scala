@@ -506,4 +506,10 @@ object EmbeddingIndex {
   /** The live assignment maintained by [[ingestStreamClustered]]. */
   def currentClusters(spark: SparkSession, clustersDir: String): DataFrame =
     ClusterFold.currentClusters(spark, clustersDir)
+
+  /** The full relation over `allIds` — stored multi-member clusters plus
+    * the implicit singletons (absent id = own cluster). */
+  def currentClustersFull(spark: SparkSession, clustersDir: String,
+      allIds: DataFrame): DataFrame =
+    ClusterFold.currentClustersFull(spark, clustersDir, allIds)
 }

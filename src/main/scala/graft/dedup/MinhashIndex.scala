@@ -445,6 +445,12 @@ object MinhashIndex {
   def currentClusters(spark: SparkSession, clustersDir: String): DataFrame =
     ClusterFold.currentClusters(spark, clustersDir)
 
+  /** The full relation over `allIds` — stored multi-member clusters plus
+    * the implicit singletons (absent id = own cluster). */
+  def currentClustersFull(spark: SparkSession, clustersDir: String,
+      allIds: DataFrame): DataFrame =
+    ClusterFold.currentClustersFull(spark, clustersDir, allIds)
+
   def ingestStream(stream: DataFrame, path: String, outDir: String,
       textCol: String = "text", idCol: String = "doc_id",
       threshold: Double = 0.7, maxBucket: Option[Int] = None): Unit = {

@@ -262,6 +262,12 @@ object WinnowIndex {
   def currentClusters(spark: SparkSession, clustersDir: String): DataFrame =
     ClusterFold.currentClusters(spark, clustersDir)
 
+  /** The full relation over `allIds` — stored multi-member clusters plus
+    * the implicit singletons (absent id = own cluster). */
+  def currentClustersFull(spark: SparkSession, clustersDir: String,
+      allIds: DataFrame): DataFrame =
+    ClusterFold.currentClustersFull(spark, clustersDir, allIds)
+
   def ingestStream(stream: DataFrame, path: String, outDir: String,
       textCol: String = "text", idCol: String = "doc_id",
       minShared: Int = 1): Unit = {
