@@ -243,6 +243,14 @@ private[graft] object ClusterFold {
     val newRows =
       if (prevRowsTotal < 0) -1L // legacy — compaction recounts
       else prevRowsTotal - prevTouchedCnt + newCnt
+    // touched components are broadcast-small by construction — EXCEPT when
+    // a pair lands in a megacluster (boilerplate corpora collapse whole
+    // sources into one component). newCnt is already on the driver, so the
+    // anti-join hint is size-gated instead of unconditional: past ~64 MB
+    // of longs the join falls back to Spark's own strategy choice.
+    val newIds = newAssign.select(col("id"))
+    val newIdsHinted =
+      if (newCnt <= 4000000L) broadcast(newIds) else newIds
 
     val eDir = freshDirName(epoch, cur)
     val mustCompact = legacy || cur.isEmpty ||
@@ -256,7 +264,7 @@ private[graft] object ClusterFold {
       val untouched = cur.filter(_.nPart > 0).map { m =>
         readParts(spark, clustersDir, m, "byid",
           m.entries.keysIterator.collect { case ("byid", k) => k }.toSeq)
-          .join(broadcast(newAssign.select(col("id"))), Seq("id"), "left_anti")
+          .join(newIdsHinted, Seq("id"), "left_anti")
       }.getOrElse(emptyAssignment(spark))
       val full = untouched.unionByName(newAssign).persist()
       val totalRows = full.count()
@@ -280,7 +288,7 @@ private[graft] object ClusterFold {
       val rootParts = st.getSeq[Long](2).map(_.toInt).toSet ++
         touchedRoots.map(pmodOf(_, m.nPart))
       val keepIds = readParts(spark, clustersDir, m, "byid", idParts.toSeq)
-        .join(broadcast(newAssign.select(col("id"))), Seq("id"), "left_anti")
+        .join(newIdsHinted, Seq("id"), "left_anti")
       val wId = writeRel(keepIds.unionByName(newAssign),
         clustersDir, eDir, "byid", "id", m.nPart)
       val rootsDf = broadcast(touchedRoots.toSeq.toDF("cluster_id"))
