@@ -172,7 +172,13 @@ private[graft] object ClusterFold {
     * see the class doc for the layout and the O(touched) publish
     * protocol. `batchIds` is accepted for signature stability but no
     * longer enumerated: singletons are implicit, so ids that pair with
-    * nothing cost nothing. No-op on a replayed epoch. */
+    * nothing cost nothing. No-op on a replayed epoch.
+    *
+    * Driver-side materializations are bounded by the BATCH, never the
+    * corpus: the endpoint collect is ≤ 2·|batch pairs| longs (a
+    * micro-batch's verified pair residue — 16 MB at a million pairs), the
+    * root set is ≤ that, and the partition-value sets are ≤ nPart ints.
+    * Touched members stay distributed (pruned DataFrame reads). */
   def foldBatch(spark: SparkSession, clustersDir: String, epoch: Long,
       pairs: DataFrame, batchIds: DataFrame,
       targetRows: Long = TargetRows): Unit = {

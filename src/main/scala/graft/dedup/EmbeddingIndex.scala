@@ -444,9 +444,9 @@ object EmbeddingIndex {
     * agree — read `outDir` with dropDuplicates(id_a, id_b). */
   def ingestStream(stream: DataFrame, path: String, outDir: String,
       vecCol: String = "embedding", idCol: String = "vec_id",
-      threshold: Double = 0.95): Unit = {
+      threshold: Double = 0.95, compactEvery: Int = 0): Unit = {
     val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
         // sketch the batch ONCE: the cached group relation feeds the pair
         // search AND both index appends
         val m = readMeta(path)
@@ -457,6 +457,8 @@ object EmbeddingIndex {
         pairs.write.mode("append").parquet(outDir)
         writeSketches(dSk, path, m, "append")
         writePostings(dPost, path, m, "append")
+        if (compactEvery > 0 && (epoch + 1) % compactEvery == 0)
+          compact(batch.sparkSession, path)
         dSk.unpersist(blocking = false)
         dPost.unpersist(blocking = false)
         pairs.unpersist(blocking = false) // the per-batch result cache
@@ -478,9 +480,15 @@ object EmbeddingIndex {
     * corpus from an empty index publishes the same assignment
     * whole-corpus `resolveClusters(embeddingNearDupLsh(corpus))` produces
     * (per-batch CC identity, induction over batches — spec-pinned). */
+
+  /** `compactEvery` > 0 merges oversized partition leaves every N epochs
+    * ([[compact]]) — safe in-loop: foreachBatch is the index's only
+    * writer, so the swap's momentary leaf absence has no reader to race;
+    * a replayed epoch re-compacts idempotently. 0 = offline-only. */
   def ingestStreamClustered(stream: DataFrame, path: String,
       clustersDir: String, vecCol: String = "embedding",
-      idCol: String = "vec_id", threshold: Double = 0.95): Unit = {
+      idCol: String = "vec_id", threshold: Double = 0.95,
+      compactEvery: Int = 0): Unit = {
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         val m = readMeta(path)
@@ -492,6 +500,8 @@ object EmbeddingIndex {
           batch.select(col(idCol).cast("long").as("id")).distinct())
         writeSketches(dSk, path, m, "append")
         writePostings(dPost, path, m, "append")
+        if (compactEvery > 0 && (epoch + 1) % compactEvery == 0)
+          compact(batch.sparkSession, path)
         dSk.unpersist(blocking = false)
         dPost.unpersist(blocking = false)
         pairs.unpersist(blocking = false)

@@ -413,9 +413,14 @@ object MinhashIndex {
     * [[append]]) and the fold skips its already-published epoch, so a
     * crash anywhere between the assignment publish and the index append
     * replays into the same fixed point. */
+
+  /** `compactEvery` > 0 merges oversized partition leaves every N epochs
+    * ([[compact]]) — safe in-loop: foreachBatch is the index's only
+    * writer, so the swap's momentary leaf absence has no reader to race;
+    * a replayed epoch re-compacts idempotently. 0 = offline-only. */
   def ingestStreamClustered(stream: DataFrame, path: String,
       clustersDir: String, textCol: String = "text", idCol: String = "doc_id",
-      threshold: Double = 0.7): Unit = {
+      threshold: Double = 0.7, compactEvery: Int = 0): Unit = {
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         val spark = batch.sparkSession
@@ -428,6 +433,8 @@ object MinhashIndex {
           batch.select(col(idCol).cast("long").as("id")).distinct())
         writeSketches(sketchesOf(k), path, m, "append")
         writePostings(dPo, path, m, "append")
+        if (compactEvery > 0 && (epoch + 1) % compactEvery == 0)
+          compact(spark, path)
         k.unpersist(blocking = false)
         dPo.unpersist(blocking = false)
         pairs.unpersist(blocking = false) // deltaPairsSketched's result cache
@@ -453,9 +460,10 @@ object MinhashIndex {
 
   def ingestStream(stream: DataFrame, path: String, outDir: String,
       textCol: String = "text", idCol: String = "doc_id",
-      threshold: Double = 0.7, maxBucket: Option[Int] = None): Unit = {
+      threshold: Double = 0.7, maxBucket: Option[Int] = None,
+      compactEvery: Int = 0): Unit = {
     val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
         // shingle + sign the batch ONCE: the compact cached relations feed
         // the pair search AND the index append
         val m = readMeta(path)
@@ -466,6 +474,8 @@ object MinhashIndex {
         pairs.write.mode("append").parquet(outDir)
         writeSketches(sketchesOf(k), path, m, "append")
         writePostings(dPo, path, m, "append")
+        if (compactEvery > 0 && (epoch + 1) % compactEvery == 0)
+          compact(batch.sparkSession, path)
         k.unpersist(blocking = false)
         dPo.unpersist(blocking = false)
         pairs.unpersist(blocking = false) // the per-batch result cache

@@ -234,9 +234,14 @@ object WinnowIndex {
     * whole-corpus `resolveClusters(winnowPairs(corpus))` produces — the
     * per-batch CC identity CC(star(CC(E₁)) ∪ E₂) = CC(E₁ ∪ E₂), by
     * induction over batches (spec-pinned). */
+
+  /** `compactEvery` > 0 merges oversized partition leaves every N epochs
+    * ([[compact]]) — safe in-loop: foreachBatch is the index's only
+    * writer, so the swap's momentary leaf absence has no reader to race;
+    * a replayed epoch re-compacts idempotently. 0 = offline-only. */
   def ingestStreamClustered(stream: DataFrame, path: String,
       clustersDir: String, textCol: String = "text", idCol: String = "doc_id",
-      minShared: Int = 1): Unit = {
+      minShared: Int = 1, compactEvery: Int = 0): Unit = {
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         val m = readMeta(path)
@@ -247,6 +252,8 @@ object WinnowIndex {
         ClusterFold.foldBatch(batch.sparkSession, clustersDir, epoch, pairs,
           batch.select(col(idCol).cast("long").as("id")).distinct())
         writePostings(dPost, path, m, "append")
+        if (compactEvery > 0 && (epoch + 1) % compactEvery == 0)
+          compact(batch.sparkSession, path)
         dArr.unpersist(blocking = false)
         dPost.unpersist(blocking = false)
         pairs.unpersist(blocking = false)
@@ -270,9 +277,9 @@ object WinnowIndex {
 
   def ingestStream(stream: DataFrame, path: String, outDir: String,
       textCol: String = "text", idCol: String = "doc_id",
-      minShared: Int = 1): Unit = {
+      minShared: Int = 1, compactEvery: Int = 0): Unit = {
     val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
         // fingerprint the batch ONCE: the cached relations feed the pair
         // search AND the index append
         val m = readMeta(path)
@@ -282,6 +289,8 @@ object WinnowIndex {
           dPost, minShared, None)
         pairs.write.mode("append").parquet(outDir)
         writePostings(dPost, path, m, "append")
+        if (compactEvery > 0 && (epoch + 1) % compactEvery == 0)
+          compact(batch.sparkSession, path)
         dArr.unpersist(blocking = false)
         dPost.unpersist(blocking = false)
         pairs.unpersist(blocking = false) // the per-batch result cache

@@ -94,6 +94,32 @@ class Round14Spec extends SparkSpec {
     assert(!retired.exists() && !junk.exists(), "debris survived")
   }
 
+  test("ingestStream with compactEvery: same pairs, bounded file count") {
+    // 15 micro-batches: each append lands ~1 file per touched pb leaf, so
+    // leaves cross compact()'s maxFiles=8 default mid-stream
+    val all = docs(0 until 30).persist()
+    val srcDir = tmpPath("cmp_src")
+    all.repartition(15).write.mode("overwrite").parquet(srcDir)
+    def run(compactEvery: Int, tag: String) = {
+      val root = tmpPath(s"cmp_$tag")
+      val idx = s"$root/index"; val out = s"$root/pairs"
+      MinhashIndex.write(all.limit(0), idx)
+      val stream = spark.readStream.schema(all.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      MinhashIndex.ingestStream(stream, idx, out, threshold = 0.5,
+        compactEvery = compactEvery)
+      (pairSet(spark.read.parquet(out).dropDuplicates("id_a", "id_b")),
+        dataFiles(s"$idx/postings"))
+    }
+    val (plainPairs, plainFiles) = run(0, "plain")
+    val (compPairs, compFiles) = run(2, "every2")
+    assert(compPairs == plainPairs && compPairs.nonEmpty,
+      "in-loop compaction changed the emitted pair stream")
+    assert(compFiles < plainFiles,
+      s"compaction did not bound files: $plainFiles -> $compFiles")
+    all.unpersist()
+  }
+
   test("ClusterFold forced compaction re-derives the grid, correctness intact") {
     val cl = tmpPath("fold_compact")
     val ids = (0L to 40L).toDF("id")
