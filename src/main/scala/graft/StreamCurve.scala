@@ -36,6 +36,13 @@ import graft.dedup.{ClusterFold, Dedup, EmbeddingIndex, MinhashIndex, WinnowInde
   */
 object StreamCurve {
 
+  /** Probe-cell seeding uses a TOY-scale grid target so the assignment's
+    * partition count scales with the corpus at test sizes (the production
+    * autoParts target of 256k rows would pin every test assignment to the
+    * 8-partition floor, and per-partition size — not the fold — would
+    * dominate the byte curve). */
+  private val SeedTargetRows = 256L
+
   private final class BatchDurations
       extends org.apache.spark.sql.streaming.StreamingQueryListener {
     val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
@@ -151,7 +158,7 @@ object StreamCurve {
               tables = 8)
               .select(col("id_a"), col("id_b"))
             ClusterFold.foldBatch(spark, cl, 0L, pairs,
-              emb.select(col("vec_id").as("id")))
+              emb.select(col("vec_id").as("id")), targetRows = SeedTargetRows)
             (0 until 4).foreach { j =>
               emb.where(col("vec_id") % 100 === j && col("vec_id") < nSrcVecs)
                 .withColumn("vec_id",
@@ -175,7 +182,7 @@ object StreamCurve {
                   .select(col("id_a"), col("id_b"))
             }
             ClusterFold.foldBatch(spark, cl, 0L, pairs,
-              docs.select(col("doc_id").as("id")))
+              docs.select(col("doc_id").as("id")), targetRows = SeedTargetRows)
             (0 until 4).foreach { j =>
               docs.where(col("doc_id") % 100 === j && col("doc_id") < nSrcDocs)
                 .withColumn("doc_id",

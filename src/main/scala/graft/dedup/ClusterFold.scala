@@ -159,13 +159,21 @@ private[graft] object ClusterFold {
       .filter(_.startsWith("pb=")).map(_.stripPrefix("pb=").toInt).toSet
   }
 
-  /** An epoch-dir name not referenced by the live manifest (a restarted
-    * stream can replay epoch numbers a previous incarnation published). */
-  private def freshDirName(epoch: Long, cur: Option[Manifest]): String = {
+  /** An epoch-dir name neither referenced by the live manifest nor
+    * present on disk (a restarted stream can replay epoch numbers a
+    * previous incarnation published; the on-disk check also covers dirs
+    * the GC retained for the PREDECESSOR manifest's in-flight readers,
+    * which the live manifest no longer names). */
+  private def freshDirName(clustersDir: String, epoch: Long,
+      cur: Option[Manifest]): String = {
     val used = cur.map(_.dirsReferenced).getOrElse(Set.empty)
+    val d = new org.apache.hadoop.fs.Path(clustersDir)
+    val fs = d.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    def taken(n: String): Boolean =
+      used.contains(n) || fs.exists(new org.apache.hadoop.fs.Path(d, n))
     val base = s"e$epoch"
-    if (!used.contains(base)) base
-    else Iterator.from(1).map(k => s"${base}r$k").find(!used.contains(_)).get
+    if (!taken(base)) base
+    else Iterator.from(1).map(k => s"${base}r$k").find(!taken(_)).get
   }
 
   /** Fold one batch's verified pairs into the partitioned assignment —
@@ -258,7 +266,7 @@ private[graft] object ClusterFold {
     val newIdsHinted =
       if (newCnt <= 4000000L) broadcast(newIds) else newIds
 
-    val eDir = freshDirName(epoch, cur)
+    val eDir = freshDirName(clustersDir, epoch, cur)
     val mustCompact = legacy || cur.isEmpty ||
       newRows > 2L * targetRows * nPartOld
 
@@ -274,7 +282,10 @@ private[graft] object ClusterFold {
       }.getOrElse(emptyAssignment(spark))
       val full = untouched.unionByName(newAssign).persist()
       val totalRows = full.count()
-      val nPartNew = IndexMeta.autoParts(totalRows)
+      // the grid target and the compaction threshold agree: partitions
+      // hold ~targetRows rows after every compaction, so pruned fold
+      // reads stay ~constant-size as the assignment grows
+      val nPartNew = IndexMeta.autoParts(totalRows, math.max(1L, targetRows))
       val wId = writeRel(full, clustersDir, eDir, "byid", "id", nPartNew)
       val wRt = writeRel(full, clustersDir, eDir, "byroot", "cluster_id", nPartNew)
       full.unpersist(blocking = false)
