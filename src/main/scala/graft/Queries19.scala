@@ -13,9 +13,11 @@ import graft.dedup.{EmbeddingIndex, MinhashIndex, WinnowIndex}
   * segment-merge analogue — reference `codec/MergeHelper.java` — as a
   * partition-leaf rewrite, [[graft.dedup.IndexCompaction]]).
   *
-  * Gate shape: build the index INCREMENTALLY (write one slice, append the
-  * rest in pieces — real append debris), compact every leaf down to merged
-  * files, then run the SAME delta search as the q_dedup_*_delta gates.
+  * Gate shape: the index is built INCREMENTALLY (write one slice, append
+  * the rest in pieces — real append debris) and every leaf compacted, as
+  * an ingest memo ([[SparkEntry.compactedIndexPath]] — the round-4
+  * ingest-artifact rule: build cost runs once in Bench's warmup); the
+  * timed gate runs the SAME delta search as the q_dedup_*_delta gates.
   * Compaction must be invisible to query semantics, so each gate rides its
   * delta sibling's DERIVED oracle verbatim (the Queries15/16 anti-drift
   * protocol: the base content — everything outside the %10==7 delta — and
@@ -27,60 +29,31 @@ object Queries19 {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Base = everything outside the delta split, arriving as one write plus
-    * three appends (append debris is the point); compact(maxFiles = 1)
-    * forces every multi-file leaf through the merge. */
-  private def builtCompacted(s: SparkSession, prefix: String,
-      write: (DataFrame, String) => Unit, append: (DataFrame, String) => Unit,
-      compact: String => Int, base: DataFrame, splitCol: String): String = {
-    val root = SparkEntry.streamScratchDir(prefix)
-    val idx = s"$root/index"
-    write(base.where(col(splitCol) % 3 === 0), idx)
-    (1 to 2).foreach { r =>
-      append(base.where(col(splitCol) % 3 === r), idx)
-    }
-    compact(idx)
-    idx
-  }
-
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_dedup_minhash_delta_compacted" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val idx = builtCompacted(s, "mh_compactgate",
-        (df, p) => MinhashIndex.write(df, p),
-        (df, p) => MinhashIndex.append(df, p),
-        p => MinhashIndex.compact(s, p, maxFiles = 1),
-        docs.where(col("doc_id") % 10 =!= 7), "doc_id")
-      MinhashIndex.deltaPairs(s, idx,
-        docs.where(col("doc_id") % 10 === 7), threshold = 0.5)
-        .orderBy(col("id_a"), col("id_b"))
-    }),
+    // index build+appends+compaction is an INGEST memo
+    // ([[SparkEntry.compactedIndexPath]], Bench's warmup pass) — the
+    // timed query is the delta search against the compacted layout,
+    // matching the q_dedup_*_delta gate protocol
+    "q_dedup_minhash_delta_compacted" -> ((s, dir) =>
+      MinhashIndex.deltaPairs(s,
+        SparkEntry.compactedIndexPath(s, dir, "minhash"),
+        t(s, dir, "documents").where(col("doc_id") % 10 === 7),
+        threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))),
 
-    "q_dedup_winnow_delta_compacted" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val idx = builtCompacted(s, "wn_compactgate",
-        (df, p) => WinnowIndex.write(df, p,
-          k = Queries12.WinnowK, w = Queries12.WinnowW),
-        (df, p) => WinnowIndex.append(df, p),
-        p => WinnowIndex.compact(s, p, maxFiles = 1),
-        docs.where(col("doc_id") % 10 =!= 7), "doc_id")
-      WinnowIndex.deltaPairs(s, idx,
-        docs.where(col("doc_id") % 10 === 7),
+    "q_dedup_winnow_delta_compacted" -> ((s, dir) =>
+      WinnowIndex.deltaPairs(s,
+        SparkEntry.compactedIndexPath(s, dir, "winnow"),
+        t(s, dir, "documents").where(col("doc_id") % 10 === 7),
         minShared = Queries12.WinnowMinShared)
-        .orderBy(col("id_a"), col("id_b"))
-    }),
+        .orderBy(col("id_a"), col("id_b"))),
 
-    "q_dedup_embedding_delta_compacted" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val idx = builtCompacted(s, "em_compactgate",
-        (df, p) => EmbeddingIndex.write(df, p, dim = 64, nbits = 4, tables = 8),
-        (df, p) => EmbeddingIndex.append(df, p),
-        p => EmbeddingIndex.compact(s, p, maxFiles = 1),
-        emb.where(col("vec_id") % 10 =!= 7), "vec_id")
-      EmbeddingIndex.deltaPairs(s, idx,
-        emb.where(col("vec_id") % 10 === 7), threshold = 0.45)
-        .orderBy(col("id_a"), col("id_b"))
-    }))
+    "q_dedup_embedding_delta_compacted" -> ((s, dir) =>
+      EmbeddingIndex.deltaPairs(s,
+        SparkEntry.compactedIndexPath(s, dir, "embedding"),
+        t(s, dir, "embeddings").where(col("vec_id") % 10 === 7),
+        threshold = 0.45)
+        .orderBy(col("id_a"), col("id_b"))))
 
   // compaction is semantically invisible: each gate rides its delta
   // sibling's derived oracle VERBATIM (same base content, same delta split)

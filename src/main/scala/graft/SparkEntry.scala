@@ -197,6 +197,48 @@ object SparkEntry {
       path
     })
 
+  /** COMPACTED-index memos for the q_dedup_*_delta_compacted gates: the
+    * same base split arrives as one write plus two appends (real
+    * append-file debris), then every multi-file leaf is merged
+    * (maxFiles = 1). The build+compact cycle is INGEST work — the memo
+    * rule ([[minhashIndexPath]]): it runs once per (session, dir) in
+    * Bench's warmup pass, and the timed gate measures the delta search
+    * against the compacted layout. */
+  private val compactedIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), String]()
+  private[graft] def compactedIndexPath(spark: SparkSession, dir: String,
+      kind: String): String =
+    compactedIndexCache.computeIfAbsent((spark, dir, kind), { case (s, d, k) =>
+      val path = s"$ivfTmpRoot/s${System.identityHashCode(s).toHexString}/cmp${k}_" +
+        d.replaceAll("[^A-Za-z0-9._-]", "_")
+      val (base, splitCol) = k match {
+        case "embedding" =>
+          (t(s, d, "embeddings").where(col("vec_id") % 10 =!= 7), "vec_id")
+        case _ =>
+          (t(s, d, "documents").where(col("doc_id") % 10 =!= 7), "doc_id")
+      }
+      k match {
+        case "minhash" =>
+          graft.dedup.MinhashIndex.write(base.where(col(splitCol) % 3 === 0), path)
+          (1 to 2).foreach(r => graft.dedup.MinhashIndex.append(
+            base.where(col(splitCol) % 3 === r), path))
+          graft.dedup.MinhashIndex.compact(s, path, maxFiles = 1)
+        case "winnow" =>
+          graft.dedup.WinnowIndex.write(base.where(col(splitCol) % 3 === 0), path,
+            k = Queries12.WinnowK, w = Queries12.WinnowW)
+          (1 to 2).foreach(r => graft.dedup.WinnowIndex.append(
+            base.where(col(splitCol) % 3 === r), path))
+          graft.dedup.WinnowIndex.compact(s, path, maxFiles = 1)
+        case "embedding" =>
+          graft.dedup.EmbeddingIndex.write(base.where(col(splitCol) % 3 === 0), path,
+            dim = 64, nbits = 4, tables = 8)
+          (1 to 2).foreach(r => graft.dedup.EmbeddingIndex.append(
+            base.where(col(splitCol) % 3 === r), path))
+          graft.dedup.EmbeddingIndex.compact(s, path, maxFiles = 1)
+      }
+      path
+    })
+
   /** Written embedding near-dup index memo — base split of the embeddings
     * corpus (vec_id % 10 ≠ 7); parameters match q_dedup_embedding_lsh. */
   private val embeddingIndexCache =
