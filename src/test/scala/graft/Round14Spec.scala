@@ -120,6 +120,31 @@ class Round14Spec extends SparkSpec {
     all.unpersist()
   }
 
+  test("ingestStreamClustered with compactEvery: assignment == whole-corpus closure") {
+    import graft.dedup.{ClusterFold, WinnowIndex}
+    val all = docs(0 until 30).persist()
+    val srcDir = tmpPath("cmpcl_src")
+    all.repartition(10).write.mode("overwrite").parquet(srcDir)
+    val root = tmpPath("cmpcl")
+    val idx = s"$root/index"; val cl = s"$root/clusters"
+    WinnowIndex.write(all.limit(0), idx, k = 4, w = 4)
+    val stream = spark.readStream.schema(all.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    WinnowIndex.ingestStreamClustered(stream, idx, cl, minShared = 2,
+      compactEvery = 3)
+    val got = ClusterFold.currentClustersFull(spark, cl,
+      all.select(col("doc_id").as("id")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Dedup.resolveClusters(
+      Dedup.winnowPairs(all, k = 4, w = 4, minShared = 2)
+        .select(col("id_a"), col("id_b")),
+      all.select(col("doc_id").as("id")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    assert(got.groupBy(_._2).exists(_._2.size > 1))
+    all.unpersist()
+  }
+
   test("ClusterFold forced compaction re-derives the grid, correctness intact") {
     val cl = tmpPath("fold_compact")
     val ids = (0L to 40L).toDF("id")
