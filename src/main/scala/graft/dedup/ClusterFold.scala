@@ -187,6 +187,12 @@ private[graft] object ClusterFold {
     * micro-batch's verified pair residue — 16 MB at a million pairs), the
     * root set is ≤ that, and the partition-value sets are ≤ nPart ints.
     * Touched members stay distributed (pruned DataFrame reads). */
+  /** Bound for the driver fast-path: a micro-batch's pair residue and its
+    * touched-component slice usually fit the driver easily (the
+    * [[Dedup.resolveClusters]] cutoff — ~16 MB of longs); past it the
+    * fold falls back to the distributed CC path. */
+  private val MaxDriverRows = 1000000
+
   def foldBatch(spark: SparkSession, clustersDir: String, epoch: Long,
       pairs: DataFrame, batchIds: DataFrame,
       targetRows: Long = TargetRows): Unit = {
@@ -194,9 +200,22 @@ private[graft] object ClusterFold {
     val cur = readManifest(clustersDir)
     if (cur.exists(_.version == vNew)) return // replayed epoch — published
 
-    val eIds: Array[Long] = pairs.select(col("id_a").as("id"))
-      .unionByName(pairs.select(col("id_b").as("id")))
-      .distinct().collect().map(_.getLong(0))
+    // ONE bounded take serves as both the size probe and the driver-path
+    // materialization: under the cutoff the pair set stays on the driver
+    // (the CC fold and the touched-partition sets then cost zero jobs),
+    // over it only the endpoint ids are re-collected for the pruned reads
+    val pairsTaken: Array[(Long, Long)] = {
+      import pairs.sparkSession.implicits._
+      pairs.select(col("id_a"), col("id_b")).dropDuplicates("id_a", "id_b")
+        .as[(Long, Long)].take(MaxDriverRows + 1)
+    }
+    val pairsLocal = pairsTaken.length <= MaxDriverRows
+    val eIds: Array[Long] =
+      if (pairsLocal) pairsTaken.iterator.flatMap(p => Iterator(p._1, p._2))
+        .toArray.distinct
+      else pairs.select(col("id_a").as("id"))
+        .unionByName(pairs.select(col("id_b").as("id")))
+        .distinct().collect().map(_.getLong(0))
 
     val legacy = cur.exists(_.nPart <= 0)
     if (eIds.isEmpty && !legacy) {
@@ -235,25 +254,48 @@ private[graft] object ClusterFold {
           m.rows, roots.toArray)
     }
     prevTouched.persist()
-    val prevTouchedCnt = prevTouched.count()
+
+    val nPartOld = cur.map(_.nPart).filter(_ > 0)
+      .getOrElse(IndexMeta.autoParts(0))
 
     // ---- CC over star(touched members) + the batch's pairs. Every node
     // lands in a >=2 cluster, so no singleton fill is needed (or wanted).
-    val stars = prevTouched.where(col("id") =!= col("cluster_id"))
-      .select(col("id").as("id_a"), col("cluster_id").as("id_b"))
-    val newAssign = Dedup.resolveClusters(
-      stars.unionByName(pairs.select(col("id_a"), col("id_b"))),
-      emptyAssignment(spark).select(col("id"))).persist()
+    // DRIVER FAST-PATH: when the touched slice also fits the cutoff, the
+    // bounded take doubles as its materialization and the union-find, the
+    // row count, and both touched-partition sets cost zero further jobs —
+    // the only remaining per-epoch jobs are the two partition writes.
+    val mTaken: Array[(Long, Long)] =
+      if (pairsLocal) {
+        import spark.implicits._
+        prevTouched.as[(Long, Long)].take(MaxDriverRows + 1)
+      } else Array.empty
+    val localFold = pairsLocal && mTaken.length <= MaxDriverRows
 
-    // one aggregate: new row count + the touched partition sets of BOTH
-    // relations (bounded by nPart ints each — never row-scale)
-    val nPartOld = cur.map(_.nPart).filter(_ > 0)
-      .getOrElse(IndexMeta.autoParts(0))
-    val st = newAssign.agg(
-      count(lit(1)),
-      collect_set(pmod(col("id"), lit(nPartOld))),
-      collect_set(pmod(col("cluster_id"), lit(nPartOld)))).head()
-    val newCnt = st.getLong(0)
+    val (newAssign, newCnt, prevTouchedCnt, idParts, rootParts0) =
+      if (localFold) {
+        val assign = driverFold(mTaken, pairsTaken)
+        import spark.implicits._
+        (assign.toSeq.toDF("id", "cluster_id"), assign.length.toLong,
+          mTaken.length.toLong,
+          assign.iterator.map(p => pmodOf(p._1, nPartOld)).toSet,
+          assign.iterator.map(p => pmodOf(p._2, nPartOld)).toSet)
+      } else {
+        val prevCnt = prevTouched.count()
+        val stars = prevTouched.where(col("id") =!= col("cluster_id"))
+          .select(col("id").as("id_a"), col("cluster_id").as("id_b"))
+        val df = Dedup.resolveClusters(
+          stars.unionByName(pairs.select(col("id_a"), col("id_b"))),
+          emptyAssignment(spark).select(col("id"))).persist()
+        // one aggregate: new row count + the touched partition sets of
+        // BOTH relations (bounded by nPart ints each — never row-scale)
+        val st = df.agg(
+          count(lit(1)),
+          collect_set(pmod(col("id"), lit(nPartOld))),
+          collect_set(pmod(col("cluster_id"), lit(nPartOld)))).head()
+        (df, st.getLong(0), prevCnt,
+          st.getSeq[Long](1).map(_.toInt).toSet,
+          st.getSeq[Long](2).map(_.toInt).toSet)
+      }
     val newRows =
       if (prevRowsTotal < 0) -1L // legacy — compaction recounts
       else prevRowsTotal - prevTouchedCnt + newCnt
@@ -295,15 +337,13 @@ private[graft] object ClusterFold {
     } else {
       val m = cur.get
       // touched partitions: new rows' pmods + (byroot) the old roots'
-      // pmods, whose rows move out even if nothing moves back in
-      val idParts = st.getSeq[Long](1).map(_.toInt).toSet
+      // pmods, whose rows move out even if nothing moves back in.
       // touchedRoots is the endpoint-root SUPERSET collected during the
       // byid lookup (prior roots ∪ endpoints absent from the index): the
       // true old roots are a subset, and the extras match nothing in the
       // anti-join below — reusing it saves one driver action per epoch
       // over re-collecting prevTouched's distinct cluster_ids
-      val rootParts = st.getSeq[Long](2).map(_.toInt).toSet ++
-        touchedRoots.map(pmodOf(_, m.nPart))
+      val rootParts = rootParts0 ++ touchedRoots.map(pmodOf(_, m.nPart))
       val keepIds = readParts(spark, clustersDir, m, "byid", idParts.toSeq)
         .join(newIdsHinted, Seq("id"), "left_anti")
       val wId = writeRel(keepIds.unionByName(newAssign),
@@ -323,6 +363,30 @@ private[graft] object ClusterFold {
     prevTouched.unpersist(blocking = false)
     newAssign.unpersist(blocking = false)
     publish(clustersDir, published, cur)
+  }
+
+  /** Driver union-find over star edges (prior (id → root) rows of the
+    * touched components — root self-rows contribute their node) plus the
+    * batch's pairs; min-id roots (union points the larger root at the
+    * smaller, matching [[Dedup.resolveClusters]]'s driver path). Returns
+    * (id, cluster_id) for every node — all land in ≥2 clusters. */
+  private def driverFold(stars: Array[(Long, Long)],
+      pairs: Array[(Long, Long)]): Array[(Long, Long)] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    val nodes = scala.collection.mutable.LinkedHashSet.empty[Long]
+    (stars.iterator ++ pairs.iterator).foreach { case (a, b) =>
+      nodes += a; nodes += b
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    nodes.iterator.map(v => (v, find(v))).toArray
   }
 
   /** Flip CURRENT to `next` atomically, then GC every partition directory
