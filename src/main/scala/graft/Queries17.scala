@@ -136,7 +136,7 @@ object Queries17 {
       graft.dedup.MinhashIndex.write(docs.limit(0), idx)
       graft.dedup.MinhashIndex.ingestStreamClustered(
         Queries6.streamOf(s, dir, "documents"), idx, cl, threshold = 0.5)
-      graft.dedup.MinhashIndex.currentClusters(s, cl)
+      graft.dedup.MinhashIndex.storedClusters(s, cl)
         .groupBy(col("cluster_id"))
         .agg(count(lit(1)).as("cluster_size"))
         .where(col("cluster_size") > 1)

@@ -76,7 +76,7 @@ object Queries18 {
       WinnowIndex.ingestStreamClustered(
         Queries6.streamOf(s, dir, "documents"), idx, cl,
         minShared = Queries12.WinnowMinShared)
-      clusterSizes(WinnowIndex.currentClusters(s, cl))
+      clusterSizes(WinnowIndex.storedClusters(s, cl))
     }),
 
     // streaming embedding dedup-to-clusters: same pipeline on the
@@ -90,7 +90,7 @@ object Queries18 {
       EmbeddingIndex.write(emb.limit(0), idx, dim = 64, nbits = 4, tables = 8)
       EmbeddingIndex.ingestStreamClustered(
         Queries6.streamOf(s, dir, "embeddings"), idx, cl, threshold = 0.45)
-      clusterSizes(EmbeddingIndex.currentClusters(s, cl))
+      clusterSizes(EmbeddingIndex.storedClusters(s, cl))
     }))
 
   /** Wrap a pair oracle in the recursive connected-components closure —

@@ -43,6 +43,11 @@ object StreamCurve {
     * dominate the byte curve). */
   private val SeedTargetRows = 256L
 
+  /** Seed-fold epoch for probe cells: must never collide with the
+    * streamed probe's batch ids (0..3) or the fold's replayed-epoch skip
+    * silently no-ops the colliding batch (ADVICE r14). */
+  private val SeedEpoch = 1000000L
+
   private final class BatchDurations
       extends org.apache.spark.sql.streaming.StreamingQueryListener {
     val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
@@ -157,12 +162,15 @@ object StreamCurve {
               threshold = 0.45, nbits = EmbeddingIndex.scaledNbits(nVec),
               tables = 8)
               .select(col("id_a"), col("id_b"))
-            ClusterFold.foldBatch(spark, cl, 0L, pairs,
+            // seed epoch = sentinel: stream batch ids start at 0 and the
+            // fold skips a replayed epoch, so a 0 seed would swallow the
+            // probe's first batch (ADVICE r14)
+            ClusterFold.foldBatch(spark, cl, SeedEpoch, pairs,
               emb.select(col("vec_id").as("id")), targetRows = SeedTargetRows)
             (0 until 4).foreach { j =>
               emb.where(col("vec_id") % 100 === j && col("vec_id") < nSrcVecs)
                 .withColumn("vec_id",
-                  col("vec_id") + lit(2000000000L) + lit(j.toLong) * 100000L)
+                  col("vec_id") + lit(2000000000L) + lit(j.toLong) * nSrcVecs)
                 .repartition(1).write.mode("append").parquet(probeDir)
             }
             emb.unpersist(blocking = false)
@@ -181,12 +189,12 @@ object StreamCurve {
                   w = Queries12.WinnowW, minShared = Queries12.WinnowMinShared)
                   .select(col("id_a"), col("id_b"))
             }
-            ClusterFold.foldBatch(spark, cl, 0L, pairs,
+            ClusterFold.foldBatch(spark, cl, SeedEpoch, pairs,
               docs.select(col("doc_id").as("id")), targetRows = SeedTargetRows)
             (0 until 4).foreach { j =>
               docs.where(col("doc_id") % 100 === j && col("doc_id") < nSrcDocs)
                 .withColumn("doc_id",
-                  col("doc_id") + lit(2000000000L) + lit(j.toLong) * 100000L)
+                  col("doc_id") + lit(2000000000L) + lit(j.toLong) * nSrcDocs)
                 .repartition(1).write.mode("append").parquet(probeDir)
             }
             (docs.schema, ClusterFold.readManifest(cl).get.rows)

@@ -233,6 +233,13 @@ object EmbeddingIndex {
     IndexCompaction.compactDir(spark, postingsDir(path), maxFiles) +
       IndexCompaction.compactDir(spark, sketchesDir(path), maxFiles)
 
+  /** Crash-debris repair for the index's partition leaves
+    * ([[IndexCompaction.repairDir]]) — see [[MinhashIndex.repair]]. */
+  def repair(path: String): Unit = {
+    IndexCompaction.repairDir(postingsDir(path))
+    IndexCompaction.repairDir(sketchesDir(path))
+  }
+
   /** Cosine near-dup pairs (id_a < id_b, cosine ≥ threshold) touching the
     * delta — never old×old, even INSIDE a duplicate group (expansion emits
     * old×new and new×new member pairs only). Output equals
@@ -449,6 +456,7 @@ object EmbeddingIndex {
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         // sketch the batch ONCE: the cached group relation feeds the pair
         // search AND both index appends
+        if (compactEvery > 0) repair(path) // crashed-compact debris, pre-read
         val m = readMeta(path)
         val dSk = sketchesOf(batch, vecCol, idCol).persist()
         val dPost = postingsOf(dSk, m).persist() // fills in the pruned read
@@ -491,6 +499,7 @@ object EmbeddingIndex {
       compactEvery: Int = 0): Unit = {
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        if (compactEvery > 0) repair(path) // crashed-compact debris, pre-read
         val m = readMeta(path)
         val dSk = sketchesOf(batch, vecCol, idCol).persist()
         val dPost = postingsOf(dSk, m).persist() // fills in the pruned read
@@ -513,9 +522,19 @@ object EmbeddingIndex {
     q.awaitTermination()
   }
 
-  /** The live assignment maintained by [[ingestStreamClustered]]. */
+  /** The STORED rows of the assignment maintained by
+    * [[ingestStreamClustered]] — members of multi-member clusters only;
+    * singletons are implicit ([[ClusterFold.storedClusters]]). */
+  def storedClusters(spark: SparkSession, clustersDir: String): DataFrame =
+    ClusterFold.storedClusters(spark, clustersDir)
+
+  /** Pre-r15 name for [[storedClusters]] — deprecated because the r14
+    * layout narrowed the relation under this signature (singletons are no
+    * longer materialized; use [[currentClustersFull]] for them). */
+  @deprecated("returns only multi-member-cluster rows since r14 — use " +
+    "storedClusters, or currentClustersFull to materialize singletons", "r15")
   def currentClusters(spark: SparkSession, clustersDir: String): DataFrame =
-    ClusterFold.currentClusters(spark, clustersDir)
+    ClusterFold.storedClusters(spark, clustersDir)
 
   /** The full relation over `allIds` — stored multi-member clusters plus
     * the implicit singletons (absent id = own cluster). */

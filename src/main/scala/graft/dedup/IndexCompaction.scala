@@ -37,6 +37,33 @@ private[graft] object IndexCompaction {
   private def fs(p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(new org.apache.hadoop.conf.Configuration())
 
+  /** Crash-debris repair for `dir`: restore any `.retired_<leaf>` whose
+    * live leaf is absent (a crash landed between the two swap renames —
+    * without the restore a pruned read would silently treat the partition
+    * as EMPTY, permanently dropping its pairs on the replayed batch), and
+    * drop stale `.compact_` pre-swap copies. Idempotent, one listing.
+    * [[compactDir]] runs it implicitly; the streaming ingest loops with
+    * `compactEvery > 0` must run it at the START of every batch, because
+    * the replayed epoch's delta read happens BEFORE its end-of-batch
+    * compact would repair (ADVICE r14). */
+  def repairDir(dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(dir)
+    val filesys = fs(root)
+    if (!filesys.exists(root)) return
+    filesys.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.startsWith(".retired_")) {
+        val live = new Path(root, n.stripPrefix(".retired_"))
+        if (!filesys.exists(live)) fc(root).rename(st.getPath, live)
+        else { filesys.delete(st.getPath, true); () }
+      } else if (st.isDirectory && n.startsWith(".compact_")) {
+        filesys.delete(st.getPath, true) // stale pre-swap debris
+        ()
+      }
+    }
+  }
+
   /** Compact every partition leaf of `dir` holding more than `maxFiles`
     * data files down to ~`targetBytes` output files (≥ 1). Returns the
     * number of leaves rewritten. No-op on a missing/unpartitioned dir. */
@@ -47,19 +74,7 @@ private[graft] object IndexCompaction {
     val filesys = fs(root)
     if (!filesys.exists(root)) return 0
     var done = 0
-    filesys.listStatus(root).foreach { st =>
-      val n = st.getPath.getName
-      if (st.isDirectory && n.startsWith(".retired_")) {
-        // crash between the two renames: the live leaf is gone but the
-        // retired copy survives — restore it before anything else
-        val live = new Path(root, n.stripPrefix(".retired_"))
-        if (!filesys.exists(live)) fc(root).rename(st.getPath, live)
-        else { filesys.delete(st.getPath, true); () }
-      } else if (st.isDirectory && n.startsWith(".compact_")) {
-        filesys.delete(st.getPath, true) // stale pre-swap debris
-        ()
-      }
-    }
+    repairDir(dir)
     filesys.listStatus(root).foreach { st =>
       val name = st.getPath.getName
       if (st.isDirectory && name.contains("=") && !name.startsWith(".")) {

@@ -23,9 +23,13 @@ private[graft] object IndexMeta {
     * index pays only 8 directories of write/list overhead instead of a
     * fixed large fan-out (measured r13: a flat nPart=64 cost the sf0.1
     * delta/stream bench family ~+24% in pure small-file pressure while
-    * pruning saved nothing at that size). */
-  def autoParts(nRows: Long, targetRows: Long = 262144L): Int =
-    math.min(4096L, math.max(8L, nRows / targetRows)).toInt
+    * pruning saved nothing at that size). `maxParts` caps directory
+    * fan-out; past the cap partitions grow beyond target instead — a
+    * caller sizing a grid must treat `autoParts(n) == currentNPart` as
+    * "regridding buys nothing" (see [[ClusterFold]]'s compaction skip). */
+  def autoParts(nRows: Long, targetRows: Long = 262144L,
+      maxParts: Long = 4096L): Int =
+    math.min(maxParts, math.max(8L, nRows / targetRows)).toInt
 
   private def conf = new Configuration()
 

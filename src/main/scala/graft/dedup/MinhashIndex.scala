@@ -264,6 +264,17 @@ object MinhashIndex {
     IndexCompaction.compactDir(spark, postingsDir(path), maxFiles) +
       IndexCompaction.compactDir(spark, sketchesDir(path), maxFiles)
 
+  /** Crash-debris repair for the index's partition leaves
+    * ([[IndexCompaction.repairDir]]): restores a leaf a crashed
+    * [[compact]] left mid-swap, so a pruned read never treats it as
+    * empty. The streaming loops run it at the START of every batch when
+    * `compactEvery > 0` (the replayed epoch reads BEFORE its end-of-batch
+    * compact would repair — ADVICE r14). */
+  def repair(path: String): Unit = {
+    IndexCompaction.repairDir(postingsDir(path))
+    IndexCompaction.repairDir(sketchesDir(path))
+  }
+
   /** Near-duplicate pairs (id_a < id_b, jaccard) touching the delta:
     * old×new from the index postings join, new×new from the delta's own
     * buckets — never old×old (the base was dedup'd when it was indexed).
@@ -424,6 +435,7 @@ object MinhashIndex {
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         val spark = batch.sparkSession
+        if (compactEvery > 0) repair(path) // crashed-compact debris, pre-read
         val m = readMeta(path)
         val k = keyed(batch, textCol, idCol, m).persist()
         val dPo = postingsOf(k, m).persist() // fills in the pruned read
@@ -446,11 +458,19 @@ object MinhashIndex {
     q.awaitTermination()
   }
 
-  /** The live (id, cluster_id) assignment maintained by
-    * [[ingestStreamClustered]] — equals whole-corpus
-    * `resolveClusters(minhashLsh(seen corpus))` at every publish point. */
+  /** The STORED rows of the assignment maintained by
+    * [[ingestStreamClustered]] — members of multi-member clusters only;
+    * singletons are implicit ([[ClusterFold.storedClusters]]). */
+  def storedClusters(spark: SparkSession, clustersDir: String): DataFrame =
+    ClusterFold.storedClusters(spark, clustersDir)
+
+  /** Pre-r15 name for [[storedClusters]] — deprecated because the r14
+    * layout narrowed the relation under this signature (singletons are no
+    * longer materialized; use [[currentClustersFull]] for them). */
+  @deprecated("returns only multi-member-cluster rows since r14 — use " +
+    "storedClusters, or currentClustersFull to materialize singletons", "r15")
   def currentClusters(spark: SparkSession, clustersDir: String): DataFrame =
-    ClusterFold.currentClusters(spark, clustersDir)
+    ClusterFold.storedClusters(spark, clustersDir)
 
   /** The full relation over `allIds` — stored multi-member clusters plus
     * the implicit singletons (absent id = own cluster). */
@@ -466,6 +486,7 @@ object MinhashIndex {
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         // shingle + sign the batch ONCE: the compact cached relations feed
         // the pair search AND the index append
+        if (compactEvery > 0) repair(path) // crashed-compact debris, pre-read
         val m = readMeta(path)
         val k = keyed(batch, textCol, idCol, m).persist()
         val dPo = postingsOf(k, m).persist() // fills in the pruned read

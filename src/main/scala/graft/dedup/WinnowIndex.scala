@@ -123,6 +123,11 @@ object WinnowIndex {
   def compact(spark: SparkSession, path: String, maxFiles: Int = 8): Int =
     IndexCompaction.compactDir(spark, postingsDir(path), maxFiles)
 
+  /** Crash-debris repair for the index's partition leaves
+    * ([[IndexCompaction.repairDir]]) — see [[MinhashIndex.repair]]. */
+  def repair(path: String): Unit =
+    IndexCompaction.repairDir(postingsDir(path))
+
   /** Winnow pairs (id_a < id_b, n_shared ≥ minShared) touching the delta:
     * old×new from the index postings join, new×new from
     * [[Dedup.winnowPairsFromArr]] over the delta alone (duplicate-set
@@ -244,6 +249,7 @@ object WinnowIndex {
       minShared: Int = 1, compactEvery: Int = 0): Unit = {
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        if (compactEvery > 0) repair(path) // crashed-compact debris, pre-read
         val m = readMeta(path)
         val dArr = Dedup.winnowDocArr(batch, textCol, idCol, m.k, m.w).persist()
         val dPost = dArr.select(explode(col("ghs")).as("gh"), col("id")).persist()
@@ -265,9 +271,19 @@ object WinnowIndex {
     q.awaitTermination()
   }
 
-  /** The live assignment maintained by [[ingestStreamClustered]]. */
+  /** The STORED rows of the assignment maintained by
+    * [[ingestStreamClustered]] — members of multi-member clusters only;
+    * singletons are implicit ([[ClusterFold.storedClusters]]). */
+  def storedClusters(spark: SparkSession, clustersDir: String): DataFrame =
+    ClusterFold.storedClusters(spark, clustersDir)
+
+  /** Pre-r15 name for [[storedClusters]] — deprecated because the r14
+    * layout narrowed the relation under this signature (singletons are no
+    * longer materialized; use [[currentClustersFull]] for them). */
+  @deprecated("returns only multi-member-cluster rows since r14 — use " +
+    "storedClusters, or currentClustersFull to materialize singletons", "r15")
   def currentClusters(spark: SparkSession, clustersDir: String): DataFrame =
-    ClusterFold.currentClusters(spark, clustersDir)
+    ClusterFold.storedClusters(spark, clustersDir)
 
   /** The full relation over `allIds` — stored multi-member clusters plus
     * the implicit singletons (absent id = own cluster). */
@@ -282,6 +298,7 @@ object WinnowIndex {
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         // fingerprint the batch ONCE: the cached relations feed the pair
         // search AND the index append
+        if (compactEvery > 0) repair(path) // crashed-compact debris, pre-read
         val m = readMeta(path)
         val dArr = Dedup.winnowDocArr(batch, textCol, idCol, m.k, m.w).persist()
         val dPost = dArr.select(explode(col("ghs")).as("gh"), col("id")).persist()

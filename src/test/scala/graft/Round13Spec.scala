@@ -94,12 +94,12 @@ class Round13Spec extends SparkSpec {
     val ids = (0L to 5L).toDF("id")
     val p0 = Seq((0L, 1L)).toDF("id_a", "id_b")
     ClusterFold.foldBatch(spark, cl, 0L, p0, ids)
-    val after0 = assignSet(ClusterFold.currentClusters(spark, cl))
+    val after0 = assignSet(ClusterFold.storedClusters(spark, cl))
     // the pre-fix path read prev from v0 and overwrote v0 — Spark fails
     // with "Cannot overwrite a path that is also being read from" and the
     // stream can never recover; the fix skips the already-published epoch
     ClusterFold.foldBatch(spark, cl, 0L, p0, ids)
-    assert(assignSet(ClusterFold.currentClusters(spark, cl)) == after0)
+    assert(assignSet(ClusterFold.storedClusters(spark, cl)) == after0)
     assert(ClusterFold.currentVersion(cl).contains("v0"))
     // a LATER epoch still folds normally on top
     ClusterFold.foldBatch(spark, cl, 1L, Seq((1L, 2L)).toDF("id_a", "id_b"), ids)
@@ -131,7 +131,7 @@ class Round13Spec extends SparkSpec {
     val cl = tmpPath("fold_zeroio")
     val ids = (0L to 5L).toDF("id")
     ClusterFold.foldBatch(spark, cl, 0L, Seq((0L, 1L)).toDF("id_a", "id_b"), ids)
-    val before = assignSet(ClusterFold.currentClusters(spark, cl))
+    val before = assignSet(ClusterFold.storedClusters(spark, cl))
     val dirsBefore = new java.io.File(cl).listFiles()
       .filter(_.isDirectory).map(_.getName).toSet
     ClusterFold.foldBatch(spark, cl, 1L,
@@ -142,7 +142,7 @@ class Round13Spec extends SparkSpec {
     val dirsAfter = new java.io.File(cl).listFiles()
       .filter(_.isDirectory).map(_.getName).toSet
     assert(dirsAfter == dirsBefore, s"zero-pair epoch wrote: ${dirsAfter -- dirsBefore}")
-    assert(assignSet(ClusterFold.currentClusters(spark, cl)) == before)
+    assert(assignSet(ClusterFold.storedClusters(spark, cl)) == before)
   }
 
   test("ClusterFold: untouched clusters publish by reference, not rewrite") {
@@ -163,7 +163,7 @@ class Round13Spec extends SparkSpec {
       assignSet(Dedup.resolveClusters(
         Seq((0L, 1L), (2L, 3L), (0L, 4L)).toDF("id_a", "id_b"), ids)))
     // the two mirrored relations hold identical rows
-    val byid = assignSet(ClusterFold.currentClusters(spark, cl))
+    val byid = assignSet(ClusterFold.storedClusters(spark, cl))
     val m2 = ClusterFold.readManifest(cl).get
     val rootParts = m2.entries.keysIterator.collect { case ("byroot", k) => k }.toSeq
     val byroot = spark.read.parquet(rootParts.flatMap(k =>
@@ -188,7 +188,7 @@ class Round13Spec extends SparkSpec {
       assignSet(Dedup.resolveClusters(
         Seq((0L, 1L), (3L, 4L), (1L, 2L)).toDF("id_a", "id_b"), ids)))
     // stored rows exclude singletons (implicit-absent contract)
-    assert(assignSet(ClusterFold.currentClusters(spark, cl)) ==
+    assert(assignSet(ClusterFold.storedClusters(spark, cl)) ==
       Set((0L, 0L), (1L, 0L), (2L, 0L), (3L, 3L), (4L, 3L)))
     // one more fold retires the legacy dir (predecessor retention is one flip)
     ClusterFold.foldBatch(spark, cl, 2L,
