@@ -29,9 +29,23 @@ import graft.dedup.{ClusterFold, Dedup, EmbeddingIndex, MinhashIndex, WinnowInde
   *    + phys counters, to bound the same-code spread the r13 verdict
   *    flagged (6.8 s builder vs 10.6 s driver).
   *
-  * Usage: runMain graft.StreamCurve [cells=probe,aging,gatevar]
+  * Round-15 additions:
+  *
+  *  - `probesplit` (VERDICT r14 watch #4): embedding-leg BATCH probe at
+  *    ×f with the production autoParts grid CURVE (constant partition
+  *    size via a test-scale target, count growing with rows — not a
+  *    fixed fan-out), read bytes split into the pure index-read floor
+  *    ([[EmbeddingIndex.postingsSlice]] — the pruned postings scan) vs
+  *    the candidate-driven remainder (sketches of candidate gids).
+  *  - `aging` rows now carry snapshot-debris counters (VERDICT r14 task
+  *    #6): total data files + distinct epoch dirs under the clusters
+  *    snapshot and manifest entry count at end of stream.
+  *  - `gatevar_q` selects the gate the gatevar cell re-runs (drift
+  *    watches on non-streaming gates, e.g. q_dedup_embedding_delta).
+  *
+  * Usage: runMain graft.StreamCurve [cells=probe,aging,gatevar,probesplit]
   *   [legs=minhash,winnow,embedding] [factors=1,10,30] [batches=20]
-  *   [gatevar_n=3]
+  *   [gatevar_n=3] [gatevar_q=q_stream_dedup_clusters_embedding]
   * Writes /tmp/graftscale/stream_curve.json.
   */
 object StreamCurve {
@@ -238,8 +252,23 @@ object StreamCurve {
             docsAll.schema
         }
         val (wall, perBatch, phys) = runStream(leg, root, probeDir, schema)
+        // snapshot-debris counters (VERDICT r14 task #6): the per-epoch
+        // O(touched) publish leaves untouched partitions referencing old
+        // epoch dirs — count how many distinct dirs/files a long stream
+        // accumulates (per-fold READS never list the tree; this measures
+        // directory clutter, the input to a compact-the-snapshot decision)
+        def dataFiles(dir: String): Int = {
+          def walk(f: java.io.File): Int =
+            if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0)
+            else if (f.getName.endsWith(".parquet")) 1 else 0
+          walk(new java.io.File(dir))
+        }
+        val m = graft.dedup.ClusterFold.readManifest(s"$root/clusters").get
         val row = s"""{"leg":"$leg","batches":$agingBatches,""" +
           s""""wall_s":${jnum(wall)},"per_batch_ms":[${perBatch.mkString(",")}],""" +
+          s""""clusters_files":${dataFiles(s"$root/clusters")},""" +
+          s""""clusters_epoch_dirs":${m.dirsReferenced.size},""" +
+          s""""manifest_entries":${m.entries.size},"snapshot_npart":${m.nPart},""" +
           s""""phys":{${phys.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }.mkString(",")}}}"""
         rows += row
         println(s"[streamcurve] aging $row")
@@ -297,19 +326,80 @@ object StreamCurve {
       sections += s""""compact": [${rows.mkString(",\n  ")}]"""
     }
 
+    // --------------------------------------------------------- probesplit
+    // VERDICT r14 watch #4: the embedding probe's read bytes grew +82%
+    // x10->x30 — attribute it. Per factor, seed a vecrand index on the
+    // production autoParts CURVE (partition size pinned at a test-scale
+    // target so the count scales with rows instead of sitting at the
+    // 8-partition floor the real 256k target would give at test sizes),
+    // then measure the SAME near-dup probe batch two ways:
+    //   floor  = postingsSlice forced alone (pure pruned index scan)
+    //   total  = full deltaPairs (floor + candidate-driven sketch reads)
+    // candidate bytes = total - floor. The claim under test: floor stays
+    // ~flat in f (pruning works), candidates track match density.
+    if (cells.contains("probesplit")) {
+      val rows = scala.collection.mutable.ArrayBuffer.empty[String]
+      val passes = argMap.getOrElse("split_passes", "3").toInt
+      for (f <- factors) {
+        val dir = s"/tmp/graftscale/vecrand/x$f"
+        ScaleBench.replicate(spark, srcDir, dir, f, "vecrand")
+        val root = s"/tmp/graftstream/probesplit_x$f"
+        rmrf(root); new java.io.File(root).mkdirs()
+        val idx = s"$root/index"
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet").persist()
+        val nVec = emb.count()
+        val nPart = graft.dedup.IndexMeta.autoParts(
+          nVec * 8, targetRows = 1024L)
+        EmbeddingIndex.writeScaled(emb, idx, dim = 64, tables = 8,
+          nPart = nPart)
+        val probe = emb.where(col("vec_id") % 100 === 0 && col("vec_id") < nSrcVecs)
+          .withColumn("vec_id", col("vec_id") + lit(2000000000L)).persist()
+        val nProbe = probe.count()
+        emb.unpersist(blocking = false)
+        def measure(tag: String, df: () => org.apache.spark.sql.DataFrame): (Double, Long, Long) = {
+          val walls = (1 to passes).map { _ =>
+            metrics.reset()
+            val t0 = System.nanoTime()
+            df().write.format("noop").mode("overwrite").save()
+            ((System.nanoTime() - t0) / 1e9, metrics.snapshot())
+          }
+          val mid = walls.map(_._1).sorted.apply(passes / 2)
+          val ph = walls.last._2
+          (mid, ph("input_read_kb"), ph.getOrElse("shuffle_read_mb", 0L))
+        }
+        val (wFloor, kbFloor, _) = measure("floor",
+          () => EmbeddingIndex.postingsSlice(spark, idx, probe))
+        val (wTotal, kbTotal, shTotal) = measure("total",
+          () => EmbeddingIndex.deltaPairs(spark, idx, probe, threshold = 0.45))
+        val nPairs = EmbeddingIndex.deltaPairs(spark, idx, probe,
+          threshold = 0.45).count()
+        val row = s"""{"factor":$f,"n_vec":$nVec,"n_probe":$nProbe,""" +
+          s""""npart":$nPart,"floor_wall_s":${jnum(wFloor)},""" +
+          s""""total_wall_s":${jnum(wTotal)},"floor_read_kb":$kbFloor,""" +
+          s""""total_read_kb":$kbTotal,"candidate_read_kb":${kbTotal - kbFloor},""" +
+          s""""shuffle_read_mb":$shTotal,"pairs":$nPairs}"""
+        rows += row
+        println(s"[streamcurve] probesplit $row")
+        probe.unpersist(blocking = false)
+        rmrf(root)
+      }
+      sections += s""""probesplit": [${rows.mkString(",\n  ")}]"""
+    }
+
     // ----------------------------------------------------------- gatevar
     if (cells.contains("gatevar")) {
+      val gateQ = argMap.getOrElse("gatevar_q", "q_stream_dedup_clusters_embedding")
       val rows = scala.collection.mutable.ArrayBuffer.empty[String]
       (1 to gatevarN).foreach { i =>
         durations.drain()
         metrics.reset()
         val t0 = System.nanoTime()
-        SparkEntry.queries("q_stream_dedup_clusters_embedding")(spark, srcDir)
+        SparkEntry.queries(gateQ)(spark, srcDir)
           .write.format("noop").mode("overwrite").save()
         val wall = (System.nanoTime() - t0) / 1e9
         val phys = metrics.snapshot()
         val perBatch = durations.drain().map(_._2)
-        val row = s"""{"run":$i,"wall_s":${jnum(wall)},""" +
+        val row = s"""{"q":"$gateQ","run":$i,"wall_s":${jnum(wall)},""" +
           s""""per_batch_ms":[${perBatch.mkString(",")}],""" +
           s""""phys":{${phys.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }.mkString(",")}}}"""
         rows += row

@@ -240,6 +240,19 @@ object EmbeddingIndex {
     IndexCompaction.repairDir(sketchesDir(path))
   }
 
+  /** Diagnostic: the partition-pruned postings slice a delta's buckets
+    * touch — the pure INDEX-READ floor of [[deltaPairs]] (everything else
+    * it reads is candidate-driven: the sketches of candidate gids, pruned
+    * to their buckets). The scale harness uses it to split a probe's read
+    * bytes into index-read vs candidate-coverage (VERDICT r14 watch #4);
+    * it performs no joins, so its bytes are exactly the pruned scan. */
+  def postingsSlice(spark: SparkSession, path: String, delta: DataFrame,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val m = readMeta(path)
+    val dPost = postingsOf(sketchesOf(delta, vecCol, idCol), m)
+    readPostingsPruned(spark, path, m, dPost)
+  }
+
   /** Cosine near-dup pairs (id_a < id_b, cosine ≥ threshold) touching the
     * delta — never old×old, even INSIDE a duplicate group (expansion emits
     * old×new and new×new member pairs only). Output equals
