@@ -43,7 +43,12 @@ import graft.dedup.{ClusterFold, Dedup, EmbeddingIndex, MinhashIndex, WinnowInde
   *  - `gatevar_q` selects the gate the gatevar cell re-runs (drift
   *    watches on non-streaming gates, e.g. q_dedup_embedding_delta).
   *
-  * Usage: runMain graft.StreamCurve [cells=probe,aging,gatevar,probesplit]
+  *  - `clampcurve`: per-epoch publish cost PAST the autoParts clamp
+  *    (toy grid) — write bytes bounded by the touched partition, GC ops
+  *    O(touched), zero-pair epochs zero-IO, vs the full-rewrite
+  *    equivalent the pre-r15 cliff paid (logged per row).
+  *
+  * Usage: runMain graft.StreamCurve [cells=probe,aging,gatevar,probesplit,clampcurve]
   *   [legs=minhash,winnow,embedding] [factors=1,10,30] [batches=20]
   *   [gatevar_n=3] [gatevar_q=q_stream_dedup_clusters_embedding]
   * Writes /tmp/graftscale/stream_curve.json.
@@ -384,6 +389,59 @@ object StreamCurve {
         rmrf(root)
       }
       sections += s""""probesplit": [${rows.mkString(",\n  ")}]"""
+    }
+
+    // ---------------------------------------------------------- clampcurve
+    // Direct measurement of the r15 clamp fix: fold epochs of fresh
+    // 2-member pairs with a TOY grid (targetRows=16, maxParts=8) so the
+    // snapshot crosses the compaction threshold (rows > 2*16*8 = 256)
+    // within the first epochs and spends the rest of the stream PAST the
+    // clamp. Pair ids are confined to one pmod residue per epoch (the
+    // production touch pattern: a batch lands in few partitions). The r14
+    // code full-rewrote the snapshot out there every epoch (write bytes
+    // ramp with stored rows, ~rows*16B); the fix bounds the write to the
+    // touched PARTITION (~rows/nPart) and keeps GC ops O(touched) — the
+    // row logs both, plus a terminal zero-pair epoch that must stay
+    // zero-IO past the clamp.
+    if (cells.contains("clampcurve")) {
+      import graft.dedup.ClusterFold
+      import spark.implicits._
+      val epochs = argMap.getOrElse("clamp_epochs", "32").toInt
+      val pairsPerEpoch = argMap.getOrElse("clamp_pairs", "2000").toInt
+      val root = "/tmp/graftstream/clampcurve"
+      rmrf(root); new java.io.File(root).mkdirs()
+      val cl = s"$root/clusters"
+      val rows = scala.collection.mutable.ArrayBuffer.empty[String]
+      (0 to epochs).foreach { e =>
+        val ps =
+          if (e == epochs) Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+          else {
+            // both pair sides ≡ e (mod 8): the epoch touches ONE byid and
+            // ONE byroot partition of the clamped 8-partition grid
+            val base = 1000000L * (e + 1) * 8 + (e % 8)
+            (0 until pairsPerEpoch)
+              .map(i => (base + 16L * i, base + 16L * i + 8))
+              .toDF("id_a", "id_b")
+          }
+        metrics.reset()
+        val t0 = System.nanoTime()
+        ClusterFold.foldBatch(spark, cl, e.toLong, ps,
+          ps.select(col("id_a").as("id")), targetRows = 16L, maxParts = 8)
+        val wall = (System.nanoTime() - t0) / 1e9
+        val m = ClusterFold.readManifest(cl).get
+        val phys = metrics.snapshot()
+        if (e % 4 == 0 || e >= epochs - 1) {
+          val row = s"""{"epoch":$e,"stored_rows":${m.rows},"npart":${m.nPart},""" +
+            s""""past_clamp":${m.rows > 2L * 16L * m.nPart},"wall_s":${jnum(wall)},""" +
+            s""""write_kb":${phys.getOrElse("output_write_kb", 0L)},""" +
+            s""""full_rewrite_kb_equiv":${m.rows * 16L / 1024L},""" +
+            s""""gc_ops":${ClusterFold.lastGcOps}}"""
+          rows += row
+          println(s"[streamcurve] clampcurve $row")
+        }
+      }
+      rmrf(root)
+      sections += s""""clampcurve": [${rows.mkString(",\n  ")}]"""
     }
 
     // ----------------------------------------------------------- gatevar
