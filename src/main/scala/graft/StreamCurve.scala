@@ -95,6 +95,14 @@ object StreamCurve {
 
   private def jnum(d: Double): String = f"$d%.2f"
 
+  /** Count parquet data files under `dir` (recursive). */
+  private def dataFiles(dir: String): Int = {
+    def walk(f: java.io.File): Int =
+      if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0)
+      else if (f.getName.endsWith(".parquet")) 1 else 0
+    walk(new java.io.File(dir))
+  }
+
   def main(args: Array[String]): Unit = {
     val argMap = args.flatMap { a =>
       a.split("=", 2) match { case Array(k, v) => Some(k -> v); case _ => None }
@@ -261,18 +269,20 @@ object StreamCurve {
         // O(touched) publish leaves untouched partitions referencing old
         // epoch dirs — count how many distinct dirs/files a long stream
         // accumulates (per-fold READS never list the tree; this measures
-        // directory clutter, the input to a compact-the-snapshot decision)
-        def dataFiles(dir: String): Int = {
-          def walk(f: java.io.File): Int =
-            if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0)
-            else if (f.getName.endsWith(".parquet")) 1 else 0
-          walk(new java.io.File(dir))
-        }
+        // directory clutter, the input to a compact-the-snapshot decision).
+        // ON-DISK dirs are the debris measure (they include the
+        // predecessor-retained copies and any crashed-publish orphans the
+        // manifest no longer references); the manifest count is the live
+        // reference set for contrast.
         val m = graft.dedup.ClusterFold.readManifest(s"$root/clusters").get
+        val onDiskDirs = Option(new java.io.File(s"$root/clusters").listFiles())
+          .map(_.count(f => f.isDirectory && f.getName.matches("[ev]\\d+.*")))
+          .getOrElse(0)
         val row = s"""{"leg":"$leg","batches":$agingBatches,""" +
           s""""wall_s":${jnum(wall)},"per_batch_ms":[${perBatch.mkString(",")}],""" +
           s""""clusters_files":${dataFiles(s"$root/clusters")},""" +
-          s""""clusters_epoch_dirs":${m.dirsReferenced.size},""" +
+          s""""clusters_dirs_on_disk":$onDiskDirs,""" +
+          s""""clusters_epoch_dirs_referenced":${m.dirsReferenced.size},""" +
           s""""manifest_entries":${m.entries.size},"snapshot_npart":${m.nPart},""" +
           s""""phys":{${phys.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }.mkString(",")}}}"""
         rows += row
@@ -289,12 +299,6 @@ object StreamCurve {
     // probe wall/file-count stays flat while the no-compaction arm grows.
     if (cells.contains("compact")) {
       val rows = scala.collection.mutable.ArrayBuffer.empty[String]
-      def dataFiles(dir: String): Int = {
-        def walk(f: java.io.File): Int =
-          if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0)
-          else if (f.getName.endsWith(".parquet")) 1 else 0
-        walk(new java.io.File(dir))
-      }
       val nAppends = argMap.getOrElse("appends", "100").toInt
       val probe = docsAll.where(col("doc_id") % 100 === 7)
         .withColumn("doc_id", col("doc_id") + lit(3000000000L)).persist()
@@ -361,7 +365,7 @@ object StreamCurve {
           .withColumn("vec_id", col("vec_id") + lit(2000000000L)).persist()
         val nProbe = probe.count()
         emb.unpersist(blocking = false)
-        def measure(tag: String, df: () => org.apache.spark.sql.DataFrame): (Double, Long, Long) = {
+        def measure(df: () => org.apache.spark.sql.DataFrame): (Double, Long, Long) = {
           val walls = (1 to passes).map { _ =>
             metrics.reset()
             val t0 = System.nanoTime()
@@ -372,9 +376,9 @@ object StreamCurve {
           val ph = walls.last._2
           (mid, ph("input_read_kb"), ph.getOrElse("shuffle_read_mb", 0L))
         }
-        val (wFloor, kbFloor, _) = measure("floor",
+        val (wFloor, kbFloor, _) = measure(
           () => EmbeddingIndex.postingsSlice(spark, idx, probe))
-        val (wTotal, kbTotal, shTotal) = measure("total",
+        val (wTotal, kbTotal, shTotal) = measure(
           () => EmbeddingIndex.deltaPairs(spark, idx, probe, threshold = 0.45))
         val nPairs = EmbeddingIndex.deltaPairs(spark, idx, probe,
           threshold = 0.45).count()

@@ -469,7 +469,9 @@ object EmbeddingIndex {
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         // sketch the batch ONCE: the cached group relation feeds the pair
         // search AND both index appends
-        if (compactEvery > 0) repair(path) // crashed-compact debris, pre-read
+        repair(path) // crashed-compact debris (possibly another
+        // session's), BEFORE the pruned read: a retired leaf reads as
+        // empty and the next append would make the loss permanent
         val m = readMeta(path)
         val dSk = sketchesOf(batch, vecCol, idCol).persist()
         val dPost = postingsOf(dSk, m).persist() // fills in the pruned read
@@ -512,7 +514,9 @@ object EmbeddingIndex {
       compactEvery: Int = 0): Unit = {
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
-        if (compactEvery > 0) repair(path) // crashed-compact debris, pre-read
+        repair(path) // crashed-compact debris (possibly another
+        // session's), BEFORE the pruned read: a retired leaf reads as
+        // empty and the next append would make the loss permanent
         val m = readMeta(path)
         val dSk = sketchesOf(batch, vecCol, idCol).persist()
         val dPost = postingsOf(dSk, m).persist() // fills in the pruned read

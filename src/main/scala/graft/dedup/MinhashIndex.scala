@@ -435,7 +435,9 @@ object MinhashIndex {
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         val spark = batch.sparkSession
-        if (compactEvery > 0) repair(path) // crashed-compact debris, pre-read
+        repair(path) // crashed-compact debris (possibly another
+        // session's), BEFORE the pruned read: a retired leaf reads as
+        // empty and the next append would make the loss permanent
         val m = readMeta(path)
         val k = keyed(batch, textCol, idCol, m).persist()
         val dPo = postingsOf(k, m).persist() // fills in the pruned read
@@ -486,7 +488,9 @@ object MinhashIndex {
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         // shingle + sign the batch ONCE: the compact cached relations feed
         // the pair search AND the index append
-        if (compactEvery > 0) repair(path) // crashed-compact debris, pre-read
+        repair(path) // crashed-compact debris (possibly another
+        // session's), BEFORE the pruned read: a retired leaf reads as
+        // empty and the next append would make the loss permanent
         val m = readMeta(path)
         val k = keyed(batch, textCol, idCol, m).persist()
         val dPo = postingsOf(k, m).persist() // fills in the pruned read

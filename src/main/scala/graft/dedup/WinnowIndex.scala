@@ -249,7 +249,9 @@ object WinnowIndex {
       minShared: Int = 1, compactEvery: Int = 0): Unit = {
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
-        if (compactEvery > 0) repair(path) // crashed-compact debris, pre-read
+        repair(path) // crashed-compact debris (possibly another
+        // session's), BEFORE the pruned read: a retired leaf reads as
+        // empty and the next append would make the loss permanent
         val m = readMeta(path)
         val dArr = Dedup.winnowDocArr(batch, textCol, idCol, m.k, m.w).persist()
         val dPost = dArr.select(explode(col("ghs")).as("gh"), col("id")).persist()
@@ -298,7 +300,9 @@ object WinnowIndex {
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         // fingerprint the batch ONCE: the cached relations feed the pair
         // search AND the index append
-        if (compactEvery > 0) repair(path) // crashed-compact debris, pre-read
+        repair(path) // crashed-compact debris (possibly another
+        // session's), BEFORE the pruned read: a retired leaf reads as
+        // empty and the next append would make the loss permanent
         val m = readMeta(path)
         val dArr = Dedup.winnowDocArr(batch, textCol, idCol, m.k, m.w).persist()
         val dPost = dArr.select(explode(col("ghs")).as("gh"), col("id")).persist()
