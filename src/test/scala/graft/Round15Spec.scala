@@ -183,13 +183,17 @@ class Round15Spec extends SparkSpec {
       }
     // second stream session over NEW near-dup docs (appended to the same
     // source dir — the checkpoint pins the path): with the pre-read
-    // repair their pairs against the retired postings are found
+    // repair their pairs against the retired postings are found. The
+    // session deliberately runs with compactEvery = 0 — the CROSS-SESSION
+    // hole (review r15): the crashed compact belonged to a compactEvery>0
+    // session, and a later default-config session must still repair, or
+    // its pruned read sees the retired leaf as empty and its append makes
+    // the loss permanent
     val more = all.withColumn("doc_id", col("doc_id") + 1000L)
     more.repartition(1).write.mode("append").parquet(srcDir)
     val s2 = spark.readStream.schema(all.schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
-    MinhashIndex.ingestStreamClustered(s2, idx, cl, threshold = 0.5,
-      compactEvery = 1)
+    MinhashIndex.ingestStreamClustered(s2, idx, cl, threshold = 0.5)
     val got = assignSet(ClusterFold.currentClustersFull(spark, cl,
       all.select(col("doc_id").as("id")).unionByName(
         more.select(col("doc_id").as("id")))))
