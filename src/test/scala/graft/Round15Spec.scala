@@ -31,6 +31,19 @@ class Round15Spec extends SparkSpec {
   private def assignSet(df: org.apache.spark.sql.DataFrame) =
     df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  // near-dup corpora with real multi-member clusters (the Round13Spec shapes)
+  private def docs(n: Int) = (0 until n).map { i =>
+    val cluster = i / 3
+    (i.toLong, s"the quick brown fox number $cluster jumps over the lazy dog " +
+      s"and then walks around the block ${if (i % 3 == 2) "slowly today" else "quickly"}")
+  }.toDF("doc_id", "text")
+
+  private def vecs(n: Int, dim: Int = 16) = (0 until n).map { i =>
+    val v = Array.fill(dim)(0f)
+    if (i < n - 1) { v(i % 4) = 1f; v((i % 4) + 4) = 0.02f * (i / 4) }
+    (i.toLong, v.toSeq)
+  }.toDF("vec_id", "embedding")
+
   private def pairsDF(ps: Seq[(Long, Long)]) = ps.toDF("id_a", "id_b")
 
   private def epochDirs(cl: String): Set[String] =
@@ -264,6 +277,71 @@ class Round15Spec extends SparkSpec {
         ClusterFold.readManifestFile(cl, "PREVIOUS").map(_.dirsReferenced)
           .getOrElse(Set.empty)
       assert(epochDirs(cl).subsetOf(live), s"case $c sweep left debris")
+    }
+  }
+
+  test("batching-invariance property: random stream chops ≡ whole-corpus closure (all legs)") {
+    // Round13Spec pins ONE fixed chop per leg (repartition(3), one file
+    // per trigger). The ingest loops claim invariance under ANY chop —
+    // pin it with seeded random splits: random batch count, random
+    // (salted-hash) doc-to-batch assignment, every leg.
+    import graft.dedup.{EmbeddingIndex, MinhashIndex, WinnowIndex}
+    val rnd = new scala.util.Random(20260817L)
+    def chop(df: org.apache.spark.sql.DataFrame, idCol: String,
+        k: Int, salt: Int, dir: String): Unit =
+      df.repartition(k, pmod(xxhash64(col(idCol), lit(salt)), lit(k)))
+        .write.mode("overwrite").parquet(dir)
+    for (c <- 0 until 2) {
+      val k = 1 + rnd.nextInt(4)
+      val salt = rnd.nextInt(1 << 20)
+      val nDocs = 21 + 3 * rnd.nextInt(5)
+      val d = docs(nDocs).persist()
+      val v = vecs(18).unionByName(
+        vecs(18).withColumn("vec_id", col("vec_id") + 100)).persist()
+      for (leg <- Seq("minhash", "winnow", "embedding")) {
+        val root = tmpPath(s"chop_${c}_$leg")
+        val src = s"$root/src"; val idx = s"$root/index"; val cl = s"$root/clusters"
+        val (got, want) = leg match {
+          case "minhash" =>
+            chop(d, "doc_id", k, salt, src)
+            MinhashIndex.write(d.limit(0), idx)
+            val st = spark.readStream.schema(d.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src)
+            MinhashIndex.ingestStreamClustered(st, idx, cl, threshold = 0.5)
+            (ClusterFold.currentClustersFull(spark, cl,
+              d.select(col("doc_id").as("id"))),
+              Dedup.resolveClusters(
+                Dedup.minhashLsh(d, threshold = 0.5).select(col("id_a"), col("id_b")),
+                d.select(col("doc_id").as("id"))))
+          case "winnow" =>
+            chop(d, "doc_id", k, salt, src)
+            graft.dedup.WinnowIndex.write(d.limit(0), idx, k = 4, w = 4)
+            val st = spark.readStream.schema(d.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src)
+            WinnowIndex.ingestStreamClustered(st, idx, cl, minShared = 2)
+            (ClusterFold.currentClustersFull(spark, cl,
+              d.select(col("doc_id").as("id"))),
+              Dedup.resolveClusters(
+                Dedup.winnowPairs(d, k = 4, w = 4, minShared = 2)
+                  .select(col("id_a"), col("id_b")),
+                d.select(col("doc_id").as("id"))))
+          case "embedding" =>
+            chop(v, "vec_id", k, salt, src)
+            EmbeddingIndex.write(v.limit(0), idx, dim = 16, nbits = 4, tables = 8)
+            val st = spark.readStream.schema(v.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src)
+            EmbeddingIndex.ingestStreamClustered(st, idx, cl, threshold = 0.9)
+            (ClusterFold.currentClustersFull(spark, cl,
+              v.select(col("vec_id").as("id"))),
+              Dedup.resolveClusters(
+                Dedup.embeddingNearDupLsh(v, dim = 16, threshold = 0.9,
+                  nbits = 4, tables = 8).select(col("id_a"), col("id_b")),
+                v.select(col("vec_id").as("id"))))
+        }
+        assert(assignSet(got) == assignSet(want),
+          s"case $c leg $leg diverged under a k=$k salt=$salt chop")
+      }
+      d.unpersist(); v.unpersist()
     }
   }
 
