@@ -84,8 +84,14 @@ import org.apache.spark.sql.functions._
 private[graft] object ClusterFold {
 
   /** Target rows per snapshot partition (matches [[IndexMeta.autoParts]]);
-    * a fold compacts when rows exceed 2 × target × nPart. */
-  private val TargetRows = 262144L
+    * a fold compacts when rows exceed 2 × target × nPart. Exposed so the
+    * ingest loops can thread caller overrides through to [[foldBatch]]. */
+  private[graft] val TargetRows = 262144L
+
+  /** Grid clamp (matches [[IndexMeta.autoParts]]'s default): past it the
+    * fold stops compacting and partitions grow beyond target instead —
+    * see the class doc. Caller-overridable via [[foldBatch]]. */
+  private[graft] val MaxParts = 4096
 
   /** Parsed CURRENT manifest. `nPart <= 0` marks a legacy (pre-r14,
     * single flat directory) snapshot that migrates on its next fold. */
@@ -233,7 +239,7 @@ private[graft] object ClusterFold {
 
   def foldBatch(spark: SparkSession, clustersDir: String, epoch: Long,
       pairs: DataFrame, batchIds: DataFrame,
-      targetRows: Long = TargetRows, maxParts: Int = 4096,
+      targetRows: Long = TargetRows, maxParts: Int = MaxParts,
       maxDriverRows: Int = MaxDriverRows): Unit = {
     val vNew = s"v$epoch"
     val cur = readManifest(clustersDir)

@@ -511,7 +511,9 @@ object EmbeddingIndex {
   def ingestStreamClustered(stream: DataFrame, path: String,
       clustersDir: String, vecCol: String = "embedding",
       idCol: String = "vec_id", threshold: Double = 0.95,
-      compactEvery: Int = 0): Unit = {
+      compactEvery: Int = 0,
+      foldTargetRows: Long = ClusterFold.TargetRows,
+      foldMaxParts: Int = ClusterFold.MaxParts): Unit = {
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         repair(path) // crashed-compact debris (possibly another
@@ -523,7 +525,8 @@ object EmbeddingIndex {
         val pairs = deltaPairsSketched(batch.sparkSession, path, m, dSk,
           dPost, threshold, None)
         ClusterFold.foldBatch(batch.sparkSession, clustersDir, epoch, pairs,
-          batch.select(col(idCol).cast("long").as("id")).distinct())
+          batch.select(col(idCol).cast("long").as("id")).distinct(),
+          targetRows = foldTargetRows, maxParts = foldMaxParts)
         writeSketches(dSk, path, m, "append")
         writePostings(dPost, path, m, "append")
         if (compactEvery > 0 && (epoch + 1) % compactEvery == 0)

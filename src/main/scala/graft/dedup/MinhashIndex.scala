@@ -431,7 +431,9 @@ object MinhashIndex {
     * a replayed epoch re-compacts idempotently. 0 = offline-only. */
   def ingestStreamClustered(stream: DataFrame, path: String,
       clustersDir: String, textCol: String = "text", idCol: String = "doc_id",
-      threshold: Double = 0.7, compactEvery: Int = 0): Unit = {
+      threshold: Double = 0.7, compactEvery: Int = 0,
+      foldTargetRows: Long = ClusterFold.TargetRows,
+      foldMaxParts: Int = ClusterFold.MaxParts): Unit = {
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         val spark = batch.sparkSession
@@ -444,7 +446,8 @@ object MinhashIndex {
         val pairs = deltaPairsSketched(spark, path, m, sketchesOf(k), dPo,
           threshold, None)
         ClusterFold.foldBatch(spark, clustersDir, epoch, pairs,
-          batch.select(col(idCol).cast("long").as("id")).distinct())
+          batch.select(col(idCol).cast("long").as("id")).distinct(),
+          targetRows = foldTargetRows, maxParts = foldMaxParts)
         writeSketches(sketchesOf(k), path, m, "append")
         writePostings(dPo, path, m, "append")
         if (compactEvery > 0 && (epoch + 1) % compactEvery == 0)

@@ -246,7 +246,9 @@ object WinnowIndex {
     * a replayed epoch re-compacts idempotently. 0 = offline-only. */
   def ingestStreamClustered(stream: DataFrame, path: String,
       clustersDir: String, textCol: String = "text", idCol: String = "doc_id",
-      minShared: Int = 1, compactEvery: Int = 0): Unit = {
+      minShared: Int = 1, compactEvery: Int = 0,
+      foldTargetRows: Long = ClusterFold.TargetRows,
+      foldMaxParts: Int = ClusterFold.MaxParts): Unit = {
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         repair(path) // crashed-compact debris (possibly another
@@ -258,7 +260,8 @@ object WinnowIndex {
         val pairs = deltaPairsPrepared(batch.sparkSession, path, m, dArr,
           dPost, minShared, None)
         ClusterFold.foldBatch(batch.sparkSession, clustersDir, epoch, pairs,
-          batch.select(col(idCol).cast("long").as("id")).distinct())
+          batch.select(col(idCol).cast("long").as("id")).distinct(),
+          targetRows = foldTargetRows, maxParts = foldMaxParts)
         writePostings(dPost, path, m, "append")
         if (compactEvery > 0 && (epoch + 1) % compactEvery == 0)
           compact(batch.sparkSession, path)

@@ -345,6 +345,35 @@ class Round15Spec extends SparkSpec {
     }
   }
 
+  test("ingestStreamClustered threads fold grid knobs through to the snapshot") {
+    import graft.dedup.MinhashIndex
+    val all = docs(30).persist()
+    val srcDir = tmpPath("knobs_src")
+    all.repartition(2).write.mode("overwrite").parquet(srcDir)
+    val root = tmpPath("knobs")
+    val idx = s"$root/index"; val cl = s"$root/clusters"
+    MinhashIndex.write(all.limit(0), idx)
+    val st = spark.readStream.schema(all.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    // the 100 TB runbook's lever: targetRows=1 forces the snapshot grid to
+    // scale with stored rows instead of sitting at the 8-partition floor
+    MinhashIndex.ingestStreamClustered(st, idx, cl, threshold = 0.5,
+      foldTargetRows = 1L)
+    val m = ClusterFold.readManifest(cl).get
+    assert(m.rows > 8, s"corpus too small for the pin (rows=${m.rows})")
+    assert(m.nPart >= math.min(m.rows, 8L),
+      s"grid ignored the override: nPart=${m.nPart} rows=${m.rows}")
+    assert(m.nPart > 8 || m.rows <= 8,
+      s"targetRows=1 should regrid past the floor: nPart=${m.nPart} rows=${m.rows}")
+    // semantics unchanged under the override
+    assert(assignSet(ClusterFold.currentClustersFull(spark, cl,
+      all.select(col("doc_id").as("id")))) ==
+      assignSet(Dedup.resolveClusters(
+        Dedup.minhashLsh(all, threshold = 0.5).select(col("id_a"), col("id_b")),
+        all.select(col("doc_id").as("id")))))
+    all.unpersist()
+  }
+
   test("IndexCompaction.repairDir drops stale .compact_ pre-swap debris") {
     val dir = tmpPath("cdebris")
     val leaf = new java.io.File(s"$dir/pb=3")
