@@ -296,6 +296,14 @@ object WinnowIndex {
       allIds: DataFrame): DataFrame =
     ClusterFold.currentClustersFull(spark, clustersDir, allIds)
 
+  /** Offline snapshot-debris sweep for the cluster assignment this
+    * module's [[ingestStreamClustered]] maintains — deletes every
+    * partition leaf/epoch dir referenced by neither CURRENT nor PREVIOUS
+    * (the per-publish GC is incremental and a crashed publish can orphan
+    * debris only a full listing finds). Run between streaming sessions,
+    * like [[compact]]. */
+  def sweepClusters(clustersDir: String): Unit = ClusterFold.sweep(clustersDir)
+
   def ingestStream(stream: DataFrame, path: String, outDir: String,
       textCol: String = "text", idCol: String = "doc_id",
       minShared: Int = 1, compactEvery: Int = 0): Unit = {
