@@ -198,7 +198,7 @@ private[graft] object ClusterFold {
       .write.mode("overwrite").partitionBy("pb")
       .parquet(s"$dir/$eDir/$rel")
     val out = new org.apache.hadoop.fs.Path(s"$dir/$eDir/$rel")
-    val fs = out.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = out.getFileSystem(IndexMeta.conf)
     fs.listStatus(out).iterator.map(_.getPath.getName)
       .filter(_.startsWith("pb=")).map(_.stripPrefix("pb=").toInt).toSet
   }
@@ -212,7 +212,7 @@ private[graft] object ClusterFold {
       cur: Option[Manifest]): String = {
     val used = cur.map(_.dirsReferenced).getOrElse(Set.empty)
     val d = new org.apache.hadoop.fs.Path(clustersDir)
-    val fs = d.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = d.getFileSystem(IndexMeta.conf)
     def taken(n: String): Boolean =
       used.contains(n) || fs.exists(new org.apache.hadoop.fs.Path(d, n))
     val base = s"e$epoch"
@@ -469,7 +469,7 @@ private[graft] object ClusterFold {
         // replayed incarnation) must not drive deletions — drop it
         val p = new org.apache.hadoop.fs.Path(
           new org.apache.hadoop.fs.Path(clustersDir), "PREVIOUS")
-        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val fs = p.getFileSystem(IndexMeta.conf)
         if (fs.exists(p)) { fs.delete(p, false); () }
     }
     IndexMeta.write(clustersDir, "CURRENT", manifestFields(next))
@@ -486,7 +486,7 @@ private[graft] object ClusterFold {
       prev: Option[Manifest], prev2: Option[Manifest]): Unit = {
     var ops = 0L
     val d = new org.apache.hadoop.fs.Path(clustersDir)
-    val fs = d.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = d.getFileSystem(IndexMeta.conf)
     val keep: Set[(String, Int, String)] =
       (next.entries.iterator ++ prev.iterator.flatMap(_.entries.iterator))
         .map { case ((rel, k), e) => (rel, k, e) }.toSet
@@ -552,7 +552,7 @@ private[graft] object ClusterFold {
     val keepLegacy: Set[String] =
       (next :: prev.toList).filter(_.nPart <= 0).map(_.version).toSet
     val d = new org.apache.hadoop.fs.Path(clustersDir)
-    val fs = d.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = d.getFileSystem(IndexMeta.conf)
     if (!fs.exists(d)) return
     fs.listStatus(d).foreach { st =>
       val n = st.getPath.getName

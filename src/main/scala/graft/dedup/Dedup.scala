@@ -129,6 +129,13 @@ object Dedup {
 
     // shingles computed ONCE (native expression), shared by the signature
     // path and the verification path
+    // NOT eagerly materialized, deliberately (A/B-measured r15): a
+    // count() here fills the cache and surfaces withSh's true in-memory
+    // size to the planner, which then declines to BROADCAST the
+    // verification join sides — x10 boilerplate went 18 MB -> 294 MB
+    // shuffle, wall +21%. The racing-recompute risk the eager pattern
+    // guards against elsewhere does not bite here: candidate generation's
+    // exchange materializes the cache before the join stages consume it.
     val withSh = df.select(col(idCol).as("id"),
       shingleCol(col(textCol), shingleSize).as("sh")).persist()
     val sigs = withSh.select(col("id"), sigUdf(col("sh")).as("sig"))
@@ -290,12 +297,12 @@ object Dedup {
     * (or a full cross join). Balanced widths differ by ≤ 1 bit and are
     * never zero for n ≤ 64.
     *
-    * Candidates come from [[bucketPairs]] (one streamed groupBy pass) and
-    * the hamming check joins back the PERSISTED fingerprint relation — the
-    * earlier self-join form recomputed the simhash UDF once per side. The
-    * result is eagerly materialized so the fingerprint cache can be
-    * released before returning (a long-lived session calling this per
-    * batch would otherwise grow storage memory without bound). */
+    * Candidates stream through ONE groupByKey pass with the hamming check
+    * INLINE (fingerprints ride the explode; see the comment below) — the
+    * fingerprint relation has exactly one consumer, so it is NOT persisted
+    * (caching a corpus-sized relation read once is pure storage overhead;
+    * the earlier join-back design that needed the cache is gone). The
+    * result is still eagerly materialized before returning. */
   def simhashPairs(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       maxHamming: Int = 3, comboArity: Int = 0): DataFrame = {
     require(maxHamming < 63,
@@ -305,7 +312,7 @@ object Dedup {
     val arity = math.max(1, math.min(64 - maxHamming,
       if (comboArity > 0) comboArity else if (maxHamming <= 8) 3 else 2))
     val nChunks = maxHamming + arity
-    val fps = df.select(col(idCol).as("id"), simhashUdf(col(textCol)).as("fp")).persist()
+    val fps = df.select(col(idCol).as("id"), simhashUdf(col(textCol)).as("fp"))
     def chunk(i: Int): Column = {
       val lo = i * 64 / nChunks
       val bits = (i + 1) * 64 / nChunks - lo
@@ -356,7 +363,7 @@ object Dedup {
       }
       .toDF("id_a", "id_b", "hamming")
       .dropDuplicates("id_a", "id_b")
-    finishReleasing(pairs, fps)
+    finishReleasing(pairs)
   }
 
   // --------------------------------------------------------- ngram jaccard
@@ -781,19 +788,31 @@ object Dedup {
     }
   }
 
-  /** All C(m,2) ordered pairs within one sorted member array. */
+  /** All C(m,2) ordered pairs within one sorted member array. Equal ids
+    * are skipped — an at-least-once redelivery can leave the same member
+    * twice in one list, and a pair is strictly id_a < id_b (a self-loop
+    * would store a bogus single-member "multi-member cluster"). */
   private[dedup] val withinPairsUdf = udf((ms: Seq[Long]) => {
     val out = Seq.newBuilder[(Long, Long)]
     var i = 0
     while (i < ms.length) {
       var j = i + 1
-      while (j < ms.length) { out += ((ms(i), ms(j))); j += 1 }
+      while (j < ms.length) {
+        if (ms(i) != ms(j)) out += ((ms(i), ms(j)))
+        j += 1
+      }
       i += 1
     }
     out.result()
   })
 
-  /** All ordered cross pairs between two (disjoint) member arrays. */
+  /** All ordered cross pairs between two member arrays. Equal ids are
+    * skipped — the arrays are disjoint in the batch collapse, but the
+    * index delta path crosses OLD members with NEW members, and an
+    * at-least-once redelivery (same id arriving again — same vector, or
+    * a changed vector placing it under a second gid) puts one id on both
+    * sides; emitting (x, x) would break the strict id_a < id_b contract
+    * downstream reads rely on (review r15). */
   private[dedup] val crossPairsUdf = udf((ma: Seq[Long], mb: Seq[Long]) => {
     val out = Seq.newBuilder[(Long, Long)]
     var i = 0
@@ -801,7 +820,7 @@ object Dedup {
       var j = 0
       while (j < mb.length) {
         val a = ma(i); val b = mb(j)
-        out += (if (a < b) (a, b) else (b, a))
+        if (a != b) out += (if (a < b) (a, b) else (b, a))
         j += 1
       }
       i += 1
@@ -962,25 +981,34 @@ object Dedup {
 
   /** Per-table random-hyperplane signature longs for one vector (one long
     * per table; bit b = sign of v·plane(t)(b)). Shared by the dedup and
-    * decontamination LSH paths so both bucket identically. */
+    * decontamination LSH paths so both bucket identically. NULL and
+    * mis-dimensioned vectors return null (→ posexplode emits no bucket
+    * rows, so they participate in no candidate pair): a null vector
+    * cannot be anyone's near-duplicate, and a truncated-prefix signature
+    * for a wrong-dimension vector would silently bucket garbage — the
+    * same exclusion [[semanticDedup]] applies via its null split
+    * (review r15; the pre-fix UDF NPE'd on null). */
   private def lshBucketUdf(planes: Array[Array[Array[Float]]]) = {
     val tables = planes.length
     val nbits = planes(0).length
+    val dim = planes(0)(0).length
     udf((v: Seq[Float]) => {
-      val arr = v.toArray
-      (0 until tables).map { t =>
-        var sig = 0L
-        var b = 0
-        while (b < nbits) {
-          var dot = 0.0
-          var i = 0
-          val pl = planes(t)(b)
-          val n = math.min(arr.length, pl.length)
-          while (i < n) { dot += arr(i).toDouble * pl(i); i += 1 }
-          if (dot >= 0) sig |= (1L << b)
-          b += 1
+      if (v == null || v.length != dim) null
+      else {
+        val arr = v.toArray
+        (0 until tables).map { t =>
+          var sig = 0L
+          var b = 0
+          while (b < nbits) {
+            var dot = 0.0
+            var i = 0
+            val pl = planes(t)(b)
+            while (i < dim) { dot += arr(i).toDouble * pl(i); i += 1 }
+            if (dot >= 0) sig |= (1L << b)
+            b += 1
+          }
+          sig
         }
-        sig
       }
     })
   }
@@ -1004,7 +1032,12 @@ object Dedup {
       if (stablePlanes) lshPlanesStable(tables, nbits, dim, seed)
       else lshPlanes(tables, nbits, dim, seed)
     val bucketUdf = lshBucketUdf(planes)
+    // null / mis-dimensioned vectors cannot participate in any cosine —
+    // excluded up front (the semanticDedup split, applied to the LSH leg;
+    // the bucket UDF also skips them, but the duplicate-collapse regime
+    // groups by vector hash BEFORE bucketing and must not pair them)
     val keyed = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .where(col("v").isNotNull && size(col("v")) === dim)
     def cosine(va: Column, na: Column, vb: Column, nb: Column): Column =
       round(when(na === 0.0 || nb === 0.0, lit(0.0))
         .otherwise(VectorExpressions.dense_dot(va, vb) / (na * nb)), 6)
@@ -1901,6 +1934,7 @@ object Dedup {
     val bucketUdf = lshBucketUdf(planes)
     def side(df: DataFrame): DataFrame =
       df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+        .where(col("v").isNotNull && size(col("v")) === dim)
     // cheap duplicate probe per side (map-side-combinable agg over vector
     // hashes, no vector shuffle): duplicate-free sides skip the collapse
     // groupBy and the member-expansion join entirely

@@ -164,7 +164,11 @@ object EmbeddingIndex {
     df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .withColumn("gid", xxhash64(col("v")))
       .groupBy(col("gid"))
-      .agg(first(col("v")).as("v"), sort_array(collect_list(col("id"))).as("members"))
+      // distinct: a duplicate-row delivery of one id is still ONE member —
+      // an inflated list would double-count nm (the maxBucket population)
+      // and feed self-pairs to the expansion UDFs (review r15)
+      .agg(first(col("v")).as("v"),
+        sort_array(array_distinct(collect_list(col("id")))).as("members"))
 
   /** (table, bucket, gid, nm, bid): the bucket UDF runs once per DISTINCT
     * vector; nm carries the group's member count so maxBucket's ID-LEVEL

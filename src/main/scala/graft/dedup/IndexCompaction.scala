@@ -31,11 +31,10 @@ import org.apache.spark.sql.SparkSession
 private[graft] object IndexCompaction {
 
   private def fc(p: org.apache.hadoop.fs.Path) =
-    org.apache.hadoop.fs.FileContext.getFileContext(p.toUri,
-      new org.apache.hadoop.conf.Configuration())
+    org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, IndexMeta.conf)
 
   private def fs(p: org.apache.hadoop.fs.Path) =
-    p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    p.getFileSystem(IndexMeta.conf)
 
   /** Crash-debris repair for `dir`: restore any `.retired_<leaf>` whose
     * live leaf is absent (a crash landed between the two swap renames —

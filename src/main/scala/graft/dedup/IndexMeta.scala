@@ -31,7 +31,18 @@ private[graft] object IndexMeta {
       maxParts: Long = 4096L): Int =
     math.min(maxParts, math.max(8L, nRows / targetRows)).toInt
 
-  private def conf = new Configuration()
+  /** The session's Hadoop configuration when one is active — the same
+    * credentials/filesystem settings (spark.hadoop.*) the data-path
+    * reads and writes already use. A bare `new Configuration()` ignored
+    * them, so on a real object store every meta write, manifest read, GC
+    * delete, and compaction rename ran UNAUTHENTICATED while the Parquet
+    * IO around them worked (review r15). Falls back to a bare conf only
+    * when no session exists (pure-utility callers). */
+  private[dedup] def conf: Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
 
   /** Publish `fields` (space-joined) as `<dir>/<name>`, atomically. */
   def write(dir: String, name: String, fields: Seq[Any]): Unit = {

@@ -374,6 +374,54 @@ class Round15Spec extends SparkSpec {
     all.unpersist()
   }
 
+  test("embedding delta: a redelivered member never emits a self-pair") {
+    import graft.dedup.EmbeddingIndex
+    def v(ids: Seq[Long]) = ids.map(i => (i, Seq.fill(8)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val path = tmpPath("selfpair")
+    EmbeddingIndex.write(v(Seq(1L, 2L)), path, dim = 8, nbits = 4, tables = 2)
+    // at-least-once redelivery: id 1 arrives AGAIN (same vector) alongside
+    // fresh ids 9 and 9 (duplicate row in one batch). Pre-fix, 1 sat in
+    // both old and new members and crossPairsUdf emitted (1, 1); a
+    // duplicated row inflated members to [9, 9] and withinPairsUdf
+    // emitted (9, 9) — self-loops the documented dropDuplicates read
+    // does NOT absorb and the cluster fold would store as bogus rows
+    val delta = v(Seq(1L, 9L)).unionByName(v(Seq(9L)))
+    val got = EmbeddingIndex.deltaPairs(spark, path, delta, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.forall(p => p._1 < p._2), s"self/inverted pair emitted: $got")
+    assert(got == Set((1L, 9L), (2L, 9L), (1L, 2L)),
+      s"redelivery changed the pair set: $got")
+  }
+
+  test("embedding LSH: null / mis-dimensioned vectors are excluded, not crashed") {
+    import graft.dedup.EmbeddingIndex
+    val rows: Seq[(Long, Option[Seq[Float]])] = Seq(
+      (0L, Some(Seq.fill(8)(1.0f))),
+      (1L, Some(Seq.fill(8)(1.0f))),   // near-dup of 0
+      (2L, None),                      // null embedding (semanticDedup's split case)
+      (3L, Some(Seq.fill(3)(1.0f))))   // mis-dimensioned
+    val df = rows.toDF("vec_id", "embedding")
+    // pre-fix: lshBucketUdf NPE'd on the null row and silently bucketed a
+    // truncated prefix for the short one; both are now non-participants
+    val batch = Dedup.embeddingNearDupLsh(df, dim = 8, threshold = 0.9,
+      nbits = 4, tables = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch == Set((0L, 1L)), s"got $batch")
+    // the written-index leg survives the same corpus end to end
+    val path = tmpPath("nullvec")
+    EmbeddingIndex.write(df, path, dim = 8, nbits = 4, tables = 2)
+    val delta = Seq((9L, Some(Seq.fill(8)(1.0f))), (10L, None))
+      .toDF("vec_id", "embedding")
+    val got = EmbeddingIndex.deltaPairs(spark, path, delta, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((0L, 9L), (1L, 9L)), s"got $got")
+    // decontamination leg likewise
+    val hits = Dedup.decontaminateEmbeddingLsh(df, delta, dim = 8,
+      threshold = 0.9, nbits = 4, tables = 2)
+    assert(hits.count() >= 1L)
+  }
+
   test("IndexCompaction.repairDir drops stale .compact_ pre-swap debris") {
     val dir = tmpPath("cdebris")
     val leaf = new java.io.File(s"$dir/pb=3")
