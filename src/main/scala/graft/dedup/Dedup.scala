@@ -409,13 +409,17 @@ object Dedup {
       maxDf: Option[Int], precomputedHot: Option[DataFrame] = None): DataFrame = {
     require(threshold > 0.0, "threshold must be positive (zero-overlap pairs are not materialized)")
     val cnt = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    // candidate generation and intersection counting are the same join —
+    // ONE definition, shared by the uncapped case and the capped case's
+    // nothing-above-the-cap early exit (formerly a verbatim copy that had
+    // to be edited twice — review r15)
+    def plainInter: DataFrame =
+      sh.as("x").join(sh.as("y"), "s")
+        .where(col("x.id") < col("y.id"))
+        .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+        .agg(count(lit(1)).as("i"))
     val inter = maxDf match {
-      case None =>
-        // candidate generation and intersection counting are the same join
-        sh.as("x").join(sh.as("y"), "s")
-          .where(col("x.id") < col("y.id"))
-          .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
-          .agg(count(lit(1)).as("i"))
+      case None => plainInter
       case Some(cap) =>
         // Skew cap: a stop-shingle ("the quick brown") posting of length L
         // contributes L² candidate rows to the self-join — at 100× corpus
@@ -446,12 +450,8 @@ object Dedup {
         // no shingle above the cap → rare == sh and the split machinery is
         // pure overhead; run the plain join (identical result)
         if (nHot == 0)
-          return finishReleasing(interToJaccard(
-            sh.as("x").join(sh.as("y"), "s")
-              .where(col("x.id") < col("y.id"))
-              .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
-              .agg(count(lit(1)).as("i")),
-            cnt, threshold), sh, hotKeys)
+          return finishReleasing(
+            interToJaccard(plainInter, cnt, threshold), sh, hotKeys)
         // Exact-dup pre-collapse (identical shingle sets ⇒ identical
         // candidacy AND identical jaccard against every third doc):
         // candidates + verification run once per GROUP, pairs expand

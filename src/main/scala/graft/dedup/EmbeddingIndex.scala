@@ -90,37 +90,17 @@ object EmbeddingIndex {
   private def sbCol(m: Meta) =
     pmod(col("gid"), lit(m.nPart.toLong)).cast("int").as("sb")
 
-  /** Bounds output files at nPart per write; overwrites anchor the layout
-    * schema so an EMPTY base index (zero data files) still reads — see
-    * [[MinhashIndex]]'s writer note. */
+  // shared partitioned-layout writers ([[IndexMeta.writePartitioned]])
   private def writePostings(df: DataFrame, path: String, m: Meta,
       mode: String): Unit =
-    // nPart <= 0 = legacy unpartitioned layout: plain append (pmod by 0
-    // would fail under ANSI mode — ADVICE r13)
-    if (m.nPart <= 0) df.write.mode(mode).parquet(postingsDir(path))
-    else {
-      val out = df.withColumn("pb", pbCol(m))
-      if (mode == "overwrite")
-        IndexMeta.write(path, "POSTINGS_SCHEMA", Seq(out.schema.json))
-      out.repartition(col("pb"))
-        .write.mode(mode).partitionBy("pb").parquet(postingsDir(path))
-    }
+    IndexMeta.writePartitioned(df, postingsDir(path), path,
+      "POSTINGS_SCHEMA", "pb", pbCol(m), m.nPart, mode)
 
   private def writeSketches(df: DataFrame, path: String, m: Meta,
       mode: String): Unit =
-    if (m.nPart <= 0) df.write.mode(mode).parquet(sketchesDir(path))
-    else {
-      val out = df.withColumn("sb", sbCol(m))
-      if (mode == "overwrite")
-        IndexMeta.write(path, "SKETCHES_SCHEMA", Seq(out.schema.json))
-      out.repartition(col("sb"))
-        .write.mode(mode).partitionBy("sb").parquet(sketchesDir(path))
-    }
+    IndexMeta.writePartitioned(df, sketchesDir(path), path,
+      "SKETCHES_SCHEMA", "sb", sbCol(m), m.nPart, mode)
 
-  private def anchoredSchema(path: String, name: String) =
-    org.apache.spark.sql.types.DataType
-      .fromJson(IndexMeta.read(path, name)(0))
-      .asInstanceOf[org.apache.spark.sql.types.StructType]
 
   /** Postings scan pruned to the delta's touched partition values
     * (PartitionFilters at the Parquet scan — plan-pinned in PlansSpec).
@@ -143,7 +123,7 @@ object EmbeddingIndex {
       val pbs = dPost.select(pbCol(m)).distinct()
         .collect().map(_.getInt(0)).toSeq
       MinhashIndex.prunedPartitionRead(spark, postingsDir(path),
-        anchoredSchema(path, "POSTINGS_SCHEMA"), "pb", pbs)
+        IndexMeta.anchoredSchema(path, "POSTINGS_SCHEMA"), "pb", pbs)
         .where(col("pb").isin(pbs: _*)).drop("pb")
     }
 
@@ -155,7 +135,7 @@ object EmbeddingIndex {
     if (m.nPart <= 0) spark.read.parquet(sketchesDir(path))
     else
       MinhashIndex.prunedPartitionRead(spark, sketchesDir(path),
-        anchoredSchema(path, "SKETCHES_SCHEMA"), "sb", sbs)
+        IndexMeta.anchoredSchema(path, "SKETCHES_SCHEMA"), "sb", sbs)
         .where(col("sb").isin(sbs: _*)).drop("sb")
 
   /** Group-keyed sketches of one corpus — the batch collapse applied at

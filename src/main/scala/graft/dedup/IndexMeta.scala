@@ -58,6 +58,37 @@ private[graft] object IndexMeta {
     fc.rename(tmp, new Path(d, name), Options.Rename.OVERWRITE)
   }
 
+  /** Shared partitioned-layout writer for the written dedup indexes'
+    * relations (postings/sketches across [[MinhashIndex]] /
+    * [[WinnowIndex]] / [[EmbeddingIndex]] — five formerly-duplicated
+    * bodies, review r15). The repartition on the partition column bounds
+    * output files at nPart per write (partitionBy alone writes tasks ×
+    * touched-partitions files — pure small-file pressure on a per-batch
+    * append loop). Overwrites anchor the layout schema in a meta file: a
+    * dynamic-partition write of an EMPTY base (the valid "start from
+    * nothing, stream everything" shape) emits zero data files, so readers
+    * take the schema from the anchor instead of inference. nPart <= 0 =
+    * legacy unpartitioned layout: plain write (pmod by 0 would fail under
+    * ANSI mode — ADVICE r13), keeping pre-existing indexes readable and
+    * appendable with their own layout. */
+  def writePartitioned(df: org.apache.spark.sql.DataFrame, dataDir: String,
+      metaDir: String, schemaAnchor: String, partName: String,
+      partCol: org.apache.spark.sql.Column, nPart: Int, mode: String): Unit =
+    if (nPart <= 0) df.write.mode(mode).parquet(dataDir)
+    else {
+      val out = df.withColumn(partName, partCol)
+      if (mode == "overwrite")
+        write(metaDir, schemaAnchor, Seq(out.schema.json))
+      out.repartition(org.apache.spark.sql.functions.col(partName))
+        .write.mode(mode).partitionBy(partName).parquet(dataDir)
+    }
+
+  /** The layout schema [[writePartitioned]] anchored at overwrite time. */
+  def anchoredSchema(metaDir: String,
+      name: String): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.DataType.fromJson(read(metaDir, name)(0))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+
   /** Read `<dir>/<name>` back as its whitespace-separated fields. */
   def read(dir: String, name: String): Array[String] = {
     val p = new Path(new Path(dir), name)

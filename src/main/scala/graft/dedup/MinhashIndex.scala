@@ -76,36 +76,16 @@ object MinhashIndex {
   private def sbCol(m: Meta) =
     pmod(xxhash64(col("id")), lit(m.nPart.toLong)).cast("int").as("sb")
 
-  /** Writers into the partitioned layout: the repartition on the
-    * partition column bounds output files at nPart per write (partitionBy
-    * alone writes tasks × touched-partitions files — pure small-file
-    * pressure on a per-batch append loop). Overwrites anchor the layout
-    * schema in a meta file: a dynamic-partition write of an EMPTY base
-    * (the valid "start from nothing, stream everything" shape) emits zero
-    * data files, so readers take the schema from the anchor instead of
-    * inference. */
+  // writers into the partitioned layout — the shared protocol
+  // ([[IndexMeta.writePartitioned]]: per-write file bound, overwrite-time
+  // schema anchor, legacy plain-write passthrough)
   private def writePostings(df: DataFrame, path: String, m: Meta, mode: String): Unit =
-    // nPart <= 0 is the legacy unpartitioned layout: keep the plain append
-    // (pmod by 0 would fail under ANSI mode — ADVICE r13) so a pre-existing
-    // index stays readable and appendable with its own layout
-    if (m.nPart <= 0) df.write.mode(mode).parquet(postingsDir(path))
-    else {
-      val out = df.withColumn("pb", pbCol(m))
-      if (mode == "overwrite")
-        IndexMeta.write(path, "POSTINGS_SCHEMA", Seq(out.schema.json))
-      out.repartition(col("pb"))
-        .write.mode(mode).partitionBy("pb").parquet(postingsDir(path))
-    }
+    IndexMeta.writePartitioned(df, postingsDir(path), path,
+      "POSTINGS_SCHEMA", "pb", pbCol(m), m.nPart, mode)
 
   private def writeSketches(df: DataFrame, path: String, m: Meta, mode: String): Unit =
-    if (m.nPart <= 0) df.write.mode(mode).parquet(sketchesDir(path))
-    else {
-      val out = df.withColumn("sb", sbCol(m))
-      if (mode == "overwrite")
-        IndexMeta.write(path, "SKETCHES_SCHEMA", Seq(out.schema.json))
-      out.repartition(col("sb"))
-        .write.mode(mode).partitionBy("sb").parquet(sketchesDir(path))
-    }
+    IndexMeta.writePartitioned(df, sketchesDir(path), path,
+      "SKETCHES_SCHEMA", "sb", sbCol(m), m.nPart, mode)
 
   /** Read ONLY the touched partition directories: `spark.read.parquet`
     * on the index ROOT builds its file index over the whole partition
@@ -132,10 +112,6 @@ object MinhashIndex {
       spark.read.schema(schema).option("basePath", dir).parquet(dirs: _*)
   }
 
-  private def anchoredSchema(path: String, name: String) =
-    org.apache.spark.sql.types.DataType
-      .fromJson(IndexMeta.read(path, name)(0))
-      .asInstanceOf[org.apache.spark.sql.types.StructType]
 
   /** Postings scan PRUNED to the delta's touched partition values: the
     * delta's (tiny, cached) postings resolve to ≤ nPart ints on the
@@ -157,7 +133,7 @@ object MinhashIndex {
       val pbs = dPostings.select(pbCol(m)).distinct()
         .collect().map(_.getInt(0)).toSeq
       prunedPartitionRead(spark, postingsDir(path),
-        anchoredSchema(path, "POSTINGS_SCHEMA"), "pb", pbs)
+        IndexMeta.anchoredSchema(path, "POSTINGS_SCHEMA"), "pb", pbs)
         .where(col("pb").isin(pbs: _*)).drop("pb")
     }
 
@@ -177,7 +153,7 @@ object MinhashIndex {
       val sbs = candIds.select(sbCol(m)).distinct()
         .collect().map(_.getInt(0)).toSeq
       prunedPartitionRead(spark, sketchesDir(path),
-        anchoredSchema(path, "SKETCHES_SCHEMA"), "sb", sbs)
+        IndexMeta.anchoredSchema(path, "SKETCHES_SCHEMA"), "sb", sbs)
         .where(col("sb").isin(sbs: _*)).drop("sb")
     }
 

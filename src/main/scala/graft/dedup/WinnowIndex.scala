@@ -56,21 +56,11 @@ object WinnowIndex {
   private def pbCol(m: Meta) =
     pmod(col("gh"), lit(m.nPart.toLong)).cast("int").as("pb")
 
-  /** Bounds output files at nPart per write; overwrites anchor the layout
-    * schema so an EMPTY base index (zero data files) still reads — see
-    * [[MinhashIndex]]'s writer note. */
+  // shared partitioned-layout writer ([[IndexMeta.writePartitioned]])
   private def writePostings(df: DataFrame, path: String, m: Meta,
       mode: String): Unit =
-    // nPart <= 0 = legacy unpartitioned layout: plain append (pmod by 0
-    // would fail under ANSI mode — ADVICE r13)
-    if (m.nPart <= 0) df.write.mode(mode).parquet(postingsDir(path))
-    else {
-      val out = df.withColumn("pb", pbCol(m))
-      if (mode == "overwrite")
-        IndexMeta.write(path, "POSTINGS_SCHEMA", Seq(out.schema.json))
-      out.repartition(col("pb"))
-        .write.mode(mode).partitionBy("pb").parquet(postingsDir(path))
-    }
+    IndexMeta.writePartitioned(df, postingsDir(path), path,
+      "POSTINGS_SCHEMA", "pb", pbCol(m), m.nPart, mode)
 
   /** Postings scan pruned to the delta's touched partition values
     * (PartitionFilters at the Parquet scan — plan-pinned in PlansSpec).
@@ -84,9 +74,7 @@ object WinnowIndex {
       val pbs = dPost.select(pbCol(m)).distinct()
         .collect().map(_.getInt(0)).toSeq
       MinhashIndex.prunedPartitionRead(spark, postingsDir(path),
-        org.apache.spark.sql.types.DataType
-          .fromJson(IndexMeta.read(path, "POSTINGS_SCHEMA")(0))
-          .asInstanceOf[org.apache.spark.sql.types.StructType], "pb", pbs)
+        IndexMeta.anchoredSchema(path, "POSTINGS_SCHEMA"), "pb", pbs)
         .where(col("pb").isin(pbs: _*)).drop("pb")
     }
 
