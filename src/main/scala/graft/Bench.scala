@@ -50,31 +50,78 @@ object Bench {
       }
     dropPassGarbage() // warmup's own garbage
 
+    // Contention probe (VERDICT r15 task #2): the r15 driver bench came in
+    // +15.6% with every sign pointing at host contention, but the
+    // attribution was post-hoc prose. Sample system-wide CPU jiffies
+    // (/proc/stat), our own process jiffies (/proc/self/stat — same
+    // USER_HZ unit), and the 1-min loadavg around EVERY query, so the
+    // run itself records how much CPU OTHER processes burned while it
+    // ran — a contended run flags itself instead of being argued about.
+    // (total, busy, steal, self) jiffies; negative sentinel on failure.
+    def cpuSample(): (Long, Long, Long, Long) =
+      try {
+        val cpu = scala.io.Source.fromFile("/proc/stat").getLines().next()
+          .trim.split("\\s+").drop(1).map(_.toLong)
+        val total = cpu.take(math.min(8, cpu.length)).sum
+        val idle = cpu(3) + (if (cpu.length > 4) cpu(4) else 0L)
+        val steal = if (cpu.length > 7) cpu(7) else 0L
+        // /proc/self/stat: comm may contain spaces — parse past the ')'
+        val self = {
+          val s = scala.io.Source.fromFile("/proc/self/stat").mkString
+          val rest = s.substring(s.lastIndexOf(')') + 2).split("\\s+")
+          rest(11).toLong + rest(12).toLong // utime + stime
+        }
+        (total, total - idle, steal, self)
+      } catch { case _: Throwable => (-1L, 0L, 0L, 0L) }
+    def load1(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    // fraction of ALL cores' jiffies burned by other processes (and by
+    // hypervisor steal) across a query's run — the load-minus-self signal
+    def otherShare(a: (Long, Long, Long, Long), b: (Long, Long, Long, Long)): (Double, Double) = {
+      val dTot = b._1 - a._1
+      if (a._1 < 0 || b._1 < 0 || dTot <= 0) (-1.0, -1.0)
+      else (math.max(0.0, ((b._2 - a._2) - (b._4 - a._4)).toDouble / dTot),
+        (b._3 - a._3).toDouble / dTot)
+    }
+
     // n=3 timed passes, median per query: single-pass timings at sub-second
     // scale drift ±30% run-to-run (GC, JIT recompiles) — the round-2 sparse
     // "regression" was exactly that noise. The median of 3 is stable enough
     // to make round-over-round deltas meaningful.
     val passes = 3
+    val passLoads = scala.collection.mutable.ArrayBuffer.empty[Double]
     // A failed query records NO time (None), not its time-to-exception —
     // r7 counted four broken streaming queries' 70 ms throw latency as
     // bench results, so the summary claimed 96 healthy queries it didn't
     // have. Failures surface as "err" entries + n_failed downstream.
-    val times: Array[Map[String, Option[Double]]] = Array.fill(passes) {
+    // Per query: (seconds, other-CPU share, steal share) for the pass.
+    val times: Array[Map[String, Option[(Double, Double, Double)]]] = Array.fill(passes) {
+      passLoads += load1()
       val t = names.map { name =>
+        val c0 = cpuSample()
         val t0 = System.nanoTime()
         val ok =
           try { force(name); true }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-        name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
+        val sec = (System.nanoTime() - t0) / 1e9
+        val (other, steal) = otherShare(c0, cpuSample())
+        name -> (if (ok) Some((sec, other, steal)) else None)
       }.toMap
       dropPassGarbage()
       t
     }
-    val byName = names.map { name => name -> times.flatMap(_(name)).sorted }
+    passLoads += load1()
+    val byName = names.map { name =>
+      name -> times.flatMap(_(name)).sortBy(_._1) }
     // failed = did not complete every timed pass (a deterministic breakage
     // fails all three; a flaky one still taints the median)
     val failedNames = byName.collect { case (n, ts) if ts.length < passes => n }
+    // the contention shares reported per query come from the SAME pass as
+    // its median wall — never a wall from one pass paired with counters
+    // from another (the probesplit lesson, ADVICE r15 #3)
     val results = byName.collect { case (n, ts) if ts.length == passes =>
       n -> ts(passes / 2) }
     // Locale.ROOT: f"" interpolation uses the JVM default locale, and a
@@ -82,11 +129,24 @@ object Bench {
     def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     // 4-decimal times keep the side-file JSON compact without losing bench
     // signal (run-to-run drift is ±30%)
-    val qs = (results.map { case (k, v) => "\"" + k + "\":" + num(v) } ++
+    val qs = (results.map { case (k, v) => "\"" + k + "\":" + num(v._1) } ++
       failedNames.map(n => "\"" + n + "\":\"err\"")).mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val contQs = results.map { case (k, v) =>
+      "\"" + k + "\":[" + num(v._2) + "," + num(v._3) + "]" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2._1).sum
     val (maxName, maxT) =
-      if (results.nonEmpty) results.maxBy(_._2) else ("none", 0.0)
+      if (results.nonEmpty) results.maxBy(_._2._1) else ("none", (0.0, 0.0, 0.0))
+    def medianOf(xs: Seq[Double]): Double = {
+      val v = xs.filter(_ >= 0).sorted
+      if (v.isEmpty) -1.0 else v(v.length / 2)
+    }
+    val otherMed = medianOf(results.map(_._2._2).toSeq)
+    val stealMed = medianOf(results.map(_._2._3).toSeq)
+    // self-adjudication: >10% of all cores spent in OTHER processes (or
+    // >5% hypervisor steal) across the median-pass runs means the wall
+    // numbers are contaminated by the host, not the code
+    val contended = otherMed > 0.10 || stealMed > 0.05
     // Scaling-curve evidence (graft.ScaleBench, measured offline at ×1/×3/×10
     // replication of sf0.1 — see SCALE.md): embed the LATEST committed round's
     // artifacts, stamped with their source round so a reader can tell fresh
@@ -94,7 +154,7 @@ object Bench {
     // with nothing but the filename to say so).
     val (scaling, scalingSrc) = {
       val dir = java.nio.file.Paths.get("bench")
-      val rx = "scale_r(\\d+)_(disjoint|shared|boilerplate|qset|tdata|semantic_contrast|vecrand|textrand|fixedbatch|streamcurve|probesplit|probe|aging|deltavar|clampcurve)\\.json".r
+      val rx = "scale_r(\\d+)_(disjoint|shared|boilerplate|qset|tdata|semantic_contrast|vecrand|textrand|fixedbatch|streamcurve|probesplit|probe|aging|deltavar|clampcurve|clampread|backfill)\\.json".r
       val byRound: Map[Int, Map[String, java.nio.file.Path]] =
         if (!java.nio.file.Files.isDirectory(dir)) Map.empty
         else {
@@ -113,8 +173,8 @@ object Bench {
         // parses from "scale_r06_*" but the files are zero-padded, and the
         // r06 pointer said "scale_r6_*.json" — a dead reference.
         val prefix = byRound(round).values.head.getFileName.toString
-          .replaceAll("_(disjoint|shared|boilerplate|qset|tdata|semantic_contrast|vecrand|textrand|fixedbatch|streamcurve|probesplit|probe|aging|deltavar|clampcurve)\\.json$", "")
-        val parts = Seq("disjoint", "shared", "boilerplate", "tdata", "qset", "semantic_contrast", "vecrand", "textrand", "fixedbatch", "streamcurve", "probesplit", "probe", "aging", "deltavar", "clampcurve").flatMap { mode =>
+          .replaceAll("_(disjoint|shared|boilerplate|qset|tdata|semantic_contrast|vecrand|textrand|fixedbatch|streamcurve|probesplit|probe|aging|deltavar|clampcurve|clampread|backfill)\\.json$", "")
+        val parts = Seq("disjoint", "shared", "boilerplate", "tdata", "qset", "semantic_contrast", "vecrand", "textrand", "fixedbatch", "streamcurve", "probesplit", "probe", "aging", "deltavar", "clampcurve", "clampread", "backfill").flatMap { mode =>
           byRound(round).get(mode).map { p =>
             "\"" + mode + "\":" + new String(java.nio.file.Files.readAllBytes(p),
               java.nio.charset.StandardCharsets.UTF_8).trim
@@ -130,13 +190,15 @@ object Bench {
     // epilogue, its HEAD fell out of the capture window. So: the full JSON —
     // per-query map + scaling inline — goes ONLY to the side file, and stdout
     // ends with a ≤1 KB summary whose "detail" points at it.
-    val full = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$scaling}"""
+    val full = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      s""""contention_other_steal":$contQs,"load1":[${passLoads.map(num).mkString(",")}],""" +
+      s""""other_cpu_pct":${num(otherMed)},"steal_pct":${num(stealMed)},"contended":$contended$scaling}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(outFile),
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] write $outFile failed: ${e.getMessage}") }
-    val summary = s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failedNames.size},"sf":"$sfDir","max_query":"$maxName","max_query_s":${num(maxT)},"detail":"$outFile"$scalingSrc}"""
+    val summary = s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failedNames.size},"sf":"$sfDir","max_query":"$maxName","max_query_s":${num(maxT._1)},"contended":$contended,"other_cpu_pct":${num(otherMed)},"detail":"$outFile"$scalingSrc}"""
     println(summary)
     spark.stop()
   }

@@ -173,7 +173,7 @@ object ScaleBench {
     * snapshot(); listener delivery is async, so snapshot() polls until the
     * counters go quiet instead of racing the bus. */
   private[graft] final class MetricsListener extends org.apache.spark.scheduler.SparkListener {
-    private val sr, sw, ms, ds, ir, ow = new java.util.concurrent.atomic.AtomicLong()
+    private val sr, sw, ms, ds, ir, ow, rz = new java.util.concurrent.atomic.AtomicLong()
     override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
       val m = te.taskMetrics
       if (m != null) {
@@ -187,10 +187,13 @@ object ScaleBench {
         ow.addAndGet(m.outputMetrics.bytesWritten) // sink bytes: the
         // O(touched)-publish counter (a by-reference cluster publish
         // writes ONLY the touched partitions)
+        rz.addAndGet(m.resultSize) // bytes shipped back to the DRIVER in
+        // task results: the driver-materialization counter (a collect()
+        // of row-scale data shows up here; bounded takes/aggregates don't)
         ()
       }
     }
-    def reset(): Unit = Seq(sr, sw, ms, ds, ir, ow).foreach(_.set(0L))
+    def reset(): Unit = Seq(sr, sw, ms, ds, ir, ow, rz).foreach(_.set(0L))
     def snapshot(): Map[String, Long] = {
       // Require TWO consecutive quiet 100 ms reads before trusting the
       // counters: one quiet interval can be a bus scheduling gap on a
@@ -204,7 +207,7 @@ object ScaleBench {
       var prev = -1L
       val deadline = System.nanoTime() + 30_000_000_000L
       while (quiet < 2 && System.nanoTime() < deadline) {
-        val cur = sr.get + sw.get + ms.get + ds.get + ir.get + ow.get
+        val cur = sr.get + sw.get + ms.get + ds.get + ir.get + ow.get + rz.get
         if (cur == prev) quiet += 1 else quiet = 0
         prev = cur
         if (quiet < 2) Thread.sleep(100)
@@ -218,7 +221,8 @@ object ScaleBench {
         "input_read_mb" -> ir.get / (1 << 20), "output_write_mb" -> ow.get / (1 << 20),
         // KB precision for the micro-batch cells, where a whole fold can
         // be smaller than one MB and the MB counters round to zero
-        "input_read_kb" -> ir.get / 1024, "output_write_kb" -> ow.get / 1024)
+        "input_read_kb" -> ir.get / 1024, "output_write_kb" -> ow.get / 1024,
+        "result_to_driver_kb" -> rz.get / 1024)
     }
   }
 

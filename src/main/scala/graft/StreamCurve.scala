@@ -372,8 +372,11 @@ object StreamCurve {
             df().write.format("noop").mode("overwrite").save()
             ((System.nanoTime() - t0) / 1e9, metrics.snapshot())
           }
-          val mid = walls.map(_._1).sorted.apply(passes / 2)
-          val ph = walls.last._2
+          // wall AND byte counters from the SAME (median-wall) pass: the
+          // first pass pays one-time listing/cache effects, so pairing the
+          // median wall with the LAST pass's counters mixed measurement
+          // regimes in the floor-vs-candidate split (ADVICE r15)
+          val (mid, ph) = walls.sortBy(_._1).apply(passes / 2)
           (mid, ph("input_read_kb"), ph.getOrElse("shuffle_read_mb", 0L))
         }
         val (wFloor, kbFloor, _) = measure(
@@ -439,13 +442,133 @@ object StreamCurve {
             s""""past_clamp":${m.rows > 2L * 16L * m.nPart},"wall_s":${jnum(wall)},""" +
             s""""write_kb":${phys.getOrElse("output_write_kb", 0L)},""" +
             s""""full_rewrite_kb_equiv":${m.rows * 16L / 1024L},""" +
-            s""""gc_ops":${ClusterFold.lastGcOps}}"""
+            s""""gc_ops":${ClusterFold.lastGcOps(cl)}}"""
           rows += row
           println(s"[streamcurve] clampcurve $row")
         }
       }
       rmrf(root)
       sections += s""""clampcurve": [${rows.mkString(",\n  ")}]"""
+    }
+
+    // ----------------------------------------------------------- backfill
+    // VERDICT r15 task #1's done-criterion: an UNTHROTTLED backfill batch
+    // (availableNow over a whole corpus = ONE giant pair batch) must not
+    // materialize its endpoint ids on the driver. Fold single batches of
+    // geometrically growing pair counts past a tiny driver cutoff (the
+    // relational over-cutoff path) into a pre-seeded snapshot and log the
+    // task-result bytes shipped to the driver. The r15 code collected
+    // ~16 B × 2·pairs with NO bound (collected_equiv_kb — ramps forever);
+    // the r16 path's only row-scale driver traffic is the SIZE-GATED
+    // broadcast of the touched components (≤ 4 M rows): driver bytes grow
+    // under the gate, then the join falls back to a shuffle strategy and
+    // the curve CAPS — the sizes straddle the gate to show exactly that.
+    if (cells.contains("backfill")) {
+      import graft.dedup.ClusterFold
+      import spark.implicits._
+      val rows = scala.collection.mutable.ArrayBuffer.empty[String]
+      val sizes = argMap.getOrElse("backfill_pairs", "500000,2500000,6000000")
+        .split(",").map(_.toInt).toSeq
+      for (nPairs <- sizes) {
+        val root = s"/tmp/graftstream/backfill_$nPairs"
+        rmrf(root); new java.io.File(root).mkdirs()
+        val cl = s"$root/clusters"
+        // seed: disjoint 2-clusters so the backfill has prior state to
+        // look up relationally
+        val seed = spark.range(5000)
+          .select((lit(1000000000L) + col("id") * 2).as("id_a"),
+            (lit(1000000000L) + col("id") * 2 + 1).as("id_b"))
+        ClusterFold.foldBatch(spark, cl, 0L, seed,
+          seed.select(col("id_a").as("id")), targetRows = 4096L)
+        // backfill batch: fresh disjoint pairs + 1000 pairs touching the
+        // seeded clusters (the found-roots leg), one batch, cutoff 1000
+        val batch = spark.range(nPairs)
+          .select((lit(2000000000L) + col("id") * 2).as("id_a"),
+            (lit(2000000000L) + col("id") * 2 + 1).as("id_b"))
+          .unionByName(spark.range(1000)
+            .select((lit(1000000000L) + col("id") * 2).as("id_a"),
+              (lit(3000000000L) + col("id")).as("id_b")))
+        metrics.reset()
+        val t0 = System.nanoTime()
+        ClusterFold.foldBatch(spark, cl, 1L, batch,
+          batch.select(col("id_a").as("id")), targetRows = 4096L,
+          maxDriverRows = 1000)
+        val wall = (System.nanoTime() - t0) / 1e9
+        val phys = metrics.snapshot()
+        val m = ClusterFold.readManifest(cl).get
+        val row = s"""{"pairs":$nPairs,"stored_rows":${m.rows},""" +
+          s""""wall_s":${jnum(wall)},""" +
+          s""""result_to_driver_kb":${phys.getOrElse("result_to_driver_kb", -1L)},""" +
+          s""""collected_equiv_kb":${nPairs * 2L * 16L / 1024L},""" +
+          s""""write_kb":${phys.getOrElse("output_write_kb", 0L)}}"""
+        rows += row
+        println(s"[streamcurve] backfill $row")
+        rmrf(root)
+      }
+      sections += s""""backfill": [${rows.mkString(",\n  ")}]"""
+    }
+
+    // ----------------------------------------------------------- clampread
+    // VERDICT r15 task #5: the clamp fix trades per-epoch full rewrites
+    // for partitions growing past target, degrading the PRUNED READS
+    // linearly in partition size. Measure the slope: grow a clamped toy
+    // grid (targetRows=16, maxParts=8 — clamped almost immediately)
+    // geometrically to ~×32 the clamp point, and at each doubling fold a
+    // FIXED-SHAPE probe batch (50 pairs, one partition residue),
+    // recording its wall + read bytes. Expect reads ~linear in
+    // rows-per-partition (never worse), quantifying the runbook's
+    // "raise foldMaxParts before the grid clamps" lever.
+    if (cells.contains("clampread")) {
+      import graft.dedup.ClusterFold
+      import spark.implicits._
+      val rows = scala.collection.mutable.ArrayBuffer.empty[String]
+      val root = "/tmp/graftstream/clampread"
+      rmrf(root); new java.io.File(root).mkdirs()
+      val cl = s"$root/clusters"
+      var epoch = 0L
+      def fold(ps: Seq[(Long, Long)]): Unit = {
+        ClusterFold.foldBatch(spark, cl, epoch, ps.toDF("id_a", "id_b"),
+          spark.emptyDataFrame, targetRows = 16L, maxParts = 8)
+        epoch += 1
+      }
+      // growth batches: disjoint 2-clusters spread over all 8 residues
+      // (pair endpoints share a residue, so the per-partition row count
+      // grows uniformly across the clamped grid)
+      var grown = 0L
+      val doublings = argMap.getOrElse("clampread_doublings", "6").toInt
+      var target = 2048L
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Long, Long)]
+      while (out.size < doublings) {
+        while (grown < target) {
+          val base = 4000000L + grown * 16
+          fold((0 until 1024).map { i =>
+            val a = base + 16L * i + (i % 8)
+            (a, a + 8)
+          })
+          grown += 2048
+        }
+        // fixed probe: 50 fresh 2-clusters in residue 0 of epoch parity
+        val pbase = 9000000000L + epoch * 1024
+        val probe = (0 until 50).map(i => (pbase + 8L * i, pbase + 8L * i + 8))
+        metrics.reset()
+        val t0 = System.nanoTime()
+        fold(probe)
+        val wall = (System.nanoTime() - t0) / 1e9
+        val phys = metrics.snapshot()
+        val m = ClusterFold.readManifest(cl).get
+        out += ((m.rows, wall, phys.getOrElse("input_read_kb", 0L),
+          phys.getOrElse("output_write_kb", 0L)))
+        val row = s"""{"stored_rows":${m.rows},"npart":${m.nPart},""" +
+          s""""rows_per_part":${m.rows / math.max(1, m.nPart)},""" +
+          s""""probe_wall_s":${jnum(wall)},""" +
+          s""""probe_read_kb":${phys.getOrElse("input_read_kb", 0L)},""" +
+          s""""probe_write_kb":${phys.getOrElse("output_write_kb", 0L)}}"""
+        rows += row
+        println(s"[streamcurve] clampread $row")
+        target *= 2
+      }
+      rmrf(root)
+      sections += s""""clampread": [${rows.mkString(",\n  ")}]"""
     }
 
     // ----------------------------------------------------------- gatevar

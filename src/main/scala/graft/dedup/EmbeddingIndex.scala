@@ -212,10 +212,21 @@ object EmbeddingIndex {
   }
 
   /** Offline maintenance: merge partition leaves that accumulated more
-    * than `maxFiles` append files ([[IndexCompaction]]). */
-  def compact(spark: SparkSession, path: String, maxFiles: Int = 8): Int =
+    * than `maxFiles` append files ([[IndexCompaction]]). Throws while a
+    * streaming session holds the index lock — see
+    * [[MinhashIndex.compact]]. */
+  def compact(spark: SparkSession, path: String, maxFiles: Int = 8): Int = {
+    IndexMeta.assertUnlocked(path, "compact")
+    compactLeaves(spark, path, maxFiles)
+  }
+
+  private def compactLeaves(spark: SparkSession, path: String, maxFiles: Int): Int =
     IndexCompaction.compactDir(spark, postingsDir(path), maxFiles) +
       IndexCompaction.compactDir(spark, sketchesDir(path), maxFiles)
+
+  /** Clear a crashed streaming session's stale [[IndexMeta.LockFile]] —
+    * see [[MinhashIndex.forceUnlock]]. */
+  def forceUnlock(dir: String): Unit = IndexMeta.unlock(dir)
 
   /** Crash-debris repair for the index's partition leaves
     * ([[IndexCompaction.repairDir]]) — see [[MinhashIndex.repair]]. */
@@ -449,32 +460,35 @@ object EmbeddingIndex {
   def ingestStream(stream: DataFrame, path: String, outDir: String,
       vecCol: String = "embedding", idCol: String = "vec_id",
       threshold: Double = 0.95, compactEvery: Int = 0): Unit = {
-    val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, epoch: Long) =>
-        // sketch the batch ONCE: the cached group relation feeds the pair
-        // search AND both index appends
-        repair(path) // crashed-compact debris (possibly another
-        // session's), BEFORE the pruned read: a retired leaf reads as
-        // empty and the next append would make the loss permanent
-        val m = readMeta(path)
-        val dSk = sketchesOf(batch, vecCol, idCol).persist()
-        val dPost = postingsOf(dSk, m).persist() // fills in the pruned read
-        val pairs = deltaPairsSketched(batch.sparkSession, path, m, dSk,
-          dPost, threshold, None)
-        pairs.write.mode("append").parquet(outDir)
-        writeSketches(dSk, path, m, "append")
-        writePostings(dPost, path, m, "append")
-        if (compactEvery > 0 && (epoch + 1) % compactEvery == 0)
-          compact(batch.sparkSession, path)
-        dSk.unpersist(blocking = false)
-        dPost.unpersist(blocking = false)
-        pairs.unpersist(blocking = false) // the per-batch result cache
-        ()
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .option("checkpointLocation", s"$path/_checkpoint")
-      .start()
-    q.awaitTermination()
+    IndexMeta.lock(path)
+    try {
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, epoch: Long) =>
+          // sketch the batch ONCE: the cached group relation feeds the pair
+          // search AND both index appends
+          repair(path) // crashed-compact debris (possibly another
+          // session's), BEFORE the pruned read: a retired leaf reads as
+          // empty and the next append would make the loss permanent
+          val m = readMeta(path)
+          val dSk = sketchesOf(batch, vecCol, idCol).persist()
+          val dPost = postingsOf(dSk, m).persist() // fills in the pruned read
+          val pairs = deltaPairsSketched(batch.sparkSession, path, m, dSk,
+            dPost, threshold, None)
+          pairs.write.mode("append").parquet(outDir)
+          writeSketches(dSk, path, m, "append")
+          writePostings(dPost, path, m, "append")
+          if (compactEvery > 0 && (epoch + 1) % compactEvery == 0)
+            compactLeaves(batch.sparkSession, path, 8)
+          dSk.unpersist(blocking = false)
+          dPost.unpersist(blocking = false)
+          pairs.unpersist(blocking = false) // the per-batch result cache
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$path/_checkpoint")
+        .start()
+      q.awaitTermination()
+    } finally IndexMeta.unlock(path)
   }
 
   /** The full streaming semantic-dedup pipeline: per micro-batch, the
@@ -498,32 +512,35 @@ object EmbeddingIndex {
       compactEvery: Int = 0,
       foldTargetRows: Long = ClusterFold.TargetRows,
       foldMaxParts: Int = ClusterFold.MaxParts): Unit = {
-    val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, epoch: Long) =>
-        repair(path) // crashed-compact debris (possibly another
-        // session's), BEFORE the pruned read: a retired leaf reads as
-        // empty and the next append would make the loss permanent
-        val m = readMeta(path)
-        val dSk = sketchesOf(batch, vecCol, idCol).persist()
-        val dPost = postingsOf(dSk, m).persist() // fills in the pruned read
-        val pairs = deltaPairsSketched(batch.sparkSession, path, m, dSk,
-          dPost, threshold, None)
-        ClusterFold.foldBatch(batch.sparkSession, clustersDir, epoch, pairs,
-          batch.select(col(idCol).cast("long").as("id")).distinct(),
-          targetRows = foldTargetRows, maxParts = foldMaxParts)
-        writeSketches(dSk, path, m, "append")
-        writePostings(dPost, path, m, "append")
-        if (compactEvery > 0 && (epoch + 1) % compactEvery == 0)
-          compact(batch.sparkSession, path)
-        dSk.unpersist(blocking = false)
-        dPost.unpersist(blocking = false)
-        pairs.unpersist(blocking = false)
-        ()
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .option("checkpointLocation", s"$path/_checkpoint")
-      .start()
-    q.awaitTermination()
+    IndexMeta.lock(path); IndexMeta.lock(clustersDir)
+    try {
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, epoch: Long) =>
+          repair(path) // crashed-compact debris (possibly another
+          // session's), BEFORE the pruned read: a retired leaf reads as
+          // empty and the next append would make the loss permanent
+          val m = readMeta(path)
+          val dSk = sketchesOf(batch, vecCol, idCol).persist()
+          val dPost = postingsOf(dSk, m).persist() // fills in the pruned read
+          val pairs = deltaPairsSketched(batch.sparkSession, path, m, dSk,
+            dPost, threshold, None)
+          ClusterFold.foldBatch(batch.sparkSession, clustersDir, epoch, pairs,
+            batch.select(col(idCol).cast("long").as("id")).distinct(),
+            targetRows = foldTargetRows, maxParts = foldMaxParts)
+          writeSketches(dSk, path, m, "append")
+          writePostings(dPost, path, m, "append")
+          if (compactEvery > 0 && (epoch + 1) % compactEvery == 0)
+            compactLeaves(batch.sparkSession, path, 8)
+          dSk.unpersist(blocking = false)
+          dPost.unpersist(blocking = false)
+          pairs.unpersist(blocking = false)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$path/_checkpoint")
+        .start()
+      q.awaitTermination()
+    } finally { IndexMeta.unlock(clustersDir); IndexMeta.unlock(path) }
   }
 
   /** The STORED rows of the assignment maintained by

@@ -235,10 +235,23 @@ object MinhashIndex {
   /** Offline maintenance: merge partition leaves that accumulated more
     * than `maxFiles` append files ([[IndexCompaction]] — run between
     * ingest batches; preserves [[deltaPairs]] output exactly,
-    * spec-pinned). Returns the number of leaves rewritten. */
-  def compact(spark: SparkSession, path: String, maxFiles: Int = 8): Int =
+    * spec-pinned). Returns the number of leaves rewritten. Throws while a
+    * streaming session holds the index lock (the leaf swap's momentary
+    * absence must never race a live pruned read — the in-loop
+    * `compactEvery` path compacts under its own lock instead). */
+  def compact(spark: SparkSession, path: String, maxFiles: Int = 8): Int = {
+    IndexMeta.assertUnlocked(path, "compact")
+    compactLeaves(spark, path, maxFiles)
+  }
+
+  private def compactLeaves(spark: SparkSession, path: String, maxFiles: Int): Int =
     IndexCompaction.compactDir(spark, postingsDir(path), maxFiles) +
       IndexCompaction.compactDir(spark, sketchesDir(path), maxFiles)
+
+  /** Clear a crashed streaming session's stale [[IndexMeta.LockFile]] so
+    * the offline tools ([[compact]], [[sweepClusters]]) run again. Never
+    * needed after clean termination — the ingest loops release on exit. */
+  def forceUnlock(dir: String): Unit = IndexMeta.unlock(dir)
 
   /** Crash-debris repair for the index's partition leaves
     * ([[IndexCompaction.repairDir]]): restores a leaf a crashed
@@ -410,33 +423,36 @@ object MinhashIndex {
       threshold: Double = 0.7, compactEvery: Int = 0,
       foldTargetRows: Long = ClusterFold.TargetRows,
       foldMaxParts: Int = ClusterFold.MaxParts): Unit = {
-    val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, epoch: Long) =>
-        val spark = batch.sparkSession
-        repair(path) // crashed-compact debris (possibly another
-        // session's), BEFORE the pruned read: a retired leaf reads as
-        // empty and the next append would make the loss permanent
-        val m = readMeta(path)
-        val k = keyed(batch, textCol, idCol, m).persist()
-        val dPo = postingsOf(k, m).persist() // fills in the pruned read
-        val pairs = deltaPairsSketched(spark, path, m, sketchesOf(k), dPo,
-          threshold, None)
-        ClusterFold.foldBatch(spark, clustersDir, epoch, pairs,
-          batch.select(col(idCol).cast("long").as("id")).distinct(),
-          targetRows = foldTargetRows, maxParts = foldMaxParts)
-        writeSketches(sketchesOf(k), path, m, "append")
-        writePostings(dPo, path, m, "append")
-        if (compactEvery > 0 && (epoch + 1) % compactEvery == 0)
-          compact(spark, path)
-        k.unpersist(blocking = false)
-        dPo.unpersist(blocking = false)
-        pairs.unpersist(blocking = false) // deltaPairsSketched's result cache
-        ()
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .option("checkpointLocation", s"$path/_checkpoint")
-      .start()
-    q.awaitTermination()
+    IndexMeta.lock(path); IndexMeta.lock(clustersDir)
+    try {
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, epoch: Long) =>
+          val spark = batch.sparkSession
+          repair(path) // crashed-compact debris (possibly another
+          // session's), BEFORE the pruned read: a retired leaf reads as
+          // empty and the next append would make the loss permanent
+          val m = readMeta(path)
+          val k = keyed(batch, textCol, idCol, m).persist()
+          val dPo = postingsOf(k, m).persist() // fills in the pruned read
+          val pairs = deltaPairsSketched(spark, path, m, sketchesOf(k), dPo,
+            threshold, None)
+          ClusterFold.foldBatch(spark, clustersDir, epoch, pairs,
+            batch.select(col(idCol).cast("long").as("id")).distinct(),
+            targetRows = foldTargetRows, maxParts = foldMaxParts)
+          writeSketches(sketchesOf(k), path, m, "append")
+          writePostings(dPo, path, m, "append")
+          if (compactEvery > 0 && (epoch + 1) % compactEvery == 0)
+            compactLeaves(spark, path, 8)
+          k.unpersist(blocking = false)
+          dPo.unpersist(blocking = false)
+          pairs.unpersist(blocking = false) // deltaPairsSketched's result cache
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$path/_checkpoint")
+        .start()
+      q.awaitTermination()
+    } finally { IndexMeta.unlock(clustersDir); IndexMeta.unlock(path) }
   }
 
   /** The STORED rows of the assignment maintained by
@@ -471,31 +487,34 @@ object MinhashIndex {
       textCol: String = "text", idCol: String = "doc_id",
       threshold: Double = 0.7, maxBucket: Option[Int] = None,
       compactEvery: Int = 0): Unit = {
-    val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, epoch: Long) =>
-        // shingle + sign the batch ONCE: the compact cached relations feed
-        // the pair search AND the index append
-        repair(path) // crashed-compact debris (possibly another
-        // session's), BEFORE the pruned read: a retired leaf reads as
-        // empty and the next append would make the loss permanent
-        val m = readMeta(path)
-        val k = keyed(batch, textCol, idCol, m).persist()
-        val dPo = postingsOf(k, m).persist() // fills in the pruned read
-        val pairs = deltaPairsSketched(batch.sparkSession, path, m,
-          sketchesOf(k), dPo, threshold, maxBucket)
-        pairs.write.mode("append").parquet(outDir)
-        writeSketches(sketchesOf(k), path, m, "append")
-        writePostings(dPo, path, m, "append")
-        if (compactEvery > 0 && (epoch + 1) % compactEvery == 0)
-          compact(batch.sparkSession, path)
-        k.unpersist(blocking = false)
-        dPo.unpersist(blocking = false)
-        pairs.unpersist(blocking = false) // the per-batch result cache
-        ()
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .option("checkpointLocation", s"$path/_checkpoint")
-      .start()
-    q.awaitTermination()
+    IndexMeta.lock(path)
+    try {
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, epoch: Long) =>
+          // shingle + sign the batch ONCE: the compact cached relations feed
+          // the pair search AND the index append
+          repair(path) // crashed-compact debris (possibly another
+          // session's), BEFORE the pruned read: a retired leaf reads as
+          // empty and the next append would make the loss permanent
+          val m = readMeta(path)
+          val k = keyed(batch, textCol, idCol, m).persist()
+          val dPo = postingsOf(k, m).persist() // fills in the pruned read
+          val pairs = deltaPairsSketched(batch.sparkSession, path, m,
+            sketchesOf(k), dPo, threshold, maxBucket)
+          pairs.write.mode("append").parquet(outDir)
+          writeSketches(sketchesOf(k), path, m, "append")
+          writePostings(dPo, path, m, "append")
+          if (compactEvery > 0 && (epoch + 1) % compactEvery == 0)
+            compactLeaves(batch.sparkSession, path, 8)
+          k.unpersist(blocking = false)
+          dPo.unpersist(blocking = false)
+          pairs.unpersist(blocking = false) // the per-batch result cache
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$path/_checkpoint")
+        .start()
+      q.awaitTermination()
+    } finally IndexMeta.unlock(path)
   }
 }

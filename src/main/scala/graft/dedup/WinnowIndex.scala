@@ -107,9 +107,20 @@ object WinnowIndex {
   }
 
   /** Offline maintenance: merge partition leaves that accumulated more
-    * than `maxFiles` append files ([[IndexCompaction]]). */
-  def compact(spark: SparkSession, path: String, maxFiles: Int = 8): Int =
+    * than `maxFiles` append files ([[IndexCompaction]]). Throws while a
+    * streaming session holds the index lock — see
+    * [[MinhashIndex.compact]]. */
+  def compact(spark: SparkSession, path: String, maxFiles: Int = 8): Int = {
+    IndexMeta.assertUnlocked(path, "compact")
+    compactLeaves(spark, path, maxFiles)
+  }
+
+  private def compactLeaves(spark: SparkSession, path: String, maxFiles: Int): Int =
     IndexCompaction.compactDir(spark, postingsDir(path), maxFiles)
+
+  /** Clear a crashed streaming session's stale [[IndexMeta.LockFile]] —
+    * see [[MinhashIndex.forceUnlock]]. */
+  def forceUnlock(dir: String): Unit = IndexMeta.unlock(dir)
 
   /** Crash-debris repair for the index's partition leaves
     * ([[IndexCompaction.repairDir]]) — see [[MinhashIndex.repair]]. */
@@ -237,31 +248,34 @@ object WinnowIndex {
       minShared: Int = 1, compactEvery: Int = 0,
       foldTargetRows: Long = ClusterFold.TargetRows,
       foldMaxParts: Int = ClusterFold.MaxParts): Unit = {
-    val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, epoch: Long) =>
-        repair(path) // crashed-compact debris (possibly another
-        // session's), BEFORE the pruned read: a retired leaf reads as
-        // empty and the next append would make the loss permanent
-        val m = readMeta(path)
-        val dArr = Dedup.winnowDocArr(batch, textCol, idCol, m.k, m.w).persist()
-        val dPost = dArr.select(explode(col("ghs")).as("gh"), col("id")).persist()
-        val pairs = deltaPairsPrepared(batch.sparkSession, path, m, dArr,
-          dPost, minShared, None)
-        ClusterFold.foldBatch(batch.sparkSession, clustersDir, epoch, pairs,
-          batch.select(col(idCol).cast("long").as("id")).distinct(),
-          targetRows = foldTargetRows, maxParts = foldMaxParts)
-        writePostings(dPost, path, m, "append")
-        if (compactEvery > 0 && (epoch + 1) % compactEvery == 0)
-          compact(batch.sparkSession, path)
-        dArr.unpersist(blocking = false)
-        dPost.unpersist(blocking = false)
-        pairs.unpersist(blocking = false)
-        ()
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .option("checkpointLocation", s"$path/_checkpoint")
-      .start()
-    q.awaitTermination()
+    IndexMeta.lock(path); IndexMeta.lock(clustersDir)
+    try {
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, epoch: Long) =>
+          repair(path) // crashed-compact debris (possibly another
+          // session's), BEFORE the pruned read: a retired leaf reads as
+          // empty and the next append would make the loss permanent
+          val m = readMeta(path)
+          val dArr = Dedup.winnowDocArr(batch, textCol, idCol, m.k, m.w).persist()
+          val dPost = dArr.select(explode(col("ghs")).as("gh"), col("id")).persist()
+          val pairs = deltaPairsPrepared(batch.sparkSession, path, m, dArr,
+            dPost, minShared, None)
+          ClusterFold.foldBatch(batch.sparkSession, clustersDir, epoch, pairs,
+            batch.select(col(idCol).cast("long").as("id")).distinct(),
+            targetRows = foldTargetRows, maxParts = foldMaxParts)
+          writePostings(dPost, path, m, "append")
+          if (compactEvery > 0 && (epoch + 1) % compactEvery == 0)
+            compactLeaves(batch.sparkSession, path, 8)
+          dArr.unpersist(blocking = false)
+          dPost.unpersist(blocking = false)
+          pairs.unpersist(blocking = false)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$path/_checkpoint")
+        .start()
+      q.awaitTermination()
+    } finally { IndexMeta.unlock(clustersDir); IndexMeta.unlock(path) }
   }
 
   /** The STORED rows of the assignment maintained by
@@ -295,30 +309,33 @@ object WinnowIndex {
   def ingestStream(stream: DataFrame, path: String, outDir: String,
       textCol: String = "text", idCol: String = "doc_id",
       minShared: Int = 1, compactEvery: Int = 0): Unit = {
-    val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, epoch: Long) =>
-        // fingerprint the batch ONCE: the cached relations feed the pair
-        // search AND the index append
-        repair(path) // crashed-compact debris (possibly another
-        // session's), BEFORE the pruned read: a retired leaf reads as
-        // empty and the next append would make the loss permanent
-        val m = readMeta(path)
-        val dArr = Dedup.winnowDocArr(batch, textCol, idCol, m.k, m.w).persist()
-        val dPost = dArr.select(explode(col("ghs")).as("gh"), col("id")).persist()
-        val pairs = deltaPairsPrepared(batch.sparkSession, path, m, dArr,
-          dPost, minShared, None)
-        pairs.write.mode("append").parquet(outDir)
-        writePostings(dPost, path, m, "append")
-        if (compactEvery > 0 && (epoch + 1) % compactEvery == 0)
-          compact(batch.sparkSession, path)
-        dArr.unpersist(blocking = false)
-        dPost.unpersist(blocking = false)
-        pairs.unpersist(blocking = false) // the per-batch result cache
-        ()
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .option("checkpointLocation", s"$path/_checkpoint")
-      .start()
-    q.awaitTermination()
+    IndexMeta.lock(path)
+    try {
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, epoch: Long) =>
+          // fingerprint the batch ONCE: the cached relations feed the pair
+          // search AND the index append
+          repair(path) // crashed-compact debris (possibly another
+          // session's), BEFORE the pruned read: a retired leaf reads as
+          // empty and the next append would make the loss permanent
+          val m = readMeta(path)
+          val dArr = Dedup.winnowDocArr(batch, textCol, idCol, m.k, m.w).persist()
+          val dPost = dArr.select(explode(col("ghs")).as("gh"), col("id")).persist()
+          val pairs = deltaPairsPrepared(batch.sparkSession, path, m, dArr,
+            dPost, minShared, None)
+          pairs.write.mode("append").parquet(outDir)
+          writePostings(dPost, path, m, "append")
+          if (compactEvery > 0 && (epoch + 1) % compactEvery == 0)
+            compactLeaves(batch.sparkSession, path, 8)
+          dArr.unpersist(blocking = false)
+          dPost.unpersist(blocking = false)
+          pairs.unpersist(blocking = false) // the per-batch result cache
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$path/_checkpoint")
+        .start()
+      q.awaitTermination()
+    } finally IndexMeta.unlock(path)
   }
 }

@@ -101,7 +101,7 @@ class Round15Spec extends SparkSpec {
     // the partitions epoch 1 superseded — a handful, never the grid
     ClusterFold.foldBatch(spark, cl, 1L, pairsDF(Seq((0L, 1L))), ids, targetRows = 1L)
     ClusterFold.foldBatch(spark, cl, 2L, pairsDF(Seq((4L, 5L))), ids, targetRows = 1L)
-    val ops = ClusterFold.lastGcOps
+    val ops = ClusterFold.lastGcOps(cl)
     assert(ops > 0L, "epoch 2 should GC epoch 1's superseded leaves")
     assert(ops <= 20L,
       s"incremental GC did $ops fs ops — O(grid), not O(touched) (nPart=$nPart)")
