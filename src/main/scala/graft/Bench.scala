@@ -77,6 +77,25 @@ object Bench {
       try scala.io.Source.fromFile("/proc/loadavg").mkString
         .split("\\s+")(0).toDouble
       catch { case _: Throwable => -1.0 }
+    // Absolute host-speed anchor (r16 bisect lesson): the jiffy probe
+    // sees other-process CPU but is BLIND to frequency/power capping —
+    // under a capped clock, busy-vs-idle ratios are unchanged while every
+    // wall stretches uniformly (observed: a 164 s run with other≈0 next
+    // to a 142 s run of the previous round's code, both uniform across
+    // untouched queries). A fixed single-thread integer workload measures
+    // DELIVERED cycles directly; round-over-round wall ratios divide by
+    // the cpu_ref ratio before any code-attribution claim.
+    def cpuRef(): Double = {
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0L; val n = 300000000L
+      val t0 = System.nanoTime()
+      while (i < n) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (x == 42L) System.err.print("") // keep the loop live
+      n / dt / 1e6 // M xorshift steps / s
+    }
+    val cpuRefs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    cpuRefs += cpuRef()
     // fraction of ALL cores' jiffies burned by other processes (and by
     // hypervisor steal) across a query's run — the load-minus-self signal
     def otherShare(a: (Long, Long, Long, Long), b: (Long, Long, Long, Long)): (Double, Double) = {
@@ -111,6 +130,7 @@ object Bench {
         name -> (if (ok) Some((sec, other, steal)) else None)
       }.toMap
       dropPassGarbage()
+      cpuRefs += cpuRef()
       t
     }
     passLoads += load1()
@@ -192,13 +212,15 @@ object Bench {
     // ends with a ≤1 KB summary whose "detail" points at it.
     val full = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
       s""""contention_other_steal":$contQs,"load1":[${passLoads.map(num).mkString(",")}],""" +
+      s""""cpu_ref_mops":[${cpuRefs.map(num).mkString(",")}],""" +
+      s""""cpu_ref_mops_median":${num(cpuRefs.sorted.apply(cpuRefs.length / 2))},""" +
       s""""other_cpu_pct":${num(otherMed)},"steal_pct":${num(stealMed)},"contended":$contended$scaling}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(outFile),
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] write $outFile failed: ${e.getMessage}") }
-    val summary = s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failedNames.size},"sf":"$sfDir","max_query":"$maxName","max_query_s":${num(maxT._1)},"contended":$contended,"other_cpu_pct":${num(otherMed)},"detail":"$outFile"$scalingSrc}"""
+    val summary = s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failedNames.size},"sf":"$sfDir","max_query":"$maxName","max_query_s":${num(maxT._1)},"contended":$contended,"other_cpu_pct":${num(otherMed)},"cpu_ref_mops":${num(cpuRefs.sorted.apply(cpuRefs.length / 2))},"detail":"$outFile"$scalingSrc}"""
     println(summary)
     spark.stop()
   }

@@ -1,0 +1,9 @@
+#!/bin/bash
+cd /root/repo
+export SPARK_DRIVER_MEM=24g
+git checkout -q b0acf39
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_BENCH_OUT=target/scale_logs/r15code_bench_sf01.json \
+  sbt -batch "runMain graft.Bench" > target/scale_logs/r15code_bench.log 2>&1
+echo "r15code_bench exit=$?" >> target/scale_logs/status16.txt
+git checkout -q main
+echo "BISECT DONE $(date)" >> target/scale_logs/status16.txt
