@@ -82,20 +82,10 @@ object Bench {
     // under a capped clock, busy-vs-idle ratios are unchanged while every
     // wall stretches uniformly (observed: a 164 s run with other≈0 next
     // to a 142 s run of the previous round's code, both uniform across
-    // untouched queries). A fixed single-thread integer workload measures
-    // DELIVERED cycles directly; round-over-round wall ratios divide by
-    // the cpu_ref ratio before any code-attribution claim.
-    def cpuRef(): Double = {
-      var x = 0x9E3779B97F4A7C15L
-      var i = 0L; val n = 300000000L
-      val t0 = System.nanoTime()
-      while (i < n) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
-      val dt = (System.nanoTime() - t0) / 1e9
-      if (x == 42L) System.err.print("") // keep the loop live
-      n / dt / 1e6 // M xorshift steps / s
-    }
+    // untouched queries). [[ScaleBench.cpuRefMops]] measures DELIVERED
+    // cycles directly, once before every pass.
     val cpuRefs = scala.collection.mutable.ArrayBuffer.empty[Double]
-    cpuRefs += cpuRef()
+    cpuRefs += ScaleBench.cpuRefMops()
     // fraction of ALL cores' jiffies burned by other processes (and by
     // hypervisor steal) across a query's run — the load-minus-self signal
     def otherShare(a: (Long, Long, Long, Long), b: (Long, Long, Long, Long)): (Double, Double) = {
@@ -130,7 +120,7 @@ object Bench {
         name -> (if (ok) Some((sec, other, steal)) else None)
       }.toMap
       dropPassGarbage()
-      cpuRefs += cpuRef()
+      cpuRefs += ScaleBench.cpuRefMops()
       t
     }
     passLoads += load1()

@@ -166,6 +166,25 @@ object ScaleBench {
     new java.io.File(fs, "_DONE").createNewFile()
   }
 
+  /** Absolute delivered-CPU-speed anchor shared by the measurement mains
+    * (Bench per pass, StreamCurve per cell): a fixed single-thread serial
+    * integer workload whose Mops/s reflects the host's ACTUAL clock at
+    * measurement time. Jiffy-based contention probes are blind to
+    * frequency/power capping (busy-vs-idle ratios are unchanged under a
+    * capped clock) — the r16 bisect measured ±20% wall drift between
+    * 13-minute windows with other-process CPU reading zero. Divide
+    * round-over-round wall ratios by the cpu_ref ratio before any
+    * code-attribution claim. */
+  private[graft] def cpuRefMops(): Double = {
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0L; val n = 300000000L
+    val t0 = System.nanoTime()
+    while (i < n) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+    val dt = (System.nanoTime() - t0) / 1e9
+    if (x == 42L) System.err.print("") // keep the loop live
+    n / dt / 1e6
+  }
+
   /** Per-query physical-cost instrumentation (the r9 verdict's ask: a
     * scaling RATIO alone can't distinguish an n·log n shuffle-IO step from
     * a super-linear break — shuffle/spill bytes can). Task-end metrics

@@ -128,6 +128,15 @@ object StreamCurve {
     val durations = new BatchDurations
     spark.streams.addListener(durations)
 
+    // delivered-CPU-speed anchor per cell ([[ScaleBench.cpuRefMops]] — the
+    // r16 bisect lesson: the host drifts ±20% between windows invisibly
+    // to jiffy probes; every cell row's wall must be interpretable
+    // against the clock the host actually delivered)
+    val hostRef = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    def refMark(label: String): Unit = {
+      hostRef += ((label, ScaleBench.cpuRefMops())); ()
+    }
+
     val docsAll = spark.read.parquet(s"$srcDir/documents.parquet")
     val nSrcDocs = docsAll.agg(max(col("doc_id"))).head().getLong(0) + 1
     val embAll = spark.read.parquet(s"$srcDir/embeddings.parquet")
@@ -162,6 +171,7 @@ object StreamCurve {
 
     // ------------------------------------------------------------- probe
     if (cells.contains("probe")) {
+      refMark("probe")
       val rows = scala.collection.mutable.ArrayBuffer.empty[String]
       for (leg <- legs; f <- factors) {
         val mode = if (leg == "embedding") "vecrand" else "disjoint"
@@ -239,6 +249,7 @@ object StreamCurve {
 
     // ------------------------------------------------------------- aging
     if (cells.contains("aging")) {
+      refMark("aging")
       val rows = scala.collection.mutable.ArrayBuffer.empty[String]
       for (leg <- legs) {
         val root = s"/tmp/graftstream/aging_$leg"
@@ -298,6 +309,7 @@ object StreamCurve {
     // the WITH-compaction arm merges leaves every 10 appends and the
     // probe wall/file-count stays flat while the no-compaction arm grows.
     if (cells.contains("compact")) {
+      refMark("compact")
       val rows = scala.collection.mutable.ArrayBuffer.empty[String]
       val nAppends = argMap.getOrElse("appends", "100").toInt
       val probe = docsAll.where(col("doc_id") % 100 === 7)
@@ -347,6 +359,7 @@ object StreamCurve {
     // candidate bytes = total - floor. The claim under test: floor stays
     // ~flat in f (pruning works), candidates track match density.
     if (cells.contains("probesplit")) {
+      refMark("probesplit")
       val rows = scala.collection.mutable.ArrayBuffer.empty[String]
       val passes = argMap.getOrElse("split_passes", "3").toInt
       for (f <- factors) {
@@ -411,6 +424,7 @@ object StreamCurve {
     // row logs both, plus a terminal zero-pair epoch that must stay
     // zero-IO past the clamp.
     if (cells.contains("clampcurve")) {
+      refMark("clampcurve")
       import graft.dedup.ClusterFold
       import spark.implicits._
       val epochs = argMap.getOrElse("clamp_epochs", "32").toInt
@@ -464,6 +478,7 @@ object StreamCurve {
     // under the gate, then the join falls back to a shuffle strategy and
     // the curve CAPS — the sizes straddle the gate to show exactly that.
     if (cells.contains("backfill")) {
+      refMark("backfill")
       import graft.dedup.ClusterFold
       import spark.implicits._
       val rows = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -519,6 +534,7 @@ object StreamCurve {
     // rows-per-partition (never worse), quantifying the runbook's
     // "raise foldMaxParts before the grid clamps" lever.
     if (cells.contains("clampread")) {
+      refMark("clampread")
       import graft.dedup.ClusterFold
       import spark.implicits._
       val rows = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -573,6 +589,7 @@ object StreamCurve {
 
     // ----------------------------------------------------------- gatevar
     if (cells.contains("gatevar")) {
+      refMark("gatevar")
       val gateQ = argMap.getOrElse("gatevar_q", "q_stream_dedup_clusters_embedding")
       val rows = scala.collection.mutable.ArrayBuffer.empty[String]
       (1 to gatevarN).foreach { i =>
@@ -593,6 +610,9 @@ object StreamCurve {
       sections += s""""gatevar": [${rows.mkString(",\n  ")}]"""
     }
 
+    refMark("end")
+    sections += s""""host_cpu_ref_mops": {${hostRef.map { case (l, v) =>
+      s""""$l":${jnum(v)}""" }.mkString(",")}}"""
     out.append(sections.mkString(",\n"))
     out.append("\n}\n")
     new java.io.File("/tmp/graftscale").mkdirs()
