@@ -119,13 +119,38 @@ object IndexMaintenance {
   def shouldCompact(baseRows: Long, deltaRows: Long, maxDeltaRatio: Double): Boolean =
     deltaRows > 0 && deltaRows >= math.max(1.0, baseRows * maxDeltaRatio)
 
+  /** Compaction mutex: two concurrent compactions (an offline run racing
+    * a live [[maintain]] loop's ratio-triggered one) would both read
+    * VERSION v and both write `base_v{v+1}` — overlapping overwrites of
+    * one directory mid-write. The guard is a create-exclusive marker held
+    * for the compaction's duration (createNewFile is atomic on the local
+    * FS this module's meta already assumes); the loser fails loudly. A
+    * crashed compaction leaves a stale marker that blocks only further
+    * compactions — clear it with [[forceUnlockCompact]]. Reads need no
+    * guard: the version pointer is atomic and v{N} dirs are never touched.
+    */
+  private def withCompactLock[T](rootDir: String)(body: => T): T = {
+    val lock = new java.io.File(rootDir, "_COMPACT_LOCK")
+    if (!lock.createNewFile())
+      throw new IllegalStateException(
+        s"compact($rootDir) refused: another compaction holds _COMPACT_LOCK" +
+          " (a live maintain() loop, or a crashed run's stale marker —" +
+          " clear with forceUnlockCompact)")
+    try body finally { lock.delete(); () }
+  }
+
+  /** Clear a crashed compaction's stale `_COMPACT_LOCK`. */
+  def forceUnlockCompact(rootDir: String): Unit = {
+    new java.io.File(rootDir, "_COMPACT_LOCK").delete(); ()
+  }
+
   /** Re-cluster base ∪ delta into version N+1 and move the pointer;
     * compacted delta batches retire via the WATERMARK inside the same
     * atomic VERSION rename (a crash after publish but before the physical
     * cleanup leaves invisible dirs, never duplicate rows). Readers holding
     * version N keep working — nothing under v{N} is touched. */
   def compact(spark: SparkSession, rootDir: String,
-      nPostings: Int = Seismic.DefaultNPostings): Long = {
+      nPostings: Int = Seismic.DefaultNPostings): Long = withCompactLock(rootDir) {
     val (v, wm) = versionAndWatermark(rootDir)
     // snapshot the batch set BEFORE reading: batches landing mid-compaction
     // stay above the published watermark and survive into the next cycle
@@ -217,7 +242,7 @@ object IndexMaintenance {
     * cell-partitioned layout) and move the pointer — same watermark-based
     * crash-safe retirement as [[compact]]. */
   def compactIvf(spark: SparkSession, rootDir: String,
-      centroids: Array[Array[Float]], roundDp: Int = 6): Long = {
+      centroids: Array[Array[Float]], roundDp: Int = 6): Long = withCompactLock(rootDir) {
     val (v, wm) = versionAndWatermark(rootDir)
     val ids = listBatchIds(rootDir).filter(_ > wm).sorted
     val base = spark.read.parquet(baseDir(rootDir, v))

@@ -151,6 +151,28 @@ class Round16Spec extends SparkSpec {
         all.select(col("doc_id").as("id")))))
   }
 
+  test("IndexMaintenance compaction mutex: a concurrent compaction fails loudly instead of racing base_v{N+1}") {
+    import graft.streaming.IndexMaintenance
+    val corpus = (0 until 40).map { i =>
+      (i.toLong, Map(s"t${i % 7}" -> (1.0f + (i % 5) * 0.3f), "common" -> 0.8f))
+    }.toDF("doc_id", "tokens")
+    val root = tmpPath("imlock")
+    IndexMaintenance.initialize(corpus.limit(30), root)
+    IndexMaintenance.appendBatch(corpus.where(col("doc_id") >= 30), root)
+    // a live maintain() loop (or a crashed run) holds the compact mutex:
+    // a second compaction must throw, not overwrite base_v{N+1} mid-write
+    assert(new java.io.File(root, "_COMPACT_LOCK").createNewFile())
+    val e = intercept[IllegalStateException] { IndexMaintenance.compact(spark, root) }
+    assert(e.getMessage.contains("_COMPACT_LOCK"))
+    IndexMaintenance.forceUnlockCompact(root)
+    val v1 = IndexMaintenance.compact(spark, root)
+    assert(v1 == IndexMaintenance.currentVersion(root))
+    // the mutex releases after a successful compaction (next cycle runs)
+    IndexMaintenance.appendBatch(
+      corpus.withColumn("doc_id", col("doc_id") + 100), root)
+    assert(IndexMaintenance.compact(spark, root) == v1 + 1)
+  }
+
   test("index-delta property: random batches with redelivery, debris, bad vectors, and compaction accumulate the exact whole-corpus pairs (all legs)") {
     val rnd = new scala.util.Random(20260818L)
 
