@@ -72,6 +72,32 @@ class Round16Spec extends SparkSpec {
       assignSet(Dedup.resolveClusters(pairsDF(seed ++ backfill ++ again), universe)))
   }
 
+  test("legacy flat snapshot + over-cutoff batch: migration rides the relational path") {
+    // the two rare regimes COMBINED: a pre-r14 flat snapshot (forced full
+    // migration, prevTouched = whole prior relation) hit by a batch past
+    // the driver cutoff (pairsLocal = false, distributed CC + relational
+    // root handling) — neither prior pin crossed them together
+    val cl = tmpPath("legover")
+    val ids = (0L until 64L).toDF("id")
+    val oldPairs = (0L until 20L).map(c => (2 * c, 2 * c + 1))
+    Dedup.resolveClusters(pairsDF(oldPairs), ids)
+      .write.mode("overwrite").parquet(s"$cl/v0")
+    IndexMeta.write(cl, "CURRENT", Seq("v0"))
+    val newPairs = (0L until 30L).map(i => (i, i + 30L))
+    ClusterFold.foldBatch(spark, cl, 1L, pairsDF(newPairs), ids,
+      maxDriverRows = 0)
+    val m = ClusterFold.readManifest(cl).get
+    assert(m.nPart > 0, "legacy snapshot did not migrate")
+    assert(assignSet(ClusterFold.currentClustersFull(spark, cl, ids)) ==
+      assignSet(Dedup.resolveClusters(pairsDF(oldPairs ++ newPairs), ids)))
+    // and another over-cutoff fold against the now-partitioned snapshot
+    ClusterFold.foldBatch(spark, cl, 2L, pairsDF(Seq((0L, 62L))), ids,
+      maxDriverRows = 0)
+    assert(assignSet(ClusterFold.currentClustersFull(spark, cl, ids)) ==
+      assignSet(Dedup.resolveClusters(
+        pairsDF(oldPairs ++ newPairs :+ ((0L, 62L))), ids)))
+  }
+
   test("gc telemetry is keyed per snapshot dir") {
     val clA = tmpPath("gckeyA"); val clB = tmpPath("gckeyB")
     val ids = (0L until 40L).toDF("id")
