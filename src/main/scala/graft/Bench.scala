@@ -83,15 +83,31 @@ object Bench {
     // wall stretches uniformly (observed: a 164 s run with other≈0 next
     // to a 142 s run of the previous round's code, both uniform across
     // untouched queries). [[ScaleBench.cpuRefMops]] measures DELIVERED
-    // cycles directly, once before every pass.
+    // cycles directly, once before every pass — and since r17 the
+    // ALL-CORES variant runs alongside it ([[ScaleBench.cpuRefMopsAll]]):
+    // hosts can cap multi-core frequency while one busy core still
+    // boosts, which is exactly the residual the r16 single-thread anchor
+    // could not see (VERDICT r16 task #1). The queries are multi-core, so
+    // the normalized total below scales by the all-cores anchor.
     val cpuRefs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val cpuRefsAll = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // short in-run single-thread samples (~60 ms), one every ~20 queries:
+    // the final-HEAD r16 cell caught the host capping BETWEEN passes
+    // (535→470); these catch it between queries
+    val cpuRefsInrun = scala.collection.mutable.ArrayBuffer.empty[Double]
+    ScaleBench.cpuRefMopsAll(cpus.toInt, 30000000L) // JIT-warm the kernel
     cpuRefs += ScaleBench.cpuRefMops()
-    // fraction of ALL cores' jiffies burned by other processes (and by
-    // hypervisor steal) across a query's run — the load-minus-self signal
+    cpuRefsAll += ScaleBench.cpuRefMopsAll(cpus.toInt)
+    // fraction of ALL cores' jiffies burned by other processes, and by
+    // hypervisor steal, across a query's run — DISJOINT shares (ADVICE
+    // r16 #3): busy includes the steal jiffies, so the other-process
+    // share subtracts them alongside self — otherwise steal is counted
+    // twice and the two percentages are not additive
     def otherShare(a: (Long, Long, Long, Long), b: (Long, Long, Long, Long)): (Double, Double) = {
       val dTot = b._1 - a._1
       if (a._1 < 0 || b._1 < 0 || dTot <= 0) (-1.0, -1.0)
-      else (math.max(0.0, ((b._2 - a._2) - (b._4 - a._4)).toDouble / dTot),
+      else (math.max(0.0,
+        ((b._2 - a._2) - (b._3 - a._3) - (b._4 - a._4)).toDouble / dTot),
         (b._3 - a._3).toDouble / dTot)
     }
 
@@ -108,7 +124,8 @@ object Bench {
     // Per query: (seconds, other-CPU share, steal share) for the pass.
     val times: Array[Map[String, Option[(Double, Double, Double)]]] = Array.fill(passes) {
       passLoads += load1()
-      val t = names.map { name =>
+      val t = names.zipWithIndex.map { case (name, qi) =>
+        if (qi % 20 == 0) cpuRefsInrun += ScaleBench.cpuRefMops(30000000L)
         val c0 = cpuSample()
         val t0 = System.nanoTime()
         val ok =
@@ -121,6 +138,7 @@ object Bench {
       }.toMap
       dropPassGarbage()
       cpuRefs += ScaleBench.cpuRefMops()
+      cpuRefsAll += ScaleBench.cpuRefMopsAll(cpus.toInt)
       t
     }
     passLoads += load1()
@@ -153,6 +171,24 @@ object Bench {
     }
     val otherMed = medianOf(results.map(_._2._2).toSeq)
     val stealMed = medianOf(results.map(_._2._3).toSeq)
+    // ANCHOR-NORMALIZED total (VERDICT r16 task #1): scale the raw wall by
+    // measured/baseline delivered multi-core throughput, so two windows of
+    // the same code reconcile numerically instead of in prose. The
+    // baselines are arbitrary fixed scale points (stamped from the r17
+    // builder host's best-observed window) — BOTH runs being compared
+    // normalize with the SAME constants, so only the ratio matters. A
+    // residual after normalization is code or a capping mode the kernel
+    // anchor cannot see; the in-run samples say whether the window was
+    // even stationary.
+    val BaselineAllMops = 16000.0
+    val BaselineSingleMops = 540.0
+    val refAllMed = medianOf(cpuRefsAll.toSeq)
+    val refSingleMed = medianOf(cpuRefs.toSeq)
+    val totalNorm =
+      if (refAllMed > 0) total * (refAllMed / BaselineAllMops) else -1.0
+    val totalNormSingle =
+      if (refSingleMed > 0) total * (refSingleMed / BaselineSingleMops)
+      else -1.0
     // self-adjudication: >10% of all cores spent in OTHER processes (or
     // >5% hypervisor steal) across the median-pass runs means the wall
     // numbers are contaminated by the host, not the code
@@ -203,14 +239,20 @@ object Bench {
     val full = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
       s""""contention_other_steal":$contQs,"load1":[${passLoads.map(num).mkString(",")}],""" +
       s""""cpu_ref_mops":[${cpuRefs.map(num).mkString(",")}],""" +
-      s""""cpu_ref_mops_median":${num(cpuRefs.sorted.apply(cpuRefs.length / 2))},""" +
+      s""""cpu_ref_mops_median":${num(refSingleMed)},""" +
+      s""""cpu_ref_all_mops":[${cpuRefsAll.map(num).mkString(",")}],""" +
+      s""""cpu_ref_all_mops_median":${num(refAllMed)},""" +
+      s""""cpu_ref_inrun_mops":[${cpuRefsInrun.map(num).mkString(",")}],""" +
+      s""""anchor_baseline_all_mops":${num(BaselineAllMops)},""" +
+      s""""anchor_baseline_single_mops":${num(BaselineSingleMops)},""" +
+      s""""value_norm":${num(totalNorm)},"value_norm_single":${num(totalNormSingle)},""" +
       s""""other_cpu_pct":${num(otherMed)},"steal_pct":${num(stealMed)},"contended":$contended$scaling}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(outFile),
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] write $outFile failed: ${e.getMessage}") }
-    val summary = s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failedNames.size},"sf":"$sfDir","max_query":"$maxName","max_query_s":${num(maxT._1)},"contended":$contended,"other_cpu_pct":${num(otherMed)},"cpu_ref_mops":${num(cpuRefs.sorted.apply(cpuRefs.length / 2))},"detail":"$outFile"$scalingSrc}"""
+    val summary = s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failedNames.size},"sf":"$sfDir","max_query":"$maxName","max_query_s":${num(maxT._1)},"contended":$contended,"other_cpu_pct":${num(otherMed)},"cpu_ref_mops":${num(refSingleMed)},"cpu_ref_all_mops":${num(refAllMed)},"value_norm":${num(totalNorm)},"detail":"$outFile"$scalingSrc}"""
     println(summary)
     spark.stop()
   }

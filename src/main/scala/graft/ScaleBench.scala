@@ -175,14 +175,41 @@ object ScaleBench {
     * 13-minute windows with other-process CPU reading zero. Divide
     * round-over-round wall ratios by the cpu_ref ratio before any
     * code-attribution claim. */
-  private[graft] def cpuRefMops(): Double = {
+  private[graft] def cpuRefMops(n: Long = 300000000L): Double = {
     var x = 0x9E3779B97F4A7C15L
-    var i = 0L; val n = 300000000L
+    var i = 0L
     val t0 = System.nanoTime()
     while (i < n) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
     val dt = (System.nanoTime() - t0) / 1e9
     if (x == 42L) System.err.print("") // keep the loop live
     n / dt / 1e6
+  }
+
+  /** ALL-CORES anchor (VERDICT r16 task #1): the same xorshift kernel on
+    * `threads` concurrent threads, SUMMED Mops/s. A host can cap
+    * multi-core frequency while a single busy core still boosts — the r16
+    * driver run sat a uniform 1.24× over the quiet canonical with the
+    * single-thread anchor explaining only ~6% of it. The Spark queries
+    * are multi-core, so THIS is the anchor their walls scale with; the
+    * single-thread probe stays alongside to separate "all-core cap"
+    * (multi drops, single holds) from "global clock cap" (both drop). */
+  private[graft] def cpuRefMopsAll(threads: Int,
+      nPerThread: Long = 150000000L): Double = {
+    val mops = new Array[Double](math.max(1, threads))
+    val ts = mops.indices.map { t =>
+      val th = new Thread(() => {
+        var x = 0x9E3779B97F4A7C15L + t
+        var i = 0L
+        val t0 = System.nanoTime()
+        while (i < nPerThread) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (x == 42L) System.err.print("")
+        mops(t) = nPerThread / dt / 1e6
+      })
+      th.setDaemon(true); th
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    mops.sum
   }
 
   /** Per-query physical-cost instrumentation (the r9 verdict's ask: a

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.dedup.{ClusterFold, Dedup, EmbeddingIndex, MinhashIndex, WinnowIndex}
@@ -524,15 +524,21 @@ object StreamCurve {
     }
 
     // ----------------------------------------------------------- clampread
-    // VERDICT r15 task #5: the clamp fix trades per-epoch full rewrites
-    // for partitions growing past target, degrading the PRUNED READS
-    // linearly in partition size. Measure the slope: grow a clamped toy
-    // grid (targetRows=16, maxParts=8 — clamped almost immediately)
-    // geometrically to ~×32 the clamp point, and at each doubling fold a
-    // FIXED-SHAPE probe batch (50 pairs, one partition residue),
-    // recording its wall + read bytes. Expect reads ~linear in
-    // rows-per-partition (never worse), quantifying the runbook's
-    // "raise foldMaxParts before the grid clamps" lever.
+    // VERDICT r15 task #5, REBUILT per VERDICT r16 task #3: the clamp fix
+    // trades per-epoch full rewrites for partitions growing past target,
+    // degrading the PRUNED READS linearly in partition size. The r16 cell
+    // came back FLAT because sequential toy ids compress to
+    // footer-dominated parquet files — so the ids are now INCOMPRESSIBLE
+    // (xxhash64-scrambled, residue pinned in the low 3 bits) and the grid
+    // grows to millions of rows per partition, where page bytes dominate
+    // footers by orders of magnitude. Grow a clamped grid (targetRows=16,
+    // maxParts=8 — clamped from the first fold) geometrically, and at
+    // each doubling fold a FIXED-SHAPE probe batch (50 genuinely disjoint
+    // fresh 2-clusters — hash-scrambled ids, all residue 0; the r16 probe
+    // chained into one 51-node component, ADVICE r16 #4), recording its
+    // wall + read bytes. Expect reads ~linear in rows-per-partition
+    // (never worse), quantifying the runbook's "raise foldMaxParts before
+    // the grid clamps" lever.
     if (cells.contains("clampread")) {
       refMark("clampread")
       import graft.dedup.ClusterFold
@@ -542,38 +548,48 @@ object StreamCurve {
       rmrf(root); new java.io.File(root).mkdirs()
       val cl = s"$root/clusters"
       var epoch = 0L
-      def fold(ps: Seq[(Long, Long)]): Unit = {
-        ClusterFold.foldBatch(spark, cl, epoch, ps.toDF("id_a", "id_b"),
+      def fold(ps: org.apache.spark.sql.DataFrame): Unit = {
+        ClusterFold.foldBatch(spark, cl, epoch, ps,
           spark.emptyDataFrame, targetRows = 16L, maxParts = 8)
         epoch += 1
       }
+      // incompressible id: scramble a counter through xxhash64 (unique up
+      // to the accepted ~n²/2⁶⁴ collision odds), keep pmod-8 residue
+      // controllable in the low 3 bits. Parquet's dictionary falls back to
+      // plain on these and snappy finds no runs, so on-disk bytes track
+      // row counts — the r16 cell's 5–8 KB footer floor hid the slope.
+      def sid(counter: Column, residue: Column): Column =
+        shiftleft(xxhash64(lit("clampread"), counter), 3)
+          .bitwiseOR(residue.cast("long"))
       // growth batches: disjoint 2-clusters spread over all 8 residues
       // (pair endpoints share a residue, so the per-partition row count
       // grows uniformly across the clamped grid)
-      var grown = 0L
-      val doublings = argMap.getOrElse("clampread_doublings", "6").toInt
-      var target = 2048L
-      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Long, Long)]
-      while (out.size < doublings) {
+      var grown = 0L // rows stored by growth folds
+      var counter = 0L // id-space counter (two per growth pair)
+      val doublings = argMap.getOrElse("clampread_doublings", "4").toInt
+      val batchPairs = argMap.getOrElse("clampread_batch", "250000").toLong
+      var target = argMap.getOrElse("clampread_start", "1000000").toLong
+      while (rows.size < doublings) {
         while (grown < target) {
-          val base = 4000000L + grown * 16
-          fold((0 until 1024).map { i =>
-            val a = base + 16L * i + (i % 8)
-            (a, a + 8)
-          })
-          grown += 2048
+          val res = pmod(col("id"), lit(8L))
+          fold(spark.range(batchPairs).select(
+            sid(lit(counter) + col("id") * 2, res).as("id_a"),
+            sid(lit(counter) + col("id") * 2 + 1, res).as("id_b")))
+          counter += batchPairs * 2
+          grown += batchPairs * 2
         }
-        // fixed probe: 50 fresh 2-clusters in residue 0 of epoch parity
-        val pbase = 9000000000L + epoch * 1024
-        val probe = (0 until 50).map(i => (pbase + 8L * i, pbase + 8L * i + 8))
+        // fixed probe: 50 fresh DISJOINT 2-clusters, all in residue 0 —
+        // the probe's pruned reads touch exactly one partition of each
+        // relation, whose size is the rows/part under measurement
+        val probe = spark.range(50).select(
+          sid(lit(9000000000L + epoch * 1024) + col("id") * 2, lit(0)).as("id_a"),
+          sid(lit(9000000000L + epoch * 1024) + col("id") * 2 + 1, lit(0)).as("id_b"))
         metrics.reset()
         val t0 = System.nanoTime()
         fold(probe)
         val wall = (System.nanoTime() - t0) / 1e9
         val phys = metrics.snapshot()
         val m = ClusterFold.readManifest(cl).get
-        out += ((m.rows, wall, phys.getOrElse("input_read_kb", 0L),
-          phys.getOrElse("output_write_kb", 0L)))
         val row = s"""{"stored_rows":${m.rows},"npart":${m.nPart},""" +
           s""""rows_per_part":${m.rows / math.max(1, m.nPart)},""" +
           s""""probe_wall_s":${jnum(wall)},""" +

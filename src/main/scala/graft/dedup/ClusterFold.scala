@@ -142,16 +142,6 @@ private[graft] object ClusterFold {
       m.entries.keysIterator.collect { case ("byid", k) => k }.toSeq)
   }
 
-  /** Pre-r15 name for [[storedClusters]]. The r14 layout change narrowed
-    * the relation under this unchanged signature — it returns only
-    * multi-member-cluster rows (singletons implicit), no longer the full
-    * assignment — so the name is deprecated to make the semantic change
-    * fail loudly for external callers (ADVICE r14). */
-  @deprecated("returns only multi-member-cluster rows since r14 — use " +
-    "storedClusters, or currentClustersFull to materialize singletons", "r15")
-  def currentClusters(spark: SparkSession, clustersDir: String): DataFrame =
-    storedClusters(spark, clustersDir)
-
   /** The full (id, cluster_id) relation over `allIds` — stored members
     * plus the implicit singletons (absent id → own cluster). Equals
     * whole-corpus `resolveClusters(pairs(seen))` at every publish point. */
@@ -226,13 +216,16 @@ private[graft] object ClusterFold {
     * longer enumerated: singletons are implicit, so ids that pair with
     * nothing cost nothing. No-op on a replayed epoch.
     *
-    * Driver-side materializations are bounded by the CUTOFF, never the
-    * batch or the corpus: under `maxDriverRows` the pair take (≤ 16 MB of
-    * longs at the default million) doubles as the whole fold's input; over
-    * it NOTHING row-scale lands on the driver — endpoint ids, prior roots,
-    * and touched members all stay relations, and the only driver values
-    * are the bounded take plus two collect_set(pmod) partition-value
-    * aggregates (≤ nPart ints each). An unthrottled availableNow backfill
+    * Driver-side materializations are bounded by the CUTOFF plus the
+    * broadcast gates, never the batch or the corpus: under `maxDriverRows`
+    * the pair take (≤ 16 MB of longs at the default million) doubles as
+    * the whole fold's input; over it the row-scale work stays distributed
+    * — endpoint ids, prior roots, and touched members are relations, the
+    * CC runs with driverCutoff = 0 (so the caller's bound holds end-to-end,
+    * ADVICE r16), and the driver holds only the bounded take, two
+    * collect_set(pmod) partition-value aggregates (≤ nPart ints each), and
+    * whatever the size-gated broadcasts (≤ 4 M rows each) materialize to
+    * build their hash relations. An unthrottled availableNow backfill
     * batch is therefore as driver-safe as a micro-batch (r16). */
   /** Bound for the driver fast-path: a micro-batch's pair residue and its
     * touched-component slice usually fit the driver easily (the
@@ -251,12 +244,14 @@ private[graft] object ClusterFold {
     // ONE bounded take serves as both the size probe and the driver-path
     // materialization: under the cutoff the pair set stays on the driver
     // (the CC fold and the touched-partition sets then cost zero jobs).
-    // OVER the cutoff nothing row-scale ever lands on the driver (r16 —
+    // OVER the cutoff the row-scale work stays distributed (r16 —
     // VERDICT r15 "What's wrong" #1): the endpoint ids stay a relation,
     // touched-partition sets come from bounded collect_set(pmod)
-    // aggregates (≤ nPart ints), and the prior-member lookups are
-    // semi-joins — an unthrottled backfill batch (availableNow over a
-    // whole corpus, 10^8+ pairs) costs the driver nothing but the take.
+    // aggregates (≤ nPart ints), the prior-member lookups are semi-joins,
+    // and the CC honors the same bound (driverCutoff = 0, ADVICE r16) —
+    // an unthrottled backfill batch (availableNow over a whole corpus,
+    // 10^8+ pairs) costs the driver the take plus the size-gated
+    // broadcasts' hash relations, nothing batch-proportional beyond them.
     val pairsTaken: Array[(Long, Long)] = {
       import pairs.sparkSession.implicits._
       pairs.select(col("id_a"), col("id_b")).dropDuplicates("id_a", "id_b")
@@ -377,9 +372,17 @@ private[graft] object ClusterFold {
         val prevCnt = prevTouched.count()
         val stars = prevTouched.where(col("id") =!= col("cluster_id"))
           .select(col("id").as("id_a"), col("cluster_id").as("id_b"))
+        // driverCutoff = 0: the batch's pairs ALONE exceed the caller's
+        // maxDriverRows (that is what routed us here), so resolveClusters'
+        // driver fast-path can never legitimately win — with the default
+        // cutoff it would still take() up to 1M pairs to the driver for
+        // callers whose bound is smaller (ADVICE r16: 28 MB at 500k
+        // pairs). Zero makes its size probe a take(1) and the CC fully
+        // distributed, honoring the caller's bound end-to-end.
         val df = Dedup.resolveClusters(
           stars.unionByName(pairs.select(col("id_a"), col("id_b"))),
-          emptyAssignment(spark).select(col("id"))).persist()
+          emptyAssignment(spark).select(col("id")),
+          driverCutoff = 0L).persist()
         // one aggregate: new row count + the touched partition sets of
         // BOTH relations (bounded by nPart ints each — never row-scale)
         val st = df.agg(

@@ -248,7 +248,8 @@ object WinnowIndex {
       minShared: Int = 1, compactEvery: Int = 0,
       foldTargetRows: Long = ClusterFold.TargetRows,
       foldMaxParts: Int = ClusterFold.MaxParts): Unit = {
-    IndexMeta.lock(path); IndexMeta.lock(clustersDir)
+    val lockOwner = s"$path/_checkpoint"
+    IndexMeta.lock(path, lockOwner); IndexMeta.lock(clustersDir, lockOwner)
     try {
       val q = stream.writeStream
         .foreachBatch { (batch: DataFrame, epoch: Long) =>
@@ -275,21 +276,13 @@ object WinnowIndex {
         .option("checkpointLocation", s"$path/_checkpoint")
         .start()
       q.awaitTermination()
-    } finally { IndexMeta.unlock(clustersDir); IndexMeta.unlock(path) }
+    } finally { IndexMeta.unlock(clustersDir, lockOwner); IndexMeta.unlock(path, lockOwner) }
   }
 
   /** The STORED rows of the assignment maintained by
     * [[ingestStreamClustered]] — members of multi-member clusters only;
     * singletons are implicit ([[ClusterFold.storedClusters]]). */
   def storedClusters(spark: SparkSession, clustersDir: String): DataFrame =
-    ClusterFold.storedClusters(spark, clustersDir)
-
-  /** Pre-r15 name for [[storedClusters]] — deprecated because the r14
-    * layout narrowed the relation under this signature (singletons are no
-    * longer materialized; use [[currentClustersFull]] for them). */
-  @deprecated("returns only multi-member-cluster rows since r14 — use " +
-    "storedClusters, or currentClustersFull to materialize singletons", "r15")
-  def currentClusters(spark: SparkSession, clustersDir: String): DataFrame =
     ClusterFold.storedClusters(spark, clustersDir)
 
   /** The full relation over `allIds` — stored multi-member clusters plus
@@ -309,7 +302,8 @@ object WinnowIndex {
   def ingestStream(stream: DataFrame, path: String, outDir: String,
       textCol: String = "text", idCol: String = "doc_id",
       minShared: Int = 1, compactEvery: Int = 0): Unit = {
-    IndexMeta.lock(path)
+    val lockOwner = s"$path/_checkpoint"
+    IndexMeta.lock(path, lockOwner)
     try {
       val q = stream.writeStream
         .foreachBatch { (batch: DataFrame, epoch: Long) =>
@@ -336,6 +330,6 @@ object WinnowIndex {
         .option("checkpointLocation", s"$path/_checkpoint")
         .start()
       q.awaitTermination()
-    } finally IndexMeta.unlock(path)
+    } finally IndexMeta.unlock(path, lockOwner)
   }
 }

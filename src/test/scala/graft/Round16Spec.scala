@@ -126,7 +126,7 @@ class Round16Spec extends SparkSpec {
     ClusterFold.foldBatch(spark, cl, 0L, pairsDF(Seq((0L, 1L))),
       (0L until 12L).toDF("id"))
     // simulate the open stream session (the loops take exactly this lock)
-    IndexMeta.lock(idx); IndexMeta.lock(cl)
+    IndexMeta.lock(idx, s"$idx/_checkpoint"); IndexMeta.lock(cl, s"$idx/_checkpoint")
     val e1 = intercept[IllegalStateException] { MinhashIndex.sweepClusters(cl) }
     assert(e1.getMessage.contains("sweep"))
     val e2 = intercept[IllegalStateException] { MinhashIndex.compact(spark, idx) }
@@ -138,14 +138,14 @@ class Round16Spec extends SparkSpec {
     // winnow/embedding compact share the guard
     val widx = tmpPath("lockw")
     WinnowIndex.write(docs, widx, k = 4, w = 4)
-    IndexMeta.lock(widx)
+    IndexMeta.lock(widx, s"$widx/_checkpoint")
     intercept[IllegalStateException] { WinnowIndex.compact(spark, widx) }
     WinnowIndex.forceUnlock(widx)
     val eidx = tmpPath("locke")
     EmbeddingIndex.write(
       (0L until 4L).map(i => (i, Seq.fill(8)(0.5f))).toDF("vec_id", "embedding"),
       eidx, dim = 8, nbits = 4, tables = 2)
-    IndexMeta.lock(eidx)
+    IndexMeta.lock(eidx, s"$eidx/_checkpoint")
     intercept[IllegalStateException] { EmbeddingIndex.compact(spark, eidx) }
     EmbeddingIndex.forceUnlock(eidx)
   }
@@ -159,9 +159,10 @@ class Round16Spec extends SparkSpec {
     val root = tmpPath("stale")
     val idx = s"$root/index"; val cl = s"$root/clusters"
     MinhashIndex.write(all.limit(0), idx)
-    // a crashed previous incarnation left both locks: checkpointed
-    // recovery must proceed without manual intervention
-    IndexMeta.lock(idx); IndexMeta.lock(cl)
+    // a crashed previous incarnation left both locks (SAME checkpoint
+    // identity): checkpointed recovery must proceed without manual
+    // intervention — the r17 create-exclusive lock retakes its own token
+    IndexMeta.lock(idx, s"$idx/_checkpoint"); IndexMeta.lock(cl, s"$idx/_checkpoint")
     val st = spark.readStream.schema(all.schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
     MinhashIndex.ingestStreamClustered(st, idx, cl, threshold = 0.5)
