@@ -200,7 +200,7 @@ object Bench {
     // with nothing but the filename to say so).
     val (scaling, scalingSrc) = {
       val dir = java.nio.file.Paths.get("bench")
-      val rx = "scale_r(\\d+)_(disjoint|shared|boilerplate|qset|tdata|semantic_contrast|vecrand|textrand|fixedbatch|streamcurve|probesplit|probe|aging|deltavar|clampcurve|clampread|backfill)\\.json".r
+      val rx = "scale_r(\\d+)_(disjoint|shared|boilerplate|qset|tdata|semantic_contrast|vecrand|textrand|fixedbatch|streamcurve|probesplit|probe|aging|deltavar|clampcurve|clampread|backfill|quant)\\.json".r
       val byRound: Map[Int, Map[String, java.nio.file.Path]] =
         if (!java.nio.file.Files.isDirectory(dir)) Map.empty
         else {
@@ -219,8 +219,8 @@ object Bench {
         // parses from "scale_r06_*" but the files are zero-padded, and the
         // r06 pointer said "scale_r6_*.json" — a dead reference.
         val prefix = byRound(round).values.head.getFileName.toString
-          .replaceAll("_(disjoint|shared|boilerplate|qset|tdata|semantic_contrast|vecrand|textrand|fixedbatch|streamcurve|probesplit|probe|aging|deltavar|clampcurve|clampread|backfill)\\.json$", "")
-        val parts = Seq("disjoint", "shared", "boilerplate", "tdata", "qset", "semantic_contrast", "vecrand", "textrand", "fixedbatch", "streamcurve", "probesplit", "probe", "aging", "deltavar", "clampcurve", "clampread", "backfill").flatMap { mode =>
+          .replaceAll("_(disjoint|shared|boilerplate|qset|tdata|semantic_contrast|vecrand|textrand|fixedbatch|streamcurve|probesplit|probe|aging|deltavar|clampcurve|clampread|backfill|quant)\\.json$", "")
+        val parts = Seq("disjoint", "shared", "boilerplate", "tdata", "qset", "semantic_contrast", "vecrand", "textrand", "fixedbatch", "streamcurve", "probesplit", "probe", "aging", "deltavar", "clampcurve", "clampread", "backfill", "quant").flatMap { mode =>
           byRound(round).get(mode).map { p =>
             "\"" + mode + "\":" + new String(java.nio.file.Files.readAllBytes(p),
               java.nio.charset.StandardCharsets.UTF_8).trim

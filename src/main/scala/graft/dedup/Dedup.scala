@@ -1013,6 +1013,68 @@ object Dedup {
     })
   }
 
+  // ------------------------------------------ byte-quantized prefilter
+  // (VERDICT r16 task #6, reference semantics:
+  // sparse/quantization/ByteQuantizer.java:25-34 — linear scale-to-byte
+  // against a ceiling, exact-rescore protocol; the ceiling here is
+  // PER-VECTOR max-|component| because dense embeddings are signed where
+  // the reference's sparse weights sit in [0, ceil=3.0]). The prefilter
+  // joins a 64-BYTE quantized copy + 2 floats instead of the 64-FLOAT
+  // vector into the candidate-pair verification, keeps every pair whose
+  // quantized-cosine UPPER BOUND clears the threshold, and exact-rescores
+  // survivors against the float vectors — provably lossless (the margin
+  // is a Cauchy-Schwarz bound on the dequantization error, spec-pinned in
+  // Round17Spec), so outputs are bit-identical with it on or off.
+  //
+  // DEFAULT OFF: at gate scale (sf0.1, ~17k candidate pairs) the query
+  // cost is Spark job/stage count, not per-pair bytes — the prefilter's
+  // two extra joins COST more than the narrow payload saves (measured
+  // r17, SCALE.md). It is the 100 TB lever for the regime where candidate
+  // volume makes the wide-vector verification join shuffle-bound.
+
+  /** (qv: 64 signed bytes, qs: per-vector ceiling = max-|component|).
+    * q_i = round(v_i / qs · 127); a zero vector quantizes to zeros with
+    * qs = 0 (its exact cosine is defined 0.0 — the prefilter passes it
+    * through). Runs once per distinct vector, never per pair. */
+  private[graft] val quantizeVecUdf = udf((v: Seq[Float]) => {
+    if (v == null) null
+    else {
+      val a = v.toArray
+      var mx = 0.0; var i = 0
+      while (i < a.length) {
+        val x = math.abs(a(i).toDouble); if (x > mx) mx = x; i += 1
+      }
+      val q = new Array[Byte](a.length)
+      if (mx > 0) {
+        i = 0
+        while (i < a.length) {
+          q(i) = math.round(a(i).toDouble / mx * 127.0).toByte; i += 1
+        }
+      }
+      (q, mx.toFloat)
+    }
+  })
+
+  /** KEEP predicate of the prefilter: quantized-cosine estimate plus its
+    * provable error margin clears `threshold` (with 1e-6 slack absorbing
+    * the exact path's 6-dp rounding and float noise). Derivation: with
+    * per-component dequantization error ≤ qs/254 (half a quantization
+    * step), ‖a−a′‖₂ ≤ √d·qs_a/254 =: ea, so by Cauchy-Schwarz
+    * |a·b − a′·b′| ≤ ‖a‖·eb + ea·(‖b‖+eb) — divide by the true norms for
+    * the cosine margin. Zero-norm sides pass through (exact path scores
+    * them 0.0 and drops them itself when threshold > 0). */
+  private[graft] def quantKeepCond(dim: Int, threshold: Double,
+      qa: Column, sa: Column, na: Column,
+      qb: Column, sb: Column, nb: Column): Column = {
+    val est = (sa.cast("double") * sb.cast("double") / lit(127.0 * 127.0)) *
+      VectorExpressions.byte_dot(qa, qb) / (na * nb)
+    val rd = math.sqrt(dim.toDouble) / 254.0
+    val ea = sa.cast("double") * rd
+    val eb = sb.cast("double") * rd
+    val margin = (na * eb + ea * (nb + eb)) / (na * nb)
+    na === 0.0 || nb === 0.0 || (est + margin >= lit(threshold - 1e-6))
+  }
+
   /** `maxBucket`: hyperplane buckets holding more than `maxBucket` DISTINCT
     * ids (members of identical-vector groups each count — the id-level
     * population a flat non-grouped index would see) emit NO candidate
@@ -1027,7 +1089,8 @@ object Dedup {
   def embeddingNearDupLsh(df: DataFrame, dim: Int, vecCol: String = "embedding",
       idCol: String = "vec_id", threshold: Double = 0.95,
       nbits: Int = 8, tables: Int = 4, seed: Long = 42L,
-      maxBucket: Option[Int] = None, stablePlanes: Boolean = false): DataFrame = {
+      maxBucket: Option[Int] = None, stablePlanes: Boolean = false,
+      quantPrefilter: Boolean = false): DataFrame = {
     val planes =
       if (stablePlanes) lshPlanesStable(tables, nbits, dim, seed)
       else lshPlanes(tables, nbits, dim, seed)
@@ -1056,7 +1119,29 @@ object Dedup {
         .withColumn("nrm", sqrt(VectorExpressions.dense_dot(col("v"), col("v"))))
       val bucketed = keyed
         .select(col("id"), posexplode(bucketUdf(col("v"))).as(Seq("table", "bucket")))
-      return bucketPairs(bucketed, Seq("table", "bucket"), maxBucket)
+      val candidates = bucketPairs(bucketed, Seq("table", "bucket"), maxBucket)
+      // optional byte-quantized prefilter (see the section doc above):
+      // candidate pairs verify first against the 64-byte quantized copy +
+      // norm, and only survivors of the provably-safe bound join the
+      // float vectors for the exact rescore — lossless by construction
+      val kept =
+        if (!quantPrefilter) candidates
+        else {
+          val slim = vecs
+            .withColumn("__q", quantizeVecUdf(col("v")))
+            .select(col("id"), col("nrm"),
+              col("__q._1").as("qv"), col("__q._2").as("qs"))
+          candidates
+            .join(slim.select(col("id").as("id_a"), col("qv").as("q_a"),
+              col("qs").as("s_a"), col("nrm").as("n_a")), "id_a")
+            .join(slim.select(col("id").as("id_b"), col("qv").as("q_b"),
+              col("qs").as("s_b"), col("nrm").as("n_b")), "id_b")
+            .where(quantKeepCond(dim, threshold,
+              col("q_a"), col("s_a"), col("n_a"),
+              col("q_b"), col("s_b"), col("n_b")))
+            .select(col("id_a"), col("id_b"))
+        }
+      return kept
         .join(vecs.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a")), "id_a")
         .join(vecs.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b")), "id_b")
         .withColumn("cosine", cosine(col("v_a"), col("n_a"), col("v_b"), col("n_b")))

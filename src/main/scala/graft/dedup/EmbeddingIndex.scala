@@ -56,7 +56,7 @@ object EmbeddingIndex {
       if (parts.length > 5) parts(5).toInt else 0)
   }
 
-  private def planesOf(m: Meta): Array[Array[Array[Float]]] =
+  private[dedup] def planesOf(m: Meta): Array[Array[Array[Float]]] =
     if (m.stablePlanes) Dedup.lshPlanesStable(m.tables, m.nbits, m.dim, m.seed)
     else Dedup.lshPlanes(m.tables, m.nbits, m.dim, m.seed)
 
@@ -107,7 +107,7 @@ object EmbeddingIndex {
     * The pbs collect doubles as the materializing action for the
     * caller-persisted delta caches — callers do not count (VERDICT r13
     * task #2, the [[MinhashIndex]] note). */
-  private def readPostingsPruned(spark: SparkSession, path: String, m: Meta,
+  private[dedup] def readPostingsPruned(spark: SparkSession, path: String, m: Meta,
       dPost: DataFrame): DataFrame =
     if (m.nPart <= 0) {
       dPost.count() // legacy: no partition values — plain materialize
@@ -130,7 +130,7 @@ object EmbeddingIndex {
   /** Sketches scan pruned to the needed gids' partition values — the
     * values arrive precomputed (the needIdx materializing action yields
     * them, VERDICT r13 task #2); ignored on a legacy layout. */
-  private def readSketchesPruned(spark: SparkSession, path: String, m: Meta,
+  private[dedup] def readSketchesPruned(spark: SparkSession, path: String, m: Meta,
       sbs: Seq[Int]): DataFrame =
     if (m.nPart <= 0) spark.read.parquet(sketchesDir(path))
     else
@@ -140,7 +140,7 @@ object EmbeddingIndex {
 
   /** Group-keyed sketches of one corpus — the batch collapse applied at
     * index time. One groupBy shuffle (ingest cost, paid once). */
-  private def sketchesOf(df: DataFrame, vecCol: String, idCol: String): DataFrame =
+  private[dedup] def sketchesOf(df: DataFrame, vecCol: String, idCol: String): DataFrame =
     df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .withColumn("gid", xxhash64(col("v")))
       .groupBy(col("gid"))
@@ -160,7 +160,7 @@ object EmbeddingIndex {
     * stay distinct even when their member COUNTS are equal (the nm-only
     * heuristic wrongly collapsed that case — ADVICE r12; same accepted
     * ~2⁻⁶⁴ collision odds as gid itself). */
-  private def postingsOf(sketches: DataFrame, m: Meta): DataFrame =
+  private[dedup] def postingsOf(sketches: DataFrame, m: Meta): DataFrame =
     sketches
       .select(col("gid"), size(col("members")).cast("long").as("nm"),
         xxhash64(col("members")).as("bid"),
@@ -257,7 +257,8 @@ object EmbeddingIndex {
     * rounded value). */
   def deltaPairs(spark: SparkSession, path: String, delta: DataFrame,
       vecCol: String = "embedding", idCol: String = "vec_id",
-      threshold: Double = 0.95, maxBucket: Option[Int] = None): DataFrame = {
+      threshold: Double = 0.95, maxBucket: Option[Int] = None,
+      quantPrefilter: Boolean = false): DataFrame = {
     val m = readMeta(path)
     val dSk = sketchesOf(delta, vecCol, idCol).persist()
     // persisted: three parallel broadcast builds consume dPost (the bucket
@@ -266,7 +267,7 @@ object EmbeddingIndex {
     // the delta groupBy and the bucket UDF each run exactly once
     val dPost = postingsOf(dSk, m).persist()
     val out = deltaPairsSketched(spark, path, m, dSk, dPost, threshold,
-      maxBucket)
+      maxBucket, quantPrefilter)
     dSk.unpersist(blocking = false)
     dPost.unpersist(blocking = false)
     out
@@ -279,7 +280,8 @@ object EmbeddingIndex {
     * returned relation is materialized before return). */
   private def deltaPairsSketched(spark: SparkSession, path: String, m: Meta,
       dSk: DataFrame, dPost: DataFrame,
-      threshold: Double, maxBucket: Option[Int]): DataFrame = {
+      threshold: Double, maxBucket: Option[Int],
+      quantPrefilter: Boolean = false): DataFrame = {
     // partition-pruned index scan: only the delta-touched buckets' files
     val postings = readPostingsPruned(spark, path, m, dPost)
 
@@ -320,7 +322,11 @@ object EmbeddingIndex {
     }
 
     // candidate GROUP pairs: ≥1 shared (surviving) bucket, ≥1 delta side —
-    // group-level volume, immune to the duplication factor
+    // group-level volume, immune to the duplication factor. The union-level
+    // dropDuplicates is the ONLY pair dedup (r17): a per-leg dedup on
+    // crossGid bought nothing but an extra shuffle — the outer aggregate's
+    // map-side partial combine already collapses the ≤ tables-fold
+    // duplication before any bytes move.
     val crossGid = oldSide
       .select(col("table"), col("bucket"), col("gid").as("g_old"))
       .join(broadcast(dKept.select(col("table"), col("bucket"), col("gid").as("g_new"))),
@@ -328,20 +334,12 @@ object EmbeddingIndex {
       .where(col("g_old") =!= col("g_new"))
       .select(least(col("g_old"), col("g_new")).as("g_a"),
         greatest(col("g_old"), col("g_new")).as("g_b"))
-      .dropDuplicates("g_a", "g_b")
     val newNewGid = Dedup.bucketPairsPublic(
       dKept.select(col("table"), col("bucket"), col("gid").as("id")),
       Seq("table", "bucket"))
       .select(col("id_a").as("g_a"), col("id_b").as("g_b"))
     val candGid = crossGid.unionByName(newNewGid)
       .dropDuplicates("g_a", "g_b").persist()
-    // LOAD-BEARING count (re-measured r12): gidSet below reads candGid
-    // TWICE through a union whose legs are concurrent tasks of one stage —
-    // without this materialization both legs race the unfilled cache and
-    // the whole candidate pipeline runs twice (narrowed ×30 disjoint:
-    // 22.8 s without vs ~18 s with, r11h parity). The fixed-action floor
-    // stays one count lower than r11 via the shared dSk/dPost fill above.
-    candGid.count()
 
     // index gids whose sketches the merge actually NEEDS: candidate-pair
     // sides + delta gids already present in the index (their members must
@@ -354,12 +352,21 @@ object EmbeddingIndex {
     // scan and the full_outer merge are identity ops and are SKIPPED —
     // the r12 residual where a disjoint delta paid a second full index
     // read it could not use.
-    val wantGids = candGid.select(col("g_a").as("gid"))
-      .unionByName(candGid.select(col("g_b").as("gid")))
+    // ONE scan of candGid (explode, r17): the r12 union-of-two-selects
+    // read the unfilled cache from two concurrent legs of one stage, which
+    // needed a load-bearing candGid.count() to prevent the whole candidate
+    // pipeline running twice; the exploded form has a single leg, so the
+    // cache fills inside the sbs action below and the count is retired —
+    // one driver action (and its AQE jobs) less per delta.
+    val wantGids = candGid
+      .select(explode(array(col("g_a"), col("g_b"))).as("gid"))
       .unionByName(dSk.select(col("gid"))).distinct()
+    // no distinct: the broadcast semi-join and the sbs projection below
+    // absorb duplicates, and the relation is the matched slice's gids —
+    // bounded; the dedup shuffle bought nothing (r17)
     val needIdx = matched.select(col("gid"))
       .join(broadcast(wantGids), Seq("gid"), "left_semi")
-      .distinct().persist()
+      .persist()
     // ONE action fills the needIdx cache AND yields the pruned sketches
     // read's partition values; the index-disjoint-batch signal (empty
     // needIdx → skip the sketches scan + merge outright) rides the same
@@ -411,7 +418,11 @@ object EmbeddingIndex {
     // dPost, so dKept's gid set IS the survivors).
     val groupsForWithin =
       if (maxBucket.isDefined)
-        groups.join(broadcast(dKept.select(col("gid")).distinct()),
+        // no distinct before the broadcast: a left_semi probe is
+        // duplicate-insensitive and dKept is the delta's postings slice
+        // (≤ |delta gids| × tables rows) — the dedup shuffle cost more
+        // than the duplicate hash entries it saved (r17)
+        groups.join(broadcast(dKept.select(col("gid"))),
           Seq("gid"), "left_semi")
       else groups
     val within = groupsForWithin
@@ -425,8 +436,30 @@ object EmbeddingIndex {
         col("cosine"))
       .select(col("p._1").as("id_a"), col("p._2").as("id_b"), col("cosine"))
     // cross-group: verify once per gid pair, expand delta-touching member
-    // pairs only (newA×allB ∪ oldA×newB)
-    val cross = candGid
+    // pairs only (newA×allB ∪ oldA×newB). Optional byte-quantized
+    // prefilter ([[Dedup.quantKeepCond]] — the 100 TB candidate-volume
+    // lever, default off at gate scale where it only adds stages): the
+    // candidate gid pairs verify against the 64-byte quantized copies
+    // first, and only survivors of the provably-safe bound join the full
+    // group payload (float vector + member lists) for the exact rescore.
+    val candVerify =
+      if (!quantPrefilter) candGid
+      else {
+        val slim = groups
+          .withColumn("__q", Dedup.quantizeVecUdf(col("v")))
+          .select(col("gid"), col("nrm"),
+            col("__q._1").as("qv"), col("__q._2").as("qs"))
+        candGid
+          .join(slim.select(col("gid").as("g_a"), col("qv").as("q_a"),
+            col("qs").as("s_a"), col("nrm").as("na")), "g_a")
+          .join(slim.select(col("gid").as("g_b"), col("qv").as("q_b"),
+            col("qs").as("s_b"), col("nrm").as("nb")), "g_b")
+          .where(Dedup.quantKeepCond(m.dim, threshold,
+            col("q_a"), col("s_a"), col("na"),
+            col("q_b"), col("s_b"), col("nb")))
+          .select(col("g_a"), col("g_b"))
+      }
+    val cross = candVerify
       .join(groups.select(col("gid").as("g_a"), col("v").as("v_a"),
         col("nrm").as("n_a"), col("om").as("om_a"), col("nm").as("nm_a")), "g_a")
       .join(groups.select(col("gid").as("g_b"), col("v").as("v_b"),

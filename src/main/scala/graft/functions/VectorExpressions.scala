@@ -261,6 +261,55 @@ object VectorExpressions {
       copy(left = l, right = r)
   }
 
+  /** Dot product of two signed-byte quantized vectors (BinaryType) — the
+    * integer kernel of the embedding dedup's byte-quantized prefilter
+    * (reference semantics: sparse/quantization/ByteQuantizer.java:25-34
+    * linear scale-to-byte with a ceiling, ByteQuantizationUtil.java:62-64
+    * integer products rescaled by ceil²/255² at score time; here the
+    * ceiling is per-vector max-|component| because dense embeddings are
+    * signed where the reference's sparse weights are positive). 64 byte
+    * loads + integer MACs per pair, inside whole-stage codegen — the
+    * prefilter's whole point is that this runs where the 64-float dot
+    * would have, on a quarter of the shuffled bytes. */
+  case class ByteDot(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "byte_dot"
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val bad = children.find(_.dataType != BinaryType)
+      bad match {
+        case Some(c) => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires binary arguments, got ${c.dataType.catalogString}")
+        case None => TypeCheckResult.TypeCheckSuccess
+      }
+    }
+
+    override protected def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[Array[Byte]]; val b = r.asInstanceOf[Array[Byte]]
+      val n = math.min(a.length, b.length)
+      var s = 0L; var i = 0
+      while (i < n) { s += a(i) * b(i); i += 1 }
+      s
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n"); val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc")
+        s"""
+           |int $n = java.lang.Math.min($a.length, $b.length);
+           |long $acc = 0L;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $acc += $a[$i] * $b[$i];
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+  }
+
   // Column-level API (Spark 4: Column<->Expression via Bridge)
   def dense_dot(a: Column, b: Column): Column =
     Bridge.column(DenseDot(Bridge.expression(a), Bridge.expression(b)))
@@ -270,4 +319,6 @@ object VectorExpressions {
     Bridge.column(SparseDot(Bridge.expression(doc), Bridge.expression(query)))
   def sorted_intersect_count(a: Column, b: Column): Column =
     Bridge.column(SortedIntersectCount(Bridge.expression(a), Bridge.expression(b)))
+  def byte_dot(a: Column, b: Column): Column =
+    Bridge.column(ByteDot(Bridge.expression(a), Bridge.expression(b)))
 }
