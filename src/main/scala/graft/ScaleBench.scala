@@ -239,7 +239,32 @@ object ScaleBench {
         ()
       }
     }
-    def reset(): Unit = Seq(sr, sw, ms, ds, ir, ow, rz).foreach(_.set(0L))
+    // TRUE read bytes (r17 instrument finding, ProfileDelta3): task
+    // inputMetrics.bytesRead is NOT populated for parquet scans on this
+    // Spark build (a measured 15.7 MB full read-and-rewrite reported
+    // 21 KB input — footers only — while its output counter read
+    // 15.6 MB correctly), and the reads bypass the Hadoop FileSystem
+    // statistics too (scheme=file bytesRead stayed at 55 KB across the
+    // same cell): the parquet reader takes a java.nio local-file path
+    // that no Spark/Hadoop counter observes. EVERY prior round's
+    // "probe_read_kb"/read-floor number therefore measured footers, not
+    // data pages. The one channel that sees the bytes is the kernel:
+    // /proc/self/io rchar (verified: 8.2 MB delta for a one-column scan
+    // of that 15.7 MB two-column file — exactly the column's share).
+    // rchar is PROCESS-WIDE (parquet + shuffle-file + meta reads all
+    // ride along), so treat proc_read_kb as the cell's total read
+    // volume; in local mode that is precisely what the cell did to the
+    // machine. Harness instrument only — meaningless off-box.
+    private def procRchar(): Long =
+      try scala.io.Source.fromFile("/proc/self/io").getLines()
+        .find(_.startsWith("rchar")).map(_.split(":\\s*")(1).trim.toLong)
+        .getOrElse(-1L)
+      catch { case _: Throwable => -1L }
+    @volatile private var rcharBase = 0L
+    def reset(): Unit = {
+      Seq(sr, sw, ms, ds, ir, ow, rz).foreach(_.set(0L))
+      rcharBase = procRchar()
+    }
     def snapshot(): Map[String, Long] = {
       // Require TWO consecutive quiet 100 ms reads before trusting the
       // counters: one quiet interval can be a bus scheduling gap on a
@@ -268,6 +293,7 @@ object ScaleBench {
         // KB precision for the micro-batch cells, where a whole fold can
         // be smaller than one MB and the MB counters round to zero
         "input_read_kb" -> ir.get / 1024, "output_write_kb" -> ow.get / 1024,
+        "proc_read_kb" -> math.max(0L, procRchar() - rcharBase) / 1024,
         "result_to_driver_kb" -> rz.get / 1024)
     }
   }

@@ -594,6 +594,7 @@ object StreamCurve {
           s""""rows_per_part":${m.rows / math.max(1, m.nPart)},""" +
           s""""probe_wall_s":${jnum(wall)},""" +
           s""""probe_read_kb":${phys.getOrElse("input_read_kb", 0L)},""" +
+          s""""probe_proc_read_kb":${phys.getOrElse("proc_read_kb", 0L)},""" +
           s""""probe_write_kb":${phys.getOrElse("output_write_kb", 0L)}}"""
         rows += row
         println(s"[streamcurve] clampread $row")
