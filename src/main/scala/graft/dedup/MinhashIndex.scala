@@ -334,13 +334,16 @@ object MinhashIndex {
       case None => (matched, dPostings, Seq.empty[DataFrame])
     }
 
+    // union-level dropDuplicates is the ONLY pair dedup (r17): the per-leg
+    // dedup on oldNew bought nothing but an extra shuffle — the outer
+    // aggregate's map-side partial combine already collapses the
+    // ≤ bands-fold duplication before any bytes move
     val oldNew = oldSide.select(col("band"), col("bucket"), col("id").as("id_old"))
       .join(broadcast(dKept.select(col("band"), col("bucket"), col("id").as("id_new"))),
         Seq("band", "bucket"))
       .where(col("id_old") =!= col("id_new"))
       .select(least(col("id_old"), col("id_new")).as("id_a"),
         greatest(col("id_old"), col("id_new")).as("id_b"))
-      .dropDuplicates("id_a", "id_b")
     val newNew = Dedup.bucketPairsPublic(dKept, Seq("band", "bucket"))
     val cand = oldNew.unionByName(newNew).dropDuplicates("id_a", "id_b").persist()
     // cand materializes inside readSketchesPruned's sbs collect below —
@@ -354,8 +357,12 @@ object MinhashIndex {
     // per replayed doc, which would otherwise fan the verification join out
     // N× (sketch rows are deterministic per id, so any survivor is THE
     // sketch) — replayed-append ≡ once-appended, spec-pinned.
-    val candIds = cand.select(col("id_a").as("id"))
-      .unionByName(cand.select(col("id_b").as("id"))).distinct()
+    // ONE scan of cand (explode, r17): the union-of-two-selects form read
+    // the unfilled cache from two concurrent legs of one stage, re-running
+    // the candidate pipeline (the r12 embedding-module measurement — this
+    // module relied on lineage luck instead of a count)
+    val candIds = cand
+      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
     // partition-pruned sketches scan: only the candidate ids' buckets
     val sketches = readSketchesPruned(spark, path, m, candIds)
     val rel = sketches.unionByName(dSketches)
