@@ -390,19 +390,25 @@ object StreamCurve {
           // median wall with the LAST pass's counters mixed measurement
           // regimes in the floor-vs-candidate split (ADVICE r15)
           val (mid, ph) = walls.sortBy(_._1).apply(passes / 2)
-          (mid, ph("input_read_kb"), ph.getOrElse("shuffle_read_mb", 0L))
+          (mid, ph("input_read_kb"), ph.getOrElse("proc_read_kb", 0L))
         }
-        val (wFloor, kbFloor, _) = measure(
+        val (wFloor, kbFloor, procFloor) = measure(
           () => EmbeddingIndex.postingsSlice(spark, idx, probe))
-        val (wTotal, kbTotal, shTotal) = measure(
+        val (wTotal, kbTotal, procTotal) = measure(
           () => EmbeddingIndex.deltaPairs(spark, idx, probe, threshold = 0.45))
         val nPairs = EmbeddingIndex.deltaPairs(spark, idx, probe,
           threshold = 0.45).count()
+        // proc_* columns (r17): TRUE read bytes via the kernel rchar
+        // counter — the input_read_kb columns are retained for continuity
+        // with the r15/r16 artifacts but measure parquet FOOTERS only
+        // (the r17 instrument finding); the honest floor-vs-candidate
+        // split is the proc pair
         val row = s"""{"factor":$f,"n_vec":$nVec,"n_probe":$nProbe,""" +
           s""""npart":$nPart,"floor_wall_s":${jnum(wFloor)},""" +
           s""""total_wall_s":${jnum(wTotal)},"floor_read_kb":$kbFloor,""" +
           s""""total_read_kb":$kbTotal,"candidate_read_kb":${kbTotal - kbFloor},""" +
-          s""""shuffle_read_mb":$shTotal,"pairs":$nPairs}"""
+          s""""proc_floor_read_kb":$procFloor,"proc_total_read_kb":$procTotal,""" +
+          s""""proc_candidate_read_kb":${procTotal - procFloor},"pairs":$nPairs}"""
         rows += row
         println(s"[streamcurve] probesplit $row")
         probe.unpersist(blocking = false)
