@@ -58,24 +58,29 @@ object Bench {
     // run itself records how much CPU OTHER processes burned while it
     // ran — a contended run flags itself instead of being argued about.
     // (total, busy, steal, self) jiffies; negative sentinel on failure.
+    // Files.readAll*, not an unclosed Source: these run around every query
+    // of every pass (161 × 4 × 2 samples), and each leaked fd lives until
+    // GC (ADVICE r17 — the procRchar finding, same pattern here)
+    def readProc(path: String): String = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      java.nio.charset.StandardCharsets.UTF_8)
     def cpuSample(): (Long, Long, Long, Long) =
       try {
-        val cpu = scala.io.Source.fromFile("/proc/stat").getLines().next()
+        val cpu = readProc("/proc/stat").linesIterator.next()
           .trim.split("\\s+").drop(1).map(_.toLong)
         val total = cpu.take(math.min(8, cpu.length)).sum
         val idle = cpu(3) + (if (cpu.length > 4) cpu(4) else 0L)
         val steal = if (cpu.length > 7) cpu(7) else 0L
         // /proc/self/stat: comm may contain spaces — parse past the ')'
         val self = {
-          val s = scala.io.Source.fromFile("/proc/self/stat").mkString
+          val s = readProc("/proc/self/stat")
           val rest = s.substring(s.lastIndexOf(')') + 2).split("\\s+")
           rest(11).toLong + rest(12).toLong // utime + stime
         }
         (total, total - idle, steal, self)
       } catch { case _: Throwable => (-1L, 0L, 0L, 0L) }
     def load1(): Double =
-      try scala.io.Source.fromFile("/proc/loadavg").mkString
-        .split("\\s+")(0).toDouble
+      try readProc("/proc/loadavg").split("\\s+")(0).toDouble
       catch { case _: Throwable => -1.0 }
     // Absolute host-speed anchor (r16 bisect lesson): the jiffy probe
     // sees other-process CPU but is BLIND to frequency/power capping —

@@ -255,11 +255,17 @@ object ScaleBench {
     // ride along), so treat proc_read_kb as the cell's total read
     // volume; in local mode that is precisely what the cell did to the
     // machine. Harness instrument only — meaningless off-box.
+    // Files.readAllLines, not an unclosed Source: reset()/snapshot() run
+    // per cell, and a leaked fd per call starved long StreamCurve runs
+    // until GC (ADVICE r17)
     private def procRchar(): Long =
-      try scala.io.Source.fromFile("/proc/self/io").getLines()
-        .find(_.startsWith("rchar")).map(_.split(":\\s*")(1).trim.toLong)
-        .getOrElse(-1L)
-      catch { case _: Throwable => -1L }
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get("/proc/self/io")).asScala
+          .find(_.startsWith("rchar")).map(_.split(":\\s*")(1).trim.toLong)
+          .getOrElse(-1L)
+      } catch { case _: Throwable => -1L }
     @volatile private var rcharBase = 0L
     def reset(): Unit = {
       Seq(sr, sw, ms, ds, ir, ow, rz).foreach(_.set(0L))

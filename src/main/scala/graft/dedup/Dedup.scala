@@ -1188,7 +1188,33 @@ object Dedup {
           Seq(hot))
       case None => (bucketed0, Seq.empty[DataFrame])
     }
-    val repPairs = bucketPairs(bucketed, Seq("table", "bucket"))
+    val candRep = bucketPairs(bucketed, Seq("table", "bucket"))
+    // the byte-quantized prefilter, collapse form (ADVICE r17 / VERDICT
+    // r17 #1 — the flag was silently ignored on this branch, exactly the
+    // replicated-corpus regime a duplication-heavy 100 TB ingest hits):
+    // candidate GROUP pairs verify against the 64-byte quantized copies
+    // first — one quantization per DISTINCT vector, cheaper still than the
+    // duplicate-free branch's per-id copy — and only survivors of the
+    // provably-safe bound join the full float vectors. Lossless by the
+    // quantKeepCond margin proof, so outputs are bit-identical either way.
+    val candRepKept =
+      if (!quantPrefilter) candRep
+      else {
+        val slim = repVecs
+          .withColumn("__q", quantizeVecUdf(col("v")))
+          .select(col("id"), col("nrm"),
+            col("__q._1").as("qv"), col("__q._2").as("qs"))
+        candRep
+          .join(slim.select(col("id").as("id_a"), col("qv").as("q_a"),
+            col("qs").as("s_a"), col("nrm").as("n_a")), "id_a")
+          .join(slim.select(col("id").as("id_b"), col("qv").as("q_b"),
+            col("qs").as("s_b"), col("nrm").as("n_b")), "id_b")
+          .where(quantKeepCond(dim, threshold,
+            col("q_a"), col("s_a"), col("n_a"),
+            col("q_b"), col("s_b"), col("n_b")))
+          .select(col("id_a"), col("id_b"))
+      }
+    val repPairs = candRepKept
       .join(repVecs.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a")), "id_a")
       .join(repVecs.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b")), "id_b")
       .withColumn("cosine", cosine(col("v_a"), col("n_a"), col("v_b"), col("n_b")))

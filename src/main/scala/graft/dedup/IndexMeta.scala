@@ -148,8 +148,20 @@ private[graft] object IndexMeta {
       held match {
         case Some(f) if f.headOption.contains(token) =>
           // same checkpoint identity: a crashed prior incarnation of THIS
-          // stream — re-take hands-free (atomic write-rename overwrite)
+          // stream — re-take hands-free (atomic write-rename overwrite).
+          // The overwrite is not compare-and-swap: a different-token
+          // contender acquiring between the failed create and this rename
+          // could be interleaved with it, so VERIFY the payload landed
+          // (ADVICE r17) — a lost race fails loudly like the create path
+          // instead of two sessions both believing they hold the lock.
           write(dir, LockFile, payload)
+          val after =
+            try read(dir, LockFile).headOption
+            catch { case _: java.io.FileNotFoundException => None }
+          if (!after.contains(token)) throw new IllegalStateException(
+            s"lock($dir) refused: $LockFile retake lost a race to " +
+              s"${after.getOrElse("(absent)")} — a second live stream on " +
+              "one dir is outside the single-writer contract.")
         case Some(f) =>
           throw new IllegalStateException(
             s"lock($dir) refused: $LockFile is held by ${f.mkString(" ")} " +

@@ -44,13 +44,17 @@ object ProfileDelta3 {
         val vals = st.getLongStatistics.asScala.map(e => s"${e.getName}=${e.getValue}").mkString(" ")
         println(s"[pd3] scheme=${st.getScheme} $vals")
       }
-      def rchar(): Long = scala.io.Source.fromFile("/proc/self/io").getLines()
+      def procIoLines(): Seq[String] = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get("/proc/self/io")).asScala.toSeq
+      }
+      def rchar(): Long = procIoLines()
         .find(_.startsWith("rchar")).map(_.split("\\s+")(1).toLong).getOrElse(-1L)
       val r0 = rchar()
       val n4 = spark.read.parquet(p).agg(max(col("id"))).head()
       println(s"[pd3] proc rchar delta for one full scan: ${(rchar() - r0)/1024} KB")
-      val src = scala.io.Source.fromFile("/proc/self/io").mkString
-      println("[pd3] " + src.replace("\n", " | "))
+      println("[pd3] " + procIoLines().mkString(" | "))
     }
     metrics.reset()
     import spark.implicits._

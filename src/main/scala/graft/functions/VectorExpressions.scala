@@ -284,22 +284,31 @@ object VectorExpressions {
       }
     }
 
+    // Mismatched lengths THROW (ADVICE r17): the prefilter's lossless
+    // bound (quantKeepCond) assumes the full dim contributed — a silent
+    // min-length truncation would quietly weaken it. The quant pipelines
+    // filter size === dim before quantizing, so a mismatch here is a bug,
+    // not data.
     override protected def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[Array[Byte]]; val b = r.asInstanceOf[Array[Byte]]
-      val n = math.min(a.length, b.length)
+      if (a.length != b.length) throw new IllegalArgumentException(
+        s"byte_dot length mismatch: ${a.length} vs ${b.length}")
       var s = 0L; var i = 0
-      while (i < n) { s += a(i) * b(i); i += 1 }
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
       s
     }
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, (a, b) => {
-        val n = ctx.freshName("n"); val i = ctx.freshName("i")
+        val i = ctx.freshName("i")
         val acc = ctx.freshName("acc")
         s"""
-           |int $n = java.lang.Math.min($a.length, $b.length);
+           |if ($a.length != $b.length) {
+           |  throw new IllegalArgumentException(
+           |    "byte_dot length mismatch: " + $a.length + " vs " + $b.length);
+           |}
            |long $acc = 0L;
-           |for (int $i = 0; $i < $n; $i++) {
+           |for (int $i = 0; $i < $a.length; $i++) {
            |  $acc += $a[$i] * $b[$i];
            |}
            |${ev.value} = $acc;
