@@ -176,21 +176,40 @@ private[graft] object ClusterFold {
     else spark.read.parquet(paths: _*).select(col("id"), col("cluster_id"))
   }
 
-  /** Write `rows` into `<dir>/<eDir>/<rel>/pb=<pmod(partCol)>` (one file
-    * per partition) and return the partition values actually written —
-    * a touched partition whose new content is empty simply gets no dir
-    * (and loses its manifest entry). */
-  private def writeRel(rows: DataFrame, dir: String, eDir: String,
-      rel: String, partCol: String, nPart: Int): Set[Int] = {
-    rows.select(col("id"), col("cluster_id"),
-      pmod(col(partCol), lit(nPart)).as("pb"))
-      .repartition(col("pb"))
-      .write.mode("overwrite").partitionBy("pb")
-      .parquet(s"$dir/$eDir/$rel")
-    val out = new org.apache.hadoop.fs.Path(s"$dir/$eDir/$rel")
-    val fs = out.getFileSystem(IndexMeta.conf)
-    fs.listStatus(out).iterator.map(_.getPath.getName)
-      .filter(_.startsWith("pb=")).map(_.stripPrefix("pb=").toInt).toSet
+  /** Write BOTH mirrored relations of one epoch in a single shuffle +
+    * write job (r18): `byidRows` land under `<dir>/<eDir>/byid/pb=
+    * <pmod(id)>`, `byrootRows` under `.../byroot/pb=<pmod(cluster_id)>` —
+    * one file per leaf, exactly the r14 layout readers and manifests
+    * expect. The rows are tagged and unioned so ONE exchange carries what
+    * two sequential writeRel calls shuffled before (same total bytes, one
+    * AQE round + one write job instead of two, and the keep-side pruned
+    * reads + anti-join broadcasts execute once instead of once per
+    * relation). The dynamic-partition dirs come out as `rel=byid/pb=k`;
+    * two renames restore the bare `byid`/`byroot` names (a crash between
+    * them leaves only unreferenced debris in a fresh epoch dir — the same
+    * window the two-write form had). Returns the partition values
+    * actually written per relation — a touched partition whose new
+    * content is empty simply gets no dir (and loses its manifest entry). */
+  private def writeRels(byidRows: DataFrame, byrootRows: DataFrame,
+      dir: String, eDir: String, nPart: Int): (Set[Int], Set[Int]) = {
+    val tagged = byidRows.select(col("id"), col("cluster_id"),
+        lit("byid").as("rel"), pmod(col("id"), lit(nPart)).as("pb"))
+      .unionByName(byrootRows.select(col("id"), col("cluster_id"),
+        lit("byroot").as("rel"), pmod(col("cluster_id"), lit(nPart)).as("pb")))
+    tagged.repartition(col("rel"), col("pb"))
+      .write.mode("overwrite").partitionBy("rel", "pb")
+      .parquet(s"$dir/$eDir")
+    val base = new org.apache.hadoop.fs.Path(s"$dir/$eDir")
+    val fs = base.getFileSystem(IndexMeta.conf)
+    def finalize(rel: String): Set[Int] = {
+      val src = new org.apache.hadoop.fs.Path(base, s"rel=$rel")
+      val dst = new org.apache.hadoop.fs.Path(base, rel)
+      if (fs.exists(src)) { fs.rename(src, dst); () }
+      if (!fs.exists(dst)) Set.empty
+      else fs.listStatus(dst).iterator.map(_.getPath.getName)
+        .filter(_.startsWith("pb=")).map(_.stripPrefix("pb=").toInt).toSet
+    }
+    (finalize("byid"), finalize("byroot"))
   }
 
   /** An epoch-dir name neither referenced by the live manifest nor
@@ -436,8 +455,7 @@ private[graft] object ClusterFold {
       // reads stay ~constant-size as the assignment grows
       val nPartNew = IndexMeta.autoParts(totalRows, math.max(1L, targetRows),
         maxParts)
-      val wId = writeRel(full, clustersDir, eDir, "byid", "id", nPartNew)
-      val wRt = writeRel(full, clustersDir, eDir, "byroot", "cluster_id", nPartNew)
+      val (wId, wRt) = writeRels(full, full, clustersDir, eDir, nPartNew)
       full.unpersist(blocking = false)
       Manifest(vNew, nPartNew, totalRows,
         (wId.map(k => (("byid", k), eDir)) ++
@@ -453,12 +471,10 @@ private[graft] object ClusterFold {
       val rootParts = rootParts0 ++ rootPartsPrev
       val keepIds = readParts(spark, clustersDir, m, "byid", idParts.toSeq)
         .join(newIdsHinted, Seq("id"), "left_anti")
-      val wId = writeRel(keepIds.unionByName(newAssign),
-        clustersDir, eDir, "byid", "id", m.nPart)
       val keepRoots = readParts(spark, clustersDir, m, "byroot", rootParts.toSeq)
         .join(rootsRel, Seq("cluster_id"), "left_anti")
-      val wRt = writeRel(keepRoots.unionByName(newAssign),
-        clustersDir, eDir, "byroot", "cluster_id", m.nPart)
+      val (wId, wRt) = writeRels(keepIds.unionByName(newAssign),
+        keepRoots.unionByName(newAssign), clustersDir, eDir, m.nPart)
       val entries = m.entries --
         idParts.map(("byid", _)) -- rootParts.map(("byroot", _)) ++
         wId.map(k => (("byid", k), eDir)) ++

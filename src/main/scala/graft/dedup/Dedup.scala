@@ -443,10 +443,21 @@ object Dedup {
         // stop-shingles), so materialize it once and drop them from
         // candidate generation with a broadcast anti join: no shuffle of
         // the shingle table.
-        val hotKeys = precomputedHot.getOrElse(
-          sh.groupBy(col("s")).agg(count(lit(1)).as("__df"))
-            .where(col("__df") > cap).select(col("s")).persist())
-        val nHot = hotKeys.count() // materialize before fan-out (cached: free when precomputed)
+        // non-precomputed hot set: COLLECT to a LocalRelation instead of
+        // persist+count (r18) — it is broadcast into both consumers below,
+        // so the driver already held it; as a LocalRelation the broadcast
+        // builds cost ZERO Spark jobs in every action that re-derives
+        // rare/hotArr lineage. A dispatcher-provided persisted set keeps
+        // the cached-count path (its count is free).
+        val (hotKeys, nHot) = precomputedHot match {
+          case Some(h) => (h, h.count())
+          case None =>
+            import sh.sparkSession.implicits._
+            val rows = sh.groupBy(col("s")).agg(count(lit(1)).as("__df"))
+              .where(col("__df") > cap).select(col("s"))
+              .collect().map(_.getLong(0)).toSeq
+            (rows.toDF("s"), rows.length.toLong)
+        }
         // no shingle above the cap → rare == sh and the split machinery is
         // pure overhead; run the plain join (identical result)
         if (nHot == 0)
@@ -1174,19 +1185,28 @@ object Dedup {
     // EVERY bucket is hot also loses its within-group pairs — identical
     // vectors share all buckets, so that is exactly when the id-level form
     // would have dropped them everywhere.
-    val (bucketed, hotCaches) = maxBucket match {
+    val bucketed = maxBucket match {
       case Some(cap) =>
-        val hot = reps
+        // COLLECT the hot set instead of persist+count (r18): bounded by
+        // tables x 2^nbits buckets by construction (and already broadcast
+        // below), so driver residency is unchanged while the LocalRelation
+        // broadcast builds with ZERO Spark jobs in every action that
+        // re-derives the bucketed lineage; empty hot skips the anti-join
+        val hotRows = reps
           .select(size(col("members")).cast("long").as("__w"),
             posexplode(bucketUdf(col("v"))).as(Seq("table", "bucket")))
           .groupBy(col("table"), col("bucket"))
           .agg(sum(col("__w")).as("__pop"))
           .where(col("__pop") > cap)
-          .select(col("table"), col("bucket")).persist()
-        hot.count()
-        (bucketed0.join(broadcast(hot), Seq("table", "bucket"), "left_anti"),
-          Seq(hot))
-      case None => (bucketed0, Seq.empty[DataFrame])
+          .select(col("table"), col("bucket")).collect()
+        if (hotRows.isEmpty) bucketed0
+        else {
+          import df.sparkSession.implicits._
+          val hot = broadcast(hotRows.map(r => (r.getInt(0), r.getLong(1)))
+            .toSeq.toDF("table", "bucket"))
+          bucketed0.join(hot, Seq("table", "bucket"), "left_anti")
+        }
+      case None => bucketed0
     }
     val candRep = bucketPairs(bucketed, Seq("table", "bucket"))
     // the byte-quantized prefilter, collapse form (ADVICE r17 / VERDICT
@@ -1240,7 +1260,7 @@ object Dedup {
       .join(reps.select(col("rid").as("id_b"), col("members").as("__mb")), "id_b")
       .select(explode(crossPairsUdf(col("__ma"), col("__mb"))).as("p"), col("cosine"))
       .select(col("p._1").as("id_a"), col("p._2").as("id_b"), col("cosine"))
-    finishReleasing(within.unionByName(cross), reps +: hotCaches: _*)
+    finishReleasing(within.unionByName(cross), reps)
   }
 
   // -------------------------------------------------------- semantic dedup

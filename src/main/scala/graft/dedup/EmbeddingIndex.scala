@@ -299,7 +299,7 @@ object EmbeddingIndex {
       broadcast(dPost.select(col("table"), col("bucket")).distinct()),
       Seq("table", "bucket")).persist()
 
-    val (oldSide, dKept, hotCache) = maxBucket match {
+    val oldSideDKept = maxBucket match {
       case Some(cap) =>
         // dropDuplicates on the append-batch id before the sum: replayed
         // appends re-emit a gid's row with an IDENTICAL bid (same member
@@ -312,14 +312,27 @@ object EmbeddingIndex {
           .unionByName(dPost.select(col("table"), col("bucket"), col("nm")))
           .groupBy(col("table"), col("bucket"))
           .agg(sum(col("nm")).as("__pop"))
-        val hot = pop.where(col("__pop") > cap)
-          .select(col("table"), col("bucket")).persist()
-        hot.count()
-        (matched.join(broadcast(hot), Seq("table", "bucket"), "left_anti"),
-          dPost.join(broadcast(hot), Seq("table", "bucket"), "left_anti"),
-          Seq(hot))
-      case None => (matched, dPost, Seq.empty[DataFrame])
+        // COLLECT the hot set instead of persist+count (r18): it is
+        // bounded by the delta-touched bucket set — the same relation the
+        // code already broadcasts — so driver residency is unchanged,
+        // while the LocalRelation broadcasts below build WITHOUT a Spark
+        // job in every downstream action that re-derives dKept/oldSide
+        // (persist+count paid one job here plus one broadcast-build job
+        // per consuming action). Empty hot — the common uncontended case —
+        // now skips the anti-joins outright.
+        val hotRows = pop.where(col("__pop") > cap)
+          .select(col("table"), col("bucket")).collect()
+        if (hotRows.isEmpty) (matched, dPost)
+        else {
+          import spark.implicits._
+          val hot = broadcast(hotRows.map(r => (r.getInt(0), r.getLong(1)))
+            .toSeq.toDF("table", "bucket"))
+          (matched.join(hot, Seq("table", "bucket"), "left_anti"),
+            dPost.join(hot, Seq("table", "bucket"), "left_anti"))
+        }
+      case None => (matched, dPost)
     }
+    val (oldSide, dKept) = oldSideDKept
 
     // candidate GROUP pairs: ≥1 shared (surviving) bucket, ≥1 delta side —
     // group-level volume, immune to the duplication factor. The union-level
@@ -358,9 +371,13 @@ object EmbeddingIndex {
     // pipeline running twice; the exploded form has a single leg, so the
     // cache fills inside the sbs action below and the count is retired —
     // one driver action (and its AQE jobs) less per delta.
+    // no distinct (r18): the broadcast semi-join below is duplicate-
+    // insensitive, and the relation is candidate-pair sides (≤ 2|candGid|)
+    // plus delta gids — the dedup shuffle bought one fewer hash entry per
+    // duplicate at the cost of a whole extra AQE exchange round
     val wantGids = candGid
       .select(explode(array(col("g_a"), col("g_b"))).as("gid"))
-      .unionByName(dSk.select(col("gid"))).distinct()
+      .unionByName(dSk.select(col("gid")))
     // no distinct: the broadcast semi-join and the sbs projection below
     // absorb duplicates, and the relation is the matched slice's gids —
     // bounded; the dedup shuffle bought nothing (r17)
@@ -473,7 +490,7 @@ object EmbeddingIndex {
       .select(col("p._1").as("id_a"), col("p._2").as("id_b"), col("cosine"))
     // dSk/dPost are caller-owned and released by the wrapper/stream loop
     Dedup.finishReleasing(within.unionByName(cross),
-      Seq(candGid, needIdx, groups, matched) ++ hotCache: _*)
+      candGid, needIdx, groups, matched)
   }
 
   /** Streaming semantic-dedup ingest: every micro-batch is checked against

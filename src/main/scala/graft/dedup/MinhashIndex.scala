@@ -317,7 +317,7 @@ object MinhashIndex {
         Seq("band", "bucket"))
     val matched = if (maxBucket.isDefined) matched0.persist() else matched0
 
-    val (oldSide, dKept, hotCache) = maxBucket match {
+    val oldSideDKept = maxBucket match {
       case Some(cap) =>
         // distinct members per bucket over base + delta = the whole-corpus
         // population minhashLsh's bucketPairs caps on
@@ -325,14 +325,24 @@ object MinhashIndex {
           .unionByName(dPostings)
           .groupBy(col("band"), col("bucket"))
           .agg(countDistinct(col("id")).as("__n"))
-        val hot = pop.where(col("__n") > cap)
-          .select(col("band"), col("bucket")).persist()
-        hot.count()
-        (matched.join(broadcast(hot), Seq("band", "bucket"), "left_anti"),
-          dPostings.join(broadcast(hot), Seq("band", "bucket"), "left_anti"),
-          Seq(hot))
-      case None => (matched, dPostings, Seq.empty[DataFrame])
+        // COLLECT the hot set instead of persist+count (r18): bounded by
+        // the delta-touched bucket set (already broadcast above), so
+        // driver residency is unchanged while the LocalRelation broadcasts
+        // build with ZERO Spark jobs in every action that re-derives
+        // dKept/oldSide; empty hot skips the anti-joins outright
+        val hotRows = pop.where(col("__n") > cap)
+          .select(col("band"), col("bucket")).collect()
+        if (hotRows.isEmpty) (matched, dPostings)
+        else {
+          import spark.implicits._
+          val hot = broadcast(hotRows.map(r => (r.getInt(0), r.getLong(1)))
+            .toSeq.toDF("band", "bucket"))
+          (matched.join(hot, Seq("band", "bucket"), "left_anti"),
+            dPostings.join(hot, Seq("band", "bucket"), "left_anti"))
+        }
+      case None => (matched, dPostings)
     }
+    val (oldSide, dKept) = oldSideDKept
 
     // union-level dropDuplicates is the ONLY pair dedup (r17): the per-leg
     // dedup on oldNew bought nothing but an extra shuffle — the outer
@@ -361,8 +371,12 @@ object MinhashIndex {
     // the unfilled cache from two concurrent legs of one stage, re-running
     // the candidate pipeline (the r12 embedding-module measurement — this
     // module relied on lineage luck instead of a count)
+    // no distinct (r18): the broadcast semi-join and dropDuplicates(id)
+    // below absorb duplicates, and readSketchesPruned's own pb-value
+    // distinct is unchanged — the dedup shuffle was a whole extra AQE
+    // exchange round for nothing
     val candIds = cand
-      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+      .select(explode(array(col("id_a"), col("id_b"))).as("id"))
     // partition-pruned sketches scan: only the candidate ids' buckets
     val sketches = readSketchesPruned(spark, path, m, candIds)
     val rel = sketches.unionByName(dSketches)
@@ -381,8 +395,7 @@ object MinhashIndex {
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
     Dedup.finishReleasing(verified,
-      Seq(cand, rel) ++ (if (maxBucket.isDefined) Seq(matched) else Nil)
-        ++ hotCache: _*)
+      Seq(cand, rel) ++ (if (maxBucket.isDefined) Seq(matched) else Nil): _*)
   }
 
   /** Streaming near-dup ingest: every micro-batch is dedup'd against the

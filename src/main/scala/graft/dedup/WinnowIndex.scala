@@ -176,11 +176,21 @@ object WinnowIndex {
             Seq("gh"), "full_outer")
           .select(col("gh"),
             (coalesce(col("__di"), lit(0L)) + coalesce(col("__dd"), lit(0L))).as("__df"))
-        val hot = dfRel.where(col("__df") > cap).select(col("gh")).persist()
-        hot.count()
-        (matched.join(broadcast(hot), Seq("gh"), "left_anti"),
-          dPost.join(broadcast(hot), Seq("gh"), "left_anti"),
-          Some(hot))
+        // COLLECT the hot set instead of persist+count (r18): bounded by
+        // the delta-shared fingerprint set (already broadcast above), so
+        // driver residency is unchanged while the LocalRelation broadcasts
+        // here and inside winnowPairsFromArr build with ZERO Spark jobs
+        // (and its count() probe constant-folds); empty hot skips the
+        // anti-joins outright
+        import spark.implicits._
+        val hotRows = dfRel.where(col("__df") > cap).select(col("gh"))
+          .collect().map(_.getLong(0)).toSeq
+        val hotLocal = hotRows.toDF("gh")
+        (if (hotRows.isEmpty) matched
+         else matched.join(broadcast(hotLocal), Seq("gh"), "left_anti"),
+          if (hotRows.isEmpty) dPost
+          else dPost.join(broadcast(hotLocal), Seq("gh"), "left_anti"),
+          Some(hotLocal))
       case None => (matched, dPost, None)
     }
 
@@ -199,18 +209,15 @@ object WinnowIndex {
         greatest(col("id_old"), col("id_new")).as("id_b"))
       .agg(countDistinct(col("gh")).as("n_shared"))
       .where(col("n_shared") >= minShared)
-    // winnowPairsFromArr does NOT release precomputedHot (it must outlive
-    // the inner call: oldNew's anti-joins above broadcast it and only
-    // materialize in the outer action below) — ownership stays here, and
-    // hotOpt is released once, after the union materializes. newNew comes
-    // back persisted (the inner finishReleasing's result cache); the outer
-    // union is the call's single surviving result cache, so newNew joins
-    // the release list. dArr/dPost are caller-owned and NOT released here
-    // (the same ownership rule).
+    // hotOpt is a LocalRelation (r18) — nothing to release; it is shared
+    // with winnowPairsFromArr as precomputedHot so the capped branch runs
+    // zero df groupBys of its own. newNew comes back persisted (the inner
+    // finishReleasing's result cache); the outer union is the call's
+    // single surviving result cache, so newNew joins the release list.
+    // dArr/dPost are caller-owned and NOT released here.
     val newNew = Dedup.winnowPairsFromArr(dArr, minShared, maxDf, hotOpt)
     Dedup.finishReleasing(oldNew.unionByName(newNew),
-      Seq(newNew) ++ (if (maxDf.isDefined) Seq(matched) else Nil)
-        ++ hotOpt: _*)
+      Seq(newNew) ++ (if (maxDf.isDefined) Seq(matched) else Nil): _*)
   }
 
   /** Streaming overlap ingest: every micro-batch is checked against the
