@@ -100,6 +100,11 @@ object Bench {
     // the final-HEAD r16 cell caught the host capping BETWEEN passes
     // (535→470); these catch it between queries
     val cpuRefsInrun = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // in-run ALL-CORES samples, one every ~40 queries (r18 — VERDICT r17
+    // "What's wrong" #2): the r16 blind spot was MULTI-core capping, and
+    // pass-boundary samples cannot see a capped window shorter than a
+    // pass; these run between queries, never inside a timed region
+    val cpuRefsAllInrun = scala.collection.mutable.ArrayBuffer.empty[Double]
     ScaleBench.cpuRefMopsAll(cpus.toInt, 30000000L) // JIT-warm the kernel
     cpuRefs += ScaleBench.cpuRefMops()
     cpuRefsAll += ScaleBench.cpuRefMopsAll(cpus.toInt)
@@ -131,6 +136,8 @@ object Bench {
       passLoads += load1()
       val t = names.zipWithIndex.map { case (name, qi) =>
         if (qi % 20 == 0) cpuRefsInrun += ScaleBench.cpuRefMops(30000000L)
+        if (qi % 40 == 20)
+          cpuRefsAllInrun += ScaleBench.cpuRefMopsAll(cpus.toInt, 15000000L)
         val c0 = cpuSample()
         val t0 = System.nanoTime()
         val ok =
@@ -248,6 +255,8 @@ object Bench {
       s""""cpu_ref_all_mops":[${cpuRefsAll.map(num).mkString(",")}],""" +
       s""""cpu_ref_all_mops_median":${num(refAllMed)},""" +
       s""""cpu_ref_inrun_mops":[${cpuRefsInrun.map(num).mkString(",")}],""" +
+      s""""cpu_ref_all_inrun_mops":[${cpuRefsAllInrun.map(num).mkString(",")}],""" +
+      s""""cpu_ref_all_inrun_median":${num(medianOf(cpuRefsAllInrun.toSeq))},""" +
       s""""anchor_baseline_all_mops":${num(BaselineAllMops)},""" +
       s""""anchor_baseline_single_mops":${num(BaselineSingleMops)},""" +
       s""""value_norm":${num(totalNorm)},"value_norm_single":${num(totalNormSingle)},""" +
