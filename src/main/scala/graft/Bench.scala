@@ -256,16 +256,29 @@ object Bench {
       s""""cpu_ref_all_mops_median":${num(refAllMed)},""" +
       s""""cpu_ref_inrun_mops":[${cpuRefsInrun.map(num).mkString(",")}],""" +
       s""""cpu_ref_all_inrun_mops":[${cpuRefsAllInrun.map(num).mkString(",")}],""" +
-      s""""cpu_ref_all_inrun_median":${num(medianOf(cpuRefsAllInrun.toSeq))},""" +
+      s""""cpu_ref_all_inrun_mops_median":${num(medianOf(cpuRefsAllInrun.toSeq))},""" +
       s""""anchor_baseline_all_mops":${num(BaselineAllMops)},""" +
       s""""anchor_baseline_single_mops":${num(BaselineSingleMops)},""" +
       s""""value_norm":${num(totalNorm)},"value_norm_single":${num(totalNormSingle)},""" +
       s""""other_cpu_pct":${num(otherMed)},"steal_pct":${num(stealMed)},"contended":$contended$scaling}"""
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get(outFile),
-      full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: Throwable => System.err.println(s"[bench] write $outFile failed: ${e.getMessage}") }
+    // Detail path is (cpus, sf)-STAMPED by default (VERDICT r18 #2): the
+    // fixed bench_out.json meant any later run — the driver's 8-core
+    // scaling run, a profile — clobbered the 32-core run's per-query map,
+    // which is why PERF_r18 had n_common=0 and an empty scaling block. A
+    // stamped path makes runs at different core counts coexist; the
+    // summary line's "detail" names the file for this run. bench_out.json
+    // is still written as a back-compat mirror for any consumer that
+    // hardcodes it (additive — same bytes).
+    val sfName = new java.io.File(sfDir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      s"bench_detail_c${cpus}_$sfName.json")
+    def writeOut(p: String): Unit =
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(p),
+        full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: Throwable => System.err.println(s"[bench] write $p failed: ${e.getMessage}") }
+    writeOut(outFile)
+    if (outFile != "bench_out.json") writeOut("bench_out.json")
     val summary = s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failedNames.size},"sf":"$sfDir","max_query":"$maxName","max_query_s":${num(maxT._1)},"contended":$contended,"other_cpu_pct":${num(otherMed)},"cpu_ref_mops":${num(refSingleMed)},"cpu_ref_all_mops":${num(refAllMed)},"value_norm":${num(totalNorm)},"detail":"$outFile"$scalingSrc}"""
     println(summary)
     spark.stop()

@@ -18,7 +18,9 @@ import graft.dedup.{Dedup, EmbeddingIndex}
   * The prefilter is the 100 TB candidate-volume lever (verification joins
   * carry 64 bytes + 2 floats instead of 64 floats; survivors of the
   * provably-safe bound are the only rows that touch the wide payload) —
-  * default OFF because at gate scale the cost is Spark stage count, not
+  * default AUTO since r19 (cuts over on measured candidate volume —
+  * these forced-on gates stay as the oracle-gated equivalence pin)
+  * because at gate scale the cost is Spark stage count, not
   * payload bytes (measured r17: the capped delta gate spends ~5 s of an
   * 8 s wall in driver gaps between 42 jobs — SCALE.md "quantized
   * prefilter" cell). */
@@ -32,7 +34,7 @@ object Queries20 {
     // the margin proof; identical ORACLE by construction (shared SQL)
     "q_dedup_embedding_lsh_quant" -> ((s, dir) =>
       Dedup.embeddingNearDupLsh(t(s, dir, "embeddings"), dim = 64,
-        threshold = 0.45, nbits = 4, tables = 8, quantPrefilter = true)
+        threshold = 0.45, nbits = 4, tables = 8, quantPrefilter = Some(true))
         .orderBy(col("id_a"), col("id_b"))),
 
     // q_dedup_embedding_delta with the prefilter on the candidate-gid
@@ -41,7 +43,7 @@ object Queries20 {
       EmbeddingIndex.deltaPairs(
         s, SparkEntry.embeddingIndexPath(s, dir),
         t(s, dir, "embeddings").where(col("vec_id") % 10 === 7),
-        threshold = 0.45, quantPrefilter = true)
+        threshold = 0.45, quantPrefilter = Some(true))
         .orderBy(col("id_a"), col("id_b"))))
 
   def oracleSql: Map[String, String] = Map(

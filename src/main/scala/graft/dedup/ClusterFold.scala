@@ -187,7 +187,11 @@ private[graft] object ClusterFold {
     * relation). The dynamic-partition dirs come out as `rel=byid/pb=k`;
     * two renames restore the bare `byid`/`byroot` names (a crash between
     * them leaves only unreferenced debris in a fresh epoch dir — the same
-    * window the two-write form had). Returns the partition values
+    * window the two-write form had). PORTABILITY: on local/HDFS each
+    * rename is one metadata op; on an object store without atomic rename
+    * (raw s3a) it degrades to an O(files) server-side copy — point
+    * clustersDir at a store with real renames there. Returns the
+    * partition values
     * actually written per relation — a touched partition whose new
     * content is empty simply gets no dir (and loses its manifest entry). */
   private def writeRels(byidRows: DataFrame, byrootRows: DataFrame,
@@ -204,7 +208,17 @@ private[graft] object ClusterFold {
     def finalize(rel: String): Set[Int] = {
       val src = new org.apache.hadoop.fs.Path(base, s"rel=$rel")
       val dst = new org.apache.hadoop.fs.Path(base, rel)
-      if (fs.exists(src)) { fs.rename(src, dst); () }
+      // rename reports failure by RETURNING FALSE (Hadoop FS contract —
+      // it rarely throws); falling through would read dst as absent and
+      // publish a manifest that silently DROPS the touched partitions.
+      // Unreachable on local FS in practice, but this is the durability-
+      // critical publish path and clustersDir resolves through the
+      // generic FS API (s3a/hdfs possible), where a directory rename can
+      // legitimately fail — abort the fold before the manifest flip
+      // instead (ADVICE r18 #1).
+      if (fs.exists(src) && !fs.rename(src, dst))
+        throw new java.io.IOException(
+          s"epoch finalize: rename $src -> $dst failed")
       if (!fs.exists(dst)) Set.empty
       else fs.listStatus(dst).iterator.map(_.getPath.getName)
         .filter(_.startsWith("pb=")).map(_.stripPrefix("pb=").toInt).toSet

@@ -453,10 +453,23 @@ object Dedup {
           case Some(h) => (h, h.count())
           case None =>
             import sh.sparkSession.implicits._
-            val rows = sh.groupBy(col("s")).agg(count(lit(1)).as("__df"))
+            val hotRel = sh.groupBy(col("s")).agg(count(lit(1)).as("__df"))
               .where(col("__df") > cap).select(col("s"))
-              .collect().map(_.getLong(0)).toSeq
-            (rows.toDF("s"), rows.length.toLong)
+            // Driver guard (ADVICE r18 #2): the hot set is tiny in the
+            // boilerplate regime the cap targets, but the shared-vocabulary
+            // regime can make MOST shingles hot — an unguarded collect
+            // fails only as an opaque driver OOM. One row over the bound
+            // routes the fallback: within it, the LocalRelation keeps
+            // broadcast builds at zero jobs (r18); over it, the persisted
+            // relation goes through the broadcast machinery's own size
+            // limits and warnings, as before r18.
+            val probe = hotRel.as[Long].take(HotCollectMaxRows + 1)
+            if (probe.length <= HotCollectMaxRows)
+              (probe.toSeq.toDF("s"), probe.length.toLong)
+            else {
+              val h = hotRel.persist()
+              (h, h.count())
+            }
         }
         // no shingle above the cap → rare == sh and the split machinery is
         // pure overhead; run the plain join (identical result)
@@ -1037,11 +1050,43 @@ object Dedup {
   // is a Cauchy-Schwarz bound on the dequantization error, spec-pinned in
   // Round17Spec), so outputs are bit-identical with it on or off.
   //
-  // DEFAULT OFF: at gate scale (sf0.1, ~17k candidate pairs) the query
-  // cost is Spark job/stage count, not per-pair bytes — the prefilter's
-  // two extra joins COST more than the narrow payload saves (measured
-  // r17, SCALE.md). It is the 100 TB lever for the regime where candidate
-  // volume makes the wide-vector verification join shuffle-bound.
+  // DEFAULT AUTO (r19 — VERDICT r18 #3, the approximate_threshold
+  // pattern): callers pass Some(true)/Some(false) to force, None to cut
+  // over on MEASURED candidate volume. At gate scale (sf0.1, ~17k
+  // candidate pairs) the query cost is Spark job/stage count, not
+  // per-pair bytes — the prefilter's two extra joins cost more than the
+  // narrow payload saves (measured r17, SCALE.md: gate 4.27 s off /
+  // 4.37 s on) — while at volume (r17 cell: 50k base + 5k delta,
+  // ~8M candidates) it measured 0.36×. The auto cutover engages at
+  // [[QuantAutoMinPairs]] candidate pairs: safely above the measured
+  // flat/loss regime (~2×10⁴) and safely below the measured 2.8× win
+  // (~8×10⁶), where the per-pair savings dominate the two extra joins'
+  // fixed stage cost. The batch forms estimate the volume from the
+  // bucket-population distribution (Σ C(pop, 2) — exactly the pair count
+  // the bucket join materializes) in one aggregation, and only bother
+  // past [[QuantAutoProbeMinIds]] ids so gate-scale corpora never pay
+  // the probe job; the delta path reads |candGid| off an action it
+  // already runs (zero extra jobs — see EmbeddingIndex).
+
+  /** Auto cutover: engage the quant prefilter at this candidate-pair
+    * volume (see the section doc for the measured calibration). */
+  private[graft] val QuantAutoMinPairs = 1000000L
+
+  /** Driver-residency bound for hot-key/hot-bucket LocalRelation collects
+    * (ADVICE r18 #2): under it, collected hot sets embed as LocalRelations
+    * (zero-job broadcast builds); over it, the code falls back to a
+    * persisted relation + the broadcast machinery's own limits. 1M longs
+    * ≈ 8 MB payload — far under the driver heap, far over any regime the
+    * caps are designed for. */
+  private[graft] val HotCollectMaxRows = 1000000
+
+  /** Tier-1 gate for the batch forms' volume probe: corpora under this
+    * many ids skip the probe aggregation outright — at that size the probe
+    * job IS the class of overhead the auto mode exists to avoid, and the
+    * worst unprobed miss is bounded (a sub-16k-id corpus's verification
+    * join is at most a few seconds of the flat regime even fully
+    * colliding). The bench gates (~5k vectors at sf0.1) never probe. */
+  private[graft] val QuantAutoProbeMinIds = 16384L
 
   /** (qv: 64 signed bytes, qs: per-vector ceiling = max-|component|).
     * q_i = round(v_i / qs · 127); a zero vector quantizes to zeros with
@@ -1101,7 +1146,9 @@ object Dedup {
       idCol: String = "vec_id", threshold: Double = 0.95,
       nbits: Int = 8, tables: Int = 4, seed: Long = 42L,
       maxBucket: Option[Int] = None, stablePlanes: Boolean = false,
-      quantPrefilter: Boolean = false): DataFrame = {
+      quantPrefilter: Option[Boolean] = None,
+      quantAutoPairs: Long = QuantAutoMinPairs,
+      quantAutoProbeIds: Long = QuantAutoProbeMinIds): DataFrame = {
     val planes =
       if (stablePlanes) lshPlanesStable(tables, nbits, dim, seed)
       else lshPlanes(tables, nbits, dim, seed)
@@ -1131,12 +1178,26 @@ object Dedup {
       val bucketed = keyed
         .select(col("id"), posexplode(bucketUdf(col("v"))).as(Seq("table", "bucket")))
       val candidates = bucketPairs(bucketed, Seq("table", "bucket"), maxBucket)
-      // optional byte-quantized prefilter (see the section doc above):
-      // candidate pairs verify first against the 64-byte quantized copy +
-      // norm, and only survivors of the provably-safe bound join the
-      // float vectors for the exact rescore — lossless by construction
+      // byte-quantized prefilter (see the section doc above): candidate
+      // pairs verify first against the 64-byte quantized copy + norm, and
+      // only survivors of the provably-safe bound join the float vectors
+      // for the exact rescore — lossless by construction. AUTO (None)
+      // estimates the candidate volume as Σ C(pop, 2) over the bucket
+      // populations — exactly the pair count the bucket join materializes
+      // (cap-respecting: over-cap buckets emit nothing) — in ONE
+      // aggregation, probed only past the tier-1 id floor so gate-scale
+      // corpora never pay the probe job.
+      val useQuant = quantPrefilter.getOrElse(
+        nAll.getLong(0) >= quantAutoProbeIds && {
+          val cap = maxBucket.map(_.toLong).getOrElse(Long.MaxValue)
+          val v = bucketed.groupBy(col("table"), col("bucket"))
+            .agg(count(lit(1)).as("__n"))
+            .where(col("__n") <= cap)
+            .agg(sum(col("__n") * (col("__n") - lit(1L)) / lit(2L))).head()
+          !v.isNullAt(0) && v.getLong(0) >= quantAutoPairs
+        })
       val kept =
-        if (!quantPrefilter) candidates
+        if (!useQuant) candidates
         else {
           val slim = vecs
             .withColumn("__q", quantizeVecUdf(col("v")))
@@ -1217,8 +1278,19 @@ object Dedup {
     // duplicate-free branch's per-id copy — and only survivors of the
     // provably-safe bound join the full float vectors. Lossless by the
     // quantKeepCond margin proof, so outputs are bit-identical either way.
+    // AUTO (None): tier-1 on the DISTINCT-vector count (reps is the join
+    // population under the collapse), then Σ C(pop, 2) over the surviving
+    // (post-hot-anti-join) rep-level bucket populations — exactly candRep's
+    // pre-dedup row count.
+    val useQuantRep = quantPrefilter.getOrElse(
+      nAll.getLong(1) >= quantAutoProbeIds && {
+        val v = bucketed.groupBy(col("table"), col("bucket"))
+          .agg(count(lit(1)).as("__n"))
+          .agg(sum(col("__n") * (col("__n") - lit(1L)) / lit(2L))).head()
+        !v.isNullAt(0) && v.getLong(0) >= quantAutoPairs
+      })
     val candRepKept =
-      if (!quantPrefilter) candRep
+      if (!useQuantRep) candRep
       else {
         val slim = repVecs
           .withColumn("__q", quantizeVecUdf(col("v")))

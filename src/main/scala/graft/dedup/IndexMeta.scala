@@ -154,6 +154,14 @@ private[graft] object IndexMeta {
           // could be interleaved with it, so VERIFY the payload landed
           // (ADVICE r17) — a lost race fails loudly like the create path
           // instead of two sessions both believing they hold the lock.
+          // BEST-EFFORT, not CAS (ADVICE r18 #4): both sides run
+          // write-then-verify, so two interleaved retakes can still each
+          // read their own payload back — the verify converts MOST lost
+          // races into loud failures, it cannot close the TOCTOU window.
+          // A hard guarantee would need an fs-level atomic primitive
+          // (create-exclusive per-attempt file + rename); the
+          // single-writer contract makes the residual window
+          // crash-recovery-only, which is why best-effort is accepted.
           write(dir, LockFile, payload)
           val after =
             try read(dir, LockFile).headOption

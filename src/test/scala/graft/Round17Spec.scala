@@ -125,7 +125,7 @@ class Round17Spec extends SparkSpec {
     val plain = pairSet(Dedup.embeddingNearDupLsh(vecs, dim = dim,
       threshold = 0.6, nbits = 4, tables = 4))
     val quant = pairSet(Dedup.embeddingNearDupLsh(vecs, dim = dim,
-      threshold = 0.6, nbits = 4, tables = 4, quantPrefilter = true))
+      threshold = 0.6, nbits = 4, tables = 4, quantPrefilter = Some(true)))
     assert(plain == quant, "LSH output changed under the prefilter")
     assert(plain.nonEmpty, "degenerate test corpus — no pairs at all")
 
@@ -136,7 +136,7 @@ class Round17Spec extends SparkSpec {
     val dPlain = pairSet(EmbeddingIndex.deltaPairs(spark, idx, delta,
       threshold = 0.6))
     val dQuant = pairSet(EmbeddingIndex.deltaPairs(spark, idx, delta,
-      threshold = 0.6, quantPrefilter = true))
+      threshold = 0.6, quantPrefilter = Some(true)))
     assert(dPlain == dQuant, "delta output changed under the prefilter")
     assert(dPlain.nonEmpty, "degenerate delta — no pairs at all")
   }

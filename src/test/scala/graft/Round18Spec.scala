@@ -54,7 +54,7 @@ class Round18Spec extends SparkSpec {
     val plain = Dedup.embeddingNearDupLsh(vecs, dim = dim,
       threshold = 0.6, nbits = 4, tables = 4)
     val quant = Dedup.embeddingNearDupLsh(vecs, dim = dim,
-      threshold = 0.6, nbits = 4, tables = 4, quantPrefilter = true)
+      threshold = 0.6, nbits = 4, tables = 4, quantPrefilter = Some(true))
     assert(pairSet(plain) == pairSet(quant),
       "collapse-branch output changed under the prefilter")
     assert(pairSet(plain).nonEmpty, "fixture must produce pairs")
@@ -72,7 +72,7 @@ class Round18Spec extends SparkSpec {
       threshold = 0.6, nbits = 2, tables = 4, maxBucket = Some(8))
     val quant = Dedup.embeddingNearDupLsh(vecs, dim = dim,
       threshold = 0.6, nbits = 2, tables = 4, maxBucket = Some(8),
-      quantPrefilter = true)
+      quantPrefilter = Some(true))
     assert(pairSet(plain) == pairSet(quant),
       "capped collapse-branch output changed under the prefilter")
   }
